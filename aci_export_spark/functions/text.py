@@ -1,0 +1,71 @@
+"""Text expressions: validity filters, CSV splitting, tokenization, n-grams.
+
+The first half re-expresses reference scalar ops (F9, F10; SURVEY.md §2.8);
+the second half is the text layer the beyond-reference pipeline operators
+(dedup / language-id / quality scoring, `aci_export_spark.llm`) build on.
+Everything is a Column expression — tokenization of a 100 TB corpus must not
+cross into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Word-ish tokens: runs of letters/digits/apostrophes. BPE-ish enough for
+#: counting; stays in the JVM regex engine.
+TOKEN_PATTERN = r"[A-Za-z0-9']+"
+
+
+def valid_email(email: Column) -> Column:
+    """Reference P9/F10 (`mailchimp/src/members.rs:111-114`): non-null,
+    non-empty, not a placeholder domain."""
+    e = F.lower(F.trim(email))
+    return (
+        email.isNotNull()
+        & (e != "")
+        & ~e.endswith("noemail.com")
+        & ~e.endswith("example.com")
+    )
+
+
+def split_csv_trim(csv: Column) -> Column:
+    """CSV string → array<string>, each element trimmed; empty/NULL → empty array.
+
+    Reference F9 (`ddb/src/members.rs:1050-1058`): brns CSV from the `v_brns`
+    view split and trimmed client-side.
+    """
+    arr = F.split(csv, ",")
+    trimmed = F.transform(arr, lambda x: F.trim(x))
+    cleaned = F.filter(trimmed, lambda x: x != "")
+    return F.when(csv.isNull(), F.array().cast("array<string>")).otherwise(cleaned)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse whitespace,
+    strip leading/trailing space. Deterministic and cheap (JVM regex)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """array<string> of word tokens (JVM-side regexp extraction)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-delimited token count; 0 for empty/NULL."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """array<string> of character n-grams (shingles) over the normalized text.
+
+    Built with sequence+transform so it stays a vectorizable JVM expression;
+    the shingle set feeds MinHash/Jaccard dedup at corpus scale.
+    """
+    norm = normalize_text(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(norm) - n, F.lit(0))),
+        lambda i: norm.substr(i + 1, F.lit(n)),
+    )

@@ -1,0 +1,301 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 (plus the
+beyond-reference pipeline operators) embodied as a named query over the
+driver's test tables, each paired with an ANSI-SQL DuckDB oracle.
+
+Contract (see /root/repo/__spark_entry__.py): the driver runs the Spark
+callable and the oracle SQL side-by-side at sf0.01 and compares row count +
+schema + order-insensitive value hash. Column names are matched after sorting
+by name, so every computed column is aliased identically on both sides.
+
+Determinism rules used throughout:
+- aggregates run on exact DECIMAL(18,2) arithmetic, cast to DOUBLE only at
+  the output edge (bit-identical in both engines);
+- every window/top-k has a total order (documented tie-breaks, SURVEY §7.4.1);
+- timestamps are reduced to DATE (or date_trunc'ed strings) at the edge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from aci_export_spark.sources import read_table
+from aci_export_spark.functions.ids import id_for_email, md5_member_id
+from aci_export_spark.operators.dedup import (
+    argmax_per_key,
+    dedupe_keep_min,
+    priority_dedup,
+)
+from aci_export_spark.operators.joins import scoped_semi_join
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → driver records rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _dec(col, p=18, s=2):
+    return col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's most complex artifact (FETCH_CLUB_MEMBERS_QUERY,
+# ddb/src/members.rs:362-520) re-shaped onto the test star schema:
+# scope union (U1/J5) + semi-join + flag aggregation (A1) + argmax latest
+# (A3) + multi-way dimension join (J1) — one lazy plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_scoped_members",
+    """
+WITH scope AS (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    UNION
+    SELECT n_nationkey FROM nation WHERE n_name = 'CANADA'
+), flags AS (
+    SELECT o_custkey,
+           MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) = 1 AS has_open,
+           MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 1 AS has_filled,
+           strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_order_date,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+), latest AS (
+    SELECT o_custkey, o_totalprice AS last_price FROM (
+        SELECT o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT c_custkey, c_name, c_mktsegment, n_name,
+       has_open, has_filled, last_order_date, last_price, n_orders
+FROM customer
+JOIN scope ON c_nationkey = scope.n_nationkey
+JOIN nation ON c_nationkey = nation.n_nationkey
+JOIN flags ON o_custkey = c_custkey
+JOIN latest ON latest.o_custkey = c_custkey
+""",
+    doc="scope semi-join + flag agg + argmax latest order per customer",
+)
+def flagship_scoped_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+
+    # U1/J5: single-key scope ∪ group-expansion scope, then broadcast semi-join
+    asia = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey")
+    )
+    canada = nation.filter(F.col("n_name") == "CANADA").select("n_nationkey")
+    scope = asia.unionByName(canada).distinct().withColumnRenamed("n_nationkey", "c_nationkey")
+    cust = scoped_semi_join(customer, scope, on="c_nationkey")
+
+    # A1: per-customer boolean-max flags + max date (single partial-agg shuffle)
+    flags = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        (F.max((F.col("o_orderstatus") == "O").cast("int")) == 1).alias("has_open"),
+        (F.max((F.col("o_orderstatus") == "F").cast("int")) == 1).alias("has_filled"),
+        F.date_format(F.max(F.to_date("o_orderdate")), "yyyy-MM-dd").alias("last_order_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+    # A3: argmax latest order; deterministic tie-break on o_orderkey desc
+    latest = argmax_per_key(
+        orders, ["o_custkey"], "o_orderdate", tie_break=[F.col("o_orderkey").desc()]
+    ).select(F.col("o_custkey").alias("c_custkey"), F.col("o_totalprice").alias("last_price"))
+
+    dim_nation = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        cust.join(broadcast(dim_nation), on="c_nationkey")
+        .join(flags, on="c_custkey")
+        .join(latest, on="c_custkey")
+        .select(
+            "c_custkey", "c_name", "c_mktsegment", "n_name",
+            "has_open", "has_filled", "last_order_date", "last_price", "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bench headline: TPC-H Q1-shaped pricing summary (wide scan + partial agg).
+# Exercises P5 date filter, F1/F5 scalars, A-family aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2003-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped scan+agg; exact decimal arithmetic, double at the edge",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    # exact decimal arithmetic: prices are 2-dp, discounts are exact
+    # hundredths, so these casts are lossless and both engines agree bit-for-bit
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(9,2)") - F.col("l_discount").cast("decimal(9,2)")
+    )
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2003-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6/P7: anti-join exclusion — customers with no orders (partner-exclusion
+# shape, ddb/src/members.rs:327,349).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j6_customers_without_open_orders",
+    """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+)
+""",
+    doc="left_anti exclusion join (non-degenerate: every customer has orders, "
+    "but not every customer has an open one)",
+)
+def j6_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    excl = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(excl, on="c_custkey", how="left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: dedup keep MIN id per natural key (ddb/src/members.rs:240-258) as a
+# single window pass instead of the reference's GROUP BY + join-back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_dedup_keep_min_orderkey",
+    """
+SELECT o_custkey, strftime(order_date, '%Y-%m-%d') AS order_date, o_orderkey AS picked_orderkey, o_totalprice
+FROM (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                              ORDER BY o_orderkey) AS rn
+    FROM orders
+) WHERE rn = 1
+""",
+    doc="dedupe-pick keeps MIN id; window instead of groupby+join-back",
+)
+def a2_dedup_keep_min_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_date", F.to_date("o_orderdate")
+    )
+    picked = dedupe_keep_min(orders, ["o_custkey", "order_date"], "o_orderkey")
+    return picked.select(
+        "o_custkey", F.date_format("order_date", "yyyy-MM-dd").alias("order_date"), F.col("o_orderkey").alias("picked_orderkey"), "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: priority dedup — one row per key, preferred class wins, deterministic
+# tie-break (ddb/src/members.rs:41-55; regular beats affiliate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a4_priority_dedup",
+    """
+SELECT c_nationkey, c_mktsegment, c_custkey, c_name, c_acctbal
+FROM (
+    SELECT c_nationkey, c_mktsegment, c_custkey, c_name, c_acctbal,
+           ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey, c_mktsegment
+               ORDER BY CASE WHEN c_acctbal >= 5000 THEN 0 ELSE 1 END, c_custkey
+           ) AS rn
+    FROM customer
+) WHERE rn = 1
+""",
+    doc="priority dedup: preferred class first, then deterministic tie-break",
+)
+def a4_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    priority = F.when(F.col("c_acctbal") >= 5000, 0).otherwise(1)
+    return priority_dedup(
+        customer,
+        key=["c_nationkey", "c_mktsegment"],
+        priority=priority,
+        tie_break=[F.col("c_custkey").asc()],
+    ).select("c_nationkey", "c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# F7/F8: stable hash ids — base64url-no-pad(sha256) and md5, pure expressions
+# (db/src/user.rs:31-35; mailchimp/src/members.rs:107-109).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f7_f8_hash_ids",
+    """
+SELECT c_custkey,
+       rtrim(replace(replace(to_base64(unhex(sha256(lower(trim(c_name))))), '+', '-'), '/', '_'), '=') AS user_id,
+       md5(lower(trim(c_name))) AS member_id
+FROM customer
+""",
+    doc="email→id hashing: sha256-base64url-nopad + md5, byte-identical to oracle",
+)
+def f7_f8_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        id_for_email(F.col("c_name")).alias("user_id"),
+        md5_member_id(F.col("c_name")).alias("member_id"),
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

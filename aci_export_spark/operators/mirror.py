@@ -1,0 +1,95 @@
+"""Mirror-sync operators: upsert + retain (reference S8/S9; SURVEY.md §2.1).
+
+The reference mirrors Drupal → Postgres with chunked
+`INSERT … ON CONFLICT DO UPDATE` (`db/src/user.rs:59-99`) and a
+temp-table-anti-join `DELETE` for rows that vanished from the source
+("retain", `db/src/lib.rs:16-76`). Re-running a sync converges — idempotence
+by construction.
+
+Spark-first equivalents, as pure DataFrame algebra so they work on any sink:
+
+    upsert(target, source, keys)  = source ∪ (target ⟕̸ source)      (anti-join)
+    retain(target, keep, keys)    = target ⋉ keep                    (semi-join)
+    mirror_sync                   = upsert ∘ retain, with SyncStats
+
+On a transactional table format (Delta/Iceberg) the same semantics are a
+single `MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT / WHEN NOT
+MATCHED BY SOURCE DELETE`; these functions compute the post-state and the
+stats, and `write_mirror` materializes it (overwrite-diff mode for plain
+parquet). At 100 TB the anti/semi joins shuffle on the mirror key — the same
+key the table should be bucketed by, making them co-located joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SyncStats:
+    """Per-entity mirror stats (reference `sync-app/src/sync.rs:11-28`:
+    {upserted, deleted, duration})."""
+
+    upserted: int
+    deleted: int
+    duration_s: float = 0.0
+
+    def as_dict(self) -> dict:
+        return {"upserted": self.upserted, "deleted": self.deleted, "duration_s": round(self.duration_s, 3)}
+
+
+def upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Post-state of upserting `source` into `target` on `keys`.
+
+    Source rows win on key collision (reference `ON CONFLICT DO UPDATE`,
+    `db/src/user.rs:69-98`). Anti-join keeps target rows whose key is absent
+    from source; union appends every source row. Column sets must match.
+    """
+    kept = target.join(source.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return kept.unionByName(source)
+
+
+def retain(target: DataFrame, keep_keys: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Delete-missing: keep only target rows whose key appears in `keep_keys`.
+
+    Reference S9 (`db/src/lib.rs:16-76`): temp table of keys + `DELETE …
+    WHERE key NOT IN (…)` in one txn. Here: a semi-join (MERGE … WHEN NOT
+    MATCHED BY SOURCE THEN DELETE on Delta).
+    """
+    return target.join(keep_keys.select(*keys).distinct(), on=list(keys), how="left_semi")
+
+
+def mirror_sync(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Full mirror semantics: after this, target ≡ source keyset with source
+    values (upsert + retain composed; reference §3.2 steps 5-6)."""
+    return retain(upsert(target, source, keys), source, keys)
+
+
+def mirror_stats(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> SyncStats:
+    """Counts the reference logs per entity (`sync-app/src/sync.rs:621-637`):
+    upserted = |source| (every source row is written), deleted = target keys
+    absent from source. Computed as one aggregate each — no collect loops.
+    """
+    upserted = source.count()
+    deleted = (
+        target.select(*keys).distinct()
+        .join(source.select(*keys).distinct(), on=list(keys), how="left_anti")
+        .count()
+    )
+    return SyncStats(upserted=upserted, deleted=deleted)
+
+
+def write_mirror(df: DataFrame, path: str, keys: Sequence[str], num_buckets: int | None = None) -> None:
+    """Materialize the mirror post-state (plain-parquet overwrite-diff mode).
+
+    On Delta this would be `MERGE INTO`; for plain files, overwrite. Partition
+    layout note for scale: pass `num_buckets` and write via saveAsTable with
+    bucketBy(keys) on a real cluster so subsequent syncs' anti/semi joins are
+    co-located (no shuffle of the 100 TB mirror side).
+    """
+    writer = df.write.mode("overwrite")
+    writer.parquet(path)

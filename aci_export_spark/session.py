@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the engine's workload shape.
+
+The reference runs single-process (SURVEY.md §4); we instead declare plans and
+let Catalyst/AQE pick physical strategy. The defaults below are the ones that
+matter at 100 TB:
+
+- AQE on (runtime coalesce + skew-join splitting) so a plan tuned at sf0.1
+  survives a 1000x scale-up without hand-retuning shuffle partition counts.
+- Broadcast threshold raised: every dimension in both the ACI model (clubs,
+  regions, roles, taxonomy) and the TPC-H test star (region, nation, supplier,
+  part) is tiny relative to the fact tables; broadcast-hash-join avoids
+  shuffling the 100 TB side entirely.
+- UTC session timezone so date semantics match the DuckDB oracle and are
+  cluster-location-independent.
+- Arrow enabled: any pandas_udf / toPandas path moves columnar batches, not
+  pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "aci-export-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-conscious defaults.
+
+    In tests/bench this is ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    same conf block applies unchanged — nothing here is local-mode-specific
+    except the master fallback.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

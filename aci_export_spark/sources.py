@@ -1,0 +1,111 @@
+"""Table sources and scope builders.
+
+Reference counterpart: `ddb/src/lib.rs:21-33` (MySQL pool) and the per-query
+base relations. In Spark a "source" is a lazily-scanned DataFrame; predicate
+pushdown and column pruning reach the parquet (or JDBC) scan automatically, so
+readers stay dumb and the queries stay declarative.
+
+Two source families:
+- parquet test tables (driver-generated TPC-H-ish star, TESTDATA.md) — used by
+  the correctness/bench harness;
+- JDBC (`read_jdbc_table`) — the production path the reference used against
+  MySQL/Postgres. Partitioned reads on a numeric key so a 1000-executor
+  cluster fans the scan out instead of serializing through one connection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver generates at each scale factor (TESTDATA.md).
+TEST_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Scans stay lazy; Catalyst prunes columns/filters.
+
+    The driver's `events` table carries nanosecond parquet timestamps, which
+    Spark only reads via the nanos-as-long escape hatch (runtime-settable).
+    We normalize `ts` back to TIMESTAMP_NTZ microseconds so downstream date
+    logic matches the DuckDB oracle's naive-timestamp view of the same file.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer division keeps full precision (ts/1000 via double would
+        # lose sub-second bits for ~1.7e18 nanos values)
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TEST_TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TEST_TABLES) -> None:
+    """Register the test tables as temp views so `spark.sql` parity queries run."""
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    fetchsize: int = 10_000,
+    **options: str,
+) -> DataFrame:
+    """Production source: partitioned JDBC scan.
+
+    Mirrors the reference's MySQL source (`ddb/src/lib.rs:21-33`) but
+    distributed: with a numeric `partition_column` Spark issues
+    `num_partitions` range-bounded queries in parallel. `pushDownPredicate`
+    is on by default so filters composed later reach the database — the same
+    manual pushdown the reference did with QueryBuilder
+    (`ddb/src/members.rs:57-78`), for free.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetchsize))
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000_000))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def scope_union(primary: DataFrame, expansion: DataFrame) -> DataFrame:
+    """Scope DF = single-key set ∪ expansion set (reference J5/U1 pattern,
+    `ddb/src/members.rs:381-392`): one plan serves point-scope, group-scope,
+    and unscoped queries. Callers left-semi-join facts against this — at scale
+    the scope side is tiny, so Catalyst broadcasts it and no fact shuffle
+    happens.
+    """
+    return primary.unionByName(expansion).distinct()
