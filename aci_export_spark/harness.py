@@ -293,9 +293,308 @@ def f7_f8_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_all_registered() -> None:
+    """Import every harness module for its registration side effects."""
+    from aci_export_spark import harness_llm  # noqa: F401
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_all_registered()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
+    _ensure_all_registered()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+# ===========================================================================
+# Batch 2: remaining reference-surface operator families (SURVEY.md §2)
+# ===========================================================================
+
+
+@register(
+    "j1_wide_pivot_nullpad",
+    """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       c_name, c_mktsegment,
+       COALESCE(n_name, 'UNKNOWN') AS nation_name,
+       COALESCE(r_name, 'UNKNOWN') AS region_name,
+       CASE WHEN o_orderstatus = 'O' THEN 'open'
+            WHEN o_orderstatus = 'F' THEN 'filled'
+            ELSE 'other' END AS status_label,
+       CAST(NULL AS VARCHAR) AS pass,
+       CAST(NULL AS BIGINT) AS race_tid
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+""",
+    doc="EAV-pivot shape: spine + chained LEFT joins + NULL padding (P3) + "
+    "enum CASE decode (F5); reference ddb/src/users.rs:77-91, members.rs:269-279",
+)
+def j1_wide_pivot_nullpad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    # J1: chained left joins; dimensions broadcast (Catalyst sees their size)
+    wide = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+    )
+    status_label = (
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "filled")
+        .otherwise("other")
+    )
+    return wide.select(
+        "o_orderkey",
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
+        "c_name",
+        "c_mktsegment",
+        F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation_name"),
+        F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("region_name"),
+        status_label.alias("status_label"),
+        # P3: NULL padding for schema-compatible unions (ddb/src/members.rs:269-279)
+        F.lit(None).cast("string").alias("pass"),
+        F.lit(None).cast("long").alias("race_tid"),
+    )
+
+
+_J8_KEYS = [2, 3, 5, 7, 11, 13, 17, 19, 23, 100, 1000]
+
+
+@register(
+    "j8_inlist_lookup",
+    f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem WHERE l_orderkey IN ({", ".join(str(k) for k in _J8_KEYS)})
+""",
+    doc="IN-list lookup join (J8, ddb/src/members.rs:538-558); Catalyst turns "
+    "isin into an in-set predicate pushed to the parquet scan",
+)
+def j8_inlist_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey").isin(_J8_KEYS)).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+@register(
+    "j10_asof_interval_filter",
+    """
+SELECT o_orderkey, o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date
+FROM orders
+WHERE CAST(o_orderdate AS DATE) <= DATE '2000-06-15'
+  AND CAST(o_orderdate AS DATE) + 90 >= DATE '2000-06-15'
+""",
+    doc="as-of interval predicate, both endpoints inclusive (J10, "
+    "ddb/src/leadership.rs:95-122): start <= d <= start + 90d",
+)
+def j10_asof_interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.lit("2000-06-15").cast("date")
+    start = F.to_date("o_orderdate")
+    return orders.filter((start <= d) & (F.date_add(start, 90) >= d)).select(
+        "o_orderkey", "o_custkey", F.date_format(start, "yyyy-MM-dd").alias("order_date")
+    )
+
+
+@register(
+    "a5_union_distinct_keys",
+    """
+SELECT DISTINCT c_custkey FROM (
+    SELECT o_custkey AS c_custkey FROM orders
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+)
+""",
+    doc="union of keys from multiple sources + dropDuplicates (A5/U2, "
+    "sync-app/src/sync.rs:497-514)",
+)
+def a5_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    a = orders.select(F.col("o_custkey").alias("c_custkey"))
+    b = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.unionByName(b).dropDuplicates(["c_custkey"])
+
+
+@register(
+    "u3_retain_delete_set",
+    """
+SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+EXCEPT
+SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+""",
+    doc="set difference = the mirror GC delete set (U3/S9, "
+    "mailchimp/src/members.rs:85): audience keys minus keep keys",
+)
+def u3_retain_delete_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    keep = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    return target.join(keep, on="o_orderkey", how="left_anti").distinct()
+
+
+@register(
+    "a8_string_agg_roundtrip",
+    """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+FROM supplier GROUP BY s_nationkey
+""",
+    doc="string-agg reconstruction of the v_brns CSV view (A8, "
+    "ddb/src/members.rs:332): collect_list + sort + concat_ws",
+)
+def a8_string_agg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = read_table(spark, sf_dir, "supplier")
+    return supplier.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("supplier_csv"),
+    )
+
+
+@register(
+    "f_scalar_suite",
+    """
+SELECT l_orderkey, l_linenumber,
+       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+       strftime(CAST(l_shipdate AS DATE) + 90, '%Y-%m-%d') AS ship_plus_90,
+       CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS discount_band,
+       GREATEST(l_quantity, l_tax * 100) AS qty_or_tax,
+       COALESCE(NULLIF(l_returnflag, 'N'), 'X') AS flag_decoded,
+       CAST(l_quantity AS BIGINT) AS qty_long
+FROM lineitem
+""",
+    doc="scalar function suite F1-F6: to_date, date_add, CASE, GREATEST, "
+    "COALESCE/NULLIF, CAST (ddb/src/members.rs:267-301)",
+)
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    ship = F.to_date("l_shipdate")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(ship, "yyyy-MM-dd").alias("ship_date"),
+        F.date_format(F.date_add(ship, 90), "yyyy-MM-dd").alias("ship_plus_90"),
+        F.when(F.col("l_discount") > 0.05, "HI").otherwise("LO").alias("discount_band"),
+        F.greatest(F.col("l_quantity"), F.col("l_tax") * 100).alias("qty_or_tax"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("X")).alias("flag_decoded"),
+        F.col("l_quantity").cast("bigint").alias("qty_long"),
+    )
+
+
+@register(
+    "o1_topk_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+""",
+    doc="global top-k with deterministic tie-break (O1-O4); Spark plans this "
+    "as TakeOrderedAndProject — no full sort of the fact table",
+)
+def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "partner_fanout_explode",
+    """
+SELECT c_custkey, c_name AS member_id, CAST(NULL AS VARCHAR) AS primary_ref, FALSE AS is_partner
+FROM customer
+UNION ALL
+SELECT c_custkey, c_name || '-partner' AS member_id, c_name AS primary_ref, TRUE AS is_partner
+FROM customer WHERE c_acctbal > 5000
+""",
+    doc="partner fan-out: 1 row → up to 2 documents, partner carries PRIMARY "
+    "back-reference (§2.10, ddb/src/members.rs:879-932); explode of a "
+    "conditionally-2-element struct array",
+)
+def partner_fanout_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.explode import fan_out_pairs
+
+    customer = read_table(spark, sf_dir, "customer")
+    return fan_out_pairs(
+        customer,
+        primary_cols={
+            "member_id": F.col("c_name"),
+            "primary_ref": F.lit(None).cast("string"),
+        },
+        partner_cols={
+            "member_id": F.concat(F.col("c_name"), F.lit("-partner")),
+            "primary_ref": F.col("c_name"),
+        },
+        partner_present=F.col("c_acctbal") > 5000,
+        carry=["c_custkey"],
+    )
+
+
+@register(
+    "s8_upsert_post_state",
+    """
+WITH target AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 10 <> 0
+), source AS (
+    SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT o_orderkey, price FROM source
+UNION ALL
+SELECT o_orderkey, price FROM target
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+""",
+    doc="upsert post-state: source wins on key collision, unmatched target "
+    "rows survive (S8, db/src/user.rs:59-99). Target simulates a stale "
+    "mirror: missing every 10th row, stale price on every 7th",
+)
+def s8_upsert_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.mirror import upsert
+
+    orders = read_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    return upsert(target, source, ["o_orderkey"])
+
+
+@register(
+    "s9_retain_post_state",
+    """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+FROM orders
+WHERE o_orderkey % 10 <> 0
+  AND o_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+""",
+    doc="retain (delete-missing) post-state: target semi-joined to keep-keys "
+    "(S9, db/src/lib.rs:16-76)",
+)
+def s9_retain_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.mirror import retain
+
+    orders = read_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    keep = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    return retain(target, keep, ["o_orderkey"])

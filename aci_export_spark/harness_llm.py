@@ -1,0 +1,367 @@
+"""Harness entries for the beyond-reference pipeline operators (dedup,
+similarity search, text analysis, event streams) over the driver's
+`documents`, `embeddings`, and `events` tables.
+
+Oracle portability notes:
+- all content hashing is md5-derived (see llm/hashing.py) so DuckDB computes
+  identical values;
+- cosine similarities are emitted as *ranks* with id tie-breaks (float sums
+  differ across engines in final bits; ranks don't without true near-ties);
+- the SimHash oracle SQL is generated programmatically (32 bit-vote columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aci_export_spark.harness import register
+from aci_export_spark.sources import read_table
+from aci_export_spark.llm import dedup as D
+from aci_export_spark.llm import similarity as S
+from aci_export_spark.llm import text as T
+
+#: DuckDB rendering of `word_tokens` / normalize_text (llm/dedup.py).
+_SQL_TOKS = (
+    "string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_exact",
+    f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           md5(array_to_string(list_slice({_SQL_TOKS}, 1, 4), ' ')) AS content_key
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, content_key FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+    FROM keyed
+) WHERE rn = 1
+""",
+    doc="exact dedup: hash-groupBy on a content key (4-token prefix digest), "
+    "keep MIN doc_id — the corpus-scale exact-dup pass",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.array_join(F.slice(D.word_tokens(F.col("text")), 1, 4), " "))
+    keyed = docs.withColumn("content_key", key)
+    return D.exact_dedup_by_key(keyed, F.col("content_key"), "doc_id").select(
+        "doc_id", "lang", "n_chars", "content_key"
+    )
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    f"""
+WITH s AS (
+    SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.toks, b.toks))::DOUBLE
+           / len(list_distinct(a.toks || b.toks))::DOUBLE AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(a.toks || b.toks))::DOUBLE >= 0.9
+""",
+    doc="exact token-set Jaccard near-dup pairs, bucketed by lang so the "
+    "pairwise join never goes global (O(bucket²), not O(n²))",
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", D.word_tokens(F.col("text"))
+    )
+    return D.jaccard_pairs(docs, "doc_id", "toks", "lang", threshold=0.9)
+
+
+@register(
+    "llm_dedup_minhash_lsh",
+    None,  # LSH banding is not reasonably SQL-expressible → rows-only check;
+    # pytest cross-validates candidates against the exact-Jaccard oracle query
+    doc="MinHash(16) + 4-band LSH candidates, exact-Jaccard verified ≥ 0.5 on "
+    "5-char shingles; linear candidate generation (4 shuffle rows per doc)",
+)
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=4, shingle_size=5
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS t FROM documents
+), hashed AS (
+    SELECT doc_id, ('0x' || substr(md5('simhash:' || t), 1, 15))::BIGINT AS h FROM tok
+), votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@register(
+    "llm_dedup_simhash",
+    _simhash_oracle(),
+    doc="32-bit SimHash per document via explode + bit-vote aggregation "
+    "(one uniform shuffle); oracle SQL generated with the same md5 hash",
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_table(docs, "doc_id", "text")
+
+
+@register(
+    "llm_dedup_simhash_pairs",
+    None,  # bucketed Hamming-join; pytest asserts symmetry/threshold props
+    doc="SimHash near-dup pairs: top-8-bit prefix buckets, Hamming ≤ 8 verify "
+    "inside buckets only",
+)
+def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8, prefix_bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_sim_bruteforce_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC
+           ) AS rank
+    FROM q JOIN c ON neighbor_id <> query_id
+) WHERE rank <= 10
+""",
+    doc="brute-force cosine top-k: tiny query set broadcast against one "
+    "corpus scan; rank-only output (cross-engine float stability)",
+)
+def llm_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+
+
+@register(
+    "llm_sim_ivf_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, label AS cell, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+     c AS (SELECT vec_id AS neighbor_id, label AS cell, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC
+           ) AS rank
+    FROM q JOIN c USING (cell)
+    WHERE neighbor_id <> query_id
+) WHERE rank <= 5
+""",
+    doc="IVF-style pruned ANN: equi-join on the coarse cell (label) prunes "
+    "the scan — the partition-by-cell layout is the 100 TB path",
+)
+def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_topk(emb, queries, cell_col="label", id_col="vec_id", vec_col="embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_text_quality",
+    f"""
+WITH t AS (
+    SELECT doc_id, {_SQL_TOKS} AS toks,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+    FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(norm) AS n_chars_norm,
+       list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b)::DOUBLE
+           / len(toks)::DOUBLE AS mean_token_len,
+       len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+           / len(toks)::DOUBLE AS stopword_ratio,
+       len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS distinct_ratio
+FROM t
+""",
+    doc="corpus quality facets: token/char counts, mean token length, "
+    "stopword ratio, distinct-token ratio — the standard cheap curation filters",
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.quality_metrics(docs, "doc_id", "text")
+
+
+@register(
+    "llm_text_langid",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+scored AS (
+    SELECT doc_id,
+           len(list_filter(toks, x -> x IN {T.EN_STOPWORDS!r})) AS en_hits,
+           len(list_filter(toks, x -> x IN {T.DE_STOPWORDS!r})) AS de_hits,
+           len(list_filter(toks, x -> x IN {T.FR_STOPWORDS!r})) AS fr_hits
+    FROM t
+)
+SELECT doc_id, en_hits, de_hits, fr_hits,
+       CASE WHEN GREATEST(en_hits, de_hits, fr_hits) = 0 THEN 'unknown'
+            WHEN en_hits = GREATEST(en_hits, de_hits, fr_hits) THEN 'en'
+            WHEN de_hits = GREATEST(en_hits, de_hits, fr_hits) THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM scored
+""",
+    doc="stopword-voting language id with deterministic argmax precedence",
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.langid_scores(docs, "doc_id", "text")
+
+
+@register(
+    "llm_text_token_counts",
+    f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS whitespace_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]{{1,4}}')) AS bpe_ish_tokens
+FROM documents
+""",
+    doc="token counting: whitespace words + BPE-ish ≤4-char chunk count "
+    "(regex-only deterministic tokenizer stand-in)",
+)
+def llm_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.token_counts(docs, "doc_id", "text")
+
+
+@register(
+    "llm_text_fingerprints",
+    f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fingerprint,
+       md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS bag_fingerprint
+FROM documents
+""",
+    doc="document fingerprints: content hash + order-insensitive bag hash",
+)
+def llm_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.fingerprints(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Event-stream surface (batch embodiment; streaming variant in
+# aci_export_spark/streaming with identical logic on readStream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_agg",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
+""",
+    doc="tumbling-window aggregation (1h × event_type): counts, distinct "
+    "users, exact-decimal value sum, JSON field extraction",
+)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM gaps
+)
+SELECT user_id, session_no,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+""",
+    doc="30-min-gap sessionization: lag + cumulative-sum session numbering, "
+    "one window partition per user (the batch twin of the streaming "
+    "applyInPandasWithState session operator)",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision: a seconds-truncated cast would disagree with the
+    # oracle's exact INTERVAL comparison for gaps straddling the boundary
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_flag.withColumn("session_no", F.sum("new_session").over(wcum))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

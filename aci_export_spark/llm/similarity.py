@@ -1,0 +1,152 @@
+"""Embedding similarity search: brute-force cosine top-k baseline and a
+bucketed (IVF-style) scale path.
+
+Vector math is built-in expressions (`zip_with` + `aggregate`) — JVM-side,
+no Python. At 100 TB the brute-force path is a broadcast of the (small)
+query set against a partitioned corpus scan: linear, no shuffle of the
+corpus. The IVF path prunes the scan to matching cells first.
+
+Float caveat: cross-engine float sums differ in final bits, so harness
+queries emit *ranks*, not raw cosines (rank flips need near-exact ties,
+which random embeddings don't produce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + ordered fold — deterministic element order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """For each query vector: top-k corpus neighbors by cosine.
+
+    queries is broadcast (small by construction); the corpus is scanned once,
+    cosine computed per (query, corpus) pair, and a per-query window takes
+    the top k. Ties broken by neighbor id for determinism. Self-matches
+    (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style pruned search: compare only within the query's cell.
+
+    `cell_col` is the coarse quantization (here the given `label`; in a real
+    pipeline, the nearest-centroid assignment from a KMeans fit). The join is
+    an equi-join on the cell — the corpus shuffle partitions by cell instead
+    of broadcasting every query to every row: the 100 TB scan reads only
+    matching cells when the corpus is partitioned/bucketed by cell.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(cell_col).alias("__cell"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("__cell"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.join(broadcast(q), on="__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def random_hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    dim: int = 64,
+    seed: str = "rhp",
+) -> DataFrame:
+    """Sign-LSH bucket assignment: `planes` pseudo-random hyperplanes derived
+    deterministically from md5(seed, plane, dim) → ±1 components; bucket =
+    the sign bit-string. Groups cosine-similar vectors; candidate pairs then
+    verify with exact cosine inside buckets (same shape as MinHash-LSH).
+    """
+    from aci_export_spark.llm.hashing import hash64
+
+    sign_bits = []
+    for p in range(planes):
+        # deterministic ±1 plane component per dimension: parity of a hash
+        comps = F.array(
+            *[
+                F.when(
+                    (F.conv(F.substring(F.md5(F.lit(f"{seed}:{p}:{d}")), 1, 15), 16, 10)
+                     .cast("long") % 2) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for d in range(dim)
+            ]
+        )
+        sign_bits.append(
+            F.when(dot(F.col(vec_col), comps) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return df.select(
+        F.col(id_col), F.concat(*sign_bits).alias("lsh_bucket")
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators: quality metrics, language-id heuristic, token
+counting, document fingerprinting.
+
+All pure column expressions over the `documents` table shape
+(doc_id, text, lang, source, n_chars). Ratios are computed as exact integer
+counts divided at the output edge (both engines produce identical doubles
+from the same int division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aci_export_spark.functions.text import normalize_text
+
+#: Small function-word stoplists per language for the n-gram/stopword
+#: language-id heuristic. Deliberately tiny: the heuristic must be cheap and
+#: SQL-portable (the oracle re-implements it with list_filter).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit")
+FR_STOPWORDS = ("le", "la", "les", "et", "est", "un", "une", "que", "pour")
+
+STOPWORDS = EN_STOPWORDS  # quality-scoring stoplist
+
+
+def word_tokens(text: Column) -> Column:
+    return F.split(normalize_text(text), r"\s+")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(word_tokens(text))
+
+
+def stopword_hits(tokens: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality facets: token count, char count, mean token
+    length, stopword ratio, distinct-token ratio. The standard cheap filters
+    for corpus curation (length cutoffs, boilerplate detection)."""
+    toks = word_tokens(F.col(text_col))
+    nt = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return df.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        F.length(normalize_text(F.col(text_col))).alias("n_chars_norm"),
+        (total_len.cast("double") / nt.cast("double")).alias("mean_token_len"),
+        (
+            stopword_hits(toks, STOPWORDS).cast("double") / nt.cast("double")
+        ).alias("stopword_ratio"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / nt.cast("double")
+        ).alias("distinct_ratio"),
+    )
+
+
+def langid_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-voting language id: hit counts per language stoplist, argmax
+    with deterministic precedence (en > de > fr > unknown on ties).
+
+    A real pipeline would use char-trigram profiles; the operator shape
+    (per-language score columns → argmax decode) is identical.
+    """
+    toks = word_tokens(F.col(text_col))
+    en = stopword_hits(toks, EN_STOPWORDS)
+    de = stopword_hits(toks, DE_STOPWORDS)
+    fr = stopword_hits(toks, FR_STOPWORDS)
+    best = F.greatest(en, de, fr)
+    predicted = (
+        F.when(best == 0, "unknown")
+        .when(en == best, "en")
+        .when(de == best, "de")
+        .otherwise("fr")
+    )
+    return df.select(
+        F.col(id_col),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace words and BPE-ish subword chunks
+    (runs of ≤4 letters — a deterministic, regex-only stand-in for a real
+    tokenizer's piece count; scales as a pure JVM regex)."""
+    ws = F.size(word_tokens(F.col(text_col)))
+    bpe_ish = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]{1,4}"), 0)
+    )
+    return df.select(
+        F.col(id_col),
+        ws.alias("whitespace_tokens"),
+        bpe_ish.alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: content hash (md5 of normalized text) and bag
+    fingerprint (md5 of the sorted distinct token set — order-insensitive,
+    catches shuffled near-identical docs)."""
+    norm = normalize_text(F.col(text_col))
+    bag = F.array_join(F.array_sort(F.array_distinct(word_tokens(F.col(text_col)))), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_fingerprint"),
+        F.md5(bag).alias("bag_fingerprint"),
+    )

@@ -32,6 +32,14 @@ def compare(spark_df, duck_rel, float_tol: float = 0.0) -> list[str]:
     b = _normalize(duck_rel.df())
     if list(a.columns) != list(b.columns):
         return [f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"]
+    # dtype-kind mismatches (int vs float, e.g. DuckDB HUGEINT → float64) break
+    # the driver's string-based value hash even when values are "equal"
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and {ka, kb} <= {"i", "u", "f"}:
+            problems.append(f"col {c}: dtype kind differs spark={a[c].dtype} oracle={b[c].dtype}")
+    if problems:
+        return problems
     if len(a) != len(b):
         problems.append(f"row count differs: spark={len(a)} oracle={len(b)}")
         return problems

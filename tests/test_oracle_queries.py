@@ -9,6 +9,8 @@ from aci_export_spark import harness
 from tests.conftest import SF_CORRECT
 from tests.oracle_compare import compare
 
+harness._ensure_all_registered()
+
 
 @pytest.mark.parametrize("name", sorted(harness.REGISTRY))
 def test_query_matches_oracle(name, spark, duck):
