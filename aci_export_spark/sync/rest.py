@@ -1,0 +1,209 @@
+"""The REST edge: batch upsert / retain sinks with the reference's chunking,
+bounded concurrency, and retry/backoff semantics (T2-T4, SURVEY.md §2.9).
+
+Spark executors can't share a Python mock's memory, so the test client
+journals every call to a filesystem directory (one JSONL per batch) — the
+same observable surface a real HTTP client would have, minus the network.
+A production client implements the same interface with `requests`.
+
+Reference parameters preserved (BASELINE.md): 300 members/batch, bounded
+concurrent batches (here: partition count bounds concurrency), retry ×3
+exponential backoff factor 2 capped 5 s with jitter; 401/403/404 permanent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+import uuid
+
+BATCH_SIZE = 300  # mailchimp/src/members.rs:130-134
+MAX_RETRIES = 3  # mailchimp/src/lib.rs:352-363
+BACKOFF_FACTOR = 2.0
+BACKOFF_CAP_S = 5.0
+PERMANENT_STATUSES = (401, 403, 404)  # mailchimp/src/error.rs:57-74
+
+
+class PermanentError(Exception):
+    def __init__(self, status: int, msg: str = ""):
+        super().__init__(f"permanent HTTP {status}: {msg}")
+        self.status = status
+
+
+class TransientError(Exception):
+    pass
+
+
+class JournalingMailchimpClient:
+    """Test double: journals batch upserts/deletes to `base_dir`.
+
+    `fail_first_n_attempts` injects transient failures: each batch fails its
+    first N attempts (attempt counters persisted in files so retry logic is
+    exercised across executor processes).
+    """
+
+    def __init__(self, base_dir: str, fail_first_n_attempts: int = 0):
+        self.base_dir = base_dir
+        self.fail_first_n_attempts = fail_first_n_attempts
+        os.makedirs(os.path.join(base_dir, "upserts"), exist_ok=True)
+        os.makedirs(os.path.join(base_dir, "deletes"), exist_ok=True)
+        os.makedirs(os.path.join(base_dir, "attempts"), exist_ok=True)
+        os.makedirs(os.path.join(base_dir, "tags"), exist_ok=True)
+
+    def _maybe_fail(self, batch_key: str) -> None:
+        if not self.fail_first_n_attempts:
+            return
+        path = os.path.join(self.base_dir, "attempts", batch_key)
+        n = 0
+        if os.path.exists(path):
+            with open(path) as f:
+                n = int(f.read() or 0)
+        with open(path, "w") as f:
+            f.write(str(n + 1))
+        if n < self.fail_first_n_attempts:
+            raise TransientError(f"injected failure #{n + 1} for {batch_key}")
+
+    def batch_upsert(self, members: list[dict]) -> list[str]:
+        key = _batch_key(members)
+        self._maybe_fail(key)
+        path = os.path.join(self.base_dir, "upserts", f"{key}-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for m in members:
+                f.write(json.dumps(m, sort_keys=True) + "\n")
+        return [m["id"] for m in members]
+
+    def delete_member(self, member_id: str) -> None:
+        with open(os.path.join(self.base_dir, "deletes", member_id), "w") as f:
+            f.write("deleted")
+
+    def update_tags(self, updates: list[dict]) -> None:
+        key = _batch_key(updates)
+        self._maybe_fail(key)
+        path = os.path.join(self.base_dir, "tags", f"{key}-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for u in updates:
+                f.write(json.dumps(u, sort_keys=True) + "\n")
+
+    # -------- driver-side inspection helpers (tests / stats) --------
+    def upserted_rows(self) -> list[dict]:
+        return _read_jsonl_dir(os.path.join(self.base_dir, "upserts"))
+
+    def deleted_ids(self) -> set[str]:
+        return set(os.listdir(os.path.join(self.base_dir, "deletes")))
+
+    def tag_updates(self) -> list[dict]:
+        return _read_jsonl_dir(os.path.join(self.base_dir, "tags"))
+
+
+def _batch_key(items: list[dict]) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for it in items:
+        h.update(json.dumps(it, sort_keys=True).encode())
+    return h.hexdigest()[:16]
+
+
+def _read_jsonl_dir(d: str) -> list[dict]:
+    out = []
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name)) as f:
+            out.extend(json.loads(line) for line in f if line.strip())
+    return out
+
+
+def with_retries(fn, *args, max_retries: int = MAX_RETRIES, sleep=time.sleep):
+    """Retry ×3, exponential backoff factor 2 capped 5 s with jitter;
+    permanent errors surface immediately (mailchimp/src/lib.rs:331-364)."""
+    delay = 0.25
+    for attempt in range(max_retries + 1):
+        try:
+            return fn(*args)
+        except PermanentError:
+            raise
+        except Exception:
+            if attempt == max_retries:
+                raise
+            sleep(min(delay, BACKOFF_CAP_S) * (1 + random.random() * 0.1))
+            delay *= BACKOFF_FACTOR
+
+
+def upsert_documents_sink(
+    documents,
+    client_factory,
+    batch_size: int = BATCH_SIZE,
+    concurrency: int = 8,
+) -> int:
+    """S10: push documents to the API in chunks of `batch_size`.
+
+    Concurrency is bounded the Spark way: coalesce to `concurrency`
+    partitions — at most that many executor slots hit the API at once
+    (the reference's try_for_each_concurrent(8), members.rs:151). Each
+    partition chunks rows and retries per batch. Returns the document count.
+    """
+    docs = documents.coalesce(concurrency)
+
+    def push(rows) -> None:
+        client = client_factory()
+        chunk: list[dict] = []
+        for row in rows:
+            chunk.append(
+                {
+                    "id": row["id"],
+                    "email_address": row["email_address"],
+                    "merge_fields": dict(row["merge_fields"]) if row["merge_fields"] else {},
+                    "status_if_new": "subscribed",
+                }
+            )
+            if len(chunk) >= batch_size:
+                with_retries(client.batch_upsert, chunk)
+                chunk = []
+        if chunk:
+            with_retries(client.batch_upsert, chunk)
+
+    docs.foreachPartition(push)
+    return documents.count()
+
+
+def retain_audience_sink(audience, keep_ids, client_factory, concurrency: int = 10) -> int:
+    """S11: delete audience members whose id is not in the keep set, skipping
+    status='cleaned' rows (members.rs:59-97). The diff is a broadcast
+    anti-join; only the stragglers reach the API."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    to_delete = (
+        audience.filter(F.col("status") != "cleaned")
+        .join(broadcast(keep_ids.select("id").distinct()), on="id", how="left_anti")
+        .select("id")
+        .coalesce(concurrency)
+    )
+
+    def push(rows) -> None:
+        client = client_factory()
+        for row in rows:
+            with_retries(client.delete_member, row["id"])
+
+    to_delete.foreachPartition(push)
+    return to_delete.count()
+
+
+def update_tags_sink(tags, client_factory, batch_size: int = 1000, concurrency: int = 10) -> int:
+    """Tag updates in chunks of 1000, bounded concurrency (members.rs:249-274)."""
+    t = tags.coalesce(concurrency)
+
+    def push(rows) -> None:
+        client = client_factory()
+        chunk: list[dict] = []
+        for row in rows:
+            chunk.append({"id": row["id"], "tag": row["tag"], "status": row["status"]})
+            if len(chunk) >= batch_size:
+                with_retries(client.update_tags, chunk)
+                chunk = []
+        if chunk:
+            with_retries(client.update_tags, chunk)
+
+    t.foreachPartition(push)
+    return tags.count()
