@@ -61,8 +61,12 @@ def token_count(text: Column) -> Column:
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """array<string> of character n-grams (shingles) over the normalized text.
 
-    Built with sequence+transform so it stays a vectorizable JVM expression;
-    the shingle set feeds MinHash/Jaccard dedup at corpus scale.
+    PERFORMANCE CAVEAT: the lambda captures the normalized-string expression,
+    and after projection collapse that expression re-evaluates per element —
+    O(len²) per document. Pass an already-materialized/cheap column, or for
+    corpus-scale shingling use the row-exploded form
+    (`aci_export_spark.llm.dedup.shingle_rows`), whose per-row substr runs on
+    a bound attribute.
     """
     norm = normalize_text(text)
     return F.transform(

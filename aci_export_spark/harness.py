@@ -296,6 +296,7 @@ def f7_f8_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_all_registered() -> None:
     """Import every harness module for its registration side effects."""
     from aci_export_spark import harness_llm  # noqa: F401
+    from aci_export_spark import harness_temporal  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

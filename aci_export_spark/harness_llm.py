@@ -70,14 +70,15 @@ FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
           / len(list_distinct(a.toks || b.toks))::DOUBLE >= 0.9
 """,
-    doc="exact token-set Jaccard near-dup pairs, bucketed by lang so the "
-    "pairwise join never goes global (O(bucket²), not O(n²))",
+    doc="exact token-set Jaccard near-dup pairs via prefix filtering "
+    "(AllPairs): candidates only from shared globally-rare prefix tokens — "
+    "identical output to the naive O(bucket²) join, linear-ish plan",
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").withColumn(
         "toks", D.word_tokens(F.col("text"))
     )
-    return D.jaccard_pairs(docs, "doc_id", "toks", "lang", threshold=0.9)
+    return D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
 
 
 @register(
@@ -192,6 +193,24 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivf_topk(emb, queries, cell_col="label", id_col="vec_id", vec_col="embedding", k=5)
+
+
+@register(
+    "llm_dedup_embedding_cosine",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+""",
+    doc="embedding-cosine near-dup pairs within coarse cells; ids only "
+    "(float-sum bits differ across engines, the threshold decision doesn't)",
+)
+def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.embedding_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", cell_col="label", threshold=0.3
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aci_export_spark.functions.text import normalize_text
-from aci_export_spark.llm.hashing import hash64, minhash_signature
+from aci_export_spark.llm.hashing import hash64
 
 
 def word_tokens(text: Column) -> Column:
@@ -76,26 +76,157 @@ def jaccard_pairs(
     )
 
 
-def minhash_lsh_candidates(
+def jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,
-    shingle_col: str,
+    token_col: str,
+    bucket_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-threshold Jaccard pairs via prefix filtering (AllPairs/PPJoin).
+
+    Same results as :func:`jaccard_pairs` — different physical plan. Instead
+    of the O(bucket²) self-join, each document indexes only its *prefix*:
+    the |d| - ⌈t·|d|⌉ + 1 globally-rarest tokens under a (frequency, token)
+    total order. Two documents with Jaccard ≥ t provably share a prefix
+    token, so the candidate join runs on exploded prefixes — at high t the
+    prefix is ~(1-t)·|d| tokens, shrinking the join input by ~10× and the
+    candidate pairs by orders of magnitude. Survives corpus scale where the
+    quadratic bucket join cannot.
+
+    Exact verification (array_intersect Jaccard) then makes the output
+    identical to the naive plan.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.col(bucket_col).alias("__bucket"),
+        F.array_distinct(F.col(token_col)).alias("__set"),
+    ).filter(F.size("__set") > 0)
+
+    tok = sets.select(
+        F.col(id_col), F.col("__bucket"), F.explode("__set").alias("__tok")
+    )
+    freq = tok.groupBy("__bucket", "__tok").agg(F.count(F.lit(1)).alias("__f"))
+    # per-doc tokens ordered rarest-first under the global (freq, token) order
+    ranked = (
+        tok.join(freq, on=["__bucket", "__tok"])
+        .groupBy(id_col, "__bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("__f", "__tok"))).alias("__st"))
+    )
+    # ⌈t·|d|⌉ with exact decimal (a float product like 0.9·10 → 9.0000…1
+    # would ceil to 10 and silently shrink the prefix → missed pairs)
+    sz = F.size("__st")
+    t_dec = F.lit(threshold).cast("decimal(9,6)")
+    prefix_len = (sz - F.ceil(t_dec * sz) + 1).cast("int")
+    pref = ranked.select(
+        F.col(id_col),
+        F.col("__bucket"),
+        F.explode(
+            F.slice(F.transform("__st", lambda x: x["__tok"]), F.lit(1), prefix_len)
+        ).alias("__ptok"),
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "__bucket", "__ptok")
+        .join(
+            pref.select(F.col(id_col).alias("id_b"), "__bucket", "__ptok"),
+            on=["__bucket", "__ptok"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, shingle) rows: character n-grams of the normalized text, one per
+    row.
+
+    Row-exploded on purpose: the array-expression form (`char_ngrams`)
+    captures the normalized string inside a lambda, which projection collapse
+    re-evaluates per element — O(len²) per document. Here normalize runs once
+    per document, the generator emits positions, and the substr above the
+    Generate reads a bound attribute — O(len) total, and the downstream
+    MinHash becomes a plain aggregation.
+
+    Duplicate shingles are NOT removed: min() is duplicate-invariant, and
+    set-consumers dedup themselves (collect_set).
+    """
+    norm = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+    )
+    positions = norm.select(
+        F.col(id_col),
+        F.col("__norm"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__norm") - (n - 1), F.lit(1)))
+        ).alias("__pos"),
+    )
+    return positions.select(
+        F.col(id_col), F.col("__norm").substr(F.col("__pos"), F.lit(n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, shingle_col: str = "shingle", num_hashes: int = 16
+) -> DataFrame:
+    """(id, __mh0..__mhk) MinHash signature as ONE aggregation.
+
+    Each shingle row is hashed once (xxhash64) and re-mixed per function with
+    a literal index; `min` is a partial aggregate, so the map side collapses
+    every document's shingles to `num_hashes` longs before the single shuffle
+    on doc id. This is the formulation that survives a 100 TB corpus: shuffle
+    volume is O(docs · num_hashes), never O(shingles).
+    """
+    hashed = hashed_shingle_rows(shingles, id_col, shingle_col)
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def hashed_shingle_rows(
+    shingles: DataFrame, id_col: str, shingle_col: str = "shingle"
+) -> DataFrame:
+    """(id, __h) rows: each shingle string hashed ONCE to a 64-bit long.
+
+    Downstream consumers (signature mins, verify sets) then work on fixed
+    8-byte values — the per-function re-mixes hash a long, not the string,
+    and verify-set shuffles carry longs, not 5-char strings. Project under
+    Aggregate is not collapsed, so __h really is computed once per row.
+    """
+    return shingles.select(F.col(id_col), F.xxhash64(F.col(shingle_col)).alias("__h"))
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame,
+    id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """MinHash + banded LSH candidate pairs.
+    """Banded LSH candidate pairs from a signature table
+    (:func:`minhash_signatures` output).
 
-    signature (num_hashes mins) → split into `bands` bands of
-    num_hashes/bands values → explode one row per (doc, band) keyed by
-    md5(band values) → self-join per (band_id, band_key). Each doc
-    contributes exactly `bands` shuffle rows regardless of size; candidate
-    generation is linear in n. Returns distinct (id_a < id_b) pairs.
+    Signature → `bands` bands of num_hashes/bands values → one row per
+    (doc, band) keyed by md5(band values) → self-join per (band_id,
+    band_key). Each doc contributes exactly `bands` shuffle rows regardless
+    of size; candidate generation is linear in n. Returns distinct
+    (id_a < id_b) pairs.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(F.col(shingle_col), num_hashes).alias("__sig"),
-    )
     band_structs = F.array(
         *[
             F.struct(
@@ -104,7 +235,7 @@ def minhash_lsh_candidates(
                     F.concat_ws(
                         ",",
                         *[
-                            F.col("__sig").getItem(i * rows_per_band + j).cast("string")
+                            F.col(f"__mh{i * rows_per_band + j}").cast("string")
                             for j in range(rows_per_band)
                         ],
                     )
@@ -135,21 +266,41 @@ def minhash_lsh_dedup_pairs(
     bands: int = 4,
     shingle_size: int = 5,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → MinHash → LSH buckets → exact-Jaccard
-    verify on candidates only. Returns (id_a, id_b, jaccard ≥ threshold)."""
-    from aci_export_spark.functions.text import char_ngrams
+    """Full near-dup pipeline: shingle rows → MinHash aggregation → LSH
+    band buckets → exact-Jaccard verify on candidates only. Returns
+    (id_a, id_b, jaccard ≥ threshold).
 
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(char_ngrams(F.col(text_col), shingle_size)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    Verification compares HASHED shingle sets (64-bit xxhash): exact up to
+    in-pair hash collisions (~10⁻¹⁵ per pair — negligible and
+    deterministic), and the verify shuffle carries 8-byte longs instead of
+    shingle strings.
+    """
+    sh = shingle_rows(df, id_col, text_col, n=shingle_size)
+    hashed = hashed_shingle_rows(sh, id_col, "shingle")
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
 
-    cand = minhash_lsh_candidates(shingled, id_col, "__sh", num_hashes, bands)
-
-    # verify candidates with exact Jaccard on the shingle sets (broadcast-size
-    # candidate list at test SF; at corpus scale this is a shuffle join on id)
-    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("set_a"))
-    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("set_b"))
+    # verify candidates with exact Jaccard on hashed-shingle sets — built
+    # ONLY for documents that appear in a candidate pair (semi-join before
+    # the heavy collect_set; AQE picks broadcast when the candidate set is
+    # small)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        hashed.join(cand_ids, on=id_col, how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__set"))
+    )
+    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"))
+    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"))
     verified = (
         cand.join(sh_a, on="id_a").join(sh_b, on="id_b")
         .select(

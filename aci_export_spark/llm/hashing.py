@@ -51,5 +51,12 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """array<long> MinHash signature (num_hashes independent salted hashes).
 
     One expression tree — evaluated in a single projection, no shuffle.
+
+    Portable (md5-derived) but expensive: num_hashes md5 chains per shingle.
+    Prefer the aggregation formulation
+    (`aci_export_spark.llm.dedup.minhash_signatures`) when no cross-engine
+    oracle needs to reproduce the signature.
     """
     return F.array(*[min_hash(shingles, f"mh{i}:") for i in range(num_hashes)])
+
+

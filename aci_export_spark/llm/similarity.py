@@ -116,6 +116,40 @@ def ivf_topk(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, compared only
+    within the same coarse cell (O(cell²) not O(n²) — at 100 TB the corpus is
+    partitioned by cell so each executor sees one cell's block; cross-cell
+    near-dups are the LSH variant's job).
+
+    Emits id pairs only (id_a < id_b), not the cosine value: cross-engine
+    float summation differs in final bits, so the score column would break
+    byte-level comparison while the ≥-threshold *decision* does not.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(cell_col).alias("__cell"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(cell_col).alias("__cell"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, on="__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def random_hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -26,6 +26,7 @@ def main() -> None:
 
     spark = get_spark("aci-export-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    harness._ensure_all_registered()  # pull in llm/temporal harness modules
 
     # warm the JVM/codegen once so per-query numbers measure the plan, not
     # first-run classloading

@@ -1,0 +1,126 @@
+"""Semantic unit tests for the temporal join operators (operators/asof.py,
+operators/range_join.py) on tiny inline frames: inclusivity, strictness,
+tie-breaks, unmatched-row handling, bucket boundaries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from aci_export_spark.operators.asof import asof_join, latest_per_key_ts
+from aci_export_spark.operators.range_join import bucketed_range_join, keyed_range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 10:00:00")),
+            (2, "k1", _ts("2024-01-01 12:00:00")),
+            (3, "k2", _ts("2024-01-01 09:00:00")),  # before any right row
+        ],
+        "lid long, k string, lts timestamp",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [
+            (10, "k1", _ts("2024-01-01 10:00:00")),  # equal-ts to lid=1
+            (11, "k1", _ts("2024-01-01 11:00:00")),
+            (12, "k2", _ts("2024-01-01 09:30:00")),
+        ],
+        "rid long, k string, rts timestamp",
+    )
+
+
+def test_asof_inclusive_backward(spark):
+    out = asof_join(
+        _left(spark), _right(spark), key=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], how="left",
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    # lid=1 sees the equal-ts right row (inclusive); lid=2 the latest prior;
+    # lid=3 has no prior right row at all
+    assert got == {1: 10, 2: 11, 3: None}
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    out = asof_join(
+        _left(spark), _right(spark), key=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], how="left", strict=True,
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    assert got == {1: None, 2: 11, 3: None}
+
+
+def test_asof_inner_drops_unmatched(spark):
+    out = asof_join(
+        _left(spark), _right(spark), key=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], how="inner",
+    )
+    assert {r["lid"] for r in out.collect()} == {1, 2}
+
+
+def test_asof_tie_break_picks_max_tie(spark):
+    left = _left(spark).filter(F.col("lid") == 2)
+    # two right rows share (k1, 11:00) — the greater rid must win
+    right = _right(spark).union(
+        _right(spark).sparkSession.createDataFrame(
+            [(99, "k1", _ts("2024-01-01 11:00:00"))], "rid long, k string, rts timestamp"
+        )
+    )
+    out = asof_join(
+        left, right, key=["k"], left_ts="lts", right_ts="rts",
+        right_payload=["rid"], right_tie="rid",
+    )
+    assert out.collect()[0]["rid"] == 99
+
+
+def test_latest_per_key_ts_dedups(spark):
+    df = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 00:00:00")), (2, "k", _ts("2024-01-01 00:00:00"))],
+        "rid long, k string, rts timestamp",
+    )
+    out = latest_per_key_ts(df, key=["k"], ts="rts", tie="rid").collect()
+    assert len(out) == 1 and out[0]["rid"] == 2
+
+
+def test_keyed_range_join_inclusive_endpoints(spark):
+    facts = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00")), ("k", _ts("2024-01-01 10:10:00")),
+         ("k", _ts("2024-01-01 10:10:01")), ("x", _ts("2024-01-01 10:05:00"))],
+        "k string, fts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:10:00"))],
+        "k string, s timestamp, e timestamp",
+    )
+    out = keyed_range_join(facts, iv, key=["k"], fact_ts="fts", start="s", end="e")
+    # both endpoints inclusive; wrong key and out-of-window rows excluded
+    assert out.count() == 2
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    facts = spark.createDataFrame(
+        [(i, _ts("2024-01-01 00:00:00") + dt.timedelta(minutes=7 * i)) for i in range(40)],
+        "fid long, fts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(100, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00")),
+         (200, _ts("2024-01-01 03:33:00"), _ts("2024-01-01 03:34:00"))],
+        "ivid long, s timestamp, e timestamp",
+    )
+    bucketed = bucketed_range_join(facts, iv, "fts", "s", "e", bucket_seconds=600)
+    naive = facts.join(iv, (facts.fts >= iv.s) & (facts.fts <= iv.e))
+    assert sorted((r["fid"], r["ivid"]) for r in bucketed.collect()) == sorted(
+        (r["fid"], r["ivid"]) for r in naive.collect()
+    )
+    # each (fact, interval) pair appears exactly once (single-bucket facts)
+    pairs = [(r["fid"], r["ivid"]) for r in bucketed.collect()]
+    assert len(pairs) == len(set(pairs))
