@@ -297,6 +297,8 @@ def _ensure_all_registered() -> None:
     """Import every harness module for its registration side effects."""
     from aci_export_spark import harness_llm  # noqa: F401
     from aci_export_spark import harness_temporal  # noqa: F401
+    from aci_export_spark import harness_streaming  # noqa: F401
+    from aci_export_spark import harness_multimodal  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

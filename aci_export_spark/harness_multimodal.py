@@ -1,0 +1,92 @@
+"""Harness entries for the multimodal binary-column stages (multimodal.py).
+
+The deterministic fake-decode derives every output value from the payload
+bytes with arithmetic DuckDB can replay over the source text column
+(octet_length/md5/integer division), so the mapInPandas plumbing — binary
+schema, Arrow batch shape, fan-out — is verified end to end by the oracle,
+not just smoke-checked. frame_checksum (md5 of a *byte slice*) is not
+SQL-replayable on non-ASCII text, so it is asserted in pytest instead and
+excluded from the oracle-facing projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aci_export_spark.harness import register
+from aci_export_spark.sources import read_table
+from aci_export_spark import multimodal as MM
+
+_BYTE_LEN = "octet_length(encode(text))"
+_MEDIA_TYPE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@register(
+    "mm_decode_metadata",
+    f"""
+SELECT doc_id,
+       {_MEDIA_TYPE} AS media_type,
+       {_BYTE_LEN} AS byte_len,
+       md5(text) AS checksum,
+       64 + {_BYTE_LEN} % 449 AS width,
+       64 + ({_BYTE_LEN} * 7) % 257 AS height
+FROM documents
+""",
+    doc="multimodal decode stage: binary payload → typed metadata via "
+    "mapInPandas (Arrow batches, no shuffle); deterministic fake decode, "
+    "md5/length/dims replayed exactly by the oracle",
+)
+def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_media(read_table(spark, sf_dir, "documents"))
+    return MM.decode_metadata(media)
+
+
+@register(
+    "mm_resize_plan",
+    f"""
+WITH d AS (
+    SELECT doc_id, {_BYTE_LEN} AS byte_len,
+           64 + {_BYTE_LEN} % 449 AS width,
+           64 + ({_BYTE_LEN} * 7) % 257 AS height
+    FROM documents
+)
+SELECT doc_id, byte_len, width, height,
+       CASE WHEN GREATEST(width, height) <= 128 THEN width
+            ELSE width * 128 // GREATEST(width, height) END AS new_width,
+       CASE WHEN GREATEST(width, height) <= 128 THEN height
+            ELSE height * 128 // GREATEST(width, height) END AS new_height,
+       CASE WHEN GREATEST(width, height) <= 128 THEN byte_len
+            ELSE byte_len * 128 // GREATEST(width, height) END AS new_byte_len
+FROM d
+""",
+    doc="multimodal resize stage: max-dim 128 scaling with pure integer "
+    "arithmetic (bit-identical across engines); payload resize is the "
+    "proportional byte prefix in the fake, a pixel re-encode for real",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_media(read_table(spark, sf_dir, "documents"))
+    return MM.resize_plan(media, max_dim=128)
+
+
+@register(
+    "mm_frame_sample",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents)
+SELECT d.doc_id, f.frame_no,
+       f.frame_no * 1000 AS frame_offset,
+       LEAST(1000, d.byte_len - f.frame_no * 1000) AS frame_len
+FROM d, LATERAL (
+    SELECT unnest(range(0, GREATEST(1, CAST(ceil(d.byte_len / 1000.0) AS BIGINT)))) AS frame_no
+) f
+""",
+    doc="multimodal frame-sampling stage: each asset fans out to "
+    "ceil(bytes/1000) frame rows via mapInPandas (linear growth, no "
+    "shuffle); byte-slice checksums pytest-verified (not SQL-replayable)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_media(read_table(spark, sf_dir, "documents"))
+    return MM.sample_frames(media).select(
+        "doc_id", "frame_no", "frame_offset", "frame_len"
+    )

@@ -1,0 +1,72 @@
+"""Harness entries for the Structured Streaming twins (streaming/core.py).
+
+Each entry runs a genuine streaming query (readStream → stateful transform →
+memory sink, Trigger.AvailableNow) and returns the result as a batch
+DataFrame, so the driver's DuckDB oracle can verify that the streaming
+operator computes exactly what the batch twin computes on the same data —
+the strongest available correctness statement for a streaming operator on a
+finite input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aci_export_spark.harness import register
+from aci_export_spark import streaming as ST
+
+
+@register(
+    "streaming_hourly_agg",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
+""",
+    doc="streaming twin of events_hourly_agg: readStream → watermarked "
+    "tumbling-window groupBy → memory sink (complete mode, AvailableNow); "
+    "oracle equals the batch aggregation (COUNT DISTINCT excluded — not "
+    "expressible in bounded streaming state)",
+)
+def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ST.read_events_stream(spark, sf_dir)
+    agg = ST.hourly_agg_stream(events, watermark="1 hour")
+    return ST.run_stream_to_table(agg, spark, output_mode="complete")
+
+
+@register(
+    "streaming_sessionization",
+    """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM gaps
+)
+SELECT user_id, session_no,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+""",
+    doc="streaming twin of events_sessionization: applyInPandasWithState "
+    "keyed by user (one open-session tuple of state per user), session "
+    "snapshots reconciled to the final table; oracle equals the batch "
+    "lag+cumsum sessionization",
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ST.read_events_stream(spark, sf_dir)
+    snapshots = ST.sessionize_stream(events)
+    landed = ST.run_stream_to_table(snapshots, spark, output_mode="update")
+    return ST.reconcile_session_snapshots(landed)

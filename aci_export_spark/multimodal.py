@@ -1,0 +1,188 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+Beyond-reference surface for the 100 TB training-data pipeline. The real
+codec libraries (Pillow, torchaudio, pyav) are not in this container, so the
+*decode kernels* are stubbed two ways:
+
+- ``real=True`` → ``NotImplementedError`` (clearly marked; swap in the codec
+  call on a cluster that ships the library);
+- ``real=False`` (default) → a deterministic fake that derives metadata from
+  the bytes themselves (length / md5 / arithmetic), so the Spark-side
+  plumbing — schema, mapInPandas signature, Arrow batch shape, partitioning,
+  fan-out — is real and oracle-checkable end to end.
+
+Scale design: every stage is ``mapInPandas`` (no shuffle — metadata extract,
+resize, frame sampling are embarrassingly parallel over rows); binary
+payloads never leave the executor; only row-per-frame fan-out grows data, and
+it grows it linearly with a schema the optimizer can prune.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+#: deterministic fake-decode parameters (mirrored in the DuckDB oracles)
+_W_MOD, _H_MOD, _DIM_BASE = 449, 257, 64
+FRAME_BYTES = 1000
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, byte_len long, checksum string, "
+    "width long, height long"
+)
+RESIZED_SCHEMA = (
+    "doc_id long, byte_len long, width long, height long, "
+    "new_width long, new_height long, new_byte_len long"
+)
+FRAMES_SCHEMA = (
+    "doc_id long, frame_no long, frame_offset long, frame_len long, "
+    "frame_checksum string"
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents fixture:
+    ``content`` = utf-8 bytes of the text (an opaque payload as far as every
+    downstream stage is concerned), ``media_type`` cycled by doc_id.
+
+    In production this column comes straight from the lake (parquet/iceberg
+    BINARY); nothing downstream depends on how it was produced.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+def _fake_dims(byte_len: int) -> tuple[int, int]:
+    return _DIM_BASE + byte_len % _W_MOD, _DIM_BASE + (byte_len * 7) % _H_MOD
+
+
+def _decode_real(content: bytes, media_type: str):
+    """The real codec hook. Container ships no image/audio libs, so this is
+    an explicit stub — replace with PIL / torchaudio / pyav on a real
+    cluster."""
+    raise NotImplementedError(
+        "real media decode requires codec libraries not present in this "
+        "environment (Pillow/torchaudio/pyav); run with real=False for the "
+        "deterministic fake"
+    )
+
+
+def decode_metadata(media: DataFrame, real: bool = False) -> DataFrame:
+    """Per-asset metadata extraction (decode stage) via mapInPandas.
+
+    Fake decode: byte length, md5 checksum, dimensions derived
+    arithmetically from the byte length — deterministic, so the DuckDB
+    oracle recomputes identical values from the text column.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real:
+                _decode_real(b"", "")
+            lens = pdf["content"].map(len)
+            dims = lens.map(_fake_dims)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": lens,
+                    "checksum": pdf["content"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "width": dims.map(lambda d: d[0]),
+                    "height": dims.map(lambda d: d[1]),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=DECODED_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> DataFrame:
+    """Resize stage: scale each asset so max(width,height) ≤ max_dim.
+
+    Integer arithmetic throughout (``a * max_dim // big_side``) so the fake
+    is bit-identical across engines. The fake "resized payload" is the
+    proportional byte prefix; a real kernel re-encodes pixels instead.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real:
+                _decode_real(b"", "")
+            lens = pdf["content"].map(len)
+            out = {
+                "doc_id": pdf["doc_id"],
+                "byte_len": lens,
+                "width": [], "height": [], "new_width": [],
+                "new_height": [], "new_byte_len": [],
+            }
+            for n in lens:
+                w, h = _fake_dims(int(n))
+                big = max(w, h)
+                if big <= max_dim:
+                    nw, nh, nb = w, h, int(n)
+                else:
+                    nw, nh = w * max_dim // big, h * max_dim // big
+                    nb = int(n) * max_dim // big
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["new_byte_len"].append(nb)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, real: bool = False
+) -> DataFrame:
+    """Frame-sampling stage (video → frames): fan each asset out to
+    ``ceil(byte_len / frame_bytes)`` frame rows with offset/length/checksum.
+
+    The row-generating ("UDTF-like") multimodal op: linear output growth,
+    no shuffle, binary slices hashed executor-side and dropped — only the
+    small typed rows flow on.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real:
+                _decode_real(b"", "")
+            ids, nos, offs, flens, sums = [], [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                n_frames = max(1, math.ceil(len(data) / frame_bytes))
+                for i in range(n_frames):
+                    chunk = data[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    nos.append(i)
+                    offs.append(i * frame_bytes)
+                    flens.append(len(chunk))
+                    sums.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": nos,
+                    "frame_offset": offs,
+                    "frame_len": flens,
+                    "frame_checksum": sums,
+                }
+            )
+
+    return media.mapInPandas(frames, schema=FRAMES_SCHEMA)

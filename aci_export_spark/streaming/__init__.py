@@ -1,0 +1,15 @@
+from aci_export_spark.streaming.core import (
+    read_events_stream,
+    hourly_agg_stream,
+    sessionize_stream,
+    reconcile_session_snapshots,
+    run_stream_to_table,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_agg_stream",
+    "sessionize_stream",
+    "reconcile_session_snapshots",
+    "run_stream_to_table",
+]

@@ -1,0 +1,197 @@
+"""Structured Streaming surface: the streaming twins of the batch event
+queries (harness_llm.events_hourly_agg / events_sessionization).
+
+The reference has no event-time streaming (SURVEY.md §2.9) — its "streams"
+are paginated REST pulls. This module is the beyond-reference extension a
+100 TB pipeline needs: the same logical aggregations declared over
+``readStream`` so one code path serves both the backfill (batch over
+parquet) and the live feed (Kafka / file drops), which is the standard
+lambda-free Spark design.
+
+Scale notes:
+- the hourly aggregation is a watermarked tumbling-window groupBy —
+  state per (window × event_type) only, safely bounded;
+- sessionization is ``applyInPandasWithState`` keyed by user_id — state is
+  one small tuple per open session; Arrow batches the per-group rows;
+- both run under ``Trigger.AvailableNow`` in tests so the finite parquet
+  input is processed exactly once and the result is comparable to the
+  batch twin (the correctness harness does exactly that comparison).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 30 * 60
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the same ts normalization
+    as the batch source (sources.read_table): nanosecond parquet timestamps
+    surface as bigint (nanosAsLong) and are reduced to microsecond
+    TIMESTAMP_NTZ so event-time logic matches the batch/oracle view.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming reads need an explicit schema: take it from a batch scan
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source wants a directory: stream the sf dir with a glob
+    # pinned to the events file (on a real deployment this is the landing dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        # TIMESTAMP (not NTZ): watermarks require it, and under the UTC
+        # session timezone the wall-clock values are identical to the
+        # batch/oracle NTZ view
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    ``events_hourly_agg`` (minus COUNT(DISTINCT), which streaming state
+    cannot hold exactly; the batch twin keeps it).
+
+    State is bounded: one row per (hour-window × event_type) younger than
+    the watermark; late rows beyond `watermark` are dropped, on time they
+    merge into their window.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value_dec"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+            "sum_k",
+        )
+    )
+
+
+def _sessionize_group(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful session builder for one user (applyInPandasWithState).
+
+    State tuple: (session_no, start_us, last_us, n_events) of the open
+    session. Emits a snapshot row for every session touched in this batch;
+    snapshots grow monotonically, so the post-pass ``groupBy(user_id,
+    session_no).agg(min(start), max(end), max(n_events))`` reconstructs the
+    final table regardless of how the input was micro-batched.
+    """
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # deterministic event order inside the batch: ts, then event_id
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    # normalize to ns first: pandas may surface the Arrow column as
+    # datetime64[us] or [ns] depending on conversion path
+    ts_us = rows["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+
+    if state.exists:
+        session_no, start_us, last_us, n_events = state.get
+    else:
+        session_no, start_us, last_us, n_events = 0, None, None, 0
+
+    touched: dict[int, tuple[int, int, int]] = {}
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    for t in ts_us:
+        t = int(t)
+        if start_us is None or t - last_us > gap_us:
+            session_no += 1
+            start_us, n_events = t, 0
+        last_us = t
+        n_events += 1
+        touched[session_no] = (start_us, last_us, n_events)
+
+    state.update((session_no, start_us, last_us, n_events))
+
+    def fmt(us: int) -> str:
+        return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S")
+
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(touched),
+            "session_no": list(touched.keys()),
+            "session_start": [fmt(v[0]) for v in touched.values()],
+            "session_end": [fmt(v[1]) for v in touched.values()],
+            "n_events": [v[2] for v in touched.values()],
+        }
+    )
+
+
+_SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_no long, session_start string, "
+    "session_end string, n_events long"
+)
+_SESSION_STATE_SCHEMA = "session_no long, start_us long, last_us long, n_events long"
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """30-min-gap sessionization as a custom stateful streaming operator —
+    the streaming twin of ``events_sessionization`` (batch window + cumsum).
+
+    One state tuple per user (the open session); emitted rows are session
+    snapshots (see ``_sessionize_group``). Within-batch ordering is exact;
+    across micro-batches events are assumed watermark-ordered per user, the
+    standard contract for streaming sessionizers.
+    """
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=_SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def reconcile_session_snapshots(snapshots: DataFrame) -> DataFrame:
+    """Collapse per-batch session snapshots to the final session table."""
+    return snapshots.groupBy("user_id", "session_no").agg(
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
+def run_stream_to_table(
+    df: DataFrame, spark: SparkSession, output_mode: str
+) -> DataFrame:
+    """Run a finite streaming query (Trigger.AvailableNow) into a memory
+    sink and return the result as a batch DataFrame.
+
+    Memory sink is correct here because everything routed through it is
+    pre-aggregated (small); raw events never land on the driver.
+    """
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

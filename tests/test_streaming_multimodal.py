@@ -1,0 +1,79 @@
+"""Streaming-vs-batch equivalence and multimodal byte-level checks that the
+DuckDB oracle cannot express (byte-slice checksums, NotImplementedError
+gating)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aci_export_spark import multimodal as MM
+from aci_export_spark import streaming as ST
+from aci_export_spark.sources import read_table
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_hourly_agg_equals_batch(spark):
+    from aci_export_spark.harness_streaming import streaming_hourly_agg
+
+    got = streaming_hourly_agg(spark, SF_SMOKE)
+    ev = read_table(spark, SF_SMOKE, "events")
+    want = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+    )
+    cols = ["hour", "event_type", "n_events", "sum_value", "sum_k"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_sessionization_equals_batch(spark):
+    from aci_export_spark.harness_llm import events_sessionization
+    from aci_export_spark.harness_streaming import streaming_sessionization
+
+    got = streaming_sessionization(spark, SF_SMOKE)
+    want = events_sessionization(spark, SF_SMOKE)
+    cols = ["user_id", "session_no", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_frame_checksums_match_byte_slices(spark):
+    docs = read_table(spark, SF_SMOKE, "documents").limit(50)
+    media = MM.attach_media(docs)
+    frames = {
+        (r["doc_id"], r["frame_no"]): (r["frame_offset"], r["frame_len"], r["frame_checksum"])
+        for r in MM.sample_frames(media).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        data = row["text"].encode("utf-8")
+        n_frames = max(1, math.ceil(len(data) / MM.FRAME_BYTES))
+        for i in range(n_frames):
+            chunk = data[i * MM.FRAME_BYTES : (i + 1) * MM.FRAME_BYTES]
+            off, flen, csum = frames[(row["doc_id"], i)]
+            assert off == i * MM.FRAME_BYTES
+            assert flen == len(chunk)
+            assert csum == hashlib.md5(chunk).hexdigest()
+        assert (row["doc_id"], n_frames) not in frames
+
+
+def test_real_decode_is_explicitly_stubbed(spark):
+    docs = read_table(spark, SF_SMOKE, "documents").limit(1)
+    media = MM.attach_media(docs)
+    with pytest.raises(Exception) as exc_info:
+        MM.decode_metadata(media, real=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
