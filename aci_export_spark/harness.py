@@ -299,6 +299,7 @@ def _ensure_all_registered() -> None:
     from aci_export_spark import harness_temporal  # noqa: F401
     from aci_export_spark import harness_streaming  # noqa: F401
     from aci_export_spark import harness_multimodal  # noqa: F401
+    from aci_export_spark import harness_ref2  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
