@@ -1,0 +1,173 @@
+"""CLI mirroring the reference's four binaries (SURVEY.md §0): the `ddb`
+query surface (aci-ddb), the mirror pipeline (sync-app) and the audience
+pipeline (sync-mail), over a directory of parquet tables.
+
+    python -m aci_export_spark.cli --data-dir DIR ddb members --club 5
+    python -m aci_export_spark.cli --data-dir DIR ddb leadership --type club --date-filter current
+    python -m aci_export_spark.cli --data-dir DIR sync-app run --mirror-dir OUT
+    python -m aci_export_spark.cli --data-dir DIR sync-mail run --journal-dir OUT --club 5
+
+Output is pretty JSON on stdout with null fields skipped — the reference's
+`print_json` sink (S7, ddb/src/cmd/mod.rs:28-31).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from aci_export_spark.session import get_spark
+
+
+def _print_json(df, limit: int | None = None) -> None:
+    """S7 JSON sink: collect via toJSON (Spark already skips nulls)."""
+    rows = [json.loads(s) for s in df.toJSON().collect()]
+    if limit is not None:
+        rows = rows[:limit]
+    json.dump(rows, sys.stdout, indent=2, default=str)
+    print()
+
+
+def _add_ddb(sub: argparse._SubParsersAction) -> None:
+    ddb = sub.add_parser("ddb", help="query library (aci-ddb surface)")
+    q = ddb.add_subparsers(dest="query", required=True)
+
+    members = q.add_parser("members")
+    members.add_argument("--club", type=int)
+    members.add_argument("--region", type=int)
+    members.add_argument("--uid", type=int)
+    members.add_argument("--email")
+    members.add_argument("--today")
+
+    lead = q.add_parser("leadership")
+    lead.add_argument("--type", dest="entity_type",
+                      choices=["club", "region", "international", "committee"])
+    lead.add_argument("--uid", type=int, dest="entity_uid")
+    lead.add_argument("--date-filter", default="all",
+                      choices=["all", "current", "as_of"])
+    lead.add_argument("--as-of")
+
+    users = q.add_parser("users")
+    users.add_argument("--uid", type=int)
+    users.add_argument("--email")
+    users.add_argument("--active", action="store_true")
+
+    clubs = q.add_parser("clubs")
+    clubs.add_argument("--uid", type=int)
+    clubs.add_argument("--number", type=int)
+    clubs.add_argument("--region", type=int)
+
+    q.add_parser("regions")
+    q.add_parser("races")
+
+    addr = q.add_parser("addresses")
+    addr.add_argument("--uid", type=int, dest="user_uid")
+    addr.add_argument("--mailing-only", action="store_true")
+
+    air = q.add_parser("airstreams")
+    air.add_argument("--uid", type=int, dest="user_uid")
+
+    hist = q.add_parser("history")
+    hist.add_argument("--uid", type=int, dest="user_uid")
+
+
+def _run_ddb(args, tables) -> None:
+    from aci_export_spark.queries import entities as E
+    from aci_export_spark.queries import leadership as L
+    from aci_export_spark.queries import members as M
+
+    if args.query == "members":
+        if args.uid is not None:
+            df = M.member_by_uid(tables, args.uid, today=args.today)
+        elif args.email is not None:
+            df = M.member_by_email(tables, args.email, today=args.today)
+        else:
+            df = M.members(tables, club=args.club, region=args.region, today=args.today)
+    elif args.query == "leadership":
+        ent = {
+            "club": L.ENTITY_CLUB,
+            "region": L.ENTITY_REGION,
+            "international": L.ENTITY_INTERNATIONAL,
+            "committee": L.ENTITY_COMMITTEE,
+        }.get(args.entity_type) if args.entity_type else None
+        df = L.leadership(tables, ent, entity_uid=args.entity_uid,
+                          date_filter=args.date_filter, as_of=args.as_of)
+    elif args.query == "users":
+        df = E.users(tables, uid=args.uid, email=args.email, active_only=args.active)
+    elif args.query == "clubs":
+        df = E.clubs(tables, uid=args.uid, number=args.number, region=args.region)
+    elif args.query == "regions":
+        df = E.regions(tables)
+    elif args.query == "races":
+        df = E.races(tables)
+    elif args.query == "addresses":
+        df = E.addresses(tables, user_uid=args.user_uid, mailing_only=args.mailing_only)
+    elif args.query == "airstreams":
+        df = E.airstreams(tables, user_uid=args.user_uid)
+    elif args.query == "history":
+        df = M.membership_history(tables, user_uid=args.user_uid)
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown query {args.query}")
+    _print_json(df)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="aci-export-spark")
+    p.add_argument("--data-dir", required=True,
+                   help="directory of source parquet tables (catalog.ACI_TABLES)")
+    p.add_argument("--today", dest="global_today", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    _add_ddb(sub)
+
+    app = sub.add_parser("sync-app", help="mirror pipeline (sync-app surface)")
+    app_sub = app.add_subparsers(dest="action", required=True)
+    app_run = app_sub.add_parser("run")
+    app_run.add_argument("--mirror-dir", required=True,
+                         help="directory holding the target mirror parquet tables")
+
+    mail = sub.add_parser("sync-mail", help="audience pipeline (sync-mail surface)")
+    mail_sub = mail.add_subparsers(dest="action", required=True)
+    mail_run = mail_sub.add_parser("run")
+    mail_run.add_argument("--journal-dir", required=True,
+                          help="directory the journaling REST client writes to")
+    mail_run.add_argument("--club", type=int)
+    mail_run.add_argument("--region", type=int)
+
+    args = p.parse_args(argv)
+    spark = get_spark("aci-export-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from aci_export_spark.queries.catalog import load_catalog
+
+    tables = load_catalog(spark, args.data_dir)
+
+    if args.cmd == "ddb":
+        _run_ddb(args, tables)
+    elif args.cmd == "sync-app":
+        from aci_export_spark.sync.app_sync import run_mirror_sync, load_targets, write_post_states
+
+        targets = load_targets(spark, args.mirror_dir)
+        post, stats = run_mirror_sync(tables, targets, today=args.global_today)
+        write_post_states(post, args.mirror_dir)
+        json.dump(stats, sys.stdout, indent=2, default=str)
+        print()
+    elif args.cmd == "sync-mail":
+        from aci_export_spark.sync.mail_sync import run_job
+        from aci_export_spark.sync.rest import JournalingMailchimpClient
+
+        journal = args.journal_dir
+        stats = run_job(
+            tables,
+            client_factory=lambda: JournalingMailchimpClient(journal),
+            club=args.club,
+            region=args.region,
+            today=args.global_today,
+        )
+        json.dump(stats, sys.stdout, indent=2)
+        print()
+
+
+if __name__ == "__main__":
+    main()

@@ -56,9 +56,16 @@ def extract_users(tables: dict[str, DataFrame], today: str | None = None) -> Dat
             how="inner",
         )
     )
-    return (
+    out = (
         primaries.unionByName(partners).unionByName(lead_people)
+        .withColumn("uid", F.col("uid").cast("long"))
         .dropDuplicates(["uid"])
+    )
+    # the synthetic id IS the target PK (db/src/user.rs:31-35): rows with no
+    # usable email have no identity in the person-keyed mirror and are
+    # excluded here — Postgres would reject a NULL PK upsert
+    return (
+        out.filter(F.col("email").isNotNull() & (F.trim(F.col("email")) != ""))
         .withColumn("id", id_for_email(F.col("email")))
     )
 
@@ -66,15 +73,21 @@ def extract_users(tables: dict[str, DataFrame], today: str | None = None) -> Dat
 def target_members(tables: dict[str, DataFrame], today: str | None = None) -> DataFrame:
     """db-side member rows: person keys become email hashes; intraclub
     collapses into regular (ddb/src/members.rs:759-766)."""
-    mem = M.members(tables, today=today)
+    mem = M.members(tables, today=today).filter(
+        F.col("email").isNotNull() & (F.trim(F.col("email")) != "")
+    )
     member_type = F.when(F.col("member_type") == "intraclub", "regular").otherwise(
         F.col("member_type")
     )
+    # a partner without an email keeps the member row but gets no partner key
+    partner_email_ok = F.col("partner").isNotNull() & F.col("partner.email").isNotNull() & (
+        F.trim(F.col("partner.email")) != ""
+    )
     return mem.select(
         id_for_email(F.col("email")).alias("primary_user"),
-        F.when(
-            F.col("partner").isNotNull(), id_for_email(F.col("partner.email"))
-        ).alias("partner_user"),
+        F.when(partner_email_ok, id_for_email(F.col("partner.email"))).alias(
+            "partner_user"
+        ),
         F.lower(F.col("member_class")).alias("member_class"),
         member_type.alias("member_type"),
         F.col("expiration_date"),
@@ -134,10 +147,41 @@ def run_mirror_sync(
     post, stats = {}, {}
     for name in LOAD_ORDER:
         src, keys = sources[name]
-        tgt = targets[name]
+        tgt = targets.get(name)
+        if tgt is None:  # first run: empty mirror with the source schema
+            tgt = src.limit(0)
         t0 = time.perf_counter()
         post[name] = mirror_sync(tgt, src, keys)
         s = mirror_stats(tgt, src, keys)
         s.duration_s = time.perf_counter() - t0
         stats[name] = s.as_dict()
     return post, stats
+
+
+def load_targets(spark, mirror_dir: str) -> dict[str, DataFrame | None]:
+    """Read the current mirror state; None for tables not yet materialized
+    (first run — run_mirror_sync substitutes an empty frame)."""
+    import os
+
+    out: dict[str, DataFrame | None] = {}
+    for name in LOAD_ORDER:
+        path = os.path.join(mirror_dir, f"{name}.parquet")
+        out[name] = spark.read.parquet(path) if os.path.exists(path) else None
+    return out
+
+
+def write_post_states(post: dict[str, DataFrame], mirror_dir: str) -> None:
+    """Materialize post-states in LOAD_ORDER (FK-safe for readers,
+    SURVEY §7.4.5). Each table writes to a temp dir first — the post-state
+    plan reads the live mirror files, so an in-place overwrite would truncate
+    its own input mid-scan."""
+    import os
+    import shutil
+
+    for name in LOAD_ORDER:
+        path = os.path.join(mirror_dir, f"{name}.parquet")
+        tmp = path + ".tmp"
+        post[name].write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)

@@ -31,6 +31,13 @@ def main() -> None:
     # warm the JVM/codegen once so per-query numbers measure the plan, not
     # first-run classloading
     harness.flagship_scoped_members(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # fork the Python/Arrow worker daemons up front (one per core) so the
+    # first mapInPandas/pandas-UDF query isn't billed ~2s of worker spawn
+    import pandas as _pd  # noqa: F401
+
+    spark.range(0, 64, 1, 64).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(harness.REGISTRY.items()):

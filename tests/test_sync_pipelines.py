@@ -1,0 +1,224 @@
+"""End-to-end tests for the two sync pipelines (SURVEY.md §3.2/§3.3) and the
+CLI over the ACI fixtures: mirror convergence/idempotence, mail-document
+semantics, REST sink chunking/retry/retain, and the reference's per-run
+stats."""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.aci_fixtures import build_fixtures, TODAY
+
+TODAY_S = TODAY.isoformat()
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("aci_sync_fixtures"))
+    build_fixtures(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def aci(spark, fixture_dir):
+    from aci_export_spark.queries.catalog import load_catalog
+
+    return load_catalog(spark, fixture_dir)
+
+
+class TestAppSync:
+    def test_first_run_then_idempotent(self, spark, aci, tmp_path):
+        from aci_export_spark.sync.app_sync import (
+            LOAD_ORDER, load_targets, run_mirror_sync, write_post_states,
+        )
+
+        mirror = str(tmp_path / "mirror")
+        import os
+
+        os.makedirs(mirror)
+        # first run: empty mirror → all upserts, no deletes
+        post, stats = run_mirror_sync(aci, load_targets(spark, mirror), today=TODAY_S)
+        assert set(stats) == set(LOAD_ORDER)
+        for name in LOAD_ORDER:
+            assert stats[name]["deleted"] == 0
+            assert stats[name]["upserted"] == post[name].count() > 0
+        write_post_states(post, mirror)
+
+        # second run over the already-synced mirror: converged — the
+        # post-state equals the mirror, and nothing is deleted
+        targets2 = load_targets(spark, mirror)
+        post2, stats2 = run_mirror_sync(aci, targets2, today=TODAY_S)
+        for name in LOAD_ORDER:
+            assert stats2[name]["deleted"] == 0, name
+            assert post2[name].count() == targets2[name].count(), name
+
+    def test_mirror_gc_deletes_vanished_rows(self, spark, aci, tmp_path):
+        from aci_export_spark.operators.mirror import mirror_stats, mirror_sync
+
+        src = aci["clubs"].select("uid", "name")
+        # stale mirror: an extra row that no longer exists in the source
+        stale = src.unionByName(
+            spark.createDataFrame([(99999, "Ghost Club")], ["uid", "name"])
+        )
+        post = mirror_sync(stale, src, ["uid"])
+        st = mirror_stats(stale, src, ["uid"])
+        assert st.deleted == 1
+        assert post.filter(F.col("uid") == 99999).count() == 0
+
+    def test_user_consolidation_includes_partners_and_leaders(self, aci):
+        from aci_export_spark.sync.app_sync import extract_users
+
+        users = extract_users(aci, today=TODAY_S)
+        # synthetic id present and email-derived (db/src/user.rs:31-35)
+        row = users.filter(F.col("email").isNotNull()).first()
+        digest = hashlib.sha256(row["email"].strip().lower().encode()).digest()
+        import base64
+
+        assert row["id"] == base64.urlsafe_b64encode(digest).rstrip(b"=").decode()
+        # uids unique
+        assert users.count() == users.select("uid").distinct().count()
+
+
+class TestMailSync:
+    def test_documents_partner_fanout_and_merge_fields(self, aci):
+        from aci_export_spark.sync.mail_sync import documents_for_scope
+
+        docs = documents_for_scope(aci, today=TODAY_S)
+        rows = {(r["email_address"], r["is_partner"]): r for r in docs.collect()}
+        # every document id is md5(lower(email)) (F8)
+        for (email, _), r in rows.items():
+            assert r["id"] == hashlib.md5(email.encode()).hexdigest()
+        partners = [r for r in rows.values() if r["is_partner"]]
+        assert partners, "fixtures include partnered members"
+        for p in partners:
+            # partner doc points back at its primary (members.rs:887-895)
+            assert p["primary_ref"] is not None
+            assert (p["primary_ref"], False) in rows
+        # no placeholder domains survive the validity filter (P9)
+        assert not [e for (e, _) in rows if e.endswith(("noemail.com", "example.com"))]
+        # typed rendering: JOINED %Y-%m-%d, BDAY %m/%d (F11)
+        with_bday = [r for r in rows.values() if r["merge_fields"].get("BDAY")]
+        assert with_bday
+        for r in with_bday[:5]:
+            mf = r["merge_fields"]
+            assert len(mf["BDAY"].split("/")) == 2
+            if mf.get("JOINED"):
+                assert len(mf["JOINED"].split("-")) == 3
+        # the >10-char tag was rejected from the schema (merge_fields.rs:119-127)
+        assert all("WAYTOOLONGTAG" not in r["merge_fields"] for r in rows.values())
+
+    def test_rest_job_upsert_retain_tags_with_retries(self, aci, tmp_path):
+        from aci_export_spark.sync.mail_sync import documents_for_scope, run_job
+        from aci_export_spark.sync.rest import JournalingMailchimpClient
+
+        base = str(tmp_path / "journal")
+        stats = run_job(
+            aci,
+            client_factory=lambda: JournalingMailchimpClient(
+                base, fail_first_n_attempts=1  # every batch fails once → retry covers it
+            ),
+            today=TODAY_S,
+        )
+        client = JournalingMailchimpClient(base)
+        upserted = client.upserted_rows()
+        # exactly the documents, each exactly once despite injected failures…
+        docs = documents_for_scope(aci, today=TODAY_S)
+        assert stats["upserted"] == docs.count()
+        assert len(upserted) == docs.count()
+        # journaled ids are exactly the document ids (as a multiset — a
+        # partner email may legitimately collide with another member's email,
+        # and the reference upserts both docs to the same remote member)
+        assert sorted(r["id"] for r in upserted) == sorted(
+            r["id"] for r in docs.select("id").collect()
+        )
+        # …retain deleted the stale remote-only subscriber but kept 'cleaned'
+        gone1 = hashlib.md5(b"gone1@x.test").hexdigest()
+        gone2 = hashlib.md5(b"gone2@x.test").hexdigest()
+        deleted = client.deleted_ids()
+        assert gone1 in deleted and gone2 not in deleted
+        assert stats["deleted"] == len(deleted)
+        # …tags: 4 per document, statuses are active/inactive strings
+        tags = client.tag_updates()
+        assert len(tags) == 4 * docs.count()
+        assert {t["status"] for t in tags} <= {"active", "inactive"}
+        assert stats["tag_updates"] == len(tags)
+
+    def test_job_fault_isolation(self, aci, tmp_path):
+        from aci_export_spark.sync.mail_sync import run_jobs
+
+        def factory_for(job):
+            if job.get("boom"):
+                def bad():
+                    raise RuntimeError("injected job failure")
+                return bad
+            from aci_export_spark.sync.rest import JournalingMailchimpClient
+
+            return lambda: JournalingMailchimpClient(str(tmp_path / f"j{job['id']}"))
+
+        results = run_jobs(
+            aci,
+            jobs=[{"id": 1, "club": 5}, {"id": 2, "boom": True}, {"id": 3}],
+            client_factory_for=factory_for,
+            today=TODAY_S,
+        )
+        assert "error" in results["2"]
+        assert results["1"]["upserted"] > 0
+        assert results["3"]["upserted"] > results["1"]["upserted"]
+
+
+class TestCli:
+    def _run(self, argv):
+        from aci_export_spark import cli
+
+        buf = io.StringIO()
+        old = sys.stdout
+        sys.stdout = buf
+        try:
+            cli.main(argv)
+        finally:
+            sys.stdout = old
+        return buf.getvalue()
+
+    def test_ddb_members_json(self, fixture_dir):
+        out = self._run(
+            ["--data-dir", fixture_dir, "--today", TODAY_S, "ddb", "members", "--club", "5"]
+        )
+        rows = json.loads(out)
+        assert rows and all("email" in r for r in rows)
+        # S7 null-skipping: absent optional fields are omitted, not null
+        assert all(v is not None for r in rows for v in r.values())
+
+    def test_ddb_leadership_current(self, fixture_dir):
+        out = self._run(
+            ["--data-dir", fixture_dir, "ddb", "leadership",
+             "--type", "club", "--date-filter", "current"]
+        )
+        assert isinstance(json.loads(out), list)
+
+    def test_sync_app_run_cli(self, fixture_dir, tmp_path):
+        mirror = str(tmp_path / "m")
+        import os
+
+        os.makedirs(mirror)
+        out = self._run(
+            ["--data-dir", fixture_dir, "--today", TODAY_S,
+             "sync-app", "run", "--mirror-dir", mirror]
+        )
+        stats = json.loads(out)
+        assert stats["users"]["upserted"] > 0
+        assert os.path.exists(os.path.join(mirror, "users.parquet"))
+
+    def test_sync_mail_run_cli(self, fixture_dir, tmp_path):
+        journal = str(tmp_path / "journal")
+        out = self._run(
+            ["--data-dir", fixture_dir, "--today", TODAY_S,
+             "sync-mail", "run", "--journal-dir", journal]
+        )
+        stats = json.loads(out)
+        assert stats["upserted"] > 0 and stats["tag_updates"] == 4 * stats["upserted"]
