@@ -294,11 +294,15 @@ def minhash_lsh_dedup_pairs(
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sets = (
-        hashed.join(cand_ids, on=id_col, how="left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("__h").alias("__set"))
+    # semi-join the DOCS (not the shingle rows) first, then re-shingle: a
+    # join cannot be pushed below the shingle generator, so filtering the
+    # exploded `hashed` would still shingle the whole corpus a second time.
+    # This way the verify branch explodes candidate documents only.
+    cand_docs = df.join(cand_ids, on=id_col, how="left_semi")
+    cand_hashed = hashed_shingle_rows(
+        shingle_rows(cand_docs, id_col, text_col, n=shingle_size), id_col, "shingle"
     )
+    sets = cand_hashed.groupBy(id_col).agg(F.collect_set("__h").alias("__set"))
     sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"))
     sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"))
     verified = (

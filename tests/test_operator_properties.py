@@ -1,0 +1,153 @@
+"""Property-based tests (Hypothesis) for the operator algebra: mirror
+upsert/retain laws, dedup determinism, and the as-of join differential-tested
+against pandas.merge_asof. These defend the invariants the oracle queries
+exercise only at fixed points."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=9)
+vals = st.integers(min_value=-5, max_value=5)
+
+rows = st.lists(st.tuples(keys, vals), max_size=30)
+
+
+def _df(spark, data, cols=("k", "v")):
+    return spark.createDataFrame(
+        pd.DataFrame(data or [(0, 0)], columns=list(cols))
+        if data
+        else pd.DataFrame([(0, 0)], columns=list(cols)).iloc[:0],
+        schema="k long, v long",
+    )
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestMirrorAlgebra:
+    @given(t=rows, s=rows)
+    @settings(**SETTINGS)
+    def test_mirror_sync_post_state_is_source_keyed(self, spark, t, s):
+        """After mirror_sync the target keyset equals the source keyset and
+        every surviving row came from the source (last-write-wins on key)."""
+        from aci_export_spark.operators.mirror import mirror_sync
+
+        # a mirror holds one row per key: dedup inputs like the pipelines do
+        tdf = _df(spark, t).dropDuplicates(["k"])
+        sdf = _df(spark, s).dropDuplicates(["k"])
+        post = mirror_sync(tdf, sdf, ["k"])
+        assert _sorted(post) == _sorted(sdf)
+
+    @given(t=rows, s=rows)
+    @settings(**SETTINGS)
+    def test_upsert_idempotent_and_source_wins(self, spark, t, s):
+        from aci_export_spark.operators.mirror import upsert
+
+        tdf = _df(spark, t).dropDuplicates(["k"])
+        sdf = _df(spark, s).dropDuplicates(["k"])
+        once = upsert(tdf, sdf, ["k"])
+        twice = upsert(once, sdf, ["k"])
+        assert _sorted(once) == _sorted(twice)
+        # every source row is present verbatim
+        got = dict(_sorted(once))
+        for k, v in dict(_sorted(sdf)).items():
+            assert got[k] == v
+
+    @given(t=rows)
+    @settings(**SETTINGS)
+    def test_retain_self_is_identity(self, spark, t):
+        from aci_export_spark.operators.mirror import retain
+
+        tdf = _df(spark, t).dropDuplicates(["k"])
+        assert _sorted(retain(tdf, tdf.select("k"), ["k"])) == _sorted(tdf)
+
+
+class TestDedupDeterminism:
+    @given(data=st.lists(st.tuples(keys, vals, st.integers(0, 99)), max_size=40))
+    @settings(**SETTINGS)
+    def test_priority_dedup_picks_min_priority_then_tie(self, spark, data):
+        from aci_export_spark.operators.dedup import priority_dedup
+
+        if not data:
+            return
+        df = spark.createDataFrame(
+            pd.DataFrame(data, columns=["k", "prio", "id"]),
+            schema="k long, prio long, id long",
+        )
+        out = priority_dedup(
+            df, key=[F.col("k")], priority=F.col("prio"),
+            tie_break=[F.col("id").asc()],
+        )
+        got = {r["k"]: (r["prio"], r["id"]) for r in out.collect()}
+        pdf = pd.DataFrame(data, columns=["k", "prio", "id"])
+        want = {
+            k: tuple(g.sort_values(["prio", "id"]).iloc[0][["prio", "id"]])
+            for k, g in pdf.groupby("k")
+        }
+        assert got == want
+        assert out.count() == len(want)  # exactly one row per key
+
+
+class TestAsofDifferential:
+    ts_vals = st.integers(min_value=0, max_value=50)
+
+    @given(
+        left=st.lists(st.tuples(keys, ts_vals), min_size=1, max_size=25),
+        right=st.lists(st.tuples(keys, ts_vals, vals), max_size=25),
+    )
+    @settings(**SETTINGS)
+    def test_asof_join_matches_pandas_merge_asof(self, spark, left, right):
+        """asof_join == pandas.merge_asof(direction='backward') after the
+        right side is deduped per (key, ts) keeping max tie."""
+        from aci_export_spark.operators.asof import asof_join, latest_per_key_ts
+
+        lpdf = pd.DataFrame(left, columns=["k", "ts"]).assign(
+            lid=lambda d: range(len(d))
+        )
+        rpdf = pd.DataFrame(right, columns=["k", "rts", "payload"]).astype("int64")
+        ldf = spark.createDataFrame(lpdf, schema="k long, ts long, lid long")
+        rdf = latest_per_key_ts(
+            spark.createDataFrame(rpdf, schema="k long, rts long, payload long")
+            if len(rpdf)
+            else spark.createDataFrame([], schema="k long, rts long, payload long"),
+            key=["k"],
+            ts="rts",
+            tie="payload",
+        )
+        got = asof_join(
+            ldf, rdf, key=["k"], left_ts="ts", right_ts="rts",
+            right_payload=["payload"], right_tie="payload", how="left",
+        )
+        got_map = {r["lid"]: r["payload"] for r in got.collect()}
+
+        rdedup = (
+            rpdf.sort_values(["k", "rts", "payload"])
+            .groupby(["k", "rts"], as_index=False)
+            .last()
+            if len(rpdf)
+            else rpdf
+        )
+        want = pd.merge_asof(
+            lpdf.sort_values("ts", kind="mergesort"),
+            rdedup.sort_values("rts", kind="mergesort"),
+            left_on="ts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+        )
+        want_map = {
+            int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+            for r in want.itertuples()
+        }
+        assert got_map == want_map
