@@ -61,6 +61,10 @@ def _add_ddb(sub: argparse._SubParsersAction) -> None:
     q.add_parser("regions")
     q.add_parser("races")
 
+    roles = q.add_parser("roles")
+    roles.add_argument("--role")
+    q.add_parser("microsite-admins")
+
     addr = q.add_parser("addresses")
     addr.add_argument("--uid", type=int, dest="user_uid")
     addr.add_argument("--mailing-only", action="store_true")
@@ -101,6 +105,14 @@ def _run_ddb(args, tables) -> None:
         df = E.regions(tables)
     elif args.query == "races":
         df = E.races(tables)
+    elif args.query == "roles":
+        from aci_export_spark.queries import roles as R
+
+        df = R.user_roles(tables, role=args.role)
+    elif args.query == "microsite-admins":
+        from aci_export_spark.queries import roles as R
+
+        df = R.microsite_admins(tables)
     elif args.query == "addresses":
         df = E.addresses(tables, user_uid=args.user_uid, mailing_only=args.mailing_only)
     elif args.query == "airstreams":

@@ -84,3 +84,35 @@ def existence_flags(
             flag_name, F.coalesce(F.col(f"__{flag_name}"), F.lit(False))
         ).drop(f"__{flag_name}")
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left) side, replicate the
+    right side across the salt space.
+
+    When one join key carries a disproportionate share of rows (the classic
+    hot-key problem — e.g. one club holding half the members), a plain
+    shuffle join lands the whole hot key in one task. Salting splits each
+    left key into `salt_buckets` sub-keys and explodes every right row into
+    all buckets, so the hot key spreads over `salt_buckets` tasks at the
+    cost of a `salt_buckets`× replication of the (small) right side.
+
+    AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`, on by default
+    in session.py) handles most skew automatically at runtime; this explicit
+    form is for keys so hot that even a split shuffle block overflows, or
+    for deterministic plan shape in benchmarks. Semantically identical to
+    `left.join(right, on, how)` for inner/left joins.
+    """
+    on = list(on)
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l.join(r, on=on + ["__salt"], how=how).drop("__salt")

@@ -25,6 +25,8 @@ ACI_TABLES = (
     "mailchimp_audience",
     "merge_field_defs",
     "remote_merge_fields",
+    "user_roles",
+    "microsite_links",
 )
 
 

@@ -138,3 +138,30 @@ def merge_field_schema_diff(
         .select("tag", F.col("l_name").alias("name"), F.col("l_type").alias("type"))
     )
     return {"to_create": to_create, "to_delete": to_delete, "to_update": to_update}
+
+
+def load_merge_field_defs_toml(path: str) -> list[dict]:
+    """S4: load typed merge-field descriptors from TOML (the reference ships
+    fields-all.toml / fields-club.toml, mailchimp/src/merge_fields.rs:175-207).
+
+    Expected shape:
+
+        [[fields]]
+        tag = "FNAME"
+        name = "First Name"
+        type = "text"
+
+    Returns the raw descriptor list; pass through
+    `validate_merge_field_defs` (as a DataFrame) or filter on tag length
+    directly for the ≤10-char rule.
+    """
+    import tomllib
+
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    fields = data.get("fields", [])
+    for fd in fields:
+        missing = {"tag", "name", "type"} - set(fd)
+        if missing:
+            raise ValueError(f"merge-field def missing keys {missing}: {fd}")
+    return fields

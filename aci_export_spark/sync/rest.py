@@ -207,3 +207,101 @@ def update_tags_sink(tags, client_factory, batch_size: int = 1000, concurrency: 
 
     t.foreachPartition(push)
     return tags.count()
+
+
+def paged_rest_source(
+    spark,
+    fetch_page,
+    total_count: int,
+    schema,
+    page_size: int = 1000,
+    concurrency: int = 10,
+):
+    """S5/S6: distributed paged REST read (mailchimp/src/lib.rs:214-249 +
+    members.rs:24-48).
+
+    The reference asks the API for the total count, then fetches pages of
+    `page_size` with bounded concurrency (10). Spark shape: one row per page
+    offset, repartitioned to `concurrency` partitions, fetched inside
+    mapInPandas — at most `concurrency` executor slots hit the API at once,
+    each yielding an Arrow batch. `fetch_page(offset, count) -> list[dict]`
+    is the REST call (a `requests` call in production, a deterministic fake
+    in tests); it is serialized to executors via cloudpickle.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_pages = max(1, math.ceil(total_count / page_size))
+    offsets = (
+        spark.range(n_pages)
+        .select((F.col("id") * page_size).alias("offset"))
+        .repartition(min(concurrency, n_pages))
+    )
+    field_names = (
+        [f.strip().split(" ")[0] for f in schema.split(",")]
+        if isinstance(schema, str)
+        else schema.fieldNames()
+    )
+
+    def fetch(batches):
+        for pdf in batches:
+            for off in pdf["offset"]:
+                rows = fetch_page(int(off), page_size)
+                if rows:
+                    yield pd.DataFrame(rows, columns=field_names)
+
+    return offsets.mapInPandas(fetch, schema=schema)
+
+
+class BatchJob:
+    """S12/T5: the Mailchimp batch-operations protocol against a journaling
+    backend (mailchimp/src/batches.rs:15-64): accumulate operations, submit
+    as one batch, poll every `poll_interval` until Finished.
+
+    The journaling "server" finishes a batch after `finish_after_polls`
+    status checks, so the polling loop is genuinely exercised in tests. A
+    production implementation swaps `_submit`/`_status` for POST /3.0/batches
+    and GET /3.0/batches/{id}.
+    """
+
+    def __init__(self, base_dir: str, finish_after_polls: int = 2):
+        self.base_dir = base_dir
+        self.finish_after_polls = finish_after_polls
+        self.ops: list[dict] = []
+        os.makedirs(os.path.join(base_dir, "batches"), exist_ok=True)
+
+    def post(self, path: str, body: dict) -> None:
+        self.ops.append({"method": "POST", "path": path, "body": body})
+
+    def put(self, path: str, body: dict) -> None:
+        self.ops.append({"method": "PUT", "path": path, "body": body})
+
+    def delete(self, path: str) -> None:
+        self.ops.append({"method": "DELETE", "path": path})
+
+    def _submit(self) -> str:
+        batch_id = uuid.uuid4().hex[:12]
+        with open(os.path.join(self.base_dir, "batches", f"{batch_id}.jsonl"), "w") as f:
+            for op in self.ops:
+                f.write(json.dumps(op, sort_keys=True) + "\n")
+        with open(os.path.join(self.base_dir, "batches", f"{batch_id}.polls"), "w") as f:
+            f.write("0")
+        return batch_id
+
+    def _status(self, batch_id: str) -> str:
+        path = os.path.join(self.base_dir, "batches", f"{batch_id}.polls")
+        with open(path) as f:
+            polls = int(f.read() or 0)
+        with open(path, "w") as f:
+            f.write(str(polls + 1))
+        return "finished" if polls >= self.finish_after_polls else "pending"
+
+    def run(self, poll_interval_s: float = 0.01, sleep=time.sleep) -> str:
+        """Submit accumulated ops and poll to completion (batches.rs:56-63;
+        reference interval is 5 s — injectable here so tests don't sleep)."""
+        batch_id = self._submit()
+        while self._status(batch_id) != "finished":
+            sleep(poll_interval_s)
+        return batch_id

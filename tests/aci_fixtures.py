@@ -373,6 +373,30 @@ def build_fixtures(out_dir: str) -> dict[str, pd.DataFrame]:
         ]
     )
 
+    # -------------------------------------------- roles / microsite admins
+    # user__roles rows (ddb/src/roles.rs:29-32); some users have several
+    user_roles_df = pd.DataFrame(
+        [
+            dict(user_uid=uid, role=role)
+            for uid in range(1, 31)
+            for role in (["member"] + (["webmaster"] if uid % 6 == 0 else [])
+                         + (["administrator"] if uid % 15 == 0 else []))
+        ]
+    )
+    # microsite admin link rows: one target entity per row, resolved against
+    # regions first then clubs with COALESCE (ddb/src/roles.rs:43-66).
+    # Fixture edges: targets 4..8 are club-only uids; 1..3 exist in BOTH uid
+    # spaces and must resolve as regions (the reference's coalesce order);
+    # uid 24's extra row links a dangling entity (no bundle matches → drop).
+    microsite = []
+    for uid in range(1, 31):
+        if uid % 6 == 0:  # webmasters administer a club site
+            microsite.append(dict(user_uid=uid, target_uid=4 + uid % 5))
+        if uid % 15 == 0:  # some also administer their region site
+            microsite.append(dict(user_uid=uid, target_uid=1 + uid % 3))
+    microsite.append(dict(user_uid=24, target_uid=99999))  # dangling target
+    microsite_links_df = pd.DataFrame(microsite)
+
     frames = dict(
         users=users_df,
         member_search=search_df,
@@ -388,6 +412,8 @@ def build_fixtures(out_dir: str) -> dict[str, pd.DataFrame]:
         mailchimp_audience=audience_df,
         merge_field_defs=merge_field_defs_df,
         remote_merge_fields=remote_merge_fields_df,
+        user_roles=user_roles_df,
+        microsite_links=microsite_links_df,
     )
     for name, df in frames.items():
         df.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)

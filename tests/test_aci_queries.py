@@ -177,3 +177,27 @@ class TestEntities:
         assert E.regions(aci).count() == 3
         races = E.races(aci).collect()
         assert [r.uid for r in races] == sorted(r.uid for r in races)
+
+
+class TestRoles:
+    def test_user_roles_and_filter(self, aci):
+        from aci_export_spark.queries import roles as R
+
+        all_roles = R.user_roles(aci)
+        assert all_roles.filter(F.col("role") == "member").count() == 30
+        webmasters = R.user_roles(aci, role="webmaster")
+        assert {r["user_uid"] % 6 for r in webmasters.collect()} == {0}
+
+    def test_microsite_admin_resolution(self, aci):
+        from aci_export_spark.queries import roles as R
+
+        admins = {(r["user_uid"], r["entity_uid"]): r["is_region"]
+                  for r in R.microsite_admins(aci).collect()}
+        # dangling target dropped (roles.rs: no bundle matched)
+        assert not any(uid == 99999 for (_, uid) in admins)
+        # targets 1..3 exist in both uid spaces → region precedence
+        assert all(is_region for (_, uid), is_region in admins.items() if uid <= 3)
+        # club-only targets resolve with is_region=False
+        assert any(not is_region for (_, uid), is_region in admins.items() if uid >= 4)
+        # uid 30 (both %6 and %15) administers a club AND a region site
+        assert {uid for (u, uid) in admins if u == 30} == {4 + 30 % 5, 1 + 30 % 3}

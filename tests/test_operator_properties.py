@@ -151,3 +151,39 @@ class TestAsofDifferential:
             for r in want.itertuples()
         }
         assert got_map == want_map
+
+
+class TestSaltedJoin:
+    def test_salted_join_equals_plain_join_under_skew(self, spark):
+        from aci_export_spark.operators.joins import salted_join
+
+        # hot key: 90% of left rows share key 0
+        left = spark.range(2000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS lv"
+        )
+        right = spark.range(50).selectExpr("id AS k", "id * 100 AS rv")
+        got = salted_join(left, right, on=["k"], salt_buckets=8)
+        want = left.join(right, on=["k"])
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+class TestPagedRestSource:
+    def test_pagination_covers_every_item_once(self, spark):
+        from aci_export_spark.sync.rest import paged_rest_source
+
+        total = 2357  # deliberately not a multiple of the page size
+
+        def fetch_page(offset, count):
+            return [
+                {"id": i, "email": f"u{i}@x.test"}
+                for i in range(offset, min(offset + count, total))
+            ]
+
+        df = paged_rest_source(
+            spark, fetch_page, total_count=total,
+            schema="id long, email string", page_size=300, concurrency=4,
+        )
+        assert df.rdd.getNumPartitions() == 4  # bounded concurrency (T3)
+        rows = df.collect()
+        assert len(rows) == total
+        assert {r["id"] for r in rows} == set(range(total))

@@ -222,3 +222,45 @@ class TestCli:
         )
         stats = json.loads(out)
         assert stats["upserted"] > 0 and stats["tag_updates"] == 4 * stats["upserted"]
+
+
+class TestConfigAndBatchProtocol:
+    def test_toml_merge_field_defs_roundtrip(self, tmp_path):
+        from aci_export_spark.sync.mail import MAX_TAG_LEN, load_merge_field_defs_toml
+
+        p = tmp_path / "fields.toml"
+        p.write_text(
+            '[[fields]]\ntag = "FNAME"\nname = "First Name"\ntype = "text"\n'
+            '[[fields]]\ntag = "BDAY"\nname = "Birthday"\ntype = "birthday"\n'
+            '[[fields]]\ntag = "WAYTOOLONGTAG"\nname = "Bad"\ntype = "text"\n'
+        )
+        defs = load_merge_field_defs_toml(str(p))
+        assert [d["tag"] for d in defs] == ["FNAME", "BDAY", "WAYTOOLONGTAG"]
+        valid = [d for d in defs if len(d["tag"]) <= MAX_TAG_LEN]
+        assert [d["tag"] for d in valid] == ["FNAME", "BDAY"]
+
+    def test_toml_missing_key_rejected(self, tmp_path):
+        from aci_export_spark.sync.mail import load_merge_field_defs_toml
+
+        p = tmp_path / "bad.toml"
+        p.write_text('[[fields]]\ntag = "X"\nname = "No type"\n')
+        with pytest.raises(ValueError, match="missing keys"):
+            load_merge_field_defs_toml(str(p))
+
+    def test_batch_job_submit_and_poll(self, tmp_path):
+        import json as _json
+        import os
+
+        from aci_export_spark.sync.rest import BatchJob
+
+        job = BatchJob(str(tmp_path), finish_after_polls=3)
+        job.post("/lists/abc", {"id": "m1"})
+        job.put("/lists/abc/members/m2", {"id": "m2"})
+        job.delete("/lists/abc/members/m3")
+        sleeps = []
+        batch_id = job.run(sleep=sleeps.append)
+        # polled until the backend reported finished (T5)
+        assert len(sleeps) == 3
+        ops_file = os.path.join(str(tmp_path), "batches", f"{batch_id}.jsonl")
+        ops = [_json.loads(l) for l in open(ops_file)]
+        assert [o["method"] for o in ops] == ["POST", "PUT", "DELETE"]
