@@ -86,10 +86,36 @@ def mirror_stats(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> S
 def write_mirror(df: DataFrame, path: str, keys: Sequence[str], num_buckets: int | None = None) -> None:
     """Materialize the mirror post-state (plain-parquet overwrite-diff mode).
 
-    On Delta this would be `MERGE INTO`; for plain files, overwrite. Partition
-    layout note for scale: pass `num_buckets` and write via saveAsTable with
-    bucketBy(keys) on a real cluster so subsequent syncs' anti/semi joins are
-    co-located (no shuffle of the 100 TB mirror side).
+    On Delta this would be `MERGE INTO`; for plain files, overwrite. For the
+    bucketed layout that makes subsequent syncs' anti/semi joins co-located,
+    use :func:`write_bucketed_mirror` (bucketBy needs a table catalog entry,
+    so it takes a table name rather than a bare path).
     """
     writer = df.write.mode("overwrite")
     writer.parquet(path)
+
+
+def write_bucketed_mirror(
+    df: DataFrame,
+    table_name: str,
+    keys: Sequence[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Materialize a mirror table hash-bucketed (and sorted) by its key.
+
+    This is the 100 TB layout: when both sides of the next sync's
+    upsert/retain join are bucketed by the same key with the same bucket
+    count, Spark plans a co-located sort-merge join with NO Exchange — the
+    mirror side (the big one) is never shuffled again. Verified by
+    `TestBucketedMirror` (asserts zero Exchange operators in the join plan).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*keys)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

@@ -1,0 +1,74 @@
+"""Cross-validation of the MinHash+LSH near-dup pipeline against exact
+shingle-set Jaccard computed independently in Python (the check the
+rows-only driver entry cannot provide)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from aci_export_spark.llm import dedup as D
+from aci_export_spark.sources import read_table
+from tests.conftest import SF_SMOKE
+
+THRESHOLD = 0.5
+SHINGLE = 5
+
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def _shingles(text: str) -> set[str]:
+    n = _norm(text)
+    if len(n) <= SHINGLE:
+        return {n[:SHINGLE]}
+    return {n[i : i + SHINGLE] for i in range(len(n) - SHINGLE + 1)}
+
+
+@pytest.fixture(scope="module")
+def ground_truth(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in read_table(spark, SF_SMOKE, "documents").collect()
+    }
+    sh = {i: _shingles(t) for i, t in docs.items()}
+    ids = sorted(sh)
+    exact = {}
+    for ii, a in enumerate(ids):
+        for b in ids[ii + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            j = inter / len(sh[a] | sh[b])
+            if j >= THRESHOLD:
+                exact[(a, b)] = j
+    return exact
+
+
+def test_minhash_lsh_precision_and_recall(spark, ground_truth):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=THRESHOLD,
+            num_hashes=16, bands=4, shingle_size=SHINGLE,
+        ).collect()
+    }
+    # PRECISION is exact by construction (candidates are verified with exact
+    # Jaccard on hashed shingle sets): every reported pair is a true pair
+    # with the same jaccard value (up to 64-bit hash collisions)
+    for pair, j in got.items():
+        assert pair in ground_truth, f"false positive {pair} (j={j})"
+        assert j == pytest.approx(ground_truth[pair], abs=1e-12)
+
+    # RECALL: LSH with 4 bands of 4 detects s=0.9 pairs w.p. ~0.986 and
+    # s=0.7 pairs w.p. ~0.72; assert aggregate recall on the strong pairs
+    strong = {p for p, j in ground_truth.items() if j >= 0.9}
+    if strong:
+        found = len(strong & set(got))
+        assert found / len(strong) >= 0.9, (found, len(strong))
+    # and that the pipeline finds a substantial share of all true pairs
+    assert len(got) >= 0.5 * len(ground_truth), (len(got), len(ground_truth))

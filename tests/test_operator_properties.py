@@ -187,3 +187,30 @@ class TestPagedRestSource:
         rows = df.collect()
         assert len(rows) == total
         assert {r["id"] for r in rows} == set(range(total))
+
+
+class TestBucketedMirror:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Two mirrors bucketed on the same key join with zero shuffles —
+        the layout that keeps the 100 TB side in place across syncs."""
+        from aci_export_spark.operators.mirror import write_bucketed_mirror
+
+        a = spark.range(10_000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(5_000).selectExpr("id AS k", "id * 3 AS vb")
+        write_bucketed_mirror(a, "bk_a", ["k"], num_buckets=8, path=str(tmp_path / "a"))
+        write_bucketed_mirror(b, "bk_b", ["k"], num_buckets=8, path=str(tmp_path / "b"))
+        old_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # disable broadcast so the join exercises the big-big path the
+            # bucketing exists for (at 100 TB neither mirror side broadcasts)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("bk_a").join(spark.table("bk_b"), on="k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            assert joined.count() == 5_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
+            spark.sql("DROP TABLE IF EXISTS bk_a")
+            spark.sql("DROP TABLE IF EXISTS bk_b")
