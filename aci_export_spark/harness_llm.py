@@ -384,3 +384,20 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "llm_sim_ivf_kmeans_topk",
+    None,  # KMeans centroids are not SQL-replicable → rows-only check;
+    # recall vs brute force is asserted in tests/test_ivf_kmeans.py
+    doc="full IVF pipeline: KMeans coarse-quantizer build (Spark ML) → "
+    "nearest-centroid cell assignment (pure map) → within-cell top-k; the "
+    "build-on-sample / assign-everything / partition-by-cell shape is the "
+    "100 TB ANN path",
+)
+def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = S.ivf_build_kmeans(emb, k_cells=8, seed=42)
+    assigned = S.ivf_assign(model, emb)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_topk_multiprobe(assigned, queries, model, nprobe=3, k=5)
