@@ -397,7 +397,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    model = S.ivf_build_kmeans(emb, k_cells=8, seed=42)
+    # build the quantizer on a seeded sample (the 100 TB pattern: KMeans
+    # never needs the full corpus), assign everything with one map
+    model = S.ivf_build_kmeans(emb.sample(0.2, seed=42), k_cells=8, seed=42)
     assigned = S.ivf_assign(model, emb)
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivf_topk_multiprobe(assigned, queries, model, nprobe=3, k=5)

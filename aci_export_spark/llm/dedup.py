@@ -311,6 +311,23 @@ def minhash_lsh_dedup_pairs(
         shingle_rows(cand_docs, id_col, text_col, n=shingle_size), id_col, "shingle"
     )
     sets = cand_hashed.groupBy(id_col).agg(F.collect_set("__h").alias("__set"))
+
+    # size-ratio prefilter: jaccard ≥ t ⇒ |A∩B| ≤ min(|A|,|B|) and
+    # |A∪B| ≥ max(|A|,|B|) ⇒ min/max ≥ t. Joining the (tiny) size table
+    # first drops length-mismatched candidates before their (large) shingle
+    # arrays are ever shuffled.
+    sizes = sets.select(F.col(id_col), F.size("__set").alias("__sz"))
+    cand = (
+        cand.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza")), on="id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb")), on="id_b")
+        .filter(
+            F.least("__sza", "__szb").cast("double")
+            / F.greatest("__sza", "__szb").cast("double")
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
+
     sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"))
     sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"))
     verified = (
