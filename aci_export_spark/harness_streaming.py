@@ -70,3 +70,46 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots = ST.sessionize_stream(events)
     landed = ST.run_stream_to_table(snapshots, spark, output_mode="update")
     return ST.reconcile_session_snapshots(landed)
+
+
+@register(
+    "streaming_interval_join",
+    """
+WITH clicks AS (
+    SELECT event_id AS click_id, user_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+), views AS (
+    SELECT event_id AS view_id, user_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, c.user_id,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       v.view_id,
+       strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM clicks c JOIN views v
+  ON v.user_id = c.user_id
+ AND v.view_ts <= c.click_ts
+ AND v.view_ts >= c.click_ts - INTERVAL 30 MINUTE
+""",
+    doc="stream-stream interval join: clicks × views of the same user within "
+    "a 30-min lookback, both sides watermarked so join state is bounded to "
+    "the horizon; oracle equals the batch range join on the same data",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ST.read_events_stream(spark, sf_dir)
+    joined = ST.interval_join_stream(events, lookback="30 minutes")
+    return ST.run_stream_to_table(joined, spark, output_mode="append")
+
+
+@register(
+    "streaming_distinct_users",
+    "SELECT DISTINCT user_id FROM events",
+    doc="streaming exact-distinct: watermarked dropDuplicates keyed on "
+    "user_id, key-only projection makes the result deterministic and equal "
+    "to batch SELECT DISTINCT",
+)
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ST.read_events_stream(spark, sf_dir)
+    return ST.run_stream_to_table(
+        ST.distinct_users_stream(events), spark, output_mode="append"
+    )

@@ -4,6 +4,9 @@ from aci_export_spark.streaming.core import (
     sessionize_stream,
     reconcile_session_snapshots,
     run_stream_to_table,
+    interval_join_stream,
+    distinct_users_stream,
+    stream_into_mirror,
 )
 
 __all__ = [
@@ -12,4 +15,7 @@ __all__ = [
     "sessionize_stream",
     "reconcile_session_snapshots",
     "run_stream_to_table",
+    "interval_join_stream",
+    "distinct_users_stream",
+    "stream_into_mirror",
 ]

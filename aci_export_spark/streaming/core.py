@@ -195,3 +195,106 @@ def run_stream_to_table(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def interval_join_stream(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    views from the preceding `lookback` window — the streaming twin of the
+    keyed range join (operators/range_join.keyed_range_join).
+
+    Both sides are watermarked and the join carries an event-time range
+    constraint, so Spark bounds the join state to the lookback horizon:
+    state size is O(events within watermark+lookback), not O(stream).
+    Inner joins emit eagerly — on a finite AvailableNow run the sink holds
+    exactly the batch-join result.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"user_id = v_user_id AND view_ts <= click_ts "
+            f"AND view_ts >= click_ts - INTERVAL {lookback}"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "view_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
+def distinct_users_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-distinct: watermarked dropDuplicates on the key.
+
+    Projecting to the key column first makes the surviving-row choice
+    irrelevant (any row of a key yields the same output), so the result is
+    deterministic and equals batch SELECT DISTINCT. State holds one entry
+    per key within the watermark — the streaming twin of exact dedup (A5).
+    """
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["user_id"])
+        .select("user_id")
+    )
+
+
+def stream_into_mirror(
+    events: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+) -> None:
+    """foreachBatch sink: apply mirror upsert semantics per micro-batch —
+    the streaming load path of the app-sync mirror (operators/mirror.upsert
+    inside the batch callback, exactly-once via checkpoint + idempotent
+    upsert). Finite inputs use Trigger.AvailableNow; a live feed runs the
+    same code continuously.
+    """
+    import os
+
+    from aci_export_spark.operators.mirror import upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            post = upsert(target, batch_df, keys)
+        else:
+            post = batch_df
+        tmp = target_path + ".tmp"
+        post.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        os.rename(tmp, target_path)
+
+    q = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

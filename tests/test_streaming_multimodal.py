@@ -77,3 +77,21 @@ def test_real_decode_is_explicitly_stubbed(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_stream_into_mirror_foreachbatch(spark, tmp_path):
+    """foreachBatch mirror load: streaming the events file into a parquet
+    mirror equals the batch table; a second (re)run converges — upsert
+    idempotence through the streaming path."""
+    from aci_export_spark.streaming.core import stream_into_mirror
+
+    target = str(tmp_path / "mirror.parquet")
+    events = ST.read_events_stream(spark, SF_SMOKE).select("event_id", "user_id", "value")
+    stream_into_mirror(events, target, str(tmp_path / "ckpt1"), keys=["event_id"])
+    batch = read_table(spark, SF_SMOKE, "events")
+    assert spark.read.parquet(target).count() == batch.count()
+
+    # re-run from a fresh checkpoint: same data upserts over itself
+    events2 = ST.read_events_stream(spark, SF_SMOKE).select("event_id", "user_id", "value")
+    stream_into_mirror(events2, target, str(tmp_path / "ckpt2"), keys=["event_id"])
+    assert spark.read.parquet(target).count() == batch.count()
