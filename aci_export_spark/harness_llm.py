@@ -403,3 +403,70 @@ def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = S.ivf_assign(model, emb)
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivf_topk_multiprobe(assigned, queries, model, nprobe=3, k=5)
+
+
+@register(
+    "events_heavy_hitters",
+    """
+SELECT event_type, user_id, n_events, rnk FROM (
+    SELECT event_type, user_id, COUNT(*) AS n_events,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY COUNT(*) DESC, user_id ASC) AS rnk
+    FROM events GROUP BY event_type, user_id
+) WHERE rnk <= 3
+""",
+    doc="per-group heavy hitters: top-3 users by event count within each "
+    "event_type — groupBy + window rank, partial aggregation before the "
+    "single shuffle; deterministic user_id tie-break",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "n_events", "rnk")
+    )
+
+
+@register(
+    "events_sketch_distinct",
+    None,  # HLL++ estimates are engine-specific → rows-only; the accuracy
+    # bound vs exact COUNT(DISTINCT) is asserted in test_sketches.py
+    doc="approximate distinct users per event_type via HyperLogLog++ "
+    "(approx_count_distinct, rsd 2%) next to the exact count — the sketch "
+    "aggregates in fixed memory and merges map-side, the 100 TB path where "
+    "exact distinct would shuffle every key",
+)
+def events_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "events_sketch_quantiles",
+    None,  # t-digest/GK quantile estimates are engine-specific → rows-only;
+    # error bounds asserted in test_sketches.py
+    doc="approximate value quantiles per event_type (percentile_approx, "
+    "accuracy 10000) — mergeable fixed-size sketch vs an exact sort",
+)
+def events_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q_approx"),
+    ).select(
+        "event_type",
+        F.col("q_approx")[0].alias("p50"),
+        F.col("q_approx")[1].alias("p95"),
+        F.col("q_approx")[2].alias("p99"),
+    )
