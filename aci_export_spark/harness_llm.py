@@ -470,3 +470,16 @@ def events_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_approx")[1].alias("p95"),
         F.col("q_approx")[2].alias("p99"),
     )
+
+
+@register(
+    "llm_text_cdc_chunks",
+    None,  # rolling-hash chunking is sequential per doc (not SQL-expressible);
+    # boundary/shift-robustness properties asserted in test_cdc.py
+    doc="content-defined chunking fingerprints (Rabin-Karp rolling hash, "
+    "~64B target chunks clamped to [32,512]): edit-robust chunk-level dedup "
+    "granularity; mapInPandas per doc, no shuffle, linear output",
+)
+def llm_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.cdc_fingerprints(docs, "doc_id", "text")

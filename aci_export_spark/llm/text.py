@@ -112,3 +112,73 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("content_fingerprint"),
         F.md5(bag).alias("bag_fingerprint"),
     )
+
+
+CDC_WINDOW = 16          # rolling-hash window (bytes)
+CDC_MASK = (1 << 6) - 1  # boundary when hash & mask == mask → ~64-byte chunks
+CDC_MIN, CDC_MAX = 32, 512
+
+_CDC_SCHEMA = (
+    "doc_id long, chunk_no long, chunk_offset long, chunk_len long, "
+    "chunk_fingerprint string"
+)
+
+
+def _cdc_chunks(data: bytes):
+    """Content-defined chunk boundaries via a polynomial rolling hash
+    (Rabin-Karp style). A boundary fires where the window hash matches the
+    mask, clamped to [CDC_MIN, CDC_MAX] — so an insertion shifts at most the
+    chunk it lands in, unlike fixed-size blocks where every later block
+    changes (the property that makes chunk-level dedup robust to edits)."""
+    B, M = 257, (1 << 61) - 1
+    # after `h = h*B + byte`, the byte leaving the window carries B^W
+    Bw = pow(B, CDC_WINDOW, M)
+    chunks, start, h = [], 0, 0
+    for i, byte in enumerate(data):
+        h = (h * B + byte) % M
+        if i - start + 1 > CDC_WINDOW:
+            h = (h - data[i - CDC_WINDOW] * Bw) % M
+        size = i - start + 1
+        if size >= CDC_MAX or (size >= CDC_MIN and (h & CDC_MASK) == CDC_MASK):
+            chunks.append((start, size))
+            start, h = i + 1, 0
+    if start < len(data) or not chunks:
+        chunks.append((start, len(data) - start))
+    return chunks
+
+
+def cdc_fingerprints(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Content-defined-chunking fingerprints: one row per chunk with offset,
+    length, and md5 — the edit-robust dedup granularity (two documents
+    differing by one insertion share every chunk fingerprint outside the
+    edited chunk).
+
+    Rolling hashes are inherently sequential per document, so this is a
+    ``mapInPandas`` stage: embarrassingly parallel over documents, no
+    shuffle, linear output. Downstream, a groupBy(chunk_fingerprint) finds
+    shared content across the corpus.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        for pdf in batches:
+            ids, nos, offs, lens, fps = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                for no, (off, ln) in enumerate(_cdc_chunks(data)):
+                    ids.append(doc_id)
+                    nos.append(no)
+                    offs.append(off)
+                    lens.append(ln)
+                    fps.append(hashlib.md5(data[off : off + ln]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "chunk_no": nos, "chunk_offset": offs,
+                    "chunk_len": lens, "chunk_fingerprint": fps,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=_CDC_SCHEMA)
