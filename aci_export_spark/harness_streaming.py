@@ -113,3 +113,36 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_to_table(
         ST.distinct_users_stream(events), spark, output_mode="append"
     )
+
+
+@register(
+    "streaming_stream_static_join",
+    """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+""",
+    doc="stream-static join: the event stream enriched against a static "
+    "dimension (broadcast, re-read per micro-batch — the streaming "
+    "dimension-enrichment pattern); oracle equals the batch join",
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.sources import read_table
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    events = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    joined = events.join(broadcast(customer), on="user_id").select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+    return ST.run_stream_to_table(joined, spark, output_mode="append")

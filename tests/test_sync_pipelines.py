@@ -264,3 +264,27 @@ class TestConfigAndBatchProtocol:
         ops_file = os.path.join(str(tmp_path), "batches", f"{batch_id}.jsonl")
         ops = [_json.loads(l) for l in open(ops_file)]
         assert [o["method"] for o in ops] == ["POST", "PUT", "DELETE"]
+
+
+class TestRestDataSource:
+    def test_python_datasource_paged_scan(self, spark):
+        import hashlib
+
+        from aci_export_spark.sync import rest_datasource
+
+        rest_datasource.register(spark)
+        df = (
+            spark.read.format("rest_pages")
+            .option("total_count", "2357")
+            .option("page_size", "300")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 8  # one partition per page
+        rows = df.collect()
+        assert len(rows) == 2357
+        assert {r["page"] for r in rows} == set(range(8))
+        r0 = next(r for r in rows if r["email_address"] == "member0@list.test")
+        assert r0["id"] == hashlib.md5(b"member0@list.test").hexdigest()
+        # composes with the DataFrame API: filter + aggregate over the source
+        n_cleaned = df.filter(df.status == "cleaned").count()
+        assert n_cleaned == len([i for i in range(2357) if i % 9 == 0])
