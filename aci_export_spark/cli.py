@@ -126,8 +126,9 @@ def _run_ddb(args, tables) -> None:
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="aci-export-spark")
-    p.add_argument("--data-dir", required=True,
-                   help="directory of source parquet tables (catalog.ACI_TABLES)")
+    p.add_argument("--data-dir",
+                   help="directory of source parquet tables (catalog.ACI_TABLES); "
+                   "required for ddb/sync-app/sync-mail commands")
     p.add_argument("--today", dest="global_today", default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -138,6 +139,16 @@ def main(argv: list[str] | None = None) -> None:
     app_run = app_sub.add_parser("run")
     app_run.add_argument("--mirror-dir", required=True,
                          help="directory holding the target mirror parquet tables")
+
+    pipe = sub.add_parser(
+        "pipeline", help="run any registered engine query (harness registry)"
+    )
+    pipe_sub = pipe.add_subparsers(dest="action", required=True)
+    pipe_sub.add_parser("list")
+    pipe_run = pipe_sub.add_parser("run")
+    pipe_run.add_argument("query_name")
+    pipe_run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pipe_run.add_argument("--limit", type=int, default=20)
 
     mail = sub.add_parser("sync-mail", help="audience pipeline (sync-mail surface)")
     mail_sub = mail.add_subparsers(dest="action", required=True)
@@ -150,6 +161,28 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
     spark = get_spark("aci-export-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "pipeline":
+        from aci_export_spark import harness
+
+        harness._ensure_all_registered()
+        if args.action == "list":
+            json.dump(
+                {n: s.doc for n, s in sorted(harness.REGISTRY.items())},
+                sys.stdout, indent=2,
+            )
+            print()
+        else:
+            spec = harness.REGISTRY.get(args.query_name)
+            if spec is None:
+                raise SystemExit(
+                    f"unknown query {args.query_name!r}; see `pipeline list`"
+                )
+            _print_json(spec.fn(spark, args.sf_dir).limit(args.limit))
+        return
+
+    if not args.data_dir:
+        raise SystemExit(f"--data-dir is required for the {args.cmd} command")
 
     from aci_export_spark.queries.catalog import load_catalog
 

@@ -119,3 +119,43 @@ def write_bucketed_mirror(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def mirror_sync_observed(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> tuple[DataFrame, "Observation"]:
+    """mirror_sync with stats attached via ``Observation`` — the counts the
+    reference logs (A9) come FREE with the materializing action instead of
+    two extra count() jobs over the same inputs.
+
+    The post-state = deleted-target-rows ∪ source, tagged; observe() sums
+    the tags during whatever action materializes the frame (the mirror
+    write), then the tag column is dropped. Usage::
+
+        post, obs = mirror_sync_observed(target, source, keys)
+        post.write.parquet(...)           # one job
+        stats = obs.get                   # {'upserted': …, 'deleted': …}
+    """
+    from pyspark.sql import Observation
+
+    # mirror post-state ≡ source; deleted = target keys absent from source.
+    # The deleted rows ride along tagged so the observation counts both
+    # classes in the single output pass, then they are filtered back out.
+    deleted_count_src = target.select(*keys).distinct().join(
+        source.select(*keys).distinct(), on=list(keys), how="left_anti"
+    )
+    tagged = source.withColumn("__is_upsert", F.lit(1)).unionByName(
+        deleted_count_src.join(target, on=list(keys))  # deleted rows, full width
+        .select(*source.columns)
+        .withColumn("__is_upsert", F.lit(0))
+    )
+    obs = Observation("mirror_stats")
+    observed = tagged.observe(
+        obs,
+        F.sum("__is_upsert").alias("upserted"),
+        F.sum(1 - F.col("__is_upsert")).alias("deleted"),
+    )
+    # post-state excludes the deleted rows again — they were only carried so
+    # the observation sees them in the same pass
+    post = observed.filter(F.col("__is_upsert") == 1).drop("__is_upsert")
+    return post, obs

@@ -214,3 +214,45 @@ class TestBucketedMirror:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_threshold)
             spark.sql("DROP TABLE IF EXISTS bk_a")
             spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+class TestObservedMirrorStats:
+    def test_stats_come_with_the_write(self, spark, tmp_path):
+        from aci_export_spark.operators.mirror import mirror_sync, mirror_sync_observed
+
+        target = spark.range(100).selectExpr("id AS k", "id AS v")          # 0..99
+        source = spark.range(50, 130).selectExpr("id AS k", "id * 2 AS v")  # 50..129
+        post, obs = mirror_sync_observed(target, source, ["k"])
+        post.write.mode("overwrite").parquet(str(tmp_path / "m.parquet"))  # ONE job
+        got = obs.get
+        assert got["upserted"] == 80   # |source|
+        assert got["deleted"] == 50    # keys 0..49 vanished
+        # post-state identical to the two-pass mirror_sync
+        want = mirror_sync(target, source, ["k"])
+        assert sorted(map(tuple, spark.read.parquet(str(tmp_path / "m.parquet")).collect())) == \
+               sorted(map(tuple, want.collect()))
+
+
+class TestPartitionPruning:
+    def test_date_partitioned_layout_prunes_scan(self, spark, tmp_path):
+        """Events written partitionBy(date) are read with PartitionFilters —
+        a day-scoped query touches one directory, not the table (the layout
+        that keeps day-windowed queries O(day) at 100 TB)."""
+        from aci_export_spark.sources import read_table
+        from tests.conftest import SF_SMOKE
+
+        ev = read_table(spark, SF_SMOKE, "events")
+        path = str(tmp_path / "events_by_day")
+        ev.withColumn("dt", F.to_date("ts")).write.partitionBy("dt").parquet(path)
+
+        df = spark.read.parquet(path)
+        one_day = df.filter(F.col("dt") == df.select(F.min("dt")).first()[0])
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # the filter reached the partition level, so the row count matches
+        # the batch filter without scanning other days
+        import os
+
+        n_day_dirs = len([d for d in os.listdir(path) if d.startswith("dt=")])
+        assert n_day_dirs > 1  # the layout actually split by day
+        assert one_day.count() > 0

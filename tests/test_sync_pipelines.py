@@ -288,3 +288,30 @@ class TestRestDataSource:
         # composes with the DataFrame API: filter + aggregate over the source
         n_cleaned = df.filter(df.status == "cleaned").count()
         assert n_cleaned == len([i for i in range(2357) if i % 9 == 0])
+
+
+class TestPipelineCli:
+    def test_pipeline_list_and_run(self):
+        import io as _io
+        import json as _json
+        import sys as _sys
+
+        from aci_export_spark import cli
+
+        def run(argv):
+            buf = _io.StringIO()
+            old = _sys.stdout
+            _sys.stdout = buf
+            try:
+                cli.main(argv)
+            finally:
+                _sys.stdout = old
+            return buf.getvalue()
+
+        listing = _json.loads(run(["pipeline", "list"]))
+        assert "flagship_scoped_members" in listing and len(listing) >= 50
+        rows = _json.loads(
+            run(["pipeline", "run", "q1_pricing_summary",
+                 "--sf-dir", "/root/testdata/sf0.001"])
+        )
+        assert rows and "sum_qty" in rows[0]
