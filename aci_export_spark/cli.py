@@ -191,11 +191,11 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "ddb":
         _run_ddb(args, tables)
     elif args.cmd == "sync-app":
-        from aci_export_spark.sync.app_sync import run_mirror_sync, load_targets, write_post_states
+        from aci_export_spark.sync.app_sync import run_mirror_sync_and_write
 
-        targets = load_targets(spark, args.mirror_dir)
-        post, stats = run_mirror_sync(tables, targets, today=args.global_today)
-        write_post_states(post, args.mirror_dir)
+        stats = run_mirror_sync_and_write(
+            tables, spark, args.mirror_dir, today=args.global_today
+        )
         json.dump(stats, sys.stdout, indent=2, default=str)
         print()
     elif args.cmd == "sync-mail":

@@ -602,3 +602,101 @@ def s9_retain_post_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
     return retain(target, keep, ["o_orderkey"])
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '2000-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '2000-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: selective dimension filter → fact-fact join → "
+    "agg → top-10 (TakeOrderedAndProject); the customer filter broadcasts "
+    "and prunes orders before lineitem joins",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("2000-03-15").cast("date")
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(9,2)") - F.col("l_discount").cast("decimal(9,2)")
+    )
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        orders.filter(F.to_date("o_orderdate") < cutoff)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li.filter(F.to_date("l_shipdate") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '2001-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape: six-way join (two facts, four dimensions) with a "
+    "same-nation locality predicate; dimensions broadcast, facts shuffle "
+    "once on the join key",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(9,2)") - F.col("l_discount").cast("decimal(9,2)")
+    )
+    asia_nations = (
+        nation.join(broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    od = F.to_date("o_orderdate")
+    return (
+        customer.join(broadcast(asia_nations),
+                      customer.c_nationkey == F.col("n_nationkey"))
+        .join(orders.filter(
+            (od >= F.lit("2000-01-01").cast("date"))
+            & (od < F.lit("2001-01-01").cast("date"))),
+            F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(supplier),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

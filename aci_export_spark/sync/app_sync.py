@@ -96,19 +96,11 @@ def target_members(tables: dict[str, DataFrame], today: str | None = None) -> Da
     )
 
 
-def run_mirror_sync(
-    tables: dict[str, DataFrame],
-    targets: dict[str, DataFrame],
-    today: str | None = None,
-) -> tuple[dict[str, DataFrame], dict[str, dict]]:
-    """Compute every target table's post-state + stats, FK-safe order.
-
-    `targets` holds the current mirror state (empty DataFrames on first run).
-    Returns ({table: post_state_df}, {table: {upserted, deleted, duration_s}})
-    — the caller materializes post-states in LOAD_ORDER and applies deletes in
-    reverse order, preserving the reference's consistency discipline
-    (SURVEY §7.4.5).
-    """
+def _build_sources(
+    tables: dict[str, DataFrame], today: str | None = None
+) -> dict[str, tuple[DataFrame, list[str]]]:
+    """Every target table's source DataFrame + mirror key, FK-safe order
+    (the extract+transform phases of §3.2 as lazy plans)."""
     users = extract_users(tables, today=today)
     members_t = target_members(tables, today=today)
     clubs_t = E.clubs(tables, active_only=True).select("uid", "number", "name", "region")
@@ -134,7 +126,7 @@ def run_mirror_sync(
         F.col("start_date"), F.col("end_date"),
     )
 
-    sources = {
+    return {
         "regions": (regions_t, ["uid"]),
         "clubs": (clubs_t, ["uid"]),
         "users": (users.select("id", "uid", "email", "first_name", "last_name"), ["id"]),
@@ -144,6 +136,21 @@ def run_mirror_sync(
         "leadership_club": (lead_club, ["club", "person_uid", "role_uid", "start_date"]),
     }
 
+
+def run_mirror_sync(
+    tables: dict[str, DataFrame],
+    targets: dict[str, DataFrame],
+    today: str | None = None,
+) -> tuple[dict[str, DataFrame], dict[str, dict]]:
+    """Compute every target table's post-state + stats, FK-safe order.
+
+    `targets` holds the current mirror state (empty DataFrames on first run).
+    Returns ({table: post_state_df}, {table: {upserted, deleted, duration_s}})
+    — the caller materializes post-states in LOAD_ORDER and applies deletes in
+    reverse order, preserving the reference's consistency discipline
+    (SURVEY §7.4.5).
+    """
+    sources = _build_sources(tables, today=today)
     post, stats = {}, {}
     for name in LOAD_ORDER:
         src, keys = sources[name]
@@ -156,6 +163,48 @@ def run_mirror_sync(
         s.duration_s = time.perf_counter() - t0
         stats[name] = s.as_dict()
     return post, stats
+
+
+def run_mirror_sync_and_write(
+    tables: dict[str, DataFrame],
+    spark,
+    mirror_dir: str,
+    today: str | None = None,
+) -> dict[str, dict]:
+    """One-pass sync: per entity, the mirror write IS the job that computes
+    the stats (operators/mirror.mirror_sync_observed) — no separate count
+    jobs, halving the actions per table vs run_mirror_sync + counts.
+    Writes in LOAD_ORDER through a temp dir (same discipline as
+    write_post_states). Returns the per-entity stats map.
+    """
+    import os
+    import shutil
+
+    from aci_export_spark.operators.mirror import mirror_sync_observed
+
+    targets = load_targets(spark, mirror_dir)
+    sources = _build_sources(tables, today=today)
+    stats: dict[str, dict] = {}
+    for name in LOAD_ORDER:
+        src, keys = sources[name]
+        tgt = targets.get(name)
+        if tgt is None:
+            tgt = src.limit(0)
+        t0 = time.perf_counter()
+        post, obs = mirror_sync_observed(tgt, src, keys)
+        path = os.path.join(mirror_dir, f"{name}.parquet")
+        tmp = path + ".tmp"
+        post.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        got = obs.get
+        stats[name] = {
+            "upserted": int(got["upserted"] or 0),
+            "deleted": int(got["deleted"] or 0),
+            "duration_s": round(time.perf_counter() - t0, 3),
+        }
+    return stats
 
 
 def load_targets(spark, mirror_dir: str) -> dict[str, DataFrame | None]:

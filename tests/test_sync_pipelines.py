@@ -315,3 +315,27 @@ class TestPipelineCli:
                  "--sf-dir", "/root/testdata/sf0.001"])
         )
         assert rows and "sum_qty" in rows[0]
+
+
+class TestObservedSync:
+    def test_one_pass_sync_matches_two_pass(self, spark, aci, tmp_path):
+        """run_mirror_sync_and_write (observe-based, one job per entity)
+        produces the same mirror state and stats as the two-pass path."""
+        import os
+
+        from aci_export_spark.sync.app_sync import (
+            LOAD_ORDER, load_targets, run_mirror_sync, run_mirror_sync_and_write,
+        )
+
+        m1 = str(tmp_path / "m1"); os.makedirs(m1)
+        stats1 = run_mirror_sync_and_write(aci, spark, m1, today=TODAY_S)
+        post2, stats2 = run_mirror_sync(aci, load_targets(spark, str(tmp_path / "void")), today=TODAY_S)
+        for name in LOAD_ORDER:
+            assert stats1[name]["upserted"] == stats2[name]["upserted"], name
+            assert stats1[name]["deleted"] == stats2[name]["deleted"] == 0, name
+            written = spark.read.parquet(os.path.join(m1, f"{name}.parquet"))
+            assert written.count() == post2[name].count(), name
+        # second one-pass run converges with zero deletes
+        stats3 = run_mirror_sync_and_write(aci, spark, m1, today=TODAY_S)
+        for name in LOAD_ORDER:
+            assert stats3[name]["deleted"] == 0, name
