@@ -483,3 +483,72 @@ def events_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.cdc_fingerprints(docs, "doc_id", "text")
+
+
+@register(
+    "events_running_totals",
+    """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value,
+       ROW_NUMBER() OVER w AS event_no,
+       strftime(LAG(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS prev_ts
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+""",
+    doc="running aggregates per user: cumulative decimal sum, ordinal, and "
+    "lag — the O-family window surface over a high-cardinality partition "
+    "key (one shuffle, no skew)",
+)
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        F.row_number().over(wo).alias("event_no"),
+        F.date_format(F.lag("ts").over(wo), "yyyy-MM-dd HH:mm:ss").alias("prev_ts"),
+    )
+
+
+@register(
+    "events_rollup_totals",
+    """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+""",
+    doc="ROLLUP grouping sets: per (type, day), per type, and grand total in "
+    "one pass (Spark expands to a partial-agg union — no re-scan per level)",
+)
+def events_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
