@@ -552,3 +552,40 @@ def events_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "llm_split_train_val",
+    """
+WITH b AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('split:v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS split_bucket
+    FROM documents
+)
+SELECT doc_id, lang, split_bucket,
+       CASE WHEN split_bucket < 10 THEN 'val' ELSE 'train' END AS split
+FROM b
+""",
+    doc="stable train/val split: md5-bucket assignment (no RNG) so no "
+    "document ever migrates between splits across reprocessing runs; "
+    "oracle recomputes the same buckets",
+)
+def llm_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.stable_split(docs, "doc_id", val_percent=10).select(
+        "doc_id", "lang", "split_bucket", "split"
+    )
+
+
+@register(
+    "llm_stratified_sample",
+    None,  # Bernoulli RNG streams are engine-specific → rows-only;
+    # proportions + determinism asserted in test_sampling.py
+    doc="per-stratum seeded sampling (sampleBy) for corpus rebalancing — "
+    "downsample over-represented strata in one scan",
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {l: (0.2 if i % 2 == 0 else 0.8) for i, l in enumerate(sorted(langs))}
+    return T.stratified_sample(docs, "lang", fractions).select("doc_id", "lang")

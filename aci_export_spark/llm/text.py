@@ -182,3 +182,41 @@ def cdc_fingerprints(df, id_col: str = "doc_id", text_col: str = "text"):
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=_CDC_SCHEMA)
+
+
+def stable_split(
+    df,
+    id_col: str = "doc_id",
+    val_percent: int = 10,
+    salt: str = "split:v1",
+):
+    """Deterministic train/validation assignment: bucket = md5(salt:id) mod
+    100. Stable across runs, machines, and engine versions — the property a
+    training pipeline needs so no document ever migrates between splits when
+    the corpus is re-processed. Pure column expressions (md5 + conv), no RNG.
+    """
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < val_percent, "val").otherwise("train"),
+    )
+
+
+def stratified_sample(
+    df,
+    stratum_col: str,
+    fractions: dict,
+    seed: int = 42,
+):
+    """Per-stratum Bernoulli sampling (`sampleBy`): the corpus-curation
+    rebalance step (e.g. downsample over-represented languages). Seeded —
+    deterministic for a fixed input partitioning; proportions are verified
+    property-style in tests since the RNG stream is engine-specific.
+    """
+    return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
