@@ -700,3 +700,82 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey) q ON q.l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+""",
+    doc="TPC-H Q18 shape: HAVING on an aggregate → semi-join back to the "
+    "facts (agg-filter-join); the aggregation is the only full-fact "
+    "shuffle, the semi-join reuses it",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("total_qty")
+    )
+    big = qty.filter(F.col("total_qty") > 250).select("l_orderkey")
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), on="o_orderkey", how="left_semi")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "decorrelated_above_brand_avg",
+    """
+SELECT p_partkey, p_name, p_brand, p_retailprice,
+       CAST(s AS DOUBLE) / c AS brand_avg
+FROM (
+    SELECT p_partkey, p_name, p_brand, p_retailprice,
+           SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS s,
+           COUNT(*) OVER (PARTITION BY p_brand) AS c
+    FROM part
+)
+WHERE CAST(p_retailprice AS DECIMAL(18,2)) * c > s
+""",
+    doc="correlated scalar subquery (price above its brand's average) "
+    "decorrelated to a window aggregate — one pass instead of the "
+    "re-aggregating self-join a naive plan would run",
+)
+def decorrelated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = read_table(spark, sf_dir, "part")
+    price = _dec(F.col("p_retailprice"))
+    w = Window.partitionBy("p_brand")
+    # exact-decimal comparison (price·n > Σ) avoids AVG's engine-specific
+    # decimal scale; the emitted average divides exact operands as doubles
+    withsums = part.withColumn("__s", F.sum(price).over(w)).withColumn(
+        "__c", F.count(F.lit(1)).over(w)
+    )
+    return (
+        withsums.filter(price * F.col("__c") > F.col("__s"))
+        .select(
+            "p_partkey", "p_name", "p_brand", "p_retailprice",
+            (F.col("__s").cast("double") / F.col("__c")).alias("brand_avg"),
+        )
+    )
