@@ -589,3 +589,62 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     fractions = {l: (0.2 if i % 2 == 0 else 0.8) for i, l in enumerate(sorted(langs))}
     return T.stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_type_counts",
+    """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
+    doc="long→wide pivot: per-user event-type count matrix with an explicit "
+    "value list (no discovery pass; single shuffle, same plan as "
+    "conditional-count aggregates)",
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@register(
+    "events_unpivot_metrics",
+    """
+SELECT user_id, metric, CAST(v AS DOUBLE) AS value
+FROM (
+    SELECT user_id,
+           CAST(COUNT(*) AS DOUBLE) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS n_types
+    FROM events GROUP BY user_id
+) UNPIVOT (v FOR metric IN (n_events, sum_value, n_types))
+""",
+    doc="wide→long unpivot (melt): per-user metric matrix back to EAV-shaped "
+    "(entity, attribute, value) rows — the inverse of the reference's pivot, "
+    "used to feed generic metric sinks",
+)
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.countDistinct("event_type").cast("double").alias("n_types"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_events", "sum_value", "n_types"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
