@@ -256,3 +256,44 @@ class TestPartitionPruning:
         n_day_dirs = len([d for d in os.listdir(path) if d.startswith("dt=")])
         assert n_day_dirs > 1  # the layout actually split by day
         assert one_day.count() > 0
+
+
+class TestAsofStrictInner:
+    def test_strict_and_inner_modes_match_pandas(self, spark):
+        """strict=True must not see a right row at the exact left timestamp
+        (merge_asof allow_exact_matches=False); inner drops unmatched."""
+        import pandas as pd
+
+        from aci_export_spark.operators.asof import asof_join
+
+        left = pd.DataFrame({"k": [1, 1, 1, 2], "ts": [5, 10, 15, 10]}).assign(
+            lid=lambda d: range(len(d))
+        )
+        right = pd.DataFrame(
+            {"k": [1, 1, 2], "rts": [10, 14, 20], "payload": [100, 140, 200]}
+        )
+        ldf = spark.createDataFrame(left, schema="k long, ts long, lid long")
+        rdf = spark.createDataFrame(right, schema="k long, rts long, payload long")
+
+        for strict, how in [(True, "left"), (False, "inner"), (True, "inner")]:
+            got = {
+                r["lid"]: r["payload"]
+                for r in asof_join(
+                    ldf, rdf, key=["k"], left_ts="ts", right_ts="rts",
+                    right_payload=["payload"], right_tie="payload",
+                    strict=strict, how=how,
+                ).collect()
+            }
+            want_full = pd.merge_asof(
+                left.sort_values("ts", kind="mergesort"),
+                right.sort_values("rts", kind="mergesort"),
+                left_on="ts", right_on="rts", by="k",
+                direction="backward", allow_exact_matches=not strict,
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+                for r in want_full.itertuples()
+            }
+            if how == "inner":
+                want = {k: v for k, v in want.items() if v is not None}
+            assert got == want, (strict, how, got, want)
