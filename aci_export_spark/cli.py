@@ -81,13 +81,16 @@ def _run_ddb(args, tables) -> None:
     from aci_export_spark.queries import leadership as L
     from aci_export_spark.queries import members as M
 
+    # the members subparser has its own --today; the global --today (before
+    # the subcommand) lands in global_today — honor either, subcommand wins
+    today = getattr(args, "today", None) or args.global_today
     if args.query == "members":
         if args.uid is not None:
-            df = M.member_by_uid(tables, args.uid, today=args.today)
+            df = M.member_by_uid(tables, args.uid, today=today)
         elif args.email is not None:
-            df = M.member_by_email(tables, args.email, today=args.today)
+            df = M.member_by_email(tables, args.email, today=today)
         else:
-            df = M.members(tables, club=args.club, region=args.region, today=args.today)
+            df = M.members(tables, club=args.club, region=args.region, today=today)
     elif args.query == "leadership":
         ent = {
             "club": L.ENTITY_CLUB,
@@ -96,7 +99,8 @@ def _run_ddb(args, tables) -> None:
             "committee": L.ENTITY_COMMITTEE,
         }.get(args.entity_type) if args.entity_type else None
         df = L.leadership(tables, ent, entity_uid=args.entity_uid,
-                          date_filter=args.date_filter, as_of=args.as_of)
+                          date_filter=args.date_filter,
+                          as_of=args.as_of or args.global_today)
     elif args.query == "users":
         df = E.users(tables, uid=args.uid, email=args.email, active_only=args.active)
     elif args.query == "clubs":

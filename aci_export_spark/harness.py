@@ -36,7 +36,10 @@ from aci_export_spark.operators.joins import scoped_semi_join
 @dataclass
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]  # None → driver records rows-only check
+    # None → driver records rows-only check; a zero-arg callable is resolved
+    # lazily at oracle-collection time (for generated/golden oracles whose
+    # construction is too costly for import time)
+    oracle: Optional[str | Callable[[], str]]
     doc: str = ""
 
 
@@ -309,7 +312,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     _ensure_all_registered()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: (spec.oracle() if callable(spec.oracle) else spec.oracle)
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+    }
 
 
 # ===========================================================================

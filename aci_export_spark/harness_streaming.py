@@ -104,14 +104,16 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_distinct_users",
     "SELECT DISTINCT user_id FROM events",
-    doc="streaming exact-distinct: watermarked dropDuplicates keyed on "
-    "user_id, key-only projection makes the result deterministic and equal "
-    "to batch SELECT DISTINCT",
+    doc="streaming distinct-within-horizon: dropDuplicatesWithinWatermark "
+    "keyed on user_id (state bounded by the horizon); horizon covers the "
+    "test span so the result equals batch SELECT DISTINCT",
 )
 def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = ST.read_events_stream(spark, sf_dir)
     return ST.run_stream_to_table(
-        ST.distinct_users_stream(events), spark, output_mode="append"
+        ST.distinct_users_stream(events, horizon="35 days"),
+        spark,
+        output_mode="append",
     )
 
 

@@ -25,6 +25,41 @@ def word_tokens(text: Column) -> Column:
     return F.split(normalize_text(text), r"\s+")
 
 
+def spread_for_explode(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow input up to the cluster's default
+    parallelism BEFORE a generator amplifies it ~100-1000×.
+
+    A scan with few input splits (the extreme: one small parquet file, the
+    local-bench shape) would otherwise serialize the whole explode and the
+    partial aggregation above it through that many cores, regardless of
+    cluster size — the shuffle that matters is the one that *doesn't happen*
+    after the explosion. Moving the pre-explosion rows is negligible next to
+    the generator output. Guarded: if the input already has ≥ parallelism
+    partitions (any real cluster scan), this is a no-op — it never reduces
+    partitioning.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def pin_join_parallelism(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit keyed repartition to default parallelism before a join whose
+    PER-ROW cost is large (e.g. each joined row triggers an intersect over
+    multi-KB arrays).
+
+    AQE's partition coalescing sizes partitions by SHUFFLE BYTES; a candidate
+    -pair table is bytes-tiny but compute-huge, so AQE would coalesce the
+    join to 1-2 tasks and serialize the array work. An explicit
+    repartition(N, keys) is never coalesced by AQE, pinning the join at N
+    tasks. The keys match the join keys so no extra exchange is introduced.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *cols)
+
+
 def exact_dedup_by_key(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     """Exact dedup: hash-groupBy a content key, keep the smallest id.
 
@@ -97,17 +132,31 @@ def jaccard_pairs_prefix(
     Exact verification (array_intersect Jaccard) then makes the output
     identical to the naive plan.
     """
-    sets = df.select(
+    sets = spread_for_explode(df).select(
         F.col(id_col),
         F.col(bucket_col).alias("__bucket"),
         F.array_distinct(F.col(token_col)).alias("__set"),
     ).filter(F.size("__set") > 0)
 
-    tok = sets.select(
-        F.col(id_col), F.col("__bucket"), F.explode("__set").alias("__tok")
+    # ONE hashed-set table feeds both the prefix index and the verify join:
+    # tokens hashed to 8-byte longs (array_intersect sizes — hence jaccard
+    # values — identical up to in-pair xxhash64 collisions, ~1e-15/pair).
+    # Materialized once (localCheckpoint) so the corpus scan + normalize +
+    # explode subtree runs exactly once instead of re-deriving for freq,
+    # ranked, and both verify sides.
+    hsets = sets.select(
+        F.col(id_col),
+        F.col("__bucket"),
+        F.array_sort(F.transform("__set", lambda x: F.xxhash64(x))).alias("__hs"),
+    ).localCheckpoint()
+
+    tok = hsets.select(
+        F.col(id_col), F.col("__bucket"), F.explode("__hs").alias("__tok")
     )
     freq = tok.groupBy("__bucket", "__tok").agg(F.count(F.lit(1)).alias("__f"))
-    # per-doc tokens ordered rarest-first under the global (freq, token) order
+    # per-doc tokens ordered rarest-first under the global (freq, token)
+    # order — any total order satisfies the prefix-filter theorem, so
+    # ordering hashed longs (cheaper than strings) preserves exactness
     ranked = (
         tok.join(freq, on=["__bucket", "__tok"])
         .groupBy(id_col, "__bucket")
@@ -118,13 +167,15 @@ def jaccard_pairs_prefix(
     sz = F.size("__st")
     t_dec = F.lit(threshold).cast("decimal(9,6)")
     prefix_len = (sz - F.ceil(t_dec * sz) + 1).cast("int")
+    # small (≈(1-t)·tokens rows); checkpointed so the freq-join + groupBy
+    # subtree isn't executed twice by the candidate self-join
     pref = ranked.select(
         F.col(id_col),
         F.col("__bucket"),
         F.explode(
             F.slice(F.transform("__st", lambda x: x["__tok"]), F.lit(1), prefix_len)
         ).alias("__ptok"),
-    )
+    ).localCheckpoint()
     cand = (
         pref.select(F.col(id_col).alias("id_a"), "__bucket", "__ptok")
         .join(
@@ -135,20 +186,12 @@ def jaccard_pairs_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify on HASHED token sets: array_intersect/union over 8-byte longs
-    # instead of strings — same sizes (hence identical jaccard values) up to
-    # in-pair xxhash64 collisions (~1e-15 per pair), ~40% faster end to end
-    # on a template-heavy corpus where candidate volume dominates
-    hsets = sets.select(
-        F.col(id_col),
-        F.array_sort(F.transform("__set", lambda x: F.xxhash64(x))).alias("__hs"),
-    )
     a = hsets.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("set_a"))
     b = hsets.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = F.size(F.array_union("set_a", "set_b")).cast("double")
     return (
-        cand.join(a, on="id_a")
+        pin_join_parallelism(cand, "id_a").join(a, on="id_a")
         .join(b, on="id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -171,8 +214,8 @@ def shingle_rows(
     Duplicate shingles are NOT removed: min() is duplicate-invariant, and
     set-consumers dedup themselves (collect_set).
     """
-    norm = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+    norm = spread_for_explode(
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__norm"))
     )
     positions = norm.select(
         F.col(id_col),
@@ -290,8 +333,43 @@ def minhash_lsh_dedup_pairs(
     """
     sh = shingle_rows(df, id_col, text_col, n=shingle_size)
     hashed = hashed_shingle_rows(sh, id_col, "shingle")
-    sig = hashed.groupBy(id_col).agg(*[_perm_min(i) for i in range(num_hashes)])
+    # checkpointed: the signature table is reused by (a) band bucketing and
+    # (b) the signature-agreement prefilter below — without it Spark would
+    # re-read and re-shingle the corpus per consumer (the 100 TB scale-killer)
+    sig = (
+        hashed.groupBy(id_col)
+        .agg(*[_perm_min(i) for i in range(num_hashes)])
+        .localCheckpoint()
+    )
     cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+
+    # signature-agreement prefilter: the fraction of agreeing MinHash
+    # components is an unbiased estimate of Jaccard, and both signatures are
+    # ALREADY computed — so prune candidates whose estimate sits well below
+    # threshold before any shingle array is built or shuffled. Banding at
+    # r=rows/band is deliberately permissive (recall), so on template-heavy
+    # corpora the candidate set is dominated by mid-similarity pairs: this
+    # filter drops them for the cost of a broadcast join against the tiny
+    # signature table. Margin 0.2 keeps a j=threshold pair with P≈0.96
+    # (Binomial(16, t) tail); the pairs LSH exists to find (j≳0.8) pass with
+    # P≈1. The exact-Jaccard verify then restores exact precision.
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"__mh{i}").alias(f"__a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"__mh{i}").alias(f"__b{i}") for i in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    cand = (
+        cand.join(sig_a, on="id_a")
+        .join(sig_b, on="id_b")
+        .filter(agree >= F.ceil(F.lit(max(0.0, threshold - 0.2)) * num_hashes))
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
 
     # verify candidates with exact Jaccard on hashed-shingle sets — built
     # ONLY for documents that appear in a candidate pair (semi-join before
@@ -310,7 +388,13 @@ def minhash_lsh_dedup_pairs(
     cand_hashed = hashed_shingle_rows(
         shingle_rows(cand_docs, id_col, text_col, n=shingle_size), id_col, "shingle"
     )
-    sets = cand_hashed.groupBy(id_col).agg(F.collect_set("__h").alias("__set"))
+    # consumed three times (size table + both verify sides) — checkpoint so
+    # candidate docs are re-shingled once, not per consumer
+    sets = (
+        cand_hashed.groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__set"))
+        .localCheckpoint()
+    )
 
     # size-ratio prefilter: jaccard ≥ t ⇒ |A∩B| ≤ min(|A|,|B|) and
     # |A∪B| ≥ max(|A|,|B|) ⇒ min/max ≥ t. Joining the (tiny) size table
@@ -331,7 +415,7 @@ def minhash_lsh_dedup_pairs(
     sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"))
     sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"))
     verified = (
-        cand.join(sh_a, on="id_a").join(sh_b, on="id_b")
+        pin_join_parallelism(cand, "id_a").join(sh_a, on="id_a").join(sh_b, on="id_b")
         .select(
             "id_a",
             "id_b",
@@ -361,7 +445,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from aci_export_spark.llm.hashing import _hash64_lambda
 
-    tok = df.select(
+    tok = spread_for_explode(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("__t"),
     ).withColumn("__h", _hash64_lambda(F.col("__t"), "simhash:"))
@@ -401,4 +485,72 @@ def simhash_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_pairs_blocked(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup with GUARANTEED recall: pigeonhole block partition.
+
+    The `SIMHASH_BITS` bits are split into `n_blocks` disjoint blocks
+    (default `max_hamming + 1`). Two hashes within Hamming distance
+    `max_hamming` differ in at most `max_hamming` blocks, so they agree
+    *exactly* on at least one whole block — bucketing each doc once per
+    (block_id, block value) therefore surfaces every qualifying pair, and
+    the exact `bit_count(xor)` verify makes the output precisely
+    {pairs : hamming ≤ max_hamming}. Unlike the prefix/rotation probe
+    variant, this is exhaustive, hence oracle-checkable by a brute-force SQL
+    self-join.
+
+    Shuffle volume is `n_blocks` rows per doc (linear); comparisons are
+    per-bucket, with block width SIMHASH_BITS/n_blocks bits. At corpus
+    scale, use a wider hash with a small radius (e.g. 64 bits, d=3 → 4
+    blocks of 16 bits → 65k bucket values) so buckets stay small; 32 bits
+    with d=8 (3-4 bit blocks) is the demo shape for the harness corpus.
+    """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming for guaranteed recall")
+    if n_blocks > SIMHASH_BITS:
+        raise ValueError("n_blocks cannot exceed SIMHASH_BITS")
+    # one row per doc, consumed by both join sides — checkpoint so the
+    # tokenize+vote subtree runs once
+    sh = (
+        simhash_table(df, id_col, text_col)
+        .withColumnRenamed("simhash", "__simhash")
+        .localCheckpoint()
+    )
+    bounds, start = [], 0
+    for i in range(n_blocks):
+        width = SIMHASH_BITS // n_blocks + (1 if i < SIMHASH_BITS % n_blocks else 0)
+        bounds.append((start, width))
+        start += width
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright("__simhash", s).bitwiseAND(F.lit((1 << w) - 1)).alias("block_val"),
+            )
+            for i, (s, w) in enumerate(bounds)
+        ]
+    )
+    banded = sh.select(F.col(id_col), F.col("__simhash"), F.explode(blocks).alias("__b")).select(
+        F.col(id_col), F.col("__simhash"), F.col("__b.block_id"), F.col("__b.block_val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__simhash").alias("h_a"), "block_id", "block_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__simhash").alias("h_b"), "block_id", "block_val"
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+    return (
+        a.join(b, on=["block_id", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

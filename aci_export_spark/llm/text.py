@@ -220,3 +220,46 @@ def stratified_sample(
     property-style in tests since the RNG stream is engine-specific.
     """
     return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
+
+
+def stratified_sample_stable(
+    df,
+    stratum_col: str,
+    fractions,
+    id_col: str = "doc_id",
+    salt: str = "strat:v1",
+):
+    """Deterministic per-stratum sampling: keep a row iff
+    md5(salt:id) mod 10000 < fraction·10000.
+
+    Unlike `sampleBy`'s RNG stream, the keep-decision is a pure function of
+    the row id — identical across runs, partitionings, and engines (so a
+    re-processed corpus keeps exactly the same sample, and a DuckDB oracle
+    can recompute it). `fractions` is a dict {stratum: fraction} or a
+    DataFrame (stratum_col, fraction); the fraction table is dimension-sized
+    and broadcast — no collect, no corpus shuffle, single scan.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    if isinstance(fractions, dict):
+        fr = df.sparkSession.createDataFrame(
+            list(fractions.items()), schema=f"{stratum_col} string, fraction double"
+        )
+    else:
+        fr = fractions
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        df.join(broadcast(fr), on=stratum_col)
+        .filter(bucket < (F.col("fraction") * 10000).cast("long"))
+        .drop("fraction")
+    )

@@ -109,6 +109,11 @@ def salted_join(
     for deterministic plan shape in benchmarks. Semantically identical to
     `left.join(right, on, how)` for inner/left joins.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full would emit each unmatched right row once per salt bucket"
+        )
     on = list(on)
     salt = (F.rand(seed=42) * salt_buckets).cast("int")
     l = left.withColumn("__salt", salt)

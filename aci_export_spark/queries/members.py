@@ -154,9 +154,10 @@ def members(
     partner_ids = search.filter(F.col("partner_user_id").isNotNull()).select(
         F.col("partner_user_id").alias("user_id")
     )
-    rows = rows.withColumnRenamed("user_id", "user_id").join(
-        broadcast(partner_ids.distinct()), on="user_id", how="left_anti"
-    )
+    # no broadcast hint: partner_ids derives from the fact table, so a forced
+    # broadcast would blow up at scale — AQE picks broadcast at runtime when
+    # the distinct set is actually small
+    rows = rows.join(partner_ids.distinct(), on="user_id", how="left_anti")
     # P6 membership-link existence + flags join (inner: must have ≥1 active link)
     rows = rows.join(flags, on="user_id", how="inner").join(picked, on="user_id", how="inner")
 

@@ -244,18 +244,24 @@ def interval_join_stream(
     )
 
 
-def distinct_users_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact-distinct: watermarked dropDuplicates on the key.
+def distinct_users_stream(events: DataFrame, horizon: str = "30 days") -> DataFrame:
+    """Streaming distinct within a dedup horizon: bounded-state contract.
 
-    Projecting to the key column first makes the surviving-row choice
-    irrelevant (any row of a key yields the same output), so the result is
-    deterministic and equals batch SELECT DISTINCT. State holds one entry
-    per key within the watermark — the streaming twin of exact dedup (A5).
+    `dropDuplicatesWithinWatermark` evicts a key's state once the watermark
+    passes its event time + `horizon`, so state is bounded by (keys active
+    within the horizon), not total distinct keys ever seen — the property a
+    plain `dropDuplicates(["user_id"])` lacks (its state grows without bound
+    on an unbounded stream). The trade: a key recurring more than `horizon`
+    apart is emitted again. That is the honest scalable semantics — exact
+    global distinct over an unbounded stream fundamentally requires
+    unbounded state (use the HLL sketch for an approximate global count).
+    With `horizon` ≥ the input's event-time span (as in the harness) the
+    output equals batch SELECT DISTINCT. Streaming twin of exact dedup (A5).
     """
     return (
         events.select("user_id", "ts")
-        .withWatermark("ts", watermark)
-        .dropDuplicates(["user_id"])
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark(["user_id"])
         .select("user_id")
     )
 

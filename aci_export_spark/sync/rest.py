@@ -78,6 +78,14 @@ class JournalingMailchimpClient:
         with open(os.path.join(self.base_dir, "deletes", member_id), "w") as f:
             f.write("deleted")
 
+    def ping(self) -> dict:
+        """S15 health ping (mailchimp/src/health.rs:4-6): GET /3.0/ping.
+        The journaling double answers with the API's canonical healthy
+        payload; a null/absent health_status decodes to '' (the reference's
+        deserialize_null_string)."""
+        return {"health_status": "Everything's Chimpy!"}
+
+
     def update_tags(self, updates: list[dict]) -> None:
         key = _batch_key(updates)
         self._maybe_fail(key)
@@ -95,6 +103,13 @@ class JournalingMailchimpClient:
 
     def tag_updates(self) -> list[dict]:
         return _read_jsonl_dir(os.path.join(self.base_dir, "tags"))
+
+
+def health_ping(client) -> dict:
+    """S15: check API health before a sync run (mailchimp/src/health.rs:4-6),
+    with the same transient-retry policy as the data paths."""
+    status = with_retries(client.ping)
+    return {"health_status": str(status.get("health_status") or "")}
 
 
 def _batch_key(items: list[dict]) -> str:
@@ -239,20 +254,71 @@ def paged_rest_source(
         .select((F.col("id") * page_size).alias("offset"))
         .repartition(min(concurrency, n_pages))
     )
-    field_names = (
-        [f.strip().split(" ")[0] for f in schema.split(",")]
-        if isinstance(schema, str)
-        else schema.fieldNames()
-    )
+    # parse DDL properly — naive split(',') breaks on parameterized/nested
+    # types (decimal(18,2), struct<...>, map<...>)
+    from pyspark.sql.types import StructType
+
+    struct = StructType.fromDDL(schema) if isinstance(schema, str) else schema
 
     def fetch(batches):
         for pdf in batches:
             for off in pdf["offset"]:
                 rows = fetch_page(int(off), page_size)
                 if rows:
-                    yield pd.DataFrame(rows, columns=field_names)
+                    yield coerce_rest_page(rows, struct)
 
     return offsets.mapInPandas(fetch, schema=schema)
+
+
+def coerce_rest_page(rows: list[dict], struct) -> "pd.DataFrame":
+    """F14/F15 tolerant REST decode (mailchimp/src/lib.rs:456-568).
+
+    The reference deserializes API JSON into typed structs tolerantly: a
+    field the payload omits becomes NULL, numeric values arriving as strings
+    parse, booleans accept common spellings, unknown extra fields are
+    ignored, and a genuinely malformed value nulls that field instead of
+    failing the whole page. Applied per Arrow batch inside the paged source,
+    so one bad record can never kill a 100 TB ingest.
+    """
+    import pandas as pd
+
+    out = {}
+    for field in struct.fields:
+        name = field.name
+        vals = [r.get(name) for r in rows]
+        t = field.dataType.simpleString()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            s = pd.to_numeric(pd.Series(vals), errors="coerce")
+            # a float like 3.7 in an int field truncates (Rust's as-cast);
+            # NaN stays null via the nullable Int64 dtype
+            out[name] = s.round(0).astype("Int64")
+        elif t in ("float", "double") or t.startswith("decimal"):
+            out[name] = pd.to_numeric(pd.Series(vals), errors="coerce")
+        elif t == "boolean":
+            truthy = {"true", "1", "yes", "y", True, 1}
+            falsy = {"false", "0", "no", "n", False, 0}
+
+            def to_bool(v):
+                if v is None:
+                    return None
+                key = v.strip().lower() if isinstance(v, str) else v
+                if key in truthy:
+                    return True
+                if key in falsy:
+                    return False
+                return None
+
+            out[name] = pd.Series([to_bool(v) for v in vals], dtype="object")
+        elif t == "string":
+            out[name] = pd.Series(
+                [None if v is None else str(v) for v in vals], dtype="object"
+            )
+        elif t.startswith("timestamp") or t == "date":
+            s = pd.to_datetime(pd.Series(vals), errors="coerce", utc=True)
+            out[name] = s.dt.tz_localize(None)
+        else:  # arrays/maps/structs pass through; Arrow validates the shape
+            out[name] = pd.Series(vals, dtype="object")
+    return pd.DataFrame(out, columns=struct.fieldNames())
 
 
 class BatchJob:

@@ -50,17 +50,33 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Full per-query timings go to a file; the stdout line stays compact
+    # (headline queries only) because the driver captures a bounded tail of
+    # stdout — round 1's 68-query line overflowed it and parsed as null.
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q18_large_volume_customers", "flagship_scoped_members",
+        "j1_wide_pivot_nullpad", "llm_dedup_exact", "llm_dedup_minhash_lsh",
+        "llm_dedup_ngram_jaccard", "llm_dedup_simhash",
+        "llm_dedup_embedding_cosine", "llm_sim_bruteforce_topk",
+        "llm_sim_ivf_kmeans_topk", "events_hourly_agg", "events_sessionization",
+        "streaming_hourly_agg", "asof_click_to_view",
+    ]
+    compact = dict(full)
+    compact["queries"] = {k: timings[k] for k in headline if k in timings}
+    compact["queries_full"] = "BENCH_FULL.json"
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -72,3 +72,38 @@ def test_minhash_lsh_precision_and_recall(spark, ground_truth):
         assert found / len(strong) >= 0.9, (found, len(strong))
     # and that the pipeline finds a substantial share of all true pairs
     assert len(got) >= 0.5 * len(ground_truth), (len(got), len(ground_truth))
+
+
+def test_simhash_blocked_pairs_exact_vs_bruteforce(spark):
+    """The block-partition scheme guarantees recall (pigeonhole over
+    max_hamming+1 disjoint blocks) and verifies exactly, so its output must
+    EQUAL the brute-force all-pairs Hamming join."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    hashes = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_table(docs, "doc_id", "text").collect()
+    }
+    ids = sorted(hashes)
+    expected = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for ii, a in enumerate(ids)
+        for b in ids[ii + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 8
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs_blocked(
+            docs, "doc_id", "text", max_hamming=8
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_blocked_rejects_bad_params(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError):
+        D.simhash_near_dup_pairs_blocked(docs, "doc_id", "text",
+                                         max_hamming=8, n_blocks=8)
+    with pytest.raises(ValueError):
+        D.simhash_near_dup_pairs_blocked(docs, "doc_id", "text",
+                                         max_hamming=40)

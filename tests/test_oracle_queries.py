@@ -19,8 +19,9 @@ def test_query_matches_oracle(name, spark, duck):
     if spec.oracle is None:
         assert sdf.count() >= 0  # rows-only check, mirroring the driver
         return
+    oracle = spec.oracle() if callable(spec.oracle) else spec.oracle
     con = duck(SF_CORRECT)
-    problems = compare(sdf, con.sql(spec.oracle))
+    problems = compare(sdf, con.sql(oracle))
     assert not problems, f"{name}: " + "; ".join(problems[:5])
 
 
