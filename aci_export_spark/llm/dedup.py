@@ -141,14 +141,14 @@ def jaccard_pairs_prefix(
     # ONE hashed-set table feeds both the prefix index and the verify join:
     # tokens hashed to 8-byte longs (array_intersect sizes — hence jaccard
     # values — identical up to in-pair xxhash64 collisions, ~1e-15/pair).
-    # Materialized once (localCheckpoint) so the corpus scan + normalize +
-    # explode subtree runs exactly once instead of re-deriving for freq,
-    # ranked, and both verify sides.
+    # Lazily persisted so the corpus scan + normalize + explode subtree runs
+    # once and is reused by freq, ranked, and both verify sides — without an
+    # eager checkpoint barrier.
     hsets = sets.select(
         F.col(id_col),
         F.col("__bucket"),
         F.array_sort(F.transform("__set", lambda x: F.xxhash64(x))).alias("__hs"),
-    ).localCheckpoint()
+    ).persist()
 
     tok = hsets.select(
         F.col(id_col), F.col("__bucket"), F.explode("__hs").alias("__tok")
@@ -167,23 +167,69 @@ def jaccard_pairs_prefix(
     sz = F.size("__st")
     t_dec = F.lit(threshold).cast("decimal(9,6)")
     prefix_len = (sz - F.ceil(t_dec * sz) + 1).cast("int")
-    # small (≈(1-t)·tokens rows); checkpointed so the freq-join + groupBy
-    # subtree isn't executed twice by the candidate self-join
+    # small (≈(1-t)·tokens rows); lazily persisted — NOT localCheckpoint:
+    # the self-join's two sides are identical subplans, so Spark reuses one
+    # exchange (ReusedExchange) and the subtree runs once inside the same
+    # job either way, while an eager checkpoint would add a full job barrier
+    # (~3 s of serialize+schedule at bench scale, pure overhead at any
+    # scale). persist() covers the case where AQE re-plans the sides
+    # differently. Carries the 0-based prefix POSITION and the set SIZE for
+    # PPJoin-style pruning.
     pref = ranked.select(
         F.col(id_col),
         F.col("__bucket"),
-        F.explode(
+        sz.alias("__sz"),
+        F.posexplode(
             F.slice(F.transform("__st", lambda x: x["__tok"]), F.lit(1), prefix_len)
-        ).alias("__ptok"),
-    ).localCheckpoint()
+        ).alias("__pos", "__ptok"),
+    ).persist()
+    # PPJoin candidate pruning, applied BEFORE the pair-dedup shuffle:
+    # - size filter: jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+    # - position filter: a prefix token matched at 0-based positions
+    #   (pa, pb) bounds the overlap by ub = 1 + min(|A|-1-pa, |B|-1-pb)
+    #   (the matched token plus whatever follows it on each side), and
+    #   jaccard ≥ t ⇔ overlap·(1+t) ≥ t·(|A|+|B|).
+    # Both compare in pure int64: t is materialized as the exact rational
+    # num/den that decimal(·,6) rounding produces, so `x ≥ t·y` becomes
+    # `x·den ≥ num·y` — no float rounding can drop a boundary pair, and the
+    # predicate stays in whole-stage codegen instead of per-row BigDecimal
+    # (measurably faster on millions of candidate rows).
+    # Both filters are necessary conditions for jaccard ≥ t, so pruning with
+    # them keeps the output exactly equal to the naive all-pairs plan; on a
+    # template-heavy corpus they cut candidates severalfold right where the
+    # plan is most expensive (the distinct + verify shuffles).
+    from fractions import Fraction
+
+    frac = Fraction(round(threshold * 10**6), 10**6)
+    num, den = F.lit(frac.numerator), F.lit(frac.denominator)
+    ub = F.lit(1) + F.least(
+        F.col("__sza") - 1 - F.col("__pa"), F.col("__szb") - 1 - F.col("__pb")
+    )
     cand = (
-        pref.select(F.col(id_col).alias("id_a"), "__bucket", "__ptok")
+        pref.select(
+            F.col(id_col).alias("id_a"), "__bucket", "__ptok",
+            F.col("__sz").alias("__sza"), F.col("__pos").alias("__pa"),
+        )
         .join(
-            pref.select(F.col(id_col).alias("id_b"), "__bucket", "__ptok"),
+            pref.select(
+                F.col(id_col).alias("id_b"), "__bucket", "__ptok",
+                F.col("__sz").alias("__szb"), F.col("__pos").alias("__pb"),
+            ),
             on=["__bucket", "__ptok"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("__sza", "__szb") * den >= num * F.greatest("__sza", "__szb")
+        )
+        .filter(ub * (den + num) >= num * (F.col("__sza") + F.col("__szb")))
         .select("id_a", "id_b")
+        # pin the pair-dedup shuffle at default parallelism: the explicit
+        # keyed repartition satisfies distinct's distribution requirement (no
+        # second exchange) and AQE never coalesces it — so the bytes-tiny but
+        # compute-heavy verify below keeps N tasks instead of collapsing to 1
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .distinct()
     )
     a = hsets.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("set_a"))
@@ -191,7 +237,7 @@ def jaccard_pairs_prefix(
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = F.size(F.array_union("set_a", "set_b")).cast("double")
     return (
-        pin_join_parallelism(cand, "id_a").join(a, on="id_a")
+        cand.join(a, on="id_a")
         .join(b, on="id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -333,9 +379,13 @@ def minhash_lsh_dedup_pairs(
     """
     sh = shingle_rows(df, id_col, text_col, n=shingle_size)
     hashed = hashed_shingle_rows(sh, id_col, "shingle")
-    # checkpointed: the signature table is reused by (a) band bucketing and
-    # (b) the signature-agreement prefilter below — without it Spark would
-    # re-read and re-shingle the corpus per consumer (the 100 TB scale-killer)
+    # checkpointed EAGERLY: the signature table is reused by (a) band
+    # bucketing and (b) the signature-agreement prefilter below — without it
+    # Spark would re-read and re-shingle the corpus per consumer (the 100 TB
+    # scale-killer). localCheckpoint() beats lazy persist() here: the
+    # consumers sit in stage branches that AQE schedules concurrently, and a
+    # lazy cache lets both branches race-compute the whole shingle subtree
+    # (measured 2× slower than the barrier).
     sig = (
         hashed.groupBy(id_col)
         .agg(*[_perm_min(i) for i in range(num_hashes)])
@@ -388,8 +438,8 @@ def minhash_lsh_dedup_pairs(
     cand_hashed = hashed_shingle_rows(
         shingle_rows(cand_docs, id_col, text_col, n=shingle_size), id_col, "shingle"
     )
-    # consumed three times (size table + both verify sides) — checkpoint so
-    # candidate docs are re-shingled once, not per consumer
+    # consumed three times (size table + both verify sides) — checkpointed
+    # so candidate docs are re-shingled once, not per consumer
     sets = (
         cand_hashed.groupBy(id_col)
         .agg(F.collect_set("__h").alias("__set"))
