@@ -786,3 +786,199 @@ def decorrelated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__s").cast("double") / F.col("__c")).alias("brand_avg"),
         )
     )
+
+
+@register(
+    "q4_late_shipment_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '2000-07-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (order-priority checking): EXISTS decorrelates to a "
+    "LEFT SEMI join on the order key with the lateness predicate as a "
+    "non-equi join condition — one pass over lineitem, no count-then-filter "
+    "subquery; lineitem has no commit/receipt dates in this schema so "
+    "lateness is ship > order + 30d",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    od = F.to_date("o_orderdate")
+    o = orders.filter(
+        (od >= F.lit("2000-01-01").cast("date"))
+        & (od < F.lit("2000-07-01").cast("date"))
+    )
+    late = li.select("l_orderkey", F.to_date("l_shipdate").alias("__ship"))
+    return (
+        o.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("__ship") > F.date_add(od, 30)),
+            how="left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           strftime(CAST(l_shipdate AS DATE), '%Y') AS l_year,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(9,2))) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 shape (bilateral nation trade volume by year): two fact "
+    "tables, two aliased uses of the nation dimension with a disjunctive "
+    "cross-nation predicate; both nation sides broadcast, facts shuffle "
+    "once on the order key",
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(9,2)") - F.col("l_discount").cast("decimal(9,2)")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(pair | rpair)
+        .withColumn("l_year", F.date_format(F.to_date("l_shipdate"), "yyyy"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT OUTER "
+    "join with a join-side predicate (not a WHERE — customers with zero "
+    "matching orders must survive as c_count=0), double aggregation; the "
+    "histogram re-agg is map-side trivial after the per-customer count",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            how="left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q16_supplier_cnt_by_part",
+    """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 shape (supplier diversity per part attribute): NOT IN "
+    "subquery over a filtered dimension executes as a broadcast ANTI join "
+    "(no null-key hazard: keys are non-null), part filter pushes to the "
+    "scan, COUNT(DISTINCT) shuffles once on the grouping key",
+)
+def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE contains(p_name, 'red')
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+)
+""",
+    doc="TPC-H Q20 shape (suppliers moving excess volume of flagged parts): "
+    "nested IN decorrelates to agg → HAVING → LEFT SEMI join; the part-name "
+    "filter broadcasts into the lineitem scan before the (suppkey, partkey) "
+    "aggregation, so the heavy fact shuffle carries only flagged parts",
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    red = part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    heavy = (
+        li.join(broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 50)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")

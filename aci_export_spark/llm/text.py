@@ -263,3 +263,200 @@ def stratified_sample_stable(
         .filter(bucket < (F.col("fraction") * 10000).cast("long"))
         .drop("fraction")
     )
+
+
+def word_ngram_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Explode each document into its word n-grams: one (id, gram) row per
+    n-gram (distinct per doc by default; `distinct=False` keeps every
+    occurrence for frequency analysis). The gram list is built as a single
+    column expression (sequence → slice → array_join) and exploded once — no
+    UDF, no second scan. Documents shorter than n words emit nothing (the
+    `when` guard also keeps `sequence` from generating a descending range
+    when size-n+1 < 1)."""
+    toks = word_tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (train_doc, test_doc) pairs sharing ≥
+    `min_shared` distinct word n-grams — the GPT-3/PaLM-style overlap test
+    for scrubbing evaluation data out of a training corpus.
+
+    Scale shape: the TEST side is a benchmark set — thousands of docs
+    against a 100 TB corpus — so its gram table is broadcast and the corpus
+    side streams through one scan + explode with no corpus shuffle; the only
+    shuffle is the tiny (train_id, test_id) count. If the test set ever
+    outgrows broadcast range, drop the hint and this degrades gracefully to
+    a hash join on the gram key.
+    """
+    from pyspark.sql.functions import broadcast
+
+    tg = word_ngram_rows(test, id_col, text_col, n).select(
+        F.col(id_col).alias("test_doc_id"), "gram"
+    )
+    rg = word_ngram_rows(train, id_col, text_col, n).select(
+        F.col(id_col).alias("train_doc_id"), "gram"
+    )
+    return (
+        rg.join(broadcast(tg), on="gram")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1), restated
+    as EXACT integer comparisons so the keep decision is bit-identical across
+    engines (no float ratios at the decision boundary):
+
+    - word count within [10, 1000]
+    - mean word length within [2, 10]  → 2·n_words ≤ total_chars ≤ 10·n_words
+    - at least one stopword hit (function-word presence)
+    - most-repeated 2-gram ≤ 20% of 2-grams → 5·dup2_max ≤ n_2grams
+
+    Emits the raw counts alongside the per-rule flags: curation pipelines
+    tune thresholds offline, so the counts are the durable artifact and the
+    flags a point-in-time policy. One corpus scan for the per-doc counts plus
+    one explode+agg for the 2-gram mode (partial aggregation map-side; the
+    shuffle key is (doc, gram))."""
+    toks = word_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("total_word_chars"),
+        stopword_hits(toks, STOPWORDS).alias("stop_hits"),
+    )
+    g2 = (
+        word_ngram_rows(df, id_col, text_col, n=2, distinct=False)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("dup2_max"), F.sum("__c").alias("n_2grams"))
+    )
+    out = base.join(g2, on=id_col, how="left").select(
+        id_col,
+        "n_words",
+        "total_word_chars",
+        "stop_hits",
+        F.coalesce("dup2_max", F.lit(0)).alias("dup2_max"),
+        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+    )
+    keep = (
+        F.col("n_words").between(10, 1000)
+        & (F.col("total_word_chars") >= 2 * F.col("n_words"))
+        & (F.col("total_word_chars") <= 10 * F.col("n_words"))
+        & (F.col("stop_hits") >= 1)
+        & (5 * F.col("dup2_max") <= F.col("n_2grams"))
+    )
+    return out.withColumn("keep", keep)
+
+
+def segment_rows(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int = 8
+) -> DataFrame:
+    """Chop each document into consecutive `seg_words`-word segments (the
+    RefinedWeb/CCNet "line" unit for word-soup corpora without real line
+    structure). Single expression + one explode; the trailing partial
+    segment is kept."""
+    toks = word_tokens(F.col(text_col))
+    segs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(seg_words)),
+        lambda i: F.array_join(F.slice(toks, i, seg_words), " "),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_pos", "segment")
+    )
+
+
+def boilerplate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 8,
+    max_doc_freq: int = 3,
+) -> DataFrame:
+    """Corpus-frequency boilerplate detection (CCNet/RefinedWeb line-dedup
+    shape): a segment present in more than `max_doc_freq` DISTINCT documents
+    is boilerplate; emit per-doc totals. The corpus-wide frequency table is
+    keyed on md5(segment) — fixed-width digests keep the shuffle rows narrow
+    regardless of segment length — and the explode→count→join-back plan has
+    exactly two shuffles (freq groupBy, per-doc groupBy), both with map-side
+    partial aggregation."""
+    segs = segment_rows(df, id_col, text_col, seg_words).withColumn(
+        "__h", F.md5(F.col("segment"))
+    )
+    freq = segs.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__dfreq")
+    )
+    return (
+        segs.join(freq, on="__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(
+                F.when(F.col("__dfreq") > max_doc_freq, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove corpus-frequent lines from every document and reassemble the
+    text in original line order (the literal CCNet boilerplate pass, for
+    corpora that do have line structure — headers, nav bars, cookie banners
+    recur across pages and get stripped; unique prose survives).
+
+    Reassembly is collect_list of (pos, line) structs + array_sort — the
+    struct sort restores original order without a window. Two shuffles total
+    (line-hash frequency, per-doc regroup); line identity travels as
+    md5(line) so shuffle width is independent of line length."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__h", F.md5(F.col("__line")))
+    freq = lines.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__dfreq")
+    )
+    kept = lines.join(freq, on="__h").filter(F.col("__dfreq") <= max_doc_freq)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("n_kept_lines"),
+        )
+    )

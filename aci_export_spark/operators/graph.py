@@ -1,0 +1,122 @@
+"""Distributed connected components for duplicate-cluster assignment.
+
+Near-dup pair generation (MinHash-LSH / n-gram Jaccard / SimHash, see
+llm/dedup.py) emits *edges*; deduplication needs *clusters* — every doc
+labeled with a canonical component id so one representative per component
+survives. This is the step the reference pipeline has no analogue for (its
+dedup is key-equality only, e.g. aci-mailchimp-sync upsert keys in
+db/src/user.rs); it is required the moment "duplicate" is a similarity
+relation, which is not transitive — A~B and B~C does not imply A~C, so
+groupBy on any single key under-merges and only a graph closure is correct.
+
+Algorithm: iterative min-label propagation ("hash-to-min" family,
+Rastogi et al., "Finding Connected Components in Map-Reduce in Logarithmic
+Rounds"). Every node starts labeled with its own id; each round every node
+takes the min of its label and its neighbors' labels; fixed point = every
+node carries the min id of its component, which is the component id.
+
+Scale design (the 100 TB contract):
+- each round is ONE shuffle-join (edges ⋈ labels on dst) + ONE groupBy —
+  both partition by node id, and AQE coalesces/skew-splits them;
+- labels are `localCheckpoint()`-ed per round: iterative DataFrame loops
+  otherwise re-derive the whole lineage each round (plan grows O(rounds²))
+  — truncation is what GraphFrames/GraphX do between Pregel supersteps;
+- rounds needed = graph diameter. Near-dup clusters are small and dense
+  (diameter ≤ a few hops), so propagation converges in single-digit rounds;
+  for adversarial long-path graphs the large-star/small-star variant
+  converges in O(log n) rounds at the cost of re-keying edges every round —
+  not worth it for dedup graphs, documented here as the escape hatch;
+- convergence detection exploits monotonicity: labels only ever DECREASE,
+  so the label sum strictly decreases every round until the fixed point —
+  one scalar aggregation per round (which also materializes that round's
+  checkpoint), instead of a join-and-count of changed rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with its component id (the MIN node id reachable).
+
+    `edges` is an undirected pair list (each pair listed once is enough).
+    `nodes` (optional, column `node_col`) adds isolated nodes — docs with no
+    duplicate edge — which come back labeled with themselves, so the result
+    is a total (node → cluster) assignment over the corpus.
+
+    Returns a DataFrame (node, component), one row per node.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetrize once so each round's neighbor-min sees both directions
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = sym.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        nc = node_col or src
+        lab = lab.union(nodes.select(F.col(nc).alias("node"))).distinct()
+    labels = lab.select("node", F.col("node").alias("component")).localCheckpoint()
+    prev_sum = None
+
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels.withColumnRenamed("node", "b"), on="b")
+            .groupBy("a")
+            .agg(F.min("component").alias("__nmin"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(neigh_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__nmin", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        # labels only decrease, so an unchanged sum IS the fixed point; the
+        # agg action doubles as the checkpoint materializer
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def canonical_per_component(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    order_by: list,
+) -> DataFrame:
+    """Keep ONE representative row per component: join the component
+    assignment back to the corpus and take the window argmin under
+    `order_by` (e.g. quality-descending with id tie-break). Adds
+    `cluster_size` so downstream stages can weight/inspect collapsed mass.
+    One shuffle (window by component); the join is on the corpus key."""
+    from pyspark.sql import Window
+
+    with_comp = df.join(
+        components.withColumnRenamed("node", id_col), on=id_col
+    )
+    w = Window.partitionBy("component").orderBy(*order_by)
+    ws = Window.partitionBy("component")
+    return (
+        with_comp.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(ws))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -38,6 +38,9 @@ def main() -> None:
     spark.range(0, 64, 1, 64).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # ...and the driver-side Arrow collect path (first toPandas in a process
+    # pays ~1.5s of one-time init that would otherwise bill to one query)
+    spark.range(1).toPandas()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(harness.REGISTRY.items()):

@@ -1,0 +1,89 @@
+"""Connected-components validation: differential vs a pure-Python union-find
+on seeded random graphs, plus structural cases (chains force multi-round
+convergence, isolated nodes must self-label)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from aci_export_spark.operators.graph import (
+    canonical_per_component,
+    connected_components,
+)
+
+
+def _union_find(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {n: n for n in n_nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labeling
+    return {n: find(n) for n in n_nodes}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    # path graph 1-2-3-4-5-6: min label must walk the whole diameter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 7)}
+
+
+def test_isolated_nodes_self_label(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "doc_id long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, nodes=nodes, node_col="doc_id"
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (9, 9)}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(20, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _union_find(nodes, edges)
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        ndf = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edf, nodes=ndf, node_col="doc_id").collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_canonical_per_component(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "node long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 5)], "doc_id long, n_chars int"
+    )
+    kept = canonical_per_component(
+        docs, comps, "doc_id", [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ).collect()
+    rows = {(r["doc_id"], r["component"], r["cluster_size"]) for r in kept}
+    # cluster 1: docs 2 and 3 tie on n_chars=30 → doc 2 wins the id tie-break
+    assert rows == {(2, 1, 3), (9, 9, 1)}

@@ -38,3 +38,33 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     assert recall3 >= 0.6, (recall1, recall3)
     # every query still gets k results (cells are non-degenerate)
     assert len(multi) == len(brute)
+
+
+def test_sample_fit_quantizer_recall_and_determinism(spark):
+    """The driver-side sample-fit quantizer (FAISS shape) must match the
+    distributed-KMeans path on recall, be deterministic across calls, and
+    assign every corpus row to a valid cell."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    c1 = S.kmeans_fit_sample(emb, k_cells=8, seed=42, sample_rows=512)
+    c2 = S.kmeans_fit_sample(emb, k_cells=8, seed=42, sample_rows=512)
+    assert c1 == c2  # same sample, same seed → identical centroids
+    assert len(c1) == 8 and all(len(c) == len(c1[0]) for c in c1)
+
+    assigned = S.ivf_assign_centroids(emb, c1)
+    cells = assigned.groupBy("cell").count().collect()
+    assert all(0 <= r["cell"] < 8 for r in cells)
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    # non-degenerate clustering: more than one populated cell
+    assert len(cells) > 1
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk_multiprobe(assigned, queries, c1, nprobe=3, k=5).collect()
+    }
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    assert len(multi) == len(brute)
+    assert len(multi & brute) / len(brute) >= 0.6
