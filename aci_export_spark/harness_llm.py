@@ -134,7 +134,7 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
         comps = G.connected_components(
             pairs.select("id_a", "id_b"), "id_a", "id_b", nodes=docs, node_col="doc_id"
-        )
+        ).localCheckpoint()
         _CLUSTER_CACHE[key] = comps
     return comps
 
@@ -185,6 +185,145 @@ def llm_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         "n_chars",
         "cluster_size",
+    )
+
+
+@register(
+    "llm_dedup_incremental",
+    f"""
+WITH s AS (
+    SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks,
+           ('0x' || substr(md5('split:v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90 AS is_delta
+    FROM documents
+)
+SELECT CASE WHEN a.is_delta THEN b.doc_id ELSE a.doc_id END AS corpus_doc_id,
+       CASE WHEN a.is_delta THEN a.doc_id ELSE b.doc_id END AS delta_doc_id,
+       len(list_intersect(a.toks, b.toks))::DOUBLE
+           / len(list_distinct(a.toks || b.toks))::DOUBLE AS jaccard
+FROM s a JOIN s b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.is_delta <> b.is_delta
+WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(a.toks || b.toks))::DOUBLE >= 0.9
+""",
+    doc="incremental (delta-vs-corpus) near-dup check — the daily-ingest "
+    "shape: which NEW docs (md5 bucket ≥ 90, ~10%) duplicate the existing "
+    "corpus. Runs the same AllPairs prefix plan over the union, then keeps "
+    "only cross-side pairs; a production delta run additionally restricts "
+    "the probe side of the candidate join to delta prefixes so verify work "
+    "is delta-proportional, not corpus-proportional",
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "toks", D.word_tokens(F.col("text"))
+    )
+    split = T.stable_split(docs, "doc_id", val_percent=90)
+    side = split.select("doc_id", (F.col("split_bucket") >= 90).alias("is_delta"))
+    pairs = D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
+    # no broadcast hint: side is corpus-derived — AQE picks the strategy
+    p = (
+        pairs.join(
+            side.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "is_delta", "__da"
+            ),
+            on="id_a",
+        )
+        .join(
+            side.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "is_delta", "__db"
+            ),
+            on="id_b",
+        )
+        .filter(F.col("__da") != F.col("__db"))
+    )
+    return p.select(
+        F.when(F.col("__da"), F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "corpus_doc_id"
+        ),
+        F.when(F.col("__da"), F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "delta_doc_id"
+        ),
+        "jaccard",
+    )
+
+
+@register(
+    "llm_curation_funnel",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), base AS (
+    SELECT doc_id, len(t) AS n_words,
+           list_aggregate(list_transform(t, x -> length(x)), 'sum')::BIGINT AS total_word_chars,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x))) AS stop_hits
+    FROM toks
+), grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+), g2 AS (
+    SELECT doc_id, MAX(c)::BIGINT AS dup2_max, SUM(c)::BIGINT AS n_2grams
+    FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+    GROUP BY doc_id
+), gq AS (
+    SELECT b.doc_id,
+           (b.n_words BETWEEN 10 AND 1000
+            AND b.total_word_chars >= 2 * b.n_words
+            AND b.total_word_chars <= 10 * b.n_words
+            AND b.stop_hits >= 1
+            AND 5 * COALESCE(g2.dup2_max, 0) <= COALESCE(g2.n_2grams, 0)) AS keep
+    FROM base b LEFT JOIN g2 ON b.doc_id = g2.doc_id
+), lang AS (
+    SELECT doc_id,
+           GREATEST(len(list_filter(t, x -> x IN {T.EN_STOPWORDS!r})),
+                    len(list_filter(t, x -> x IN {T.DE_STOPWORDS!r})),
+                    len(list_filter(t, x -> x IN {T.FR_STOPWORDS!r}))) > 0 AS lang_known
+    FROM toks
+), canon AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(list_slice(t, 1, 4), ' '))
+               ORDER BY doc_id) = 1 AS is_canonical
+    FROM toks
+)
+SELECT COUNT(*) AS n_total,
+       SUM(CASE WHEN gq.keep THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       SUM(CASE WHEN lang.lang_known THEN 1 ELSE 0 END)::BIGINT AS n_lang_known,
+       SUM(CASE WHEN canon.is_canonical THEN 1 ELSE 0 END)::BIGINT AS n_canonical,
+       SUM(CASE WHEN gq.keep AND lang.lang_known AND canon.is_canonical
+                THEN 1 ELSE 0 END)::BIGINT AS n_keep
+FROM gq JOIN lang USING (doc_id) JOIN canon USING (doc_id)
+""",
+    doc="end-to-end curation funnel: quality gate ∧ language known ∧ "
+    "exact-dup canonical, reported as per-stage survivor counts in ONE "
+    "pass — the composition query a pipeline dashboard runs per batch; "
+    "each stage is the same column logic as its standalone query",
+)
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = T.gopher_quality_flags(docs, "doc_id", "text").select("doc_id", "keep")
+    lang = T.langid_scores(docs, "doc_id", "text").select(
+        "doc_id", (F.col("predicted_lang") != "unknown").alias("lang_known")
+    )
+    key = F.md5(F.array_join(F.slice(D.word_tokens(F.col("text")), 1, 4), " "))
+    w = Window.partitionBy("__ck").orderBy("doc_id")
+    canon = (
+        docs.withColumn("__ck", key)
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select("doc_id", "is_canonical")
+    )
+    joined = q.join(lang, on="doc_id").join(canon, on="doc_id")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        one(F.col("keep")).alias("n_quality"),
+        one(F.col("lang_known")).alias("n_lang_known"),
+        one(F.col("is_canonical")).alias("n_canonical"),
+        one(
+            F.col("keep") & F.col("lang_known") & F.col("is_canonical")
+        ).alias("n_keep"),
     )
 
 
@@ -813,9 +952,9 @@ WITH b AS (
 ), toks AS (
     SELECT doc_id, bk, {_SQL_TOKS} AS t FROM b
 ), grams AS (
-    SELECT DISTINCT doc_id, bk, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
-    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
-    WHERE len(t) >= 3
+    SELECT DISTINCT doc_id, bk, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+    WHERE len(t) >= 5
 )
 SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
        COUNT(*) AS shared_ngrams
@@ -823,7 +962,7 @@ FROM grams tr JOIN grams te ON tr.gram = te.gram
 WHERE tr.bk < 80 AND te.bk >= 80
 GROUP BY 1, 2
 """,
-    doc="benchmark decontamination: word-3-gram overlap between the train "
+    doc="benchmark decontamination: word-5-gram overlap between the train "
     "split and the held-out (md5-bucket) test split, GPT-3/PaLM style — "
     "test-side gram table broadcast (benchmark sets are tiny vs a 100 TB "
     "corpus), corpus side is one scan+explode with no corpus shuffle",
@@ -834,7 +973,115 @@ def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket < 80 → train; bucket >= 80 → held-out benchmark side
     train = split.filter(F.col("split_bucket") < 80).select("doc_id", "text")
     test = split.filter(F.col("split_bucket") >= 80).select("doc_id", "text")
-    return T.contamination_pairs(train, test, "doc_id", "text", n=3, min_shared=1)
+    return T.contamination_pairs(train, test, "doc_id", "text", n=5, min_shared=1)
+
+
+@register(
+    "llm_pack_sequences",
+    f"""
+WITH t AS (
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS n_tokens,
+           md5('pack:v1:' || CAST(doc_id AS VARCHAR)) AS ord_key,
+           ('0x' || substr(md5('pack:v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS shard
+    FROM documents
+), c AS (
+    SELECT doc_id, shard, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+    FROM t
+)
+SELECT doc_id, shard, n_tokens, start_off,
+       (start_off // 256)::BIGINT AS first_pack,
+       ((start_off + n_tokens - 1) // 256)::BIGINT AS last_pack
+FROM c
+""",
+    doc="GPT-style concat-and-chunk sequence packing: md5-sharded "
+    "deterministic layout, per-shard window cumsum, every doc mapped to its "
+    "(first_pack, last_pack, start_off) in 256-token packs — parallel by "
+    "shard, zero RNG, reproducible across engines",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm import pack as P
+
+    docs = read_table(spark, sf_dir, "documents")
+    return P.pack_assignments(docs, "doc_id", "text", window=256, shards=32)
+
+
+@register(
+    "llm_epoch_mix",
+    """
+WITH w AS (
+    SELECT source, 1 + (CAST(substr(source, 4) AS INT) % 3) AS weight
+    FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source, u.epoch_copy
+FROM documents d
+JOIN w USING (source), unnest(generate_series(1, w.weight)) AS u(epoch_copy)
+""",
+    doc="domain-mixing epoch upsampling: per-source integer weights "
+    "(broadcast) repeat each doc weight times tagged epoch_copy — the "
+    "deterministic form of temperature sampling a dataloader applies; "
+    "narrow explode, no corpus shuffle",
+)
+def llm_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm import pack as P
+
+    docs = read_table(spark, sf_dir, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "weight", 1 + F.substring("source", 4, 10).cast("int") % 3
+        )
+    )
+    mixed = P.weighted_epoch_mix(
+        docs.select("doc_id", "source"), weights, "source", "weight"
+    )
+    return mixed.select("doc_id", "source", F.col("epoch_copy").cast("long"))
+
+
+@register(
+    "llm_pii_scrub",
+    """
+WITH enriched AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.1' AS text2
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+       md5(regexp_replace(
+           regexp_replace(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')) AS redacted_fingerprint,
+       length(regexp_replace(
+           regexp_replace(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')) AS redacted_len
+FROM enriched
+""",
+    doc="PII redaction: email/IPv4 detection counts + placeholder "
+    "substitution, dialect-portable regex (no lookarounds) — corpus text "
+    "is synthetic so PII is injected deterministically per doc before "
+    "scrubbing, making the op non-degenerate and oracle-checkable",
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("text2"),
+    )
+    return T.pii_scrub(enriched, "doc_id", "text2")
 
 
 @register(

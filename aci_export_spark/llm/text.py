@@ -274,8 +274,14 @@ def word_ngram_rows(
     column expression (sequence → slice → array_join) and exploded once — no
     UDF, no second scan. Documents shorter than n words emit nothing (the
     `when` guard also keeps `sequence` from generating a descending range
-    when size-n+1 < 1)."""
-    toks = word_tokens(F.col(text_col))
+    when size-n+1 < 1).
+
+    The token array is BOUND AS A COLUMN before the `transform` lambda:
+    expressions referenced inside a higher-order-function lambda are
+    re-evaluated per array element, so an inline `split(...)` would re-run
+    the tokenizer regex once per gram (~word-count× slowdown measured at
+    bench scale); a projected column is computed once per row."""
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - n + 1),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -285,7 +291,9 @@ def word_ngram_rows(
     grams = F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
-    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
 def contamination_pairs(
@@ -378,15 +386,17 @@ def segment_rows(
     """Chop each document into consecutive `seg_words`-word segments (the
     RefinedWeb/CCNet "line" unit for word-soup corpora without real line
     structure). Single expression + one explode; the trailing partial
-    segment is kept."""
-    toks = word_tokens(F.col(text_col))
+    segment is kept. Tokens are bound as a column before the lambda (see
+    :func:`word_ngram_rows` — inline tokenization would re-run per
+    segment)."""
+    toks = F.col("__toks")
     segs = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(seg_words)),
         lambda i: F.array_join(F.slice(toks, i, seg_words), " "),
     )
     return df.select(
-        F.col(id_col), F.posexplode(segs).alias("seg_pos", "segment")
-    )
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.posexplode(segs).alias("seg_pos", "segment"))
 
 
 def boilerplate_span_stats(
@@ -459,4 +469,32 @@ def line_dedup(
             ).alias("cleaned_text"),
             F.count(F.lit(1)).alias("n_kept_lines"),
         )
+    )
+
+
+#: PII patterns kept to syntax both engines' regex dialects (Java regex,
+#: DuckDB RE2) interpret identically: character classes, bounded repeats,
+#: word boundaries — no lookarounds, no backrefs.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction pass: count and replace email addresses and IPv4
+    literals with typed placeholders. Pure JVM regex over one scan — the
+    shape every pre-training privacy pass uses (more patterns slot in as
+    additional regexp_replace stages); counts are emitted so redaction
+    volume is auditable per batch without diffing text."""
+    txt = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, EMAIL_PATTERN, "[EMAIL]"),
+        IPV4_PATTERN,
+        "[IP]",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(txt, F.lit(EMAIL_PATTERN), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(txt, F.lit(IPV4_PATTERN), 0)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_fingerprint"),
+        F.length(redacted).alias("redacted_len"),
     )

@@ -62,10 +62,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Iterate ONLY over edge-endpoint nodes. On a deduplicated corpus the
+    # edge graph is a small fraction of the node set (most docs have no
+    # near-dup), so folding isolated nodes in before the loop would make
+    # every propagation round shuffle a corpus-sized label table for
+    # nothing — at 100 TB that is billions of rows per round vs the edge
+    # graph's millions. Isolated nodes join in ONCE at the end, labeled
+    # with themselves.
     lab = sym.select(F.col("a").alias("node")).distinct()
-    if nodes is not None:
-        nc = node_col or src
-        lab = lab.union(nodes.select(F.col(nc).alias("node"))).distinct()
     labels = lab.select("node", F.col("node").alias("component")).localCheckpoint()
     prev_sum = None
 
@@ -93,6 +97,12 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if nodes is not None:
+        nc = node_col or src
+        all_nodes = nodes.select(F.col(nc).alias("node")).distinct()
+        labels = all_nodes.join(labels, on="node", how="left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
     return labels
 
 

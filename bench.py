@@ -73,7 +73,10 @@ def main() -> None:
         "j1_wide_pivot_nullpad", "llm_dedup_exact", "llm_dedup_minhash_lsh",
         "llm_dedup_ngram_jaccard", "llm_dedup_simhash",
         "llm_dedup_embedding_cosine", "llm_sim_bruteforce_topk",
-        "llm_sim_ivf_kmeans_topk", "events_hourly_agg", "events_sessionization",
+        "llm_sim_ivf_kmeans_topk", "llm_dedup_clusters",
+        "llm_dedup_cluster_canonical", "llm_decontaminate_overlap",
+        "llm_quality_gopher", "llm_boilerplate_spans", "llm_pack_sequences",
+        "events_hourly_agg", "events_sessionization",
         "streaming_hourly_agg", "asof_click_to_view",
     ]
     compact = dict(full)

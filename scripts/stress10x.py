@@ -1,0 +1,146 @@
+"""10× stress run: synthesize a 10-copy key-shifted corpus from sf0.1,
+re-run headline queries unmodified, and print a sf0.1-vs-10× timing table
+(markdown) for SCALE.md.
+
+Each copy is a self-contained shard: fact keys shift by copy stride while
+the shared dimensions (region, nation) stay fixed, so every join/predicate
+keeps its selectivity and the data volume grows 10×. Document texts get
+five distinct copy-marker tokens appended so inter-copy Jaccard ~0.8 stays
+below the 0.9 near-dup threshold — duplicate cliques scale with volume
+instead of exploding quadratically across copies (which would measure dup
+density, not scale).
+
+Run: python scripts/stress10x.py      (env STRESS_COPIES to override)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.environ.get("STRESS_OUT", "/tmp/stress10x")
+COPIES = int(os.environ.get("STRESS_COPIES", "10"))
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customers",
+    "q7_nation_volume_shipping",
+    "q16_supplier_cnt_by_part",
+    "flagship_scoped_members",
+    "events_hourly_agg",
+    "events_sessionization",
+    "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_clusters",
+    "llm_quality_gopher",
+    "llm_boilerplate_spans",
+    "llm_decontaminate_overlap",
+    "llm_pack_sequences",
+    "llm_pii_scrub",
+]
+
+
+def synthesize(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from aci_export_spark.sources import read_table
+
+    def read(t):
+        # read_table normalizes the events table's nanosecond timestamps;
+        # the synthesized copy round-trips as plain TIMESTAMP_NTZ, which
+        # read_table passes through untouched on the stress-dir read
+        return read_table(spark, SF_DIR, t)
+
+    strides = {}
+    for t, k in [
+        ("customer", "c_custkey"), ("orders", "o_orderkey"),
+        ("supplier", "s_suppkey"), ("part", "p_partkey"),
+        ("events", "event_id"), ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]:
+        strides[t] = read(t).agg(F.max(k)).collect()[0][0] + 1
+    user_stride = read("events").agg(F.max("user_id")).collect()[0][0] + 1
+
+    shifts = {
+        "customer": {"c_custkey": strides["customer"]},
+        "orders": {"o_orderkey": strides["orders"], "o_custkey": strides["customer"]},
+        "lineitem": {
+            "l_orderkey": strides["orders"],
+            "l_partkey": strides["part"],
+            "l_suppkey": strides["supplier"],
+        },
+        "supplier": {"s_suppkey": strides["supplier"]},
+        "part": {"p_partkey": strides["part"]},
+        "events": {"event_id": strides["events"], "user_id": user_stride},
+        "documents": {"doc_id": strides["documents"]},
+        "embeddings": {"vec_id": strides["embeddings"]},
+    }
+    for t in ["region", "nation"]:
+        read(t).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+    for t, cols in shifts.items():
+        base = read(t)
+        parts = []
+        for i in range(COPIES):
+            c = base
+            for col, stride in cols.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            if t == "documents":
+                marker = " ".join(f"z{ch}{i}" for ch in "abcde")
+                c = c.withColumn("text", F.concat(F.col("text"), F.lit(" " + marker)))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+    print(f"synthesized {COPIES}x corpus at {OUT}")
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    from aci_export_spark import harness
+
+    harness._ensure_all_registered()
+    # fresh per-sf caches measure the build honestly at each scale
+    from aci_export_spark import harness_llm
+
+    harness_llm._CLUSTER_CACHE.clear()
+    harness_llm._KMEANS_MODEL_CACHE.clear()
+    timings = {}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        harness.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = time.perf_counter() - t0
+    return timings
+
+
+def main() -> None:
+    from aci_export_spark.session import get_spark
+
+    spark = get_spark("stress10x")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark)
+    # warm
+    spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(1).toPandas()
+    base = run(spark, SF_DIR)
+    big = run(spark, OUT)
+    print(f"\n| query | sf0.1 | {COPIES}× | growth |")
+    print("|---|---|---|---|")
+    for name in QUERIES:
+        g = big[name] / base[name] if base[name] else float("nan")
+        print(f"| {name} | {base[name]:.1f} s | {big[name]:.1f} s | {g:.1f}× |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

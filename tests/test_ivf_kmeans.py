@@ -68,3 +68,28 @@ def test_sample_fit_quantizer_recall_and_determinism(spark):
     }
     assert len(multi) == len(brute)
     assert len(multi & brute) / len(brute) >= 0.6
+
+
+def test_cell_partitioned_corpus_prunes_probed_scan(spark, tmp_path):
+    """The 100 TB IVF layout: the assigned corpus written partitionBy(cell)
+    is read back with PartitionFilters when probing specific cells — a
+    search touches nprobe directories, not the corpus."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = S.kmeans_fit_sample(emb, k_cells=4, seed=42, sample_rows=256)
+    assigned = S.ivf_assign_centroids(emb, cents)
+    path = str(tmp_path / "corpus_by_cell")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    import os
+
+    n_cell_dirs = len([d for d in os.listdir(path) if d.startswith("cell=")])
+    assert n_cell_dirs > 1  # the layout actually split by cell
+
+    df = spark.read.parquet(path)
+    probed = df.filter(F.col("cell").isin(0, 1))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert probed.count() > 0
+    # pruned read returns exactly the probed cells' rows
+    expect = assigned.filter(F.col("cell").isin(0, 1)).count()
+    assert probed.count() == expect
