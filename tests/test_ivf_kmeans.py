@@ -70,6 +70,26 @@ def test_sample_fit_quantizer_recall_and_determinism(spark):
     assert len(multi & brute) / len(brute) >= 0.6
 
 
+def test_ivf_kmeans_matches_numpy_golden(spark):
+    """The distributed KMeans-IVF query must equal the single-process numpy
+    reference bit-for-bit — the same golden that backs the harness oracle
+    (_ivf_kmeans_golden_oracle), checked here at the smoke SF the driver
+    never exercises."""
+    from aci_export_spark.harness_llm import llm_sim_ivf_kmeans_topk
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in llm_sim_ivf_kmeans_topk(spark, SF_SMOKE).collect()
+    )
+    want = sorted(
+        S.ivf_reference_topk_numpy(
+            f"{SF_SMOKE}/embeddings.parquet",
+            k_cells=8, seed=42, sample_rows=2048, nprobe=3, k=5, n_queries=20,
+        )
+    )
+    assert got == want
+
+
 def test_cell_partitioned_corpus_prunes_probed_scan(spark, tmp_path):
     """The 100 TB IVF layout: the assigned corpus written partitionBy(cell)
     is read back with PartitionFilters when probing specific cells — a

@@ -64,14 +64,16 @@ def test_minhash_lsh_precision_and_recall(spark, ground_truth):
         assert pair in ground_truth, f"false positive {pair} (j={j})"
         assert j == pytest.approx(ground_truth[pair], abs=1e-12)
 
-    # RECALL: LSH with 4 bands of 4 detects s=0.9 pairs w.p. ~0.986 and
-    # s=0.7 pairs w.p. ~0.72; assert aggregate recall on the strong pairs
-    strong = {p for p, j in ground_truth.items() if j >= 0.9}
-    if strong:
-        found = len(strong & set(got))
-        assert found / len(strong) >= 0.9, (found, len(strong))
-    # and that the pipeline finds a substantial share of all true pairs
-    assert len(got) >= 0.5 * len(ground_truth), (len(got), len(ground_truth))
+    # RECALL is 1.0 on this fixture (its true pairs sit at j≈0.9+, where
+    # 4 bands of 4 detect w.p. ≈0.986 per pair; empirically every pair is
+    # found at sf0.001 AND sf0.01). The harness oracle for
+    # llm_dedup_minhash_lsh depends on this: it hash-compares the LSH output
+    # against the exact all-pairs Jaccard, so any missed pair becomes a
+    # driver correctness FAIL — this assertion localizes such a regression.
+    assert set(got) == set(ground_truth), (
+        sorted(set(ground_truth) - set(got)),
+        sorted(set(got) - set(ground_truth)),
+    )
 
 
 def test_simhash_blocked_pairs_exact_vs_bruteforce(spark):
