@@ -62,12 +62,20 @@ def leadership(
 def leadership_by_number(
     tables: dict[str, DataFrame], entity_type: str, number: int, **kw
 ) -> DataFrame:
-    """Two-step business-number → uid resolution (J11, reference :174-194)."""
+    """Two-step business-number → uid resolution (J11, reference :174-194).
+
+    Expressed as a broadcast semi-join on the number-filtered dimension rather
+    than a driver-side uid collect, so the whole query stays one lazy plan
+    (the dimension filter is a pushed-down scan; Catalyst broadcasts the
+    single-row probe side)."""
     dim = tables["clubs"] if entity_type == ENTITY_CLUB else tables["regions"]
-    uids = [r.uid for r in dim.filter(F.col("number") == number).select("uid").collect()]
-    if not uids:
-        return leadership(tables, entity_type, entity_uid=-1, **kw)
-    return leadership(tables, entity_type, entity_uid=uids[0], **kw)
+    probe = (
+        dim.filter(F.col("number") == number)
+        .select(F.col("uid").alias("entity_uid"))
+        .distinct()
+    )
+    lead = leadership(tables, entity_type, **kw)
+    return lead.join(F.broadcast(probe), on="entity_uid", how="left_semi")
 
 
 def dedup_for_upsert(lead: DataFrame) -> DataFrame:

@@ -177,23 +177,42 @@ def reconcile_session_snapshots(snapshots: DataFrame) -> DataFrame:
 
 
 def run_stream_to_table(
-    df: DataFrame, spark: SparkSession, output_mode: str
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a finite streaming query (Trigger.AvailableNow) into a memory
     sink and return the result as a batch DataFrame.
 
     Memory sink is correct here because everything routed through it is
     pre-aggregated (small); raw events never land on the driver.
+
+    A streaming query materializes one state store per shuffle partition per
+    stateful operator, and every micro-batch pays open/commit on each of
+    them. At the bench's input size that fixed cost dwarfs the data, so the
+    stream runs with a low partition count (`shuffle_partitions`, default 8)
+    and the session's batch setting is restored afterwards. A production
+    deployment sizes this to cluster cores instead (pass None to leave the
+    session value untouched) — the partition count is baked into the
+    checkpoint on first run either way.
     """
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -42,11 +42,26 @@ def main() -> None:
     # pays ~1.5s of one-time init that would otherwise bill to one query)
     spark.range(1).toPandas()
 
-    timings: dict[str, float] = {}
-    for name, spec in sorted(harness.REGISTRY.items()):
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Median of N interleaved repetitions per query: one contended rep (GC,
+    # sandbox neighbors, page cache) can no longer inflate a query's number —
+    # round 3 recorded a uniform 1.75× on byte-identical code from exactly
+    # that. Reps are interleaved (full sweep, then repeat) so a transient
+    # stall decorrelates from any single query.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in harness.REGISTRY}
+    for _ in range(reps):
+        for name, spec in sorted(harness.REGISTRY.items()):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    timings = {name: round(median(v), 3) for name, v in samples.items()}
+    best = {name: round(min(v), 3) for name, v in samples.items()}
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -61,6 +76,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_best": best,
+        "reps": reps,
         "n_queries": len(timings),
         "sf": sf,
     }
@@ -81,6 +98,7 @@ def main() -> None:
     ]
     compact = dict(full)
     compact["queries"] = {k: timings[k] for k in headline if k in timings}
+    del compact["queries_best"]
     compact["queries_full"] = "BENCH_FULL.json"
     print(json.dumps(compact))
     spark.stop()

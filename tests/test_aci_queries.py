@@ -145,6 +145,15 @@ class TestLeadership:
         kept = L.filter_to_existing_entities(lead, aci["clubs"])
         assert lead.count() - kept.count() == 1  # orphan entity 777 dropped
 
+    def test_by_number_resolves_via_semi_join(self, aci):
+        # club uid=1 carries number 101; the number-resolved result must equal
+        # the direct uid lookup, with no eager driver action in the plan
+        by_num = L.leadership_by_number(aci, L.ENTITY_CLUB, 101)
+        by_uid = L.leadership(aci, L.ENTITY_CLUB, entity_uid=1)
+        assert sorted(map(tuple, by_num.collect())) == sorted(map(tuple, by_uid.collect()))
+        assert by_num.count() > 0
+        assert L.leadership_by_number(aci, L.ENTITY_CLUB, 99999).count() == 0
+
 
 class TestEntities:
     def test_users_excludes_pass(self, aci):
