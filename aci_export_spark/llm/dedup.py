@@ -252,6 +252,13 @@ def jaccard_pairs_prefix(
     # near-dup pairs table — tiny relative to the corpus, and exactly what
     # a production pipeline checkpoints before fanning the pairs out to
     # clustering anyway.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PLAN_CAPTURE"):
+        # plan-audit escape hatch (scripts/gen_plans.py): return the lazy
+        # DataFrame so `.explain` shows the computation, not the checkpoint
+        # scan the materialized path leaves behind
+        return verified
     out = verified.localCheckpoint(eager=True)
     hsets.unpersist()
     pref.unpersist()
