@@ -56,10 +56,15 @@ def connected_components(
     Returns a DataFrame (node, component), one row per node.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # symmetrize once so each round's neighbor-min sees both directions
+    # symmetrize once so each round's neighbor-min sees both directions;
+    # pre-partition on the join key BEFORE the checkpoint: LogicalRDD
+    # preserves the hash partitioning, so when labels outgrow the broadcast
+    # threshold the per-round join shuffles only the label table — the edge
+    # table (the big side at scale) never moves again
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .repartition(F.col("b"))
         .localCheckpoint()
     )
     # Iterate ONLY over edge-endpoint nodes. On a deduplicated corpus the
@@ -74,24 +79,21 @@ def connected_components(
     prev_sum = None
 
     for _ in range(max_iter):
-        neigh_min = (
-            sym.join(labels.withColumnRenamed("node", "b"), on="b")
-            .groupBy("a")
-            .agg(F.min("component").alias("__nmin"))
-            .withColumnRenamed("a", "node")
+        # one round = ONE join + ONE aggregate: neighbor labels and own
+        # labels union before a single min-groupBy, instead of a
+        # neighbor-min groupBy followed by a second own-label join
+        neigh = sym.join(labels.withColumnRenamed("node", "b"), on="b").select(
+            F.col("a").alias("node"), "component"
         )
         new_labels = (
-            labels.join(neigh_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("__nmin", "component")
-                ).alias("component"),
-            )
-            .localCheckpoint()
+            neigh.union(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)
         )
         # labels only decrease, so an unchanged sum IS the fixed point; the
-        # agg action doubles as the checkpoint materializer
+        # agg action doubles as the (lazy) checkpoint materializer — one
+        # Spark job per round, not an eager-checkpoint job plus the agg
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
