@@ -55,15 +55,25 @@ def brute_force_topk(
     the top k. Ties broken by neighbor id for determinism. Self-matches
     (same id) are excluded.
     """
+    # norms are hoisted to per-ROW projections: inside the pair join the
+    # cosine costs one zip_with fold (the dot), not three — the norm folds
+    # would otherwise re-run per (query × corpus) pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "__cos",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
@@ -95,16 +105,21 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(cell_col).alias("__cell"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(cell_col).alias("__cell"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(broadcast(q), on="__cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "__cos",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
@@ -136,16 +151,20 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("id_a"),
         F.col(cell_col).alias("__cell"),
         F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(cell_col).alias("__cell"),
         F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
     )
+    # per-row norms hoisted out of the pair join (see brute_force_topk)
+    sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, on="__cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .filter(sim >= threshold)
         .select("id_a", "id_b")
     )
 
@@ -497,12 +516,20 @@ def _rank_in_probed_cells(
     """Score the corpus against the (query, probe-cell) set — equi-join on
     the cell with the small probe side broadcast — and take per-query top-k."""
     c = assigned_corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(cell_col), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
+    # query-side norm: one fold per (query × probe) row, corpus-side one per
+    # corpus row — the scored join then pays only the dot per candidate
     scored = (
-        c.join(broadcast(probes), on=cell_col)
+        c.join(broadcast(probes.withColumn("__qn", l2_norm(F.col("__qv")))), on=cell_col)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "__cos",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
     return (
