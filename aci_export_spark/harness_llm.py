@@ -218,7 +218,13 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = T.stable_split(docs, "doc_id", val_percent=90)
     side = split.select("doc_id", (F.col("split_bucket") >= 90).alias("is_delta"))
-    pairs = D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
+    # delta-probe mode: candidates are generated from delta-doc prefixes
+    # only, so candidate volume is delta-proportional; the cross-side filter
+    # below then drops the delta-delta pairs
+    pairs = D.jaccard_pairs_prefix(
+        docs, "doc_id", "toks", "lang", threshold=0.9,
+        probe=side.filter(F.col("is_delta")).select("doc_id"),
+    )
     # no broadcast hint: side is corpus-derived — AQE picks the strategy
     p = (
         pairs.join(

@@ -117,6 +117,7 @@ def jaccard_pairs_prefix(
     token_col: str,
     bucket_col: str,
     threshold: float,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-threshold Jaccard pairs via prefix filtering (AllPairs/PPJoin).
 
@@ -131,6 +132,14 @@ def jaccard_pairs_prefix(
 
     Exact verification (array_intersect Jaccard) then makes the output
     identical to the naive plan.
+
+    `probe` (optional): a DataFrame of ids (`id_col`) forming the delta side
+    of an incremental run. When given, candidates are generated only from
+    probe-side prefixes against the full index, so candidate volume is
+    O(|probe| · prefix) instead of O(corpus · prefix) — the daily-ingest
+    contract where the delta is a small fraction of the corpus. Emitted
+    pairs are exactly those involving ≥1 probe doc (normalized id_a < id_b,
+    each pair once); corpus-only pairs are never generated.
     """
     sets = spread_for_explode(df).select(
         F.col(id_col),
@@ -205,24 +214,43 @@ def jaccard_pairs_prefix(
     ub = F.lit(1) + F.least(
         F.col("__sza") - 1 - F.col("__pa"), F.col("__szb") - 1 - F.col("__pb")
     )
-    cand = (
+    # probe side: the whole prefix table (symmetric self-join) or only the
+    # delta docs' prefix rows (incremental — semi-join keeps the index
+    # intact while the probe stream shrinks to the delta)
+    probe_pref = (
+        pref
+        if probe is None
+        else pref.join(
+            probe.select(F.col(id_col)).distinct(), on=id_col, how="left_semi"
+        )
+    )
+    cand = probe_pref.select(
+        F.col(id_col).alias("__ida"), "__bucket", "__ptok",
+        F.col("__sz").alias("__sza"), F.col("__pos").alias("__pa"),
+    ).join(
         pref.select(
-            F.col(id_col).alias("id_a"), "__bucket", "__ptok",
-            F.col("__sz").alias("__sza"), F.col("__pos").alias("__pa"),
-        )
-        .join(
-            pref.select(
-                F.col(id_col).alias("id_b"), "__bucket", "__ptok",
-                F.col("__sz").alias("__szb"), F.col("__pos").alias("__pb"),
-            ),
-            on=["__bucket", "__ptok"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
+            F.col(id_col).alias("__idb"), "__bucket", "__ptok",
+            F.col("__sz").alias("__szb"), F.col("__pos").alias("__pb"),
+        ),
+        on=["__bucket", "__ptok"],
+    )
+    if probe is None:
+        cand = cand.filter(F.col("__ida") < F.col("__idb"))
+    else:
+        # both orientations are generated for probe-probe pairs; the
+        # least/greatest normalization below + distinct collapses them
+        cand = cand.filter(F.col("__ida") != F.col("__idb"))
+    # both prune filters are symmetric in the (a, b) roles, so they hold
+    # regardless of which side probed
+    cand = (
+        cand.filter(
             F.least("__sza", "__szb") * den >= num * F.greatest("__sza", "__szb")
         )
         .filter(ub * (den + num) >= num * (F.col("__sza") + F.col("__szb")))
-        .select("id_a", "id_b")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
         # pin the pair-dedup shuffle at default parallelism: the explicit
         # keyed repartition satisfies distinct's distribution requirement (no
         # second exchange) and AQE never coalesces it — so the bytes-tiny but
