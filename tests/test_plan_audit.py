@@ -1,0 +1,46 @@
+"""Registry-wide physical-plan audit: the scale claims in SCALE.md, enforced.
+
+Every registered query's executed plan must be free of CartesianProduct and
+row-at-a-time Python evaluation (BatchEvalPython — Python may touch data
+only through Arrow: ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+BroadcastNestedLoopJoin is allowed only where a cross-shaped join is the
+operator's definition (brute-force ANN scores every query against every
+corpus row; the sync-stats summary crosses two one-row aggregates).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from aci_export_spark import harness
+from tests.conftest import SF_SMOKE
+
+harness._ensure_all_registered()
+
+#: queries whose plan legitimately contains BroadcastNestedLoopJoin
+BNLJ_ALLOWED = {
+    "llm_sim_bruteforce_topk",  # definitionally all-pairs (tiny query side broadcast)
+    "a9_sync_stats",  # cross of two single-row aggregate results
+}
+
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+@pytest.mark.parametrize("name", sorted(harness.REGISTRY))
+def test_plan_has_no_forbidden_nodes(name, spark, monkeypatch):
+    # capture computation plans, not post-materialization checkpoint scans
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CAPTURE", "1")
+    df = harness.REGISTRY[name].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    for node in FORBIDDEN:
+        assert node not in plan, f"{name}: plan contains {node}"
+    if name not in BNLJ_ALLOWED:
+        assert (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"{name}: unexpected BroadcastNestedLoopJoin"
