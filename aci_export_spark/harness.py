@@ -386,15 +386,22 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    return {
-        name: (
-            REGISTRY[name].oracle()
-            if callable(REGISTRY[name].oracle)
-            else REGISTRY[name].oracle
-        )
-        for name in _ordered_names()
-        if REGISTRY[name].oracle is not None
-    }
+    out: dict[str, str] = {}
+    for name in _ordered_names():
+        oracle = REGISTRY[name].oracle
+        if oracle is None:
+            continue
+        if callable(oracle):
+            # a generated/golden oracle that fails to build (missing fixture,
+            # relocated data dir) must degrade THAT query to rows-only, not
+            # take every other query's oracle down with it
+            try:
+                out[name] = oracle()
+            except Exception:
+                continue
+        else:
+            out[name] = oracle
+    return out
 
 
 # ===========================================================================

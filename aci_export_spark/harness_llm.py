@@ -814,12 +814,18 @@ def events_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("__q"),
         F.count(F.lit(1)).alias("n_events"),
+        # rank denominators count NON-NULL values only: percentile_approx
+        # ignores NULLs, and the __le/__lt numerators skip them too (NULL
+        # comparisons aggregate as 0) — an all-rows denominator would
+        # deflate the measured ranks on a NULL-bearing fixture
+        F.count("value").alias("__nv"),
     )
     # second scan counts each estimate's exact rank; the approx table is
     # 5 rows → broadcast, no shuffle beyond the group agg
     joined = ev.select("event_type", "value").join(broadcast(approx), on="event_type")
     counted = joined.groupBy("event_type").agg(
         F.first("n_events").alias("n_events"),
+        F.first("__nv").alias("__nv"),
         *[
             F.sum((F.col("value") <= F.col("__q")[i]).cast("long")).alias(f"__le{i}")
             for i in range(3)
@@ -832,7 +838,7 @@ def events_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = 0.02
 
     def ok(i: int, q: float):
-        n = F.col("n_events").cast("double")
+        n = F.col("__nv").cast("double")
         return (F.col(f"__le{i}") / n >= q - eps) & (F.col(f"__lt{i}") / n <= q + eps)
 
     return counted.select(

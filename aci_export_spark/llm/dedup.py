@@ -285,7 +285,11 @@ def jaccard_pairs_prefix(
     if os.environ.get("SPARK_GRAFT_PLAN_CAPTURE"):
         # plan-audit escape hatch (scripts/gen_plans.py): return the lazy
         # DataFrame so `.explain` shows the computation, not the checkpoint
-        # scan the materialized path leaves behind
+        # scan the materialized path leaves behind. Release the cached
+        # intermediates first — audit sessions touch every registered query
+        # and would otherwise accumulate dead cache entries per call.
+        hsets.unpersist()
+        pref.unpersist()
         return verified
     out = verified.localCheckpoint(eager=True)
     hsets.unpersist()

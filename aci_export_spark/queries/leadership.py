@@ -64,15 +64,18 @@ def leadership_by_number(
 ) -> DataFrame:
     """Two-step business-number → uid resolution (J11, reference :174-194).
 
-    Expressed as a broadcast semi-join on the number-filtered dimension rather
-    than a driver-side uid collect, so the whole query stays one lazy plan
-    (the dimension filter is a pushed-down scan; Catalyst broadcasts the
-    single-row probe side)."""
+    Expressed as a broadcast semi-join on the number-resolved uid rather than
+    a driver-side uid collect, so the whole query stays one lazy plan (the
+    dimension filter is a pushed-down scan; Catalyst broadcasts the
+    single-row probe side). The reference resolves the number to ONE entity;
+    if a data-quality duplicate gives two entities the same number, the
+    lowest uid wins — deterministic, unlike a collect()[0] of an unordered
+    result."""
     dim = tables["clubs"] if entity_type == ENTITY_CLUB else tables["regions"]
     probe = (
         dim.filter(F.col("number") == number)
-        .select(F.col("uid").alias("entity_uid"))
-        .distinct()
+        .agg(F.min("uid").alias("entity_uid"))
+        .filter(F.col("entity_uid").isNotNull())
     )
     lead = leadership(tables, entity_type, **kw)
     return lead.join(F.broadcast(probe), on="entity_uid", how="left_semi")

@@ -211,8 +211,14 @@ def run_stream_to_table(
         )
         q.awaitTermination()
     finally:
-        if shuffle_partitions is not None and prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if shuffle_partitions is not None:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            else:
+                # the session never set it explicitly: unset to fall back to
+                # the default rather than pinning the batch session to the
+                # streaming value
+                spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.table(name)
 
 

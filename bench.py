@@ -62,10 +62,7 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
 
-    def median(vals: list[float]) -> float:
-        s = sorted(vals)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    from statistics import median
 
     timings = {name: round(median(v), 3) for name, v in samples.items()}
     best = {name: round(min(v), 3) for name, v in samples.items()}

@@ -6,6 +6,12 @@ only through Arrow: ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
 BroadcastNestedLoopJoin is allowed only where a cross-shaped join is the
 operator's definition (brute-force ANN scores every query against every
 corpus row; the sync-stats summary crosses two one-row aggregates).
+
+Scope: segments an operator materializes eagerly (MinHash intermediates,
+connected-components rounds) appear as checkpoint scans in the final plan
+and are not re-audited here; their compute plans are pinned in PLANS.md via
+SPARK_GRAFT_PLAN_CAPTURE (which this test also sets, so the ngram-jaccard
+final checkpoint is seen lazily).
 """
 
 from __future__ import annotations
@@ -27,6 +33,14 @@ BNLJ_ALLOWED = {
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+def test_driver_window_priority_names_all_resolve():
+    """A renamed query must fail loudly, not silently fall out of the
+    driver's 50-entry correctness window."""
+    missing = [n for n in harness.DRIVER_WINDOW_PRIORITY if n not in harness.REGISTRY]
+    assert not missing, f"DRIVER_WINDOW_PRIORITY names not in registry: {missing}"
+    assert len(set(harness.DRIVER_WINDOW_PRIORITY)) == len(harness.DRIVER_WINDOW_PRIORITY)
 
 
 @pytest.mark.parametrize("name", sorted(harness.REGISTRY))
