@@ -535,8 +535,11 @@ def minhash_lsh_dedup_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — 32-bit SimHash of each document's distinct token set.
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) — `bits`-wide SimHash of each document's distinct token
+    set (≤ 60: the md5-derived token hash carries 60 usable bits).
 
     Classic bit-voting, shaped for Spark: explode tokens → one md5-derived
     hash per (doc, token) row → groupBy(doc) with 32 conditional sums (one
@@ -553,15 +556,17 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("__t"),
     ).withColumn("__h", _hash64_lambda(F.col("__t"), "simhash:"))
 
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (md5-derived hash width)")
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"__v{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ]
     voted = tok.groupBy(id_col).agg(*votes)
     out = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         out = out + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -593,7 +598,7 @@ def simhash_near_dup_pairs(
 
 def simhash_near_dup_pairs_blocked(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
-    n_blocks: int | None = None,
+    n_blocks: int | None = None, bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash near-dup with GUARANTEED recall: pigeonhole block partition.
 
@@ -608,27 +613,30 @@ def simhash_near_dup_pairs_blocked(
     self-join.
 
     Shuffle volume is `n_blocks` rows per doc (linear); comparisons are
-    per-bucket, with block width SIMHASH_BITS/n_blocks bits. At corpus
-    scale, use a wider hash with a small radius (e.g. 64 bits, d=3 → 4
-    blocks of 16 bits → 65k bucket values) so buckets stay small; 32 bits
-    with d=8 (3-4 bit blocks) is the demo shape for the harness corpus.
+    per-bucket, with block width bits/n_blocks. Block VALUE cardinality is
+    what keeps the bucket join linear in the corpus: 2^(bits/n_blocks) must
+    outgrow the doc count, or bucket sizes — and candidate pairs, which are
+    per-bucket quadratic — grow with it (the 10× stress run measured
+    exactly that for 8-bit blocks at 50k docs). At corpus scale use a wide
+    hash with a small radius (60 bits, d=3 → 4 blocks of 15 bits → 32k
+    bucket values); 32 bits is the demo shape for tiny corpora.
     """
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if n_blocks <= max_hamming:
         raise ValueError("n_blocks must exceed max_hamming for guaranteed recall")
-    if n_blocks > SIMHASH_BITS:
-        raise ValueError("n_blocks cannot exceed SIMHASH_BITS")
+    if n_blocks > bits:
+        raise ValueError("n_blocks cannot exceed the hash width")
     # one row per doc, consumed by both join sides — checkpoint so the
     # tokenize+vote subtree runs once
     sh = (
-        simhash_table(df, id_col, text_col)
+        simhash_table(df, id_col, text_col, bits=bits)
         .withColumnRenamed("simhash", "__simhash")
         .localCheckpoint()
     )
     bounds, start = [], 0
     for i in range(n_blocks):
-        width = SIMHASH_BITS // n_blocks + (1 if i < SIMHASH_BITS % n_blocks else 0)
+        width = bits // n_blocks + (1 if i < bits % n_blocks else 0)
         bounds.append((start, width))
         start += width
     blocks = F.array(

@@ -38,7 +38,13 @@ QUERIES = [
     "events_sessionization",
     "llm_dedup_exact",
     "llm_dedup_ngram_jaccard",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_incremental",
+    "llm_dedup_embedding_cosine",
+    "llm_sim_ivf_kmeans_topk",
     "llm_dedup_clusters",
+    "llm_dedup_cluster_canonical",
     "llm_quality_gopher",
     "llm_boilerplate_spans",
     "llm_decontaminate_overlap",
@@ -67,6 +73,7 @@ def synthesize(spark) -> None:
     ]:
         strides[t] = read(t).agg(F.max(k)).collect()[0][0] + 1
     user_stride = read("events").agg(F.max("user_id")).collect()[0][0] + 1
+    label_stride = read("embeddings").agg(F.max("label")).collect()[0][0] + 1
 
     shifts = {
         "customer": {"c_custkey": strides["customer"]},
@@ -80,7 +87,12 @@ def synthesize(spark) -> None:
         "part": {"p_partkey": strides["part"]},
         "events": {"event_id": strides["events"], "user_id": user_stride},
         "documents": {"doc_id": strides["documents"]},
-        "embeddings": {"vec_id": strides["embeddings"]},
+        # label shifts per copy too: copies carry IDENTICAL vectors, so
+        # sharing cells would make every cross-copy comparison a perfect
+        # match — cell sizes (and near-dup cliques) must stay constant while
+        # cell COUNT grows with the corpus, which is how a real IVF/bucketed
+        # layout scales (more data → more cells, not fatter cells)
+        "embeddings": {"vec_id": strides["embeddings"], "label": label_stride},
     }
     for t in ["region", "nation"]:
         read(t).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
@@ -109,10 +121,12 @@ def run(spark, sf_dir: str) -> dict[str, float]:
     # fresh per-sf caches measure the build honestly at each scale
     from aci_export_spark import harness_llm
 
-    harness_llm._CLUSTER_CACHE.clear()
-    harness_llm._KMEANS_MODEL_CACHE.clear()
     timings = {}
     for name in QUERIES:
+        # every query pays its own artifact builds (CC components, kmeans
+        # centroids) — intra-list reuse would misattribute the build cost
+        harness_llm._CLUSTER_CACHE.clear()
+        harness_llm._KMEANS_MODEL_CACHE.clear()
         t0 = time.perf_counter()
         harness.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"

@@ -101,6 +101,30 @@ def test_simhash_blocked_pairs_exact_vs_bruteforce(spark):
     assert got == expected
 
 
+def test_simhash_blocked_pairs_60bit_production_shape(spark):
+    """Same exactness at the production shape the harness query uses:
+    60-bit hash, radius 3, 4 disjoint 15-bit blocks."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    hashes = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_table(docs, "doc_id", "text", bits=60).collect()
+    }
+    ids = sorted(hashes)
+    expected = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for ii, a in enumerate(ids)
+        for b in ids[ii + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs_blocked(
+            docs, "doc_id", "text", max_hamming=3, bits=60
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_simhash_blocked_rejects_bad_params(spark):
     docs = read_table(spark, SF_SMOKE, "documents")
     with pytest.raises(ValueError):
