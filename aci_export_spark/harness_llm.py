@@ -1072,34 +1072,34 @@ def llm_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_decontaminate_overlap",
     f"""
-WITH b AS (
-    SELECT doc_id, text,
-           ('0x' || substr(md5('split:v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
-    FROM documents
-), toks AS (
-    SELECT doc_id, bk, {_SQL_TOKS} AS t FROM b
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
 ), grams AS (
-    SELECT DISTINCT doc_id, bk, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+    SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
     FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
     WHERE len(t) >= 5
 )
 SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
        COUNT(*) AS shared_ngrams
 FROM grams tr JOIN grams te ON tr.gram = te.gram
-WHERE tr.bk < 80 AND te.bk >= 80
+WHERE tr.doc_id >= 100 AND te.doc_id < 100
 GROUP BY 1, 2
 """,
-    doc="benchmark decontamination: word-5-gram overlap between the train "
-    "split and the held-out (md5-bucket) test split, GPT-3/PaLM style — "
-    "test-side gram table broadcast (benchmark sets are tiny vs a 100 TB "
-    "corpus), corpus side is one scan+explode with no corpus shuffle",
+    doc="benchmark decontamination: word-5-gram overlap between the corpus "
+    "(doc_id ≥ 100) and a FIXED benchmark set (doc_id < 100), GPT-3/PaLM "
+    "style. The benchmark side is constant-size by construction — that is "
+    "the operator's scale contract (a benchmark set does not grow with the "
+    "corpus), so its gram table broadcasts at any corpus size and the "
+    "corpus side is one scan+explode with no corpus shuffle. (The previous "
+    "query shape split the corpus 80/20, which made the 'benchmark' grow "
+    "with the data and the pair count quadratic in scale-up — the 10× "
+    "stress run measured it.)",
 )
 def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    split = T.stable_split(docs, "doc_id", val_percent=80)
-    # bucket < 80 → train; bucket >= 80 → held-out benchmark side
-    train = split.filter(F.col("split_bucket") < 80).select("doc_id", "text")
-    test = split.filter(F.col("split_bucket") >= 80).select("doc_id", "text")
+    # fixed benchmark set: the first 100 doc ids, at every scale
+    train = docs.filter(F.col("doc_id") >= 100).select("doc_id", "text")
+    test = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
     return T.contamination_pairs(train, test, "doc_id", "text", n=5, min_shared=1)
 
 
