@@ -285,11 +285,12 @@ def jaccard_pairs_prefix(
     if os.environ.get("SPARK_GRAFT_PLAN_CAPTURE"):
         # plan-audit escape hatch (scripts/gen_plans.py): return the lazy
         # DataFrame so `.explain` shows the computation, not the checkpoint
-        # scan the materialized path leaves behind. Release the cached
-        # intermediates first — audit sessions touch every registered query
-        # and would otherwise accumulate dead cache entries per call.
-        hsets.unpersist()
-        pref.unpersist()
+        # scan the materialized path leaves behind. The two persisted
+        # intermediates stay registered — unpersisting them here would make
+        # the captured plan re-derive the shared subtree per consumer,
+        # misrepresenting the shipped operator (which holds them through its
+        # materialization). Audit sessions are one-shot, so the handful of
+        # leaked cache entries is bounded and dies with the session.
         return verified
     out = verified.localCheckpoint(eager=True)
     hsets.unpersist()
