@@ -162,6 +162,24 @@ def main(argv: list[str] | None = None) -> None:
     mail_run.add_argument("--club", type=int)
     mail_run.add_argument("--region", type=int)
 
+    # destructive audience wipe: refuses without --confirm (the reference's
+    # guard rail, sync-mail/src/cmd/delete.rs:9-31)
+    mail_del = mail_sub.add_parser(
+        "delete", help="delete every audience member (requires --confirm)"
+    )
+    mail_del.add_argument("--journal-dir", required=True)
+    mail_del.add_argument("--confirm", action="store_true",
+                          help="actually perform the deletes")
+
+    # merge-field schema sync: deletes are opt-in via --process-deletes
+    # (sync-mail/src/cmd/fields.rs:12-14, merge_fields.rs:79-84)
+    mail_fields = mail_sub.add_parser(
+        "fields", help="sync merge-field schema (deletes gated)"
+    )
+    mail_fields.add_argument("--journal-dir", required=True)
+    mail_fields.add_argument("--process-deletes", action="store_true",
+                             help="apply destructive field deletes")
+
     args = p.parse_args(argv)
     spark = get_spark("aci-export-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
@@ -203,17 +221,43 @@ def main(argv: list[str] | None = None) -> None:
         json.dump(stats, sys.stdout, indent=2, default=str)
         print()
     elif args.cmd == "sync-mail":
-        from aci_export_spark.sync.mail_sync import run_job
         from aci_export_spark.sync.rest import JournalingMailchimpClient
 
         journal = args.journal_dir
-        stats = run_job(
-            tables,
-            client_factory=lambda: JournalingMailchimpClient(journal),
-            club=args.club,
-            region=args.region,
-            today=args.global_today,
-        )
+        if args.action == "run":
+            from aci_export_spark.sync.mail_sync import run_job
+
+            stats = run_job(
+                tables,
+                client_factory=lambda: JournalingMailchimpClient(journal),
+                club=args.club,
+                region=args.region,
+                today=args.global_today,
+            )
+        elif args.action == "delete":
+            if not args.confirm:
+                raise SystemExit(
+                    "refusing to delete the audience without --confirm"
+                )
+            from aci_export_spark.sync.rest import retain_audience_sink
+
+            # retain-with-empty-keep-set = delete every member (the cleaned
+            # skip rule still applies inside the sink)
+            audience = tables["mailchimp_audience"]
+            empty_keep = audience.select("id").limit(0)
+            n = retain_audience_sink(
+                audience, empty_keep, lambda: JournalingMailchimpClient(journal)
+            )
+            stats = {"deleted": n}
+        else:  # fields
+            from aci_export_spark.sync.mail import apply_merge_field_schema
+
+            stats = apply_merge_field_schema(
+                tables["merge_field_defs"],
+                tables["remote_merge_fields"],
+                JournalingMailchimpClient(journal),
+                process_deletes=args.process_deletes,
+            )
         json.dump(stats, sys.stdout, indent=2)
         print()
 

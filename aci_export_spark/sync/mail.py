@@ -140,6 +140,39 @@ def merge_field_schema_diff(
     return {"to_create": to_create, "to_delete": to_delete, "to_update": to_update}
 
 
+def apply_merge_field_schema(
+    local: DataFrame,
+    remote: DataFrame,
+    client,
+    process_deletes: bool = False,
+) -> dict[str, int]:
+    """Apply the S13 schema diff to the audience, with the reference's
+    destructive-op guard rail: creates and updates always run, field
+    DELETES run only under `process_deletes` and are otherwise counted and
+    skipped (sync-mail/src/cmd/fields.rs:12-14,
+    mailchimp/src/merge_fields.rs:79-84 — deleting a merge field discards
+    subscriber data, so it is opt-in).
+
+    The diff tables are schema-sized (≤ tens of rows), so driver-side
+    iteration over `collect()` is the right shape — these are DDL calls,
+    not data movement."""
+    diff = merge_field_schema_diff(local, remote)
+    stats = {"created": 0, "updated": 0, "deleted": 0, "deletes_skipped": 0}
+    for row in diff["to_create"].collect():
+        client.merge_field_op("create", row.asDict())
+        stats["created"] += 1
+    for row in diff["to_update"].collect():
+        client.merge_field_op("update", row.asDict())
+        stats["updated"] += 1
+    for row in diff["to_delete"].collect():
+        if process_deletes:
+            client.merge_field_op("delete", row.asDict())
+            stats["deleted"] += 1
+        else:
+            stats["deletes_skipped"] += 1
+    return stats
+
+
 def load_merge_field_defs_toml(path: str) -> list[dict]:
     """S4: load typed merge-field descriptors from TOML (the reference ships
     fields-all.toml / fields-club.toml, mailchimp/src/merge_fields.rs:175-207).

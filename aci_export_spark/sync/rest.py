@@ -94,7 +94,20 @@ class JournalingMailchimpClient:
             for u in updates:
                 f.write(json.dumps(u, sort_keys=True) + "\n")
 
+    def merge_field_op(self, op: str, field: dict) -> None:
+        """Journal one merge-field schema operation (create/update/delete) —
+        the reference's per-field POST/PATCH/DELETE calls
+        (mailchimp/src/merge_fields.rs:60-101)."""
+        d = os.path.join(self.base_dir, "merge_fields")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{uuid.uuid4().hex}.jsonl"), "w") as f:
+            f.write(json.dumps({"op": op, **field}, sort_keys=True) + "\n")
+
     # -------- driver-side inspection helpers (tests / stats) --------
+    def merge_field_ops(self) -> list[dict]:
+        d = os.path.join(self.base_dir, "merge_fields")
+        return _read_jsonl_dir(d) if os.path.isdir(d) else []
+
     def upserted_rows(self) -> list[dict]:
         return _read_jsonl_dir(os.path.join(self.base_dir, "upserts"))
 

@@ -223,6 +223,47 @@ class TestCli:
         stats = json.loads(out)
         assert stats["upserted"] > 0 and stats["tag_updates"] == 4 * stats["upserted"]
 
+    def test_sync_mail_delete_requires_confirm(self, fixture_dir, tmp_path):
+        from aci_export_spark.sync.rest import JournalingMailchimpClient
+
+        journal = str(tmp_path / "journal")
+        with pytest.raises(SystemExit, match="--confirm"):
+            self._run(["--data-dir", fixture_dir,
+                       "sync-mail", "delete", "--journal-dir", journal])
+        # guard rail held: nothing was deleted
+        assert JournalingMailchimpClient(journal).deleted_ids() == set()
+
+        out = self._run(["--data-dir", fixture_dir,
+                         "sync-mail", "delete", "--journal-dir", journal,
+                         "--confirm"])
+        stats = json.loads(out)
+        assert stats["deleted"] > 0
+        deleted = JournalingMailchimpClient(journal).deleted_ids()
+        assert len(deleted) == stats["deleted"]
+
+    def test_sync_mail_fields_gates_deletes(self, fixture_dir, tmp_path):
+        from aci_export_spark.sync.rest import JournalingMailchimpClient
+
+        j1 = str(tmp_path / "j1")
+        out = self._run(["--data-dir", fixture_dir,
+                         "sync-mail", "fields", "--journal-dir", j1])
+        stats = json.loads(out)
+        # fixture diff: BDAY/JOINED/CLUBNUM/WAYTOOLONGTAG create, LNAME
+        # update, OBSOLETE delete — the delete is SKIPPED without the flag
+        assert stats == {"created": 4, "updated": 1,
+                         "deleted": 0, "deletes_skipped": 1}
+        ops = JournalingMailchimpClient(j1).merge_field_ops()
+        assert sorted({o["op"] for o in ops}) == ["create", "update"]
+
+        j2 = str(tmp_path / "j2")
+        out = self._run(["--data-dir", fixture_dir,
+                         "sync-mail", "fields", "--journal-dir", j2,
+                         "--process-deletes"])
+        stats = json.loads(out)
+        assert stats["deleted"] == 1 and stats["deletes_skipped"] == 0
+        ops = JournalingMailchimpClient(j2).merge_field_ops()
+        assert {o["tag"] for o in ops if o["op"] == "delete"} == {"OBSOLETE"}
+
 
 class TestConfigAndBatchProtocol:
     def test_toml_merge_field_defs_roundtrip(self, tmp_path):
