@@ -64,7 +64,17 @@ def run_job(
     today: str | None = None,
 ) -> dict[str, int]:
     """One audience job end-to-end (mailchimp.rs:238-290). Returns
-    {upserted, deleted, tag_updates} — the reference's per-job stats."""
+    {upserted, deleted, tag_updates} — the reference's per-job stats.
+
+    Pre-flight validation before any write (the reference's job-create
+    guard, sync-mail/src/cmd/create.rs:33-35): the API must answer the
+    health ping and the audience must exist — a mistyped key or list id
+    fails HERE, not mid-upsert with half a batch landed."""
+    from aci_export_spark.sync.rest import health_ping
+
+    health_ping(client_factory())
+    if "mailchimp_audience" not in tables:
+        raise ValueError("audience table missing from catalog — nothing to sync against")
     docs = documents_for_scope(tables, club=club, region=region, today=today)
     upserted = upsert_documents_sink(docs, client_factory)
     deleted = retain_audience_sink(

@@ -149,6 +149,27 @@ class TestMailSync:
         assert {t["status"] for t in tags} <= {"active", "inactive"}
         assert stats["tag_updates"] == len(tags)
 
+    def test_job_preflight_fails_fast_with_no_writes(self, aci, tmp_path):
+        from aci_export_spark.sync.mail_sync import run_job
+        from aci_export_spark.sync.rest import (
+            JournalingMailchimpClient,
+            PermanentError,
+        )
+
+        base = str(tmp_path / "journal")
+
+        class DeadApiClient(JournalingMailchimpClient):
+            def ping(self):
+                raise PermanentError(401, "bad api key")
+
+        with pytest.raises(PermanentError):
+            run_job(aci, client_factory=lambda: DeadApiClient(base), today=TODAY_S)
+        # the pre-flight gate held: nothing was upserted, deleted, or tagged
+        client = JournalingMailchimpClient(base)
+        assert client.upserted_rows() == []
+        assert client.deleted_ids() == set()
+        assert client.tag_updates() == []
+
     def test_job_fault_isolation(self, aci, tmp_path):
         from aci_export_spark.sync.mail_sync import run_jobs
 
