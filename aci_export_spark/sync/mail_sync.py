@@ -76,12 +76,20 @@ def run_job(
     if "mailchimp_audience" not in tables:
         raise ValueError("audience table missing from catalog — nothing to sync against")
     docs = documents_for_scope(tables, club=club, region=region, today=today)
-    upserted = upsert_documents_sink(docs, client_factory)
+    # per-item rejections are logged by the sink and surfaced in the stats
+    # (the reference prints them in its SyncStats run report)
+    err_acc = docs.sparkSession.sparkContext.accumulator(0)
+    upserted = upsert_documents_sink(docs, client_factory, error_counter=err_acc)
     deleted = retain_audience_sink(
         tables["mailchimp_audience"], docs.select("id"), client_factory
     )
     tag_updates = update_tags_sink(mail_mod.member_tags(docs), client_factory)
-    return {"upserted": upserted, "deleted": deleted, "tag_updates": tag_updates}
+    return {
+        "upserted": upserted - err_acc.value,
+        "upsert_errors": err_acc.value,
+        "deleted": deleted,
+        "tag_updates": tag_updates,
+    }
 
 
 def run_jobs(

@@ -14,10 +14,13 @@ exponential backoff factor 2 capped 5 s with jitter; 401/403/404 permanent.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import random
 import time
 import uuid
+
+log = logging.getLogger(__name__)
 
 BATCH_SIZE = 300  # mailchimp/src/members.rs:130-134
 MAX_RETRIES = 3  # mailchimp/src/lib.rs:352-363
@@ -44,9 +47,17 @@ class JournalingMailchimpClient:
     exercised across executor processes).
     """
 
-    def __init__(self, base_dir: str, fail_first_n_attempts: int = 0):
+    def __init__(
+        self,
+        base_dir: str,
+        fail_first_n_attempts: int = 0,
+        item_error_emails: set[str] | frozenset[str] = frozenset(),
+    ):
         self.base_dir = base_dir
         self.fail_first_n_attempts = fail_first_n_attempts
+        # emails that the "API" rejects per-item (batch succeeds, the item
+        # doesn't land) — models Mailchimp's HTTP-200-with-errors responses
+        self.item_error_emails = set(item_error_emails)
         os.makedirs(os.path.join(base_dir, "upserts"), exist_ok=True)
         os.makedirs(os.path.join(base_dir, "deletes"), exist_ok=True)
         os.makedirs(os.path.join(base_dir, "attempts"), exist_ok=True)
@@ -65,14 +76,23 @@ class JournalingMailchimpClient:
         if n < self.fail_first_n_attempts:
             raise TransientError(f"injected failure #{n + 1} for {batch_key}")
 
-    def batch_upsert(self, members: list[dict]) -> list[str]:
+    def batch_upsert(self, members: list[dict]) -> dict:
+        """Returns the Mailchimp batch shape: landed ids plus per-item
+        `errors` — a batch can succeed at HTTP level while individual
+        members are rejected (members.rs:166-171)."""
         key = _batch_key(members)
         self._maybe_fail(key)
+        landed = [m for m in members if m.get("email_address") not in self.item_error_emails]
+        errors = [
+            {"email_address": m.get("email_address"), "error": "injected item rejection"}
+            for m in members
+            if m.get("email_address") in self.item_error_emails
+        ]
         path = os.path.join(self.base_dir, "upserts", f"{key}-{uuid.uuid4().hex}.jsonl")
         with open(path, "w") as f:
-            for m in members:
+            for m in landed:
                 f.write(json.dumps(m, sort_keys=True) + "\n")
-        return [m["id"] for m in members]
+        return {"upserted_ids": [m["id"] for m in landed], "errors": errors}
 
     def delete_member(self, member_id: str) -> None:
         with open(os.path.join(self.base_dir, "deletes", member_id), "w") as f:
@@ -163,15 +183,29 @@ def upsert_documents_sink(
     client_factory,
     batch_size: int = BATCH_SIZE,
     concurrency: int = 8,
+    error_counter=None,
 ) -> int:
     """S10: push documents to the API in chunks of `batch_size`.
 
     Concurrency is bounded the Spark way: coalesce to `concurrency`
     partitions — at most that many executor slots hit the API at once
     (the reference's try_for_each_concurrent(8), members.rs:151). Each
-    partition chunks rows and retries per batch. Returns the document count.
+    partition chunks rows and retries per batch. Per-item rejections inside
+    an otherwise-successful batch are logged individually (the reference's
+    members.rs:166-171 error loop) and counted into `error_counter` (a
+    Spark accumulator) when the caller passes one. Returns the document
+    count.
     """
     docs = documents.coalesce(concurrency)
+
+    def submit(client, chunk: list[dict]) -> None:
+        resp = with_retries(client.batch_upsert, chunk)
+        for e in resp.get("errors", []) if isinstance(resp, dict) else []:
+            log.warning(
+                "upsert item rejected: %s: %s", e.get("email_address"), e.get("error")
+            )
+            if error_counter is not None:
+                error_counter.add(1)
 
     def push(rows) -> None:
         client = client_factory()
@@ -186,10 +220,10 @@ def upsert_documents_sink(
                 }
             )
             if len(chunk) >= batch_size:
-                with_retries(client.batch_upsert, chunk)
+                submit(client, chunk)
                 chunk = []
         if chunk:
-            with_retries(client.batch_upsert, chunk)
+            submit(client, chunk)
 
     docs.foreachPartition(push)
     return documents.count()

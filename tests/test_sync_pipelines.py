@@ -149,6 +149,28 @@ class TestMailSync:
         assert {t["status"] for t in tags} <= {"active", "inactive"}
         assert stats["tag_updates"] == len(tags)
 
+    def test_batch_item_errors_logged_and_counted(self, aci, tmp_path):
+        from aci_export_spark.sync.mail_sync import documents_for_scope, run_job
+        from aci_export_spark.sync.rest import JournalingMailchimpClient
+
+        docs = documents_for_scope(aci, today=TODAY_S)
+        victim = docs.select("email_address").first()["email_address"]
+        base = str(tmp_path / "journal")
+        stats = run_job(
+            aci,
+            client_factory=lambda: JournalingMailchimpClient(
+                base, item_error_emails={victim}
+            ),
+            today=TODAY_S,
+        )
+        n_victim = docs.filter(F.col("email_address") == victim).count()
+        assert stats["upsert_errors"] == n_victim
+        assert stats["upserted"] == docs.count() - n_victim
+        # the rejected item did not land in the journal
+        landed = JournalingMailchimpClient(base).upserted_rows()
+        assert all(r["email_address"] != victim for r in landed)
+        assert len(landed) == stats["upserted"]
+
     def test_job_preflight_fails_fast_with_no_writes(self, aci, tmp_path):
         from aci_export_spark.sync.mail_sync import run_job
         from aci_export_spark.sync.rest import (
