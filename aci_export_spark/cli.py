@@ -181,6 +181,10 @@ def main(argv: list[str] | None = None) -> None:
                              help="apply destructive field deletes")
 
     args = p.parse_args(argv)
+    # the destructive-wipe refusal fires at argument level, before any Spark
+    # spin-up or catalog read (the reference guard is equally immediate)
+    if args.cmd == "sync-mail" and args.action == "delete" and not args.confirm:
+        raise SystemExit("refusing to delete the audience without --confirm")
     spark = get_spark("aci-export-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -221,7 +225,7 @@ def main(argv: list[str] | None = None) -> None:
         json.dump(stats, sys.stdout, indent=2, default=str)
         print()
     elif args.cmd == "sync-mail":
-        from aci_export_spark.sync.rest import JournalingMailchimpClient
+        from aci_export_spark.sync.rest import JournalingMailchimpClient, health_ping
 
         journal = args.journal_dir
         if args.action == "run":
@@ -235,12 +239,11 @@ def main(argv: list[str] | None = None) -> None:
                 today=args.global_today,
             )
         elif args.action == "delete":
-            if not args.confirm:
-                raise SystemExit(
-                    "refusing to delete the audience without --confirm"
-                )
             from aci_export_spark.sync.rest import retain_audience_sink
 
+            # same pre-flight gate as run_job: the wipe must not start
+            # against an unreachable/misconfigured API
+            health_ping(JournalingMailchimpClient(journal))
             # retain-with-empty-keep-set = delete every member (the cleaned
             # skip rule still applies inside the sink)
             audience = tables["mailchimp_audience"]
@@ -252,6 +255,7 @@ def main(argv: list[str] | None = None) -> None:
         else:  # fields
             from aci_export_spark.sync.mail import apply_merge_field_schema
 
+            health_ping(JournalingMailchimpClient(journal))
             stats = apply_merge_field_schema(
                 tables["merge_field_defs"],
                 tables["remote_merge_fields"],

@@ -543,22 +543,22 @@ def simhash_table(
     set (≤ 60: the md5-derived token hash carries 60 usable bits).
 
     Classic bit-voting, shaped for Spark: explode tokens → one md5-derived
-    hash per (doc, token) row → groupBy(doc) with 32 conditional sums (one
-    per bit) → assemble the output integer from vote signs. One shuffle on
-    doc id (uniform, high-cardinality); everything else is codegen.
+    hash per (doc, token) row → groupBy(doc) with `bits` conditional sums
+    (one per bit) → assemble the output integer from vote signs. One
+    shuffle on doc id (uniform, high-cardinality); everything else is
+    codegen.
 
     Hamming distance between SimHashes approximates similarity of the token
     sets. Distinct tokens (set semantics) keep it length-invariant.
     """
     from aci_export_spark.llm.hashing import _hash64_lambda
 
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (md5-derived hash width)")
     tok = spread_for_explode(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("__t"),
     ).withColumn("__h", _hash64_lambda(F.col("__t"), "simhash:"))
-
-    if not 1 <= bits <= 60:
-        raise ValueError("bits must be in [1, 60] (md5-derived hash width)")
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -153,20 +153,32 @@ def apply_merge_field_schema(
     mailchimp/src/merge_fields.rs:79-84 — deleting a merge field discards
     subscriber data, so it is opt-in).
 
+    Local defs are validated first (merge_fields.rs:119-127): an over-long
+    tag the data path would never populate must not be created remotely —
+    against the real API its create 400s mid-sync. Rejections are counted
+    in `defs_rejected`. Each DDL call goes through the module's standard
+    transient-retry policy.
+
     The diff tables are schema-sized (≤ tens of rows), so driver-side
     iteration over `collect()` is the right shape — these are DDL calls,
     not data movement."""
-    diff = merge_field_schema_diff(local, remote)
-    stats = {"created": 0, "updated": 0, "deleted": 0, "deletes_skipped": 0}
+    from aci_export_spark.sync.rest import with_retries
+
+    valid, rejected = validate_merge_field_defs(local)
+    stats = {
+        "created": 0, "updated": 0, "deleted": 0,
+        "deletes_skipped": 0, "defs_rejected": rejected.count(),
+    }
+    diff = merge_field_schema_diff(valid, remote)
     for row in diff["to_create"].collect():
-        client.merge_field_op("create", row.asDict())
+        with_retries(client.merge_field_op, "create", row.asDict())
         stats["created"] += 1
     for row in diff["to_update"].collect():
-        client.merge_field_op("update", row.asDict())
+        with_retries(client.merge_field_op, "update", row.asDict())
         stats["updated"] += 1
     for row in diff["to_delete"].collect():
         if process_deletes:
-            client.merge_field_op("delete", row.asDict())
+            with_retries(client.merge_field_op, "delete", row.asDict())
             stats["deleted"] += 1
         else:
             stats["deletes_skipped"] += 1

@@ -64,7 +64,10 @@ def run_job(
     today: str | None = None,
 ) -> dict[str, int]:
     """One audience job end-to-end (mailchimp.rs:238-290). Returns
-    {upserted, deleted, tag_updates} — the reference's per-job stats.
+    {upserted, upsert_errors, deleted, tag_updates} — the reference's
+    per-job stats; `upserted` counts documents that LANDED (per-item batch
+    rejections are logged and reported in `upsert_errors`, not counted as
+    upserted).
 
     Pre-flight validation before any write (the reference's job-create
     guard, sync-mail/src/cmd/create.rs:33-35): the API must answer the

@@ -291,12 +291,16 @@ class TestCli:
         out = self._run(["--data-dir", fixture_dir,
                          "sync-mail", "fields", "--journal-dir", j1])
         stats = json.loads(out)
-        # fixture diff: BDAY/JOINED/CLUBNUM/WAYTOOLONGTAG create, LNAME
-        # update, OBSOLETE delete — the delete is SKIPPED without the flag
-        assert stats == {"created": 4, "updated": 1,
-                         "deleted": 0, "deletes_skipped": 1}
+        # fixture diff: BDAY/JOINED/CLUBNUM create, LNAME update, OBSOLETE
+        # delete — the delete is SKIPPED without the flag, and the >10-char
+        # WAYTOOLONGTAG def is rejected BEFORE the diff (merge_fields.rs:
+        # 119-127: the data path never populates it, so creating it remotely
+        # would 400 against the real API)
+        assert stats == {"created": 3, "updated": 1, "deleted": 0,
+                         "deletes_skipped": 1, "defs_rejected": 1}
         ops = JournalingMailchimpClient(j1).merge_field_ops()
         assert sorted({o["op"] for o in ops}) == ["create", "update"]
+        assert all(o["tag"] != "WAYTOOLONGTAG" for o in ops)
 
         j2 = str(tmp_path / "j2")
         out = self._run(["--data-dir", fixture_dir,
