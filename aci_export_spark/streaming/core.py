@@ -180,7 +180,7 @@ def run_stream_to_table(
     df: DataFrame,
     spark: SparkSession,
     output_mode: str,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = 4,
 ) -> DataFrame:
     """Run a finite streaming query (Trigger.AvailableNow) into a memory
     sink and return the result as a batch DataFrame.
@@ -191,7 +191,8 @@ def run_stream_to_table(
     A streaming query materializes one state store per shuffle partition per
     stateful operator, and every micro-batch pays open/commit on each of
     them. At the bench's input size that fixed cost dwarfs the data, so the
-    stream runs with a low partition count (`shuffle_partitions`, default 8)
+    stream runs with a low partition count (`shuffle_partitions`, default 4
+    — A/B-measured ~10% faster than 8 on the bench inputs)
     and the session's batch setting is restored afterwards. A production
     deployment sizes this to cluster cores instead (pass None to leave the
     session value untouched) — the partition count is baked into the
