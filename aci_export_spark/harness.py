@@ -303,6 +303,7 @@ def _ensure_all_registered() -> None:
     from aci_export_spark import harness_streaming  # noqa: F401
     from aci_export_spark import harness_multimodal  # noqa: F401
     from aci_export_spark import harness_ref2  # noqa: F401
+    from aci_export_spark import harness_tpch2  # noqa: F401
 
 
 #: The driver's correctness gate checks the FIRST 50 entries of ``queries()``

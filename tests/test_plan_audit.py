@@ -30,6 +30,11 @@ harness._ensure_all_registered()
 BNLJ_ALLOWED = {
     "llm_sim_bruteforce_topk",  # definitionally all-pairs (tiny query side broadcast)
     "a9_sync_stats",  # cross of two single-row aggregate results
+    # decorrelated global-scalar subqueries: a non-equi filter against a
+    # broadcast ONE-row aggregate — the plan Spark itself picks for scalar
+    # subqueries, and the right one at any scale (1-row build side)
+    "q11_important_stock",
+    "q22_global_balance_anti",
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
