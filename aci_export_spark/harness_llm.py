@@ -1300,3 +1300,96 @@ def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle() -> str:
+    """SQL oracle for the full SemDeDup pipeline: the quantizer fit is not
+    SQL-expressible, but it IS deterministic, so the centroids are computed
+    by the independent numpy reference (no Spark) and embedded as DOUBLE
+    literals — assignment, within-cell pairing, transitive closure, and the
+    keep rule then all run natively in DuckDB. Exponent-notation literals
+    keep DuckDB parsing them as DOUBLE (plain decimals would land as
+    DECIMAL and re-round). Driver correctness runs pin sf0.01."""
+    from aci_export_spark.llm.semdedup import reference_centroids_numpy
+
+    cents = reference_centroids_numpy(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        k_cells=8, seed=42, sample_rows=2048,
+    )
+    values = ",".join(
+        "(%d, CAST([%s] AS DOUBLE[]))"
+        % (i, ",".join("%.17e" % x for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH RECURSIVE cents(i, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+asg AS (
+    SELECT vec_id, i AS cell FROM (
+        SELECT e.vec_id, c.i,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.c) ASC,
+                                           c.i ASC) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e2.dst FROM reach r
+    JOIN edges e2 ON r.dst = e2.src AND e2.dst <> r.src
+),
+comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+         FROM reach GROUP BY src),
+assigned AS (
+    SELECT a.vec_id, a.cell, COALESCE(c.component, a.vec_id) AS component
+    FROM asg a LEFT JOIN comp c ON a.vec_id = c.vec_id
+)
+SELECT vec_id, cell, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       vec_id = MIN(vec_id) OVER (PARTITION BY component) AS keep
+FROM assigned
+"""
+
+
+@register(
+    "llm_dedup_semantic",
+    _semdedup_oracle,  # resolved lazily (reads the sf0.01 fixture)
+    doc="SemDeDup semantic deduplication (arXiv:2303.09540): sample-fit "
+    "KMeans quantizer → constant-folded cell assignment → within-cell "
+    "cosine pairs → connected components → one survivor per component "
+    "(engine-portable min-id rule here; the paper's keep-the-outlier "
+    "centroid_sim rule is numpy-differential-tested in pytest). Every "
+    "stage is linear-in-corpus at fixed cell sizes — the 100 TB semantic "
+    "dedup shape",
+)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm import semdedup as SD
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, 8, 42)
+    centroids = _KMEANS_MODEL_CACHE.get(key)
+    if centroids is None:
+        centroids = S.kmeans_fit_sample(emb, k_cells=8, seed=42, sample_rows=2048)
+        _KMEANS_MODEL_CACHE[key] = centroids
+    return SD.semantic_dedup(
+        emb, centroids, id_col="vec_id", vec_col="embedding",
+        threshold=0.35, keep_rule="min_id",
+    )
