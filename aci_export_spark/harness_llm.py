@@ -1393,3 +1393,60 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, centroids, id_col="vec_id", vec_col="embedding",
         threshold=0.35, keep_rule="min_id",
     )
+
+
+@register(
+    "llm_repetition_signals",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+    SELECT doc_id, 2 AS n, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i) WHERE len(t) >= 2
+    UNION ALL
+    SELECT doc_id, 3, array_to_string(list_slice(t, i, i + 2), ' ')
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i) WHERE len(t) >= 3
+    UNION ALL
+    SELECT doc_id, 4, array_to_string(list_slice(t, i, i + 3), ' ')
+    FROM toks, unnest(generate_series(1, len(t) - 3)) AS u(i) WHERE len(t) >= 4
+), counts AS (
+    SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gram
+), per_n AS (
+    SELECT doc_id, n, MAX(c) AS top_count, CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(gram) END), 0) AS BIGINT) AS dup_chars,
+           CAST(SUM(c * length(gram)) AS BIGINT) AS tot_chars
+    FROM counts GROUP BY doc_id, n
+), wide AS (
+    SELECT d.doc_id,
+           COALESCE(p2.top_count, 0) AS top2_count,
+           COALESCE(p2.n_grams, 0) AS n_2grams,
+           COALESCE(p2.dup_chars, 0) AS dup2_chars,
+           COALESCE(p2.tot_chars, 0) AS tot2_chars,
+           COALESCE(p3.top_count, 0) AS top3_count,
+           COALESCE(p3.n_grams, 0) AS n_3grams,
+           COALESCE(p3.dup_chars, 0) AS dup3_chars,
+           COALESCE(p3.tot_chars, 0) AS tot3_chars,
+           COALESCE(p4.top_count, 0) AS top4_count,
+           COALESCE(p4.n_grams, 0) AS n_4grams,
+           COALESCE(p4.dup_chars, 0) AS dup4_chars,
+           COALESCE(p4.tot_chars, 0) AS tot4_chars
+    FROM documents d
+    LEFT JOIN per_n p2 ON d.doc_id = p2.doc_id AND p2.n = 2
+    LEFT JOIN per_n p3 ON d.doc_id = p3.doc_id AND p3.n = 3
+    LEFT JOIN per_n p4 ON d.doc_id = p4.doc_id AND p4.n = 4
+)
+SELECT *,
+       NOT (5 * top2_count <= n_2grams
+            AND 50 * top3_count <= 9 * n_3grams
+            AND 25 * dup4_chars <= 4 * tot4_chars) AS repetitive
+FROM wide
+""",
+    doc="Gopher repetition-removal signals: per-doc top-n-gram occurrence "
+    "counts and duplicate-n-gram character coverage for n=2,3,4 in ONE "
+    "corpus scan (all n sizes explode from a single fused expression), "
+    "plus the keep/reject flag as exact integer cross-multiplications "
+    "(top-2-gram <= 20%, top-3-gram <= 18%, dup-4-gram chars <= 16%)",
+)
+def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.repetition_signals(docs, "doc_id", "text", ns=(2, 3, 4))

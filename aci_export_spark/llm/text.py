@@ -498,3 +498,98 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(redacted).alias("redacted_fingerprint"),
         F.length(redacted).alias("redacted_len"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (2, 3, 4)
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition
+    removal"; also RefinedWeb/Dolma): for each n in `ns`, the most-repeated
+    word n-gram's occurrence count, the total n-gram count, and the
+    characters covered by DUPLICATED n-grams (Σ over grams occurring ≥2 of
+    count·len) alongside the total n-gram characters — the four exact
+    integers behind "fraction of characters in duplicate n-grams". The
+    `repetitive` flag applies Gopher's thresholds (top-2-gram ≤ 20%,
+    top-3-gram ≤ 18%, dup-4-gram chars ≤ 16%) as integer cross-
+    multiplications, so the keep decision is bit-identical across engines.
+
+    One corpus scan: all n sizes explode from a single fused
+    array-of-struct expression (no scan per n), then one (doc, n, gram)
+    count shuffle with map-side partial aggregation and a per-doc pivot.
+    Docs shorter than n words contribute zero counts for that n and pass
+    the corresponding rule vacuously.
+    """
+    toks = F.col("__toks")
+
+    def gram_structs(n: int) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+            ),
+        )
+        return F.when(F.size(toks) >= n, g).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+
+    exploded = (
+        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.flatten(F.array(*[gram_structs(n) for n in ns]))).alias(
+                "__s"
+            ),
+        )
+        .select(F.col(id_col), F.col("__s.n").alias("n"), F.col("__s.gram").alias("gram"))
+    )
+    counts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    gram_chars = F.col("__c") * F.length("gram").cast("long")
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max("__c").alias("top_count"),
+        F.sum("__c").alias("n_grams"),
+        F.sum(F.when(F.col("__c") >= 2, gram_chars).otherwise(F.lit(0))).alias(
+            "dup_chars"
+        ),
+        F.sum(gram_chars).alias("tot_chars"),
+    )
+    pivoted = (
+        per_n.groupBy(id_col)
+        .pivot("n", list(ns))
+        .agg(
+            F.first("top_count").alias("top_count"),
+            F.first("n_grams").alias("n_grams"),
+            F.first("dup_chars").alias("dup_chars"),
+            F.first("tot_chars").alias("tot_chars"),
+        )
+    )
+    out_cols = [F.col(id_col)]
+    for n in ns:
+        for metric, alias in (
+            ("top_count", f"top{n}_count"),
+            ("n_grams", f"n_{n}grams"),
+            ("dup_chars", f"dup{n}_chars"),
+            ("tot_chars", f"tot{n}_chars"),
+        ):
+            out_cols.append(
+                F.coalesce(F.col(f"{n}_{metric}"), F.lit(0).cast("long")).alias(
+                    alias
+                )
+            )
+    wide = df.select(F.col(id_col)).join(pivoted, on=id_col, how="left").select(
+        *out_cols
+    )
+    # Gopher thresholds, each applied only when its n size was requested
+    rules = []
+    if 2 in ns:
+        rules.append(5 * F.col("top2_count") <= F.col("n_2grams"))
+    if 3 in ns:
+        rules.append(50 * F.col("top3_count") <= 9 * F.col("n_3grams"))
+    if 4 in ns:
+        rules.append(25 * F.col("dup4_chars") <= 4 * F.col("tot4_chars"))
+    clean = rules[0] if rules else F.lit(True)
+    for r in rules[1:]:
+        clean = clean & r
+    return wide.withColumn("repetitive", ~clean)

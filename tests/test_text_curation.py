@@ -80,3 +80,36 @@ def test_gopher_flags_fail_modes(spark):
     assert not out[1]["keep"]
     assert not out[2]["keep"]  # "word word" 2-gram is ~all 2-grams
     assert out[3]["keep"]
+
+
+def test_repetition_signals_fail_modes_and_short_docs(spark):
+    from aci_export_spark.llm.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # one bigram repeated wall-to-wall: top-2-gram fraction 100%
+            (1, "spam ham spam ham spam ham spam ham spam ham"),
+            # diverse text: every n-gram unique at all sizes
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel"),
+            # shorter than every n: zero counts, vacuously clean
+            (3, "one"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs, "doc_id", "text").collect()}
+
+    r1 = rows[1]
+    assert r1.repetitive
+    # "spam ham" occurs 5x of 9 bigram slots
+    assert r1.top2_count == 5 and r1.n_2grams == 9
+    # every 4-gram occurs >=2 times, so dup chars == total chars
+    assert r1.dup4_chars == r1.tot4_chars > 0
+
+    r2 = rows[2]
+    assert not r2.repetitive
+    assert r2.top2_count == 1 and r2.dup2_chars == 0 and r2.dup4_chars == 0
+    assert r2.n_2grams == 7 and r2.n_3grams == 6 and r2.n_4grams == 5
+
+    r3 = rows[3]
+    assert not r3.repetitive
+    assert r3.n_2grams == 0 and r3.tot4_chars == 0
