@@ -1,8 +1,8 @@
 """Second TPC-H batch: the remaining classic decorrelation / scalar-subquery
-plan shapes (Q2, Q6, Q9, Q10, Q11, Q14, Q15, Q17, Q21, Q22), adapted to the
-driver's TPC-H-ish fixture schema (no partsupp / l_commitdate / l_shipmode /
-c_phone columns — each adaptation preserves the query's characteristic plan
-shape, which is the point of the exercise).
+plan shapes (Q2, Q6, Q8, Q9, Q10, Q11, Q12, Q14, Q15, Q17, Q19, Q21, Q22),
+adapted to the driver's TPC-H-ish fixture schema (no partsupp / l_commitdate
+/ l_shipmode / c_phone columns — each adaptation preserves the query's
+characteristic plan shape, which is the point of the exercise).
 
 Shapes exercised (and the Spark-first rewrite each decorrelates to):
 
@@ -16,6 +16,9 @@ Shapes exercised (and the Spark-first rewrite each decorrelates to):
 - correlated scalar AVG per group        -> window avg over the join (Q17)
 - EXISTS + NOT EXISTS on the same fact   -> per-group distinct-count rewrite (Q21)
 - global-scalar filter + NOT EXISTS anti -> broadcast scalar + anti join (Q22)
+- bilateral dimension aliasing + share   -> two nation broadcasts, ratio agg (Q8)
+- join-derived predicate histogram       -> CASE-bucketed conditional counts (Q12)
+- OR-of-conjunctions across join sides   -> factored per-side pushdown (Q19)
 
 Float discipline (driver hash is exact-string): monetary math is done in
 DECIMAL (exact, identical across engines) and only cast to DOUBLE at the
@@ -520,5 +523,174 @@ def q22_global_balance_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+WITH flat AS (
+    SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
+           {dp} AS vol,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(nation_vol AS DOUBLE) AS nation_volume,
+       CAST(total_vol AS DOUBLE) AS total_volume,
+       CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE) AS mkt_share
+FROM (
+    SELECT o_year,
+           SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol ELSE 0 END) AS nation_vol,
+           SUM(vol) AS total_vol
+    FROM flat GROUP BY o_year
+)
+""".format(dp=_DISC_PRICE_SQL),
+    doc="TPC-H Q8 shape (a nation's market share inside a regional market, "
+    "by year): seven-way join with the nation dimension aliased on both "
+    "the customer and supplier sides, then a conditional-aggregate share "
+    "ratio per year — all dimensions broadcast, the facts shuffle once on "
+    "the order key, and the share divides two exact decimal sums as "
+    "doubles",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    cust_nation = (
+        nation.join(
+            broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("__cn_key"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(28,4)")
+    flat = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(cust_nation), F.col("c_nationkey") == F.col("__cn_key"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(supp_nation), F.col("s_nationkey") == F.col("__sn_key"))
+        .select(
+            F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"),
+            _disc_price().alias("vol"),
+            "supp_nation",
+        )
+    )
+    agged = flat.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_2", F.col("vol")).otherwise(zero)
+        ).alias("nation_vol"),
+        F.sum("vol").alias("total_vol"),
+    )
+    nv = F.col("nation_vol").cast("double")
+    tv = F.col("total_vol").cast("double")
+    return agged.select(
+        "o_year",
+        nv.alias("nation_volume"),
+        tv.alias("total_volume"),
+        (nv / tv).alias("mkt_share"),
+    )
+
+
+@register(
+    "q12_late_shipment_modes",
+    """
+SELECT CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+            THEN 'very_late' ELSE 'late' END AS speed_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+GROUP BY 1
+""",
+    doc="TPC-H Q12 shape (late shipments split by order priority; a derived "
+    "lateness class stands in for the missing l_shipmode column): "
+    "fact-fact join with a join-derived predicate, CASE-bucketed double "
+    "conditional count — one shuffle on the order key, one on the 2-row "
+    "grouping",
+)
+def q12_late_shipment_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    sd = F.to_date("l_shipdate")
+    od = F.to_date("o_orderdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(sd > F.date_add(od, 60))
+        .groupBy(
+            F.when(sd > F.date_add(od, 90), "very_late")
+            .otherwise("late")
+            .alias("speed_class")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+SELECT CAST(SUM({dp}) AS DOUBLE) AS revenue, COUNT(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 40
+       AND l_quantity BETWEEN 20 AND 50)
+""".format(dp=_DISC_PRICE_SQL),
+    doc="TPC-H Q19 shape (promo revenue under OR-of-conjunctions spanning "
+    "both join sides): Catalyst factors per-side implied filters out of "
+    "the disjunction — the part scan prunes to the three brands, the "
+    "lineitem scan to the quantity envelope — before the broadcast join "
+    "applies the exact residual condition",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(11, 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(21, 40)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(
+            broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(cond)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
         )
     )

@@ -50,6 +50,13 @@ QUERIES = [
     "llm_decontaminate_overlap",
     "llm_pack_sequences",
     "llm_pii_scrub",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "llm_dedup_semantic",
+    "llm_repetition_signals",
 ]
 
 
