@@ -1450,3 +1450,25 @@ FROM wide
 def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.repetition_signals(docs, "doc_id", "text", ns=(2, 3, 4))
+
+
+@register(
+    "er_fuzzy_name_pairs",
+    """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    doc="entity-resolution fuzzy match: customer-name pairs within edit "
+    "distance 1 via FastSS deletion-neighborhood blocking (explode each "
+    "name into its single-deletion variants, equi-join on the variant, "
+    "exact levenshtein verify) — guaranteed recall, linear candidate "
+    "volume; the oracle brute-forces all pairs, which is exactly what the "
+    "blocking must reproduce",
+)
+def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.fuzzy import edit_distance_pairs
+
+    customer = read_table(spark, sf_dir, "customer")
+    return edit_distance_pairs(customer, "c_custkey", "c_name", max_distance=1)

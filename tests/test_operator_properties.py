@@ -297,3 +297,47 @@ class TestAsofStrictInner:
             if how == "inner":
                 want = {k: v for k, v in want.items() if v is not None}
             assert got == want, (strict, how, got, want)
+
+
+class TestFuzzyPairs:
+    def test_deletion_blocking_equals_bruteforce(self, spark):
+        """FastSS recall guarantee: blocked+verified pairs == brute-force
+        levenshtein<=1 over all pairs, including insert/delete cases where
+        lengths differ."""
+        from pyspark.sql import functions as F
+
+        from aci_export_spark.operators.fuzzy import edit_distance_pairs
+
+        names = [
+            (1, "smith"), (2, "smyth"),      # substitution
+            (3, "smiths"), (4, "smith"),     # insertion / exact dup
+            (5, "smit"),                      # deletion
+            (6, "jones"), (7, "jonse"),      # 2 substitutions -> distance 2
+            (8, "aa"), (9, "ab"), (10, "b"),
+        ]
+        df = spark.createDataFrame(names, ["uid", "name"])
+        got = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in edit_distance_pairs(df, "uid", "name").collect()
+        )
+        a = df.select(F.col("uid").alias("id_a"), F.col("name").alias("na"))
+        b = df.select(F.col("uid").alias("id_b"), F.col("name").alias("nb"))
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("distance", F.levenshtein("na", "nb"))
+            .filter(F.col("distance") <= 1)
+        )
+        want = sorted((r.id_a, r.id_b, r.distance) for r in brute.collect())
+        assert got == want
+        assert (1, 2, 1) in got and (3, 4, 1) in got and (4, 5, 1) in got
+        assert all(p[:2] != (6, 7) for p in got)
+
+    def test_k2_not_implemented(self, spark):
+        import pytest as _pytest
+
+        from aci_export_spark.operators.fuzzy import edit_distance_pairs
+
+        df = spark.createDataFrame([(1, "x")], ["uid", "name"])
+        with _pytest.raises(NotImplementedError):
+            edit_distance_pairs(df, "uid", "name", max_distance=2)
