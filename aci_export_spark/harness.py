@@ -313,10 +313,14 @@ def _ensure_all_registered() -> None:
 #: SURVEY §2 reference-surface operators from harness_ref2, the 4 formerly
 #: no-oracle queries that now carry deterministic oracles, and the remaining
 #: temporal/streaming/multimodal/curation entries), then back-fills the
-#: window with already-proven §2 core queries. Everything past the window is
-#: green in CORRECTNESS_r03.json. Names absent from this list keep their
-#: registration order after it; the flagship stays first (it is also the
-#: driver's entry() smoke check).
+#: window with already-proven §2 core queries. Everything past the window
+#: is either green in CORRECTNESS_r03.json or (for queries added after the
+#: round-3 gate: the second TPC-H batch, semantic dedup, repetition
+#: signals, fuzzy ER) green in the local replica of the driver gate,
+#: `tests/test_oracle_queries.py`, which runs the identical compare at the
+#: same scale. Names absent from this list keep their registration order
+#: after it; the flagship stays first (it is also the driver's entry()
+#: smoke check).
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
     # SURVEY §2 reference-surface operators never driver-checked (r1-r3)

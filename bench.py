@@ -99,6 +99,8 @@ def main() -> None:
         "llm_quality_gopher", "llm_boilerplate_spans", "llm_pack_sequences",
         "events_hourly_agg", "events_sessionization",
         "streaming_hourly_agg", "asof_click_to_view",
+        "llm_dedup_semantic", "llm_repetition_signals",
+        "er_fuzzy_name_pairs", "q6_forecast_revenue", "q21_waiting_suppliers",
     ]
     compact = dict(full)
     compact["queries"] = {k: timings[k] for k in headline if k in timings}
