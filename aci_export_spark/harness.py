@@ -362,20 +362,24 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "mm_decode_metadata",
     "mm_resize_plan",
     "mm_frame_sample",
-    # proven-green §2 core queries refilling the 50-entry window
-    "q1_pricing_summary",
-    "j1_wide_pivot_nullpad",
-    "j6_customers_without_open_orders",
-    "j8_inlist_lookup",
-    "j10_asof_interval_filter",
-    "a2_dedup_keep_min_orderkey",
-    "a4_priority_dedup",
-    "a5_union_distinct_keys",
-    "a8_string_agg_roundtrip",
-    "f7_f8_hash_ids",
-    "f_scalar_suite",
-    "o1_topk_orders",
-    "partner_fanout_explode",
+    # round-4 additions refilling the 50-entry window: none of these has a
+    # driver row yet, while the §2 core queries they displace (q1, j1, j6,
+    # j8, j10, a2, a4, a5, a8, f7/f8, f-suite, o1, partner fan-out) are
+    # green in BOTH CORRECTNESS_r01 and _r03 and stay covered by the local
+    # gate every run
+    "llm_dedup_semantic",
+    "llm_repetition_signals",
+    "er_fuzzy_name_pairs",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
+    "q22_global_balance_anti",
 ]
 
 
