@@ -90,3 +90,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(media).select(
         "doc_id", "frame_no", "frame_offset", "frame_len"
     )
+
+
+@register(
+    "mm_phash_pairs",
+    """
+WITH ph AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN ord(substr(text, ((k + k // 8) * 7)
+                                          % GREATEST(length(text), 1) + 1, 1))
+                       < ord(substr(text, ((k + k // 8 + 1) * 7)
+                                          % GREATEST(length(text), 1) + 1, 1))
+                    THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS phash
+    FROM documents, unnest(generate_series(0, 55)) AS t(k)
+    GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+""",
+    doc="perceptual-hash image dedup (dHash over the decoded luma grid, "
+    "LAION-style): mapInPandas decode+hash stage (the codec boundary) -> "
+    "pigeonhole-blocked Hamming pair join with exact bit_count verify "
+    "(llm/dedup.hamming_pairs_blocked, guaranteed recall). The oracle "
+    "recomputes the 56-bit hash from the text bytes and brute-forces all "
+    "pairs — exactly what the blocking must reproduce",
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_media(read_table(spark, sf_dir, "documents"))
+    return MM.phash_pairs(media, max_hamming=6)

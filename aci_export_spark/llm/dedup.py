@@ -622,12 +622,6 @@ def simhash_near_dup_pairs_blocked(
     hash with a small radius (60 bits, d=3 → 4 blocks of 15 bits → 32k
     bucket values); 32 bits is the demo shape for tiny corpora.
     """
-    if n_blocks is None:
-        n_blocks = max_hamming + 1
-    if n_blocks <= max_hamming:
-        raise ValueError("n_blocks must exceed max_hamming for guaranteed recall")
-    if n_blocks > bits:
-        raise ValueError("n_blocks cannot exceed the hash width")
     # one row per doc, consumed by both join sides — checkpoint so the
     # tokenize+vote subtree runs once
     sh = (
@@ -635,6 +629,28 @@ def simhash_near_dup_pairs_blocked(
         .withColumnRenamed("simhash", "__simhash")
         .localCheckpoint()
     )
+    return hamming_pairs_blocked(
+        sh, id_col, "__simhash", max_hamming=max_hamming,
+        n_blocks=n_blocks, bits=bits,
+    )
+
+
+def hamming_pairs_blocked(
+    hashes: DataFrame, id_col: str, hash_col: str, max_hamming: int,
+    bits: int, n_blocks: int | None = None,
+) -> DataFrame:
+    """Generic pigeonhole-blocked Hamming pair join over a precomputed
+    (id, hash) table — the metric-agnostic core behind
+    :func:`simhash_near_dup_pairs_blocked` (text) and the perceptual-hash
+    image dedup (`multimodal.phash_pairs`). The hash table is consumed by
+    both join sides; callers whose table is derived from an expensive
+    subtree should checkpoint it first. Returns (id_a, id_b, hamming)."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming for guaranteed recall")
+    if n_blocks > bits:
+        raise ValueError("n_blocks cannot exceed the hash width")
     bounds, start = [], 0
     for i in range(n_blocks):
         width = bits // n_blocks + (1 if i < bits % n_blocks else 0)
@@ -644,19 +660,19 @@ def simhash_near_dup_pairs_blocked(
         *[
             F.struct(
                 F.lit(i).alias("block_id"),
-                F.shiftright("__simhash", s).bitwiseAND(F.lit((1 << w) - 1)).alias("block_val"),
+                F.shiftright(hash_col, s).bitwiseAND(F.lit((1 << w) - 1)).alias("block_val"),
             )
             for i, (s, w) in enumerate(bounds)
         ]
     )
-    banded = sh.select(F.col(id_col), F.col("__simhash"), F.explode(blocks).alias("__b")).select(
-        F.col(id_col), F.col("__simhash"), F.col("__b.block_id"), F.col("__b.block_val")
-    )
+    banded = hashes.select(
+        F.col(id_col), F.col(hash_col).alias("__h"), F.explode(blocks).alias("__b")
+    ).select(F.col(id_col), F.col("__h"), F.col("__b.block_id"), F.col("__b.block_val"))
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("__simhash").alias("h_a"), "block_id", "block_val"
+        F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"), "block_id", "block_val"
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("__simhash").alias("h_b"), "block_id", "block_val"
+        F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"), "block_id", "block_val"
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
     return (

@@ -186,3 +186,61 @@ def sample_frames(
             )
 
     return media.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
+#: dHash geometry: a PHASH_ROWS x (PHASH_COLS+1) luma grid gives
+#: PHASH_ROWS*PHASH_COLS gradient bits — 56 bits keeps every value (and
+#: every pigeonhole block) inside a signed 64-bit long in both engines
+PHASH_ROWS, PHASH_COLS, PHASH_STRIDE = 7, 8, 7
+PHASH_BITS = PHASH_ROWS * PHASH_COLS
+
+
+def phash_table(media: DataFrame, real: bool = False) -> DataFrame:
+    """Perceptual hash (dHash, Krawetz) per asset: decode to a tiny luma
+    grid, hash the horizontal gradients — bit k is 1 iff grid[k] <
+    grid[k+1] within its row. Near-identical images differ in few bits, so
+    Hamming distance is the dedup metric (the LAION-style image-dedup
+    recipe).
+
+    Fake decode: the "luma grid" samples the payload bytes at stride
+    `PHASH_STRIDE` modulo the length — deterministic and replayed exactly
+    by the DuckDB oracle over the text column (the payload is its utf-8
+    bytes). The real kernel (grayscale → 8x9 downscale) goes where
+    `_decode_real` is called, same mapInPandas shape."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real:
+                _decode_real(b"", "")
+            hashes = []
+            for content in pdf["content"]:
+                data = bytes(content)
+                n = max(len(data), 1)
+                h = 0
+                for r in range(PHASH_ROWS):
+                    for c in range(PHASH_COLS):
+                        s = r * (PHASH_COLS + 1) + c
+                        p1 = data[(s * PHASH_STRIDE) % n] if data else 0
+                        p2 = data[((s + 1) * PHASH_STRIDE) % n] if data else 0
+                        if p1 < p2:
+                            h |= 1 << (r * PHASH_COLS + c)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return media.mapInPandas(hash_batch, schema="doc_id long, phash long")
+
+
+def phash_pairs(
+    media: DataFrame, max_hamming: int = 6, real: bool = False
+) -> DataFrame:
+    """Near-duplicate asset pairs: dHash table → pigeonhole-blocked Hamming
+    join (`llm/dedup.hamming_pairs_blocked` — guaranteed recall, linear
+    block rows) → exact bit_count verify. Returns (id_a, id_b, hamming)."""
+    from aci_export_spark.llm.dedup import hamming_pairs_blocked
+
+    # the hash table feeds both join sides; checkpoint so the decode+hash
+    # mapInPandas stage runs once
+    ph = phash_table(media, real=real).localCheckpoint()
+    return hamming_pairs_blocked(
+        ph, "doc_id", "phash", max_hamming=max_hamming, bits=PHASH_BITS
+    )

@@ -95,3 +95,53 @@ def test_stream_into_mirror_foreachbatch(spark, tmp_path):
     events2 = ST.read_events_stream(spark, SF_SMOKE).select("event_id", "user_id", "value")
     stream_into_mirror(events2, target, str(tmp_path / "ckpt2"), keys=["event_id"])
     assert spark.read.parquet(target).count() == batch.count()
+
+
+def test_phash_blocked_pairs_match_bruteforce(spark):
+    """Pigeonhole-blocked Hamming pairs over the dHash table equal the
+    all-pairs join, and identical payloads land at hamming 0."""
+    from pyspark.sql import functions as F
+
+    from aci_export_spark import multimodal as MM
+    from tests.conftest import SF_SMOKE
+    from aci_export_spark.sources import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    media = MM.attach_media(docs)
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in MM.phash_pairs(media, max_hamming=6).collect()
+    )
+    ph = MM.phash_table(media)
+    a = ph.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ha"))
+    b = ph.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("hb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"))
+        .filter(F.col("hamming") <= 6)
+    )
+    want = sorted((r.id_a, r.id_b, r.hamming) for r in brute.collect())
+    assert got == want and len(got) > 0
+    # exact-duplicate payloads must collapse to hamming 0
+    dup_texts = (
+        docs.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .limit(1)
+        .collect()
+    )
+    if dup_texts:
+        ids = sorted(dup_texts[0].ids)[:2]
+        assert (ids[0], ids[1], 0) in got
+
+
+def test_phash_real_mode_gated(spark):
+    import pytest as _pytest
+
+    from aci_export_spark import multimodal as MM
+    from tests.conftest import SF_SMOKE
+    from aci_export_spark.sources import read_table
+
+    media = MM.attach_media(read_table(spark, SF_SMOKE, "documents"))
+    with _pytest.raises(Exception, match="codec"):
+        MM.phash_table(media, real=True).collect()
