@@ -1472,3 +1472,52 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer = read_table(spark, sf_dir, "customer")
     return edit_distance_pairs(customer, "c_custkey", "c_name", max_distance=1)
+
+
+@register(
+    "events_scd2_history",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_type,
+           ROW_NUMBER() OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versions AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered
+    WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       version, valid_to IS NULL AS is_current
+FROM (
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version
+    FROM versions
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+""",
+    doc="SCD2 (type-2 slowly-changing-dimension) history from the event "
+    "change stream: per-user event_type state versions with "
+    "valid_from/valid_to intervals — no-op changes collapse (idempotent "
+    "replay), lead() closes each interval, the open version is current. "
+    "Two window passes over ONE (user) partitioning = one shuffle; the "
+    "history complement to the mirror's current-state upsert/retain "
+    "(operators/scd.py vs operators/mirror.py)",
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.scd import scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    h = scd2_history(ev, "user_id", "ts", ["event_type"], tiebreak_col="event_id")
+    return h.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "version",
+        "is_current",
+    )

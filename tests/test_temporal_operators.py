@@ -124,3 +124,51 @@ def test_bucketed_range_join_matches_naive(spark):
     # each (fact, interval) pair appears exactly once (single-bucket facts)
     pairs = [(r["fid"], r["ivid"]) for r in bucketed.collect()]
     assert len(pairs) == len(set(pairs))
+
+
+class TestScd2History:
+    def _hist(self, spark, rows):
+        from aci_export_spark.operators.scd import scd2_history
+
+        df = spark.createDataFrame(rows, ["k", "ts", "attr", "seq"])
+        out = scd2_history(
+            df.withColumn("ts", F.col("ts").cast("timestamp")),
+            "k", "ts", ["attr"], tiebreak_col="seq",
+        )
+        return sorted(
+            (
+                (r.k, r.attr, str(r.valid_from), str(r.valid_to), r.version, r.is_current)
+                for r in out.collect()
+            ),
+            key=lambda t: (t[0], t[4]),  # (key, version) — attr may be None
+        )
+
+    def test_collapse_close_and_current(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", "A", 1),
+            (1, "2024-01-02 00:00:00", "A", 2),   # no-op: collapses
+            (1, "2024-01-03 00:00:00", "B", 3),   # opens v2, closes v1
+            (2, "2024-01-01 00:00:00", None, 1),  # NULL first attr still opens
+            (2, "2024-01-02 00:00:00", "X", 2),
+        ]
+        got = self._hist(spark, rows)
+        assert got == [
+            (1, "A", "2024-01-01 00:00:00", "2024-01-03 00:00:00", 1, False),
+            (1, "B", "2024-01-03 00:00:00", "None", 2, True),
+            (2, None, "2024-01-01 00:00:00", "2024-01-02 00:00:00", 1, False),
+            (2, "X", "2024-01-02 00:00:00", "None", 2, True),
+        ]
+
+    def test_same_instant_tiebreak_and_idempotent_replay(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", "A", 1),
+            (1, "2024-01-01 00:00:00", "B", 2),  # same instant: A becomes a
+            # zero-length interval, B wins the instant under the seq order
+        ]
+        got = self._hist(spark, rows)
+        assert got == [
+            (1, "A", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1, False),
+            (1, "B", "2024-01-01 00:00:00", "None", 2, True),
+        ]
+        # replaying the same feed twice changes nothing (no-op collapse)
+        assert self._hist(spark, rows + rows) == got
