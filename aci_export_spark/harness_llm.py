@@ -1521,3 +1521,169 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "is_current",
     )
+
+
+@register(
+    "events_sessionization_native",
+    """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM gaps
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+""",
+    doc="sessionization via Spark's NATIVE session_window aggregate (merging "
+    "session windows inside one hash aggregation — no lag/cumsum window "
+    "chain): window start = first event, end = last event + gap; note the "
+    "boundary differs from the custom operator (native merges on gap "
+    "STRICTLY under 30 min, the lag/cumsum twin includes the exact-30min "
+    "edge), which the oracle mirrors with >= on the gap",
+)
+def events_sessionization_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "dq_check_report",
+    """
+SELECT 'orders_pk_unique' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem_pk_unique', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem_order_fk', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'customer_nation_fk', CAST(COUNT(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS
+    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'orders_status_accepted', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+UNION ALL
+SELECT 'orders_totalprice_positive', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE NOT (o_totalprice > 0)
+UNION ALL
+SELECT 'lineitem_quantity_le_30', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT (l_quantity <= 30)
+UNION ALL
+SELECT 'lineitem_discount_range', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT (l_discount BETWEEN 0 AND 0.1)
+""",
+    doc="data-quality gate (the dbt-test surface): primary-key uniqueness "
+    "(groupBy-HAVING), referential integrity (anti join vs the distinct "
+    "parent keys), accepted values and range assertions — the row-"
+    "predicate checks on each table FUSE into one scan of CASE-guarded "
+    "sums, so k checks cost one pass; the deliberately-failing "
+    "quantity<=30 check proves violations are counted, not assumed zero",
+)
+def dq_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators import dq
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return dq.combine_reports(
+        dq.count_report(
+            "orders_pk_unique", dq.unique_key_violations(orders, ["o_orderkey"])
+        ),
+        dq.count_report(
+            "lineitem_pk_unique",
+            dq.unique_key_violations(li, ["l_orderkey", "l_linenumber"]),
+        ),
+        dq.count_report(
+            "lineitem_order_fk", dq.fk_orphans(li, orders, "l_orderkey", "o_orderkey")
+        ),
+        dq.count_report(
+            "customer_nation_fk",
+            dq.fk_orphans(customer, nation, "c_nationkey", "n_nationkey"),
+        ),
+        dq.predicate_check_report(
+            orders,
+            {
+                "orders_status_accepted": ~F.col("o_orderstatus").isin("O", "F", "P"),
+                "orders_totalprice_positive": ~(F.col("o_totalprice") > 0),
+            },
+        ),
+        dq.predicate_check_report(
+            li,
+            {
+                "lineitem_quantity_le_30": ~(F.col("l_quantity") <= 30),
+                "lineitem_discount_range": ~F.col("l_discount").between(0, 0.1),
+            },
+        ),
+    )
+
+
+@register(
+    "dq_profile_customer",
+    """
+SELECT 'c_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+       CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+       CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+       MIN(c_mktsegment), MAX(c_mktsegment)
+FROM customer
+UNION ALL
+SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+       CAST(COUNT(DISTINCT c_name) AS BIGINT),
+       MIN(c_name), MAX(c_name)
+FROM customer
+""",
+    doc="table profiling in one pass: per-column row/null/exact-distinct "
+    "counts and min/max over the customer table — one aggregate, k-way "
+    "expand for the exact distincts (the approx_count_distinct swap is "
+    "the 100 TB variant), min/max string-typed so one report schema "
+    "serves every column",
+)
+def dq_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators import dq
+
+    customer = read_table(spark, sf_dir, "customer")
+    return dq.profile_report(
+        customer, ["c_custkey", "c_nationkey", "c_mktsegment", "c_name"]
+    )

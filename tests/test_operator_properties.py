@@ -341,3 +341,54 @@ class TestFuzzyPairs:
         df = spark.createDataFrame([(1, "x")], ["uid", "name"])
         with _pytest.raises(NotImplementedError):
             edit_distance_pairs(df, "uid", "name", max_distance=2)
+
+
+class TestDqChecks:
+    def test_violations_found_and_fused_predicates(self, spark):
+        from pyspark.sql import functions as F
+
+        from aci_export_spark.operators import dq
+
+        child = spark.createDataFrame(
+            [(1, 10, "ok"), (1, 10, "dup"), (2, 99, "orphan"), (3, 20, None)],
+            ["id", "fk", "status"],
+        )
+        parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+
+        dups = dq.unique_key_violations(child, ["id"]).collect()
+        assert [(r.id, r.n_rows) for r in dups] == [(1, 2)]
+
+        orphans = dq.fk_orphans(child, parent, "fk", "pk").collect()
+        assert [r.fk for r in orphans] == [99]
+
+        report = dq.combine_reports(
+            dq.count_report("pk_unique", dq.unique_key_violations(child, ["id"])),
+            dq.count_report("fk", dq.fk_orphans(child, parent, "fk", "pk")),
+            dq.predicate_check_report(
+                child,
+                {
+                    "status_nonnull": F.col("status").isNull(),
+                    "status_accepted": ~F.coalesce(
+                        F.col("status").isin("ok", "dup", "orphan"), F.lit(False)
+                    ),
+                },
+            ),
+        )
+        got = {r.check_name: r.n_violations for r in report.collect()}
+        assert got == {
+            "pk_unique": 1,
+            "fk": 1,
+            "status_nonnull": 1,
+            "status_accepted": 1,  # the NULL status fails accepted-values too
+        }
+
+    def test_profile_report_empty_and_nulls(self, spark):
+        from aci_export_spark.operators import dq
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b")], ["k", "v"]
+        )
+        got = {r.column: r for r in dq.profile_report(df, ["k", "v"]).collect()}
+        assert (got["k"].n_rows, got["k"].n_null, got["k"].n_distinct) == (3, 0, 2)
+        assert (got["v"].n_null, got["v"].n_distinct) == (1, 2)
+        assert got["k"].min_value == "1" and got["k"].max_value == "2"
