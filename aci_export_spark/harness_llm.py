@@ -1687,3 +1687,97 @@ def dq_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq.profile_report(
         customer, ["c_custkey", "c_nationkey", "c_mktsegment", "c_name"]
     )
+
+
+@register(
+    "llm_curation_kept_corpus",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), base AS (
+    SELECT doc_id, len(t) AS n_words,
+           list_aggregate(list_transform(t, x -> length(x)), 'sum')::BIGINT AS total_word_chars,
+           len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x))) AS stop_hits
+    FROM toks
+), grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+), g2 AS (
+    SELECT doc_id, MAX(c)::BIGINT AS dup2_max, SUM(c)::BIGINT AS n_2grams
+    FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+    GROUP BY doc_id
+), gq AS (
+    SELECT b.doc_id,
+           (b.n_words BETWEEN 10 AND 1000
+            AND b.total_word_chars >= 2 * b.n_words
+            AND b.total_word_chars <= 10 * b.n_words
+            AND b.stop_hits >= 1
+            AND 5 * COALESCE(g2.dup2_max, 0) <= COALESCE(g2.n_2grams, 0)) AS keep
+    FROM base b LEFT JOIN g2 ON b.doc_id = g2.doc_id
+), lang AS (
+    SELECT doc_id,
+           GREATEST(len(list_filter(t, x -> x IN {T.EN_STOPWORDS!r})),
+                    len(list_filter(t, x -> x IN {T.DE_STOPWORDS!r})),
+                    len(list_filter(t, x -> x IN {T.FR_STOPWORDS!r}))) > 0 AS lang_known
+    FROM toks
+), canon AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(list_slice(t, 1, 4), ' '))
+               ORDER BY doc_id) = 1 AS is_canonical
+    FROM toks
+), g5 AS (
+    SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+    WHERE len(t) >= 5
+), contaminated AS (
+    SELECT DISTINCT tr.doc_id
+    FROM g5 tr JOIN g5 te ON tr.gram = te.gram
+    WHERE tr.doc_id >= 100 AND te.doc_id < 100
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN gq USING (doc_id) JOIN lang USING (doc_id) JOIN canon USING (doc_id)
+WHERE d.doc_id >= 100 AND gq.keep AND lang.lang_known AND canon.is_canonical
+  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+""",
+    doc="the actual curation OUTPUT: the kept training corpus — corpus docs "
+    "(benchmark rows excluded) passing quality gate ∧ language known ∧ "
+    "exact-dup canonical, minus benchmark-contaminated docs (5-gram "
+    "overlap, anti join against the broadcast-sized contaminated set). "
+    "The funnel query reports this pipeline's stage counts; this one "
+    "emits the keep-list a 100 TB run writes back to the lake",
+)
+def llm_curation_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = T.gopher_quality_flags(docs, "doc_id", "text").select("doc_id", "keep")
+    lang = T.langid_scores(docs, "doc_id", "text").select(
+        "doc_id", (F.col("predicted_lang") != "unknown").alias("lang_known")
+    )
+    key = F.md5(F.array_join(F.slice(D.word_tokens(F.col("text")), 1, 4), " "))
+    w = Window.partitionBy("__ck").orderBy("doc_id")
+    canon = (
+        docs.withColumn("__ck", key)
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select("doc_id", "is_canonical")
+    )
+    train = docs.filter(F.col("doc_id") >= 100)
+    test = docs.filter(F.col("doc_id") < 100)
+    contaminated = (
+        T.contamination_pairs(train, test, "doc_id", "text", n=5, min_shared=1)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        train.select("doc_id", "lang", "n_chars")
+        .join(q, on="doc_id")
+        .join(lang, on="doc_id")
+        .join(canon, on="doc_id")
+        .filter(F.col("keep") & F.col("lang_known") & F.col("is_canonical"))
+        .join(contaminated, on="doc_id", how="left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )

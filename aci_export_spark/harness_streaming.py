@@ -148,3 +148,25 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
     )
     return ST.run_stream_to_table(joined, spark, output_mode="append")
+
+
+@register(
+    "streaming_dq_monitor",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) FILTER (value > 90) AS BIGINT) AS n_value_over_90,
+       CAST(COUNT(*) FILTER (value IS NULL OR value <= 0) AS BIGINT) AS n_value_nonpositive,
+       CAST(COUNT(*) FILTER (json_extract(props, '$.k') IS NULL) AS BIGINT) AS n_props_missing_k
+FROM events GROUP BY 1
+""",
+    doc="streaming data-quality monitor: watermarked hourly windows of "
+    "fused CASE-sum violation counters (value range, non-positive/null, "
+    "missing JSON key) — bounded state (one row per open window), the "
+    "always-on twin of the batch dq_check_report gate; oracle equals the "
+    "batch aggregation over the same feed",
+)
+def streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ST.read_events_stream(spark, sf_dir)
+    agg = ST.dq_monitor_stream(events, watermark="1 hour")
+    return ST.run_stream_to_table(agg, spark, output_mode="complete")

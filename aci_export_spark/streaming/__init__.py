@@ -7,6 +7,7 @@ from aci_export_spark.streaming.core import (
     interval_join_stream,
     distinct_users_stream,
     stream_into_mirror,
+    dq_monitor_stream,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "interval_join_stream",
     "distinct_users_stream",
     "stream_into_mirror",
+    "dq_monitor_stream",
 ]

@@ -330,3 +330,37 @@ def stream_into_mirror(
         .start()
     )
     q.awaitTermination()
+
+
+def dq_monitor_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming data-quality monitor: per tumbling hour, total events plus
+    CASE-sum violation counters (the fused-predicate discipline of
+    ``operators/dq.predicate_check_report``, under a watermarked window).
+    State is one row per open window — the always-on twin of the batch DQ
+    gate: a load pipeline alerts on a window whose violation counters jump
+    instead of gating a whole batch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") > 90, 1).otherwise(0))
+            .cast("long")
+            .alias("n_value_over_90"),
+            F.sum(F.when(F.col("value").isNull() | (F.col("value") <= 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_value_nonpositive"),
+            F.sum(
+                F.when(F.get_json_object("props", "$.k").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_props_missing_k"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "n_value_over_90",
+            "n_value_nonpositive",
+            "n_props_missing_k",
+        )
+    )
