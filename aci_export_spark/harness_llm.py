@@ -1781,3 +1781,324 @@ def llm_curation_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, on="doc_id", how="left_anti")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus balancing + unigram-LM quality (round 4 batch 2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_domain_quota",
+    """
+SELECT doc_id, source, n_chars, domain_rank FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+           ) AS domain_rank
+    FROM documents
+) WHERE domain_rank <= 15
+""",
+    doc="RefinedWeb/C4-style per-domain quota: keep the longest `quota` docs "
+    "per source so over-crawled domains can't dominate the mix. Planned as "
+    "WindowGroupLimit — every map task keeps its local top-quota per domain "
+    "before the shuffle, so the exchange is O(domains*quota) per task, not "
+    "the corpus",
+)
+def llm_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.domain_quota(docs, "source", "doc_id", quota=15, order_col="n_chars")
+
+
+@register(
+    "llm_quality_unigram_lm",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), freq AS (
+    SELECT tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY tok
+), gstats AS (
+    SELECT SUM(tf)::BIGINT AS g_occ, COUNT(*)::BIGINT AS g_vocab FROM freq
+)
+SELECT t.doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(f.tf)::BIGINT AS freq_sum,
+       SUM(CASE WHEN f.tf <= 2 THEN 1 ELSE 0 END)::BIGINT AS rare_tokens,
+       CAST(SUM(f.tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_freq,
+       SUM(f.tf)::BIGINT * MAX(g.g_vocab) >= COUNT(*)::BIGINT * MAX(g.g_occ) AS keep
+FROM toks t JOIN freq f USING (tok) CROSS JOIN gstats g
+GROUP BY t.doc_id
+""",
+    doc="CCNet-shaped unigram-LM quality filter with an exactly-replayable "
+    "score: token frequencies fit on the corpus itself (groupBy on the token "
+    "key), score join re-using the same token partitioning, global "
+    "(occurrences, vocab) as a one-row broadcast; keep decision is an "
+    "integer cross-multiplication (doc mean token frequency >= corpus mean "
+    "frequency per vocab entry) so no float sits at the decision boundary",
+)
+def llm_quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.unigram_lm_scores(docs, "doc_id", "text", rare_max_count=2)
+
+
+def _rplsh_oracle(planes_n=16, band_bits=4, dim=64, seed="rhp", n_queries=5, k=5):
+    """DuckDB replay of the banded sign-LSH search: plane constants are
+    re-derived from the same md5 parity (`similarity.rp_planes`), so the
+    signature bits, band collisions, candidate set, and cosine ranking are
+    all reproduced independently — the whole ANN path is under the hash."""
+    planes = S.rp_planes(planes_n, dim, seed)
+    n_bands = planes_n // band_bits
+    planes_lit = "[" + ",".join(
+        "{'i': %d, 'w': [%s]}" % (p, ",".join("%.1f" % x for x in c))
+        for p, c in enumerate(planes)
+    ) + "]"
+    bits_expr = (
+        "list_transform(%s, s -> CASE WHEN list_dot_product(v, s.w) >= 0 "
+        "THEN 1 ELSE 0 END)" % planes_lit
+    )
+    band_structs = ",".join(
+        "{'band_no': %d, 'band_key': %s}"
+        % (
+            b,
+            " + ".join(
+                "bs[%d]*%d" % (b * band_bits + j + 1, 1 << (band_bits - 1 - j))
+                for j in range(band_bits)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (SELECT vec_id, v, {bits_expr} AS bs FROM e),
+bands AS (SELECT vec_id, u.band_no AS band_no, u.band_key AS band_key
+          FROM bits, unnest([{band_structs}]) AS t(u)),
+qb AS (SELECT vec_id AS query_id, band_no, band_key FROM bands WHERE vec_id < {n_queries}),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         FROM bands c JOIN qb q USING (band_no, band_key)
+         WHERE c.vec_id <> q.query_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY cand.query_id
+             ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, cand.neighbor_id ASC) AS rank
+  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+            JOIN e ce ON ce.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= {k}
+"""
+
+
+@register(
+    "llm_sim_rplsh_topk",
+    _rplsh_oracle,
+    doc="random-hyperplane (sign) LSH approximate top-k — the train-free ANN "
+    "strategy next to IVF and brute force: 16 md5-derived ±1 planes, 4 bands "
+    "× 4 bits, candidates = corpus vectors sharing ≥1 band (OR-of-ANDs "
+    "amplification, expected candidate rate 1-(1-2^-4)^4 ≈ 23%), exact "
+    "cosine rank on candidates. Band join carries ids only — vectors join "
+    "back after candidate dedup; the oracle re-derives the identical planes "
+    "from md5 parity and replays the whole path",
+)
+def llm_sim_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.rplsh_topk(
+        emb, queries, "vec_id", "embedding",
+        planes=16, band_bits=4, dim=64, seed="rhp", k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel (events table)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_CTES = """
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1)
+"""
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "events_funnel_steps",
+    f"""
+WITH {_FUNNEL_CTES}
+SELECT s1.user_id,
+       strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t_signup,
+       strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t_view,
+       strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t_click,
+       strftime(s4.t4, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+       CASE WHEN s4.t4 IS NOT NULL THEN 4
+            WHEN s3.t3 IS NOT NULL THEN 3
+            WHEN s2.t2 IS NOT NULL THEN 2
+            ELSE 1 END AS stage_reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        LEFT JOIN s4 USING (user_id)
+""",
+    doc="sequential conversion funnel signup→view→click→purchase: per user, "
+    "the first step-N event at-or-after step N-1's timestamp (monotone "
+    "chain, NULL once broken). Every stage aggregates and joins on the user "
+    "key, so the plan pays one corpus shuffle and re-uses the partitioning "
+    "K times; stage inputs shrink monotonically for AQE",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.funnel import funnel_steps
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = funnel_steps(ev, _FUNNEL_STEPS)
+    cols = [F.col("user_id")]
+    for s in _FUNNEL_STEPS:
+        cols.append(
+            F.date_format(F.col(f"t_{s}"), "yyyy-MM-dd HH:mm:ss").alias(f"t_{s}")
+        )
+    cols.append(F.col("stage_reached"))
+    return per_user.select(*cols)
+
+
+@register(
+    "events_funnel_summary",
+    f"""
+WITH {_FUNNEL_CTES}
+SELECT * FROM (
+    SELECT 1 AS step_no, 'signup' AS step, (SELECT COUNT(*) FROM s1)::BIGINT AS users
+    UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)::BIGINT
+    UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)::BIGINT
+    UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)::BIGINT
+)
+""",
+    doc="funnel conversion report: users reaching each stage, one aggregate "
+    "over the per-user funnel (count of non-NULL step columns) exploded to "
+    "a (step_no, step, users) row per stage",
+)
+def events_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.funnel import funnel_steps, funnel_summary
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_summary(funnel_steps(ev, _FUNNEL_STEPS), _FUNNEL_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter corpus membership (incremental-ingest pre-filter)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 5
+_SQL_NORM_KEY = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "llm_bloom_membership",
+    f"""
+WITH norm AS (SELECT doc_id, {_SQL_NORM_KEY} AS key FROM documents),
+corpus AS (SELECT DISTINCT key FROM norm WHERE doc_id >= 100),
+pos AS (SELECT key,
+               ('0x' || substr(md5('bloom' || i || ':' || key), 1, 15))::BIGINT
+                   % {_BLOOM_M} AS p
+        FROM corpus, unnest([0,1,2,3,4]) AS t(i)),
+bloom AS (SELECT p // 63 AS word_idx,
+                 bit_or(1::BIGINT << (p % 63)::INT) AS word
+          FROM pos GROUP BY 1),
+probes AS (SELECT n.key,
+                  ('0x' || substr(md5('bloom' || i || ':' || n.key), 1, 15))::BIGINT
+                      % {_BLOOM_M} AS p
+           FROM (SELECT DISTINCT key FROM norm) n, unnest([0,1,2,3,4]) AS t(i)),
+hits AS (SELECT pr.key,
+                SUM(CASE WHEN b.word IS NOT NULL
+                          AND (b.word & (1::BIGINT << (pr.p % 63)::INT))
+                              = (1::BIGINT << (pr.p % 63)::INT)
+                     THEN 1 ELSE 0 END)::BIGINT AS n_bits_hit
+         FROM probes pr LEFT JOIN bloom b ON pr.p // 63 = b.word_idx
+         GROUP BY 1)
+SELECT n.doc_id, h.n_bits_hit, h.n_bits_hit = {_BLOOM_K} AS maybe_member,
+       EXISTS (SELECT 1 FROM corpus c WHERE c.key = n.key) AS is_member
+FROM norm n JOIN hits h USING (key)
+""",
+    doc="Bloom-filter corpus membership, fully relational: the filter is a "
+    "(word_idx, word) bitmap built by bit_or aggregation over md5-derived "
+    "bit positions (63-bit words — sign bit kept clear for engine-portable "
+    "masks), broadcast to the probe side; every doc reports how many of its "
+    "k bits hit, the maybe_member verdict, and the exact truth beside it so "
+    "the false-positive rate is auditable from the output. The "
+    "incremental-ingest pre-filter: definite misses skip the near-dup "
+    "machinery entirely",
+)
+def llm_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.functions.text import normalize_text
+    from aci_export_spark.llm import bloom as B
+
+    docs = read_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("key")
+    )
+    corpus_keys = keyed.filter(F.col("doc_id") >= 100).select("key").distinct()
+    filt = B.bloom_build(corpus_keys, "key", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    verdicts = B.bloom_probe(
+        keyed.select("key").distinct(), filt, "key",
+        m_bits=_BLOOM_M, k_hashes=_BLOOM_K,
+    )
+    truth = corpus_keys.withColumn("__in_corpus", F.lit(True))
+    return (
+        keyed.join(verdicts, on="key")
+        .join(truth, on="key", how="left")
+        .select(
+            "doc_id",
+            "n_bits_hit",
+            "maybe_member",
+            F.coalesce("__in_corpus", F.lit(False)).alias("is_member"),
+        )
+    )
+
+
+@register(
+    "llm_vocab_stats",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+), agg AS (
+    SELECT token, COUNT(*)::BIGINT AS occurrences,
+           COUNT(DISTINCT doc_id)::BIGINT AS doc_freq
+    FROM toks GROUP BY token
+)
+SELECT token, occurrences, doc_freq,
+       ROW_NUMBER() OVER (ORDER BY occurrences DESC, token ASC) AS rank
+FROM agg
+ORDER BY occurrences DESC, token ASC
+LIMIT 20
+""",
+    doc="corpus vocabulary profile (Zipf head): top-20 tokens by occurrences "
+    "with document frequency and rank; top-k planned as "
+    "TakeOrderedAndProject (per-partition partial top-k, no global sort), "
+    "rank window only over the 20 survivors",
+)
+def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.vocab_stats(docs, "doc_id", "text", top_k=20)
+
+
+@register(
+    "llm_split_leakage",
+    f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5('split:v1:' || doc_id), 1, 15))::BIGINT
+                     % 100 < 10 THEN 'val' ELSE 'train' END AS split,
+           md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS bag_fp
+    FROM documents
+)
+SELECT v.doc_id AS val_doc_id, t.doc_id AS train_doc_id, v.bag_fp
+FROM keyed v JOIN keyed t USING (bag_fp)
+WHERE v.split = 'val' AND t.split = 'train'
+""",
+    doc="train/val leakage audit: bag-fingerprint collisions across the "
+    "stable-split boundary (order-insensitive token multiset — shuffled "
+    "near-copies leak too); split re-derived from the md5 bucket so the "
+    "audit is a pure function of the corpus, self-join keyed on the "
+    "fixed-width digest",
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.split_leakage_pairs(docs, "doc_id", "text", val_percent=10)

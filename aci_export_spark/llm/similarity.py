@@ -169,6 +169,42 @@ def embedding_cosine_pairs(
     )
 
 
+def rp_planes(planes: int = 16, dim: int = 64, seed: str = "rhp") -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane components: the parity of the
+    60-bit md5 hash of ``"{seed}:{plane}:{dim}"`` (`llm.hashing.hash64`
+    semantics, computed here with hashlib — identical bytes, so any engine or
+    a plain-Python reference derives the very same planes)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _rp_bits_sql(planes: list[list[float]], vec_col: str) -> str:
+    """SQL for `array<int>`: the sign bit of `vec_col`·plane for every plane.
+    The plane set is ONE constant-folded array-of-struct literal and the dot
+    products one `transform` lambda — expression-tree size is constant in
+    planes·dim (the per-plane-per-dim md5 expression tree this replaces cost
+    seconds of driver-side analysis at 16×64; see `_ranked_cells_sql`)."""
+    planes_sql = "array(" + ",".join(
+        "struct(%d as i, array(%s) as w)"
+        % (p, ",".join("%.1fD" % x for x in comp))
+        for p, comp in enumerate(planes)
+    ) + ")"
+    return (
+        "transform(" + planes_sql + ", s -> CASE WHEN "
+        f"aggregate(zip_with(cast({vec_col} as array<double>), s.w, "
+        "(a, b) -> a * b), 0D, (acc, x) -> acc + x) >= 0D THEN 1 ELSE 0 END)"
+    )
+
+
 def random_hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -182,26 +218,116 @@ def random_hyperplane_lsh_buckets(
     the sign bit-string. Groups cosine-similar vectors; candidate pairs then
     verify with exact cosine inside buckets (same shape as MinHash-LSH).
     """
-    from aci_export_spark.llm.hashing import hash64
-
-    sign_bits = []
-    for p in range(planes):
-        # deterministic ±1 plane component per dimension: parity of a hash
-        comps = F.array(
-            *[
-                F.when(
-                    (F.conv(F.substring(F.md5(F.lit(f"{seed}:{p}:{d}")), 1, 15), 16, 10)
-                     .cast("long") % 2) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for d in range(dim)
-            ]
-        )
-        sign_bits.append(
-            F.when(dot(F.col(vec_col), comps) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        )
+    bits = F.expr(_rp_bits_sql(rp_planes(planes, dim, seed), vec_col))
     return df.select(
-        F.col(id_col), F.concat(*sign_bits).alias("lsh_bucket")
+        F.col(id_col),
+        F.array_join(F.transform(bits, lambda b: b.cast("string")), "").alias(
+            "lsh_bucket"
+        ),
+    )
+
+
+def rplsh_band_keys(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    band_bits: int,
+) -> DataFrame:
+    """Banded sign-LSH keys: one (id, band_no, band_key) row per band, where
+    `band_key` packs that band's `band_bits` sign bits into an integer.
+    Vectors whose cosine is high agree on many sign bits, so they collide on
+    ≥1 whole band with high probability (the classic OR-of-ANDs LSH
+    amplification); random vectors collide on a band with chance 2^-band_bits.
+    One scan, one explode — the sign computation is a single constant-folded
+    expression (see `_rp_bits_sql`)."""
+    n_bands = len(planes) // band_bits
+    bits = F.expr(_rp_bits_sql(planes, vec_col))
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_no"),
+            F.aggregate(
+                F.slice(F.col("__bits"), b * band_bits + 1, band_bits),
+                F.lit(0),
+                lambda acc, x: acc * 2 + x,
+            ).alias("band_key"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.col(vec_col), bits.alias("__bits"))
+        .select(F.col(id_col), F.explode(bands).alias("__b"))
+        .select(
+            F.col(id_col),
+            F.col("__b.band_no").alias("band_no"),
+            F.col("__b.band_key").alias("band_key"),
+        )
+    )
+
+
+def rplsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: str = "rhp",
+    k: int = 5,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH approximate top-k: candidates are corpus
+    vectors sharing ≥1 LSH band with the query; candidates are ranked by
+    exact cosine. The third ANN strategy next to IVF (metric-tree style cell
+    pruning) and brute force — sign-LSH needs no training pass at all, which
+    is why streaming/incremental corpora favor it.
+
+    Scale shape: the corpus band table is linear (n_bands rows per vector)
+    and shuffles on the band key; the query bands are broadcast; candidate
+    pairs are DISTINCT (query, neighbor) ids only — the 64-float payloads are
+    joined back AFTER deduplication, so the band join never carries vectors.
+    At 100 TB the expected candidate set per query is corpus·n_bands/2^band_bits
+    — the recall/cost dial is (planes, band_bits), same OR-of-ANDs algebra as
+    MinHash-LSH banding.
+    """
+    plane_mat = rp_planes(planes, dim, seed)
+    qb = rplsh_band_keys(queries, id_col, vec_col, plane_mat, band_bits).select(
+        F.col(id_col).alias("query_id"), "band_no", "band_key"
+    )
+    cb = rplsh_band_keys(corpus, id_col, vec_col, plane_mat, band_bits).select(
+        F.col(id_col).alias("neighbor_id"), "band_no", "band_key"
+    )
+    cand = (
+        cb.join(broadcast(qb), on=["band_no", "band_key"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        cand.join(broadcast(q), on="query_id")
+        .join(c, on="neighbor_id")
+        .withColumn(
+            "__cos",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )
 
 

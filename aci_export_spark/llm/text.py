@@ -9,7 +9,7 @@ from the same int division).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aci_export_spark.functions.text import normalize_text
@@ -497,6 +497,164 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.regexp_extract_all(txt, F.lit(IPV4_PATTERN), 0)).alias("n_ips"),
         F.md5(redacted).alias("redacted_fingerprint"),
         F.length(redacted).alias("redacted_len"),
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus vocabulary profile: the `top_k` tokens by total occurrences,
+    with per-token document frequency and rank — the Zipf-curve head every
+    corpus report starts with (and the input to stopword-list induction).
+
+    One explode → one (token) groupBy with partial aggregation; the top-k is
+    `orderBy().limit()`, which Spark plans as TakeOrderedAndProject —
+    per-partition partial top-k merged on the driver, NO global sort and no
+    single-partition window over the vocabulary. The rank window runs on the
+    ≤ `top_k` surviving rows only."""
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+    )
+    top = agg.orderBy(F.col("occurrences").desc(), F.col("token").asc()).limit(top_k)
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def split_leakage_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_percent: int = 10,
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Train/validation leakage audit: (val_doc, train_doc) pairs whose BAG
+    fingerprints collide — the same token multiset crossed the split
+    boundary, so the validation metric is contaminated. Uses the
+    order-insensitive bag fingerprint (shuffled near-copies leak just as
+    hard as verbatim ones); swap in `content_fingerprint` for strict-exact
+    auditing.
+
+    The split assignment re-derives :func:`stable_split`'s md5 bucket, so
+    the audit is a pure function of the corpus — no split table needs to be
+    stored. Plan: one scan computing (fingerprint, split), self-join on the
+    fingerprint key restricted to val×train (shuffle keyed on the digest:
+    fixed-width, uniformly distributed — no skew)."""
+    keyed = stable_split(df, id_col, val_percent, salt).select(
+        F.col(id_col),
+        F.col("split"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(word_tokens(F.col(text_col)))), " "
+            )
+        ).alias("bag_fp"),
+    )
+    val = keyed.filter(F.col("split") == "val").select(
+        F.col(id_col).alias("val_doc_id"), "bag_fp"
+    )
+    train = keyed.filter(F.col("split") == "train").select(
+        F.col(id_col).alias("train_doc_id"), "bag_fp"
+    )
+    return val.join(train, on="bag_fp").select(
+        "val_doc_id", "train_doc_id", "bag_fp"
+    )
+
+
+def domain_quota(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 15,
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/C4-style source balancing): keep
+    at most `quota` documents per domain, preferring the longest (then the
+    smallest id for a total deterministic order). Over-represented domains —
+    link farms, mirrors, crawler traps — get truncated instead of dominating
+    the training mix.
+
+    One window over (domain → order) — Spark plans the `row_number ≤ quota`
+    filter as WindowGroupLimit: each map task keeps only its local top-`quota`
+    per domain BEFORE the shuffle, so the exchange carries O(domains·quota)
+    rows per task, not the corpus. At 100 TB that partial top-k is the
+    difference between a bounded shuffle and sorting whole domains.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= quota)
+        .select(id_col, domain_col, order_col, "domain_rank")
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus unigram-LM quality scoring (the CCNet perplexity-filter shape
+    with an exactly-replayable score): fit a unigram model ON the corpus
+    itself (token → occurrence count), then score each document by how
+    frequent its tokens are on average. Low-score docs are gibberish, OCR
+    noise, or boilerplate-free word soup — the same population a KenLM
+    perplexity filter drops.
+
+    All decision arithmetic is exact integers so the keep flag is
+    bit-identical across engines (no log/exp at the boundary):
+
+    - ``freq_sum``  = Σ over doc tokens of corpus count(token)
+    - ``rare_tokens`` = tokens with corpus count ≤ `rare_max_count`
+    - ``keep`` ⇔ freq_sum·vocab ≥ n_tokens·total_occurrences — i.e. the
+      doc's mean token frequency clears the corpus-wide mean frequency per
+      vocabulary entry (cross-multiplied, no division).
+
+    Plan shape: one corpus scan exploded to (doc, token); token frequencies
+    are a groupBy on the token key; the score join re-uses that same token
+    partitioning (co-partitioned exchange, no second corpus-wide shuffle
+    pattern); the global (total, vocab) aggregate is ONE row, broadcast. At
+    100 TB the vocabulary is far too large to broadcast — the token-key hash
+    join is exactly right — while the model "fit" stays a partial-aggregated
+    count, the cheapest possible LM.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__tok")
+    )
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    glob = freq.agg(
+        F.sum("__tf").alias("__g_occ"), F.count(F.lit(1)).alias("__g_vocab")
+    )
+    per_doc = (
+        toks.join(freq, on="__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__tf").alias("freq_sum"),
+            F.sum(
+                F.when(F.col("__tf") <= rare_max_count, 1).otherwise(0)
+            ).alias("rare_tokens"),
+        )
+    )
+    return per_doc.join(F.broadcast(glob)).select(
+        id_col,
+        "n_tokens",
+        "freq_sum",
+        "rare_tokens",
+        (
+            F.col("freq_sum").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("mean_token_freq"),
+        (
+            F.col("freq_sum") * F.col("__g_vocab")
+            >= F.col("n_tokens") * F.col("__g_occ")
+        ).alias("keep"),
     )
 
 

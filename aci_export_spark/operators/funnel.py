@@ -1,0 +1,88 @@
+"""Sequential conversion-funnel analysis over an event stream.
+
+The classic product-analytics operator (and the reference's event-pipeline
+counterpart to windowed rollups): for an ordered list of step types, find for
+each user the first step-1 event, then the first step-2 event at-or-after it,
+and so on — each user's timestamps are monotone along the funnel, and the
+stage reached is how deep the chain got.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel timestamps: column ``t_<step>`` is the first `step`
+    event at-or-after the previous step's timestamp (NULL once the chain
+    breaks), plus ``stage_reached`` (0..len(steps)).
+
+    Semantics are pure min-with-predicate per stage — "first view ≥ first
+    signup" — so ties at the same timestamp count regardless of event order,
+    and the whole operator is replayable as chained SQL aggregates.
+
+    Plan shape: each stage is a type-filtered scan → groupBy(user) min →
+    left join back, ALL keyed on the user column — after the first exchange
+    every later aggregate and join re-uses the same hash partitioning, so a
+    K-step funnel costs one corpus-wide shuffle plus K co-partitioned,
+    already-reduced (one row per user) stages. The type filter is pushed to
+    the scan; at 100 TB with the lake partitioned or z-ordered by event type
+    each stage reads only its step's slice. Steps shrink monotonically
+    (stage N joins semi-filter stage N+1's aggregate), which AQE exploits by
+    downsizing the later joins at runtime.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    first = steps[0]
+    out = (
+        events.filter(F.col(type_col) == first)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{first}"))
+    )
+    prev = f"t_{first}"
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(out.select(user_col, prev), on=user_col)
+            .filter(F.col(ts_col) >= F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{step}"))
+        )
+        out = out.join(nxt, on=user_col, how="left")
+        prev = f"t_{step}"
+    stage = F.lit(0)
+    for i, step in enumerate(steps):
+        stage = F.when(F.col(f"t_{step}").isNotNull(), i + 1).otherwise(stage)
+    # stage_reached counts the longest non-NULL prefix; NULLs are monotone by
+    # construction (a later stage joins through the earlier one)
+    return out.withColumn("stage_reached", stage)
+
+
+def funnel_summary(per_user: DataFrame, steps: tuple[str, ...]) -> DataFrame:
+    """Collapse per-user funnel rows to one row per step with the user count
+    that reached it — the conversion report. Counting non-NULL step columns
+    in ONE aggregate keeps it a single reduce to `len(steps)` values."""
+    aggs = [
+        F.count(F.col(f"t_{s}")).alias(f"n_{s}") for s in steps
+    ]
+    wide = per_user.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_no"),
+                F.lit(s).alias("step"),
+                F.col(f"n_{s}").cast("long").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select(
+        "r.step_no", "r.step", "r.users"
+    )

@@ -172,3 +172,33 @@ class TestScd2History:
         ]
         # replaying the same feed twice changes nothing (no-op collapse)
         assert self._hist(spark, rows + rows) == got
+
+
+def test_funnel_steps_chain_and_ties(spark):
+    from aci_export_spark.operators.funnel import funnel_steps, funnel_summary
+
+    rows = [
+        # u1 completes: signup@1, view@2, click@2 (tie with view: >= allows), buy@5
+        (1, 1, "signup"), (1, 2, "view"), (1, 2, "click"), (1, 5, "purchase"),
+        # u2 breaks: purchase BEFORE click → stage 2
+        (2, 1, "signup"), (2, 3, "view"), (2, 2, "purchase"),
+        # u3 never signs up → absent entirely
+        (3, 1, "view"), (3, 2, "click"), (3, 3, "purchase"),
+        # u4 view precedes signup → view must re-occur after; it doesn't
+        (4, 5, "signup"), (4, 1, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, float(t), ty) for u, t, ty in rows],
+        "user_id long, ts double, event_type string",
+    ).selectExpr("user_id", "CAST(timestamp_seconds(ts) AS TIMESTAMP_NTZ) AS ts", "event_type")
+    steps = ("signup", "view", "click", "purchase")
+    out = {r["user_id"]: r.asDict() for r in funnel_steps(ev, steps).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["stage_reached"] == 4
+    assert out[2]["stage_reached"] == 2
+    assert out[4]["stage_reached"] == 1 and out[4]["t_view"] is None
+    summary = {
+        r["step"]: r["users"]
+        for r in funnel_summary(funnel_steps(ev, steps), steps).collect()
+    }
+    assert summary == {"signup": 3, "view": 2, "click": 1, "purchase": 1}

@@ -113,3 +113,64 @@ def test_repetition_signals_fail_modes_and_short_docs(spark):
     r3 = rows[3]
     assert not r3.repetitive
     assert r3.n_2grams == 0 and r3.tot4_chars == 0
+
+
+def test_domain_quota_caps_and_prefers_longest(spark):
+    rows = [(i, f"src{i % 2}", 100 + i) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = T.domain_quota(docs, "source", "doc_id", quota=3, order_col="n_chars")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["source"], []).append((r["domain_rank"], r["doc_id"]))
+    # each domain capped at 3, longest docs first (ids 8,6,4 / 9,7,5)
+    assert sorted(by_src["src0"]) == [(1, 8), (2, 6), (3, 4)]
+    assert sorted(by_src["src1"]) == [(1, 9), (2, 7), (3, 5)]
+
+
+def test_domain_quota_tie_breaks_on_id(spark):
+    docs = spark.createDataFrame(
+        [(3, "s", 50), (1, "s", 50), (2, "s", 50)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = T.domain_quota(docs, "source", "doc_id", quota=2, order_col="n_chars")
+    got = sorted((r["domain_rank"], r["doc_id"]) for r in out.collect())
+    assert got == [(1, 1), (2, 2)]  # equal length → smallest id wins
+
+
+def test_unigram_lm_scores_rare_vs_common(spark):
+    # "common" appears 12x across docs; "zzz"/"qqq" once each
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common common common"),
+            (2, "common common common common common common"),
+            (3, "zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in T.unigram_lm_scores(docs).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["freq_sum"] == 6 * 12
+    assert out[1]["rare_tokens"] == 0 and out[1]["keep"] is True
+    # doc 3: freq_sum=2, mean 1.0 < corpus mean (14 occ / 3 vocab) → dropped
+    assert out[3]["rare_tokens"] == 2 and out[3]["keep"] is False
+    assert out[3]["mean_token_freq"] == 1.0
+
+
+def test_bloom_no_false_negatives_and_fp_audit(spark):
+    from aci_export_spark.llm import bloom as B
+
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200)], "key string"
+    )
+    # tiny filter → guaranteed-member hits, measurable false positives
+    filt = B.bloom_build(keys, "key", m_bits=512, k_hashes=3)
+    members = B.bloom_probe(keys, filt, "key", m_bits=512, k_hashes=3)
+    assert all(r["maybe_member"] for r in members.collect())  # no false negatives
+    others = spark.createDataFrame(
+        [(f"other{i}",) for i in range(200)], "key string"
+    )
+    probed = B.bloom_probe(others, filt, "key", m_bits=512, k_hashes=3).collect()
+    fps = sum(1 for r in probed if r["maybe_member"])
+    # n=200, m=512, k=3 → theoretical fpp ≈ (1-e^(-3*200/512))^3 ≈ 0.33;
+    # bound loosely — the point is "some but far from all"
+    assert 0 < fps < 150
+    assert all(0 <= r["n_bits_hit"] <= 3 for r in probed)
