@@ -2102,3 +2102,106 @@ WHERE v.split = 'val' AND t.split = 'train'
 def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.split_leakage_pairs(docs, "doc_id", "text", val_percent=10)
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: retention cohorts, value deciles, basket pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH firsts AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+                FROM events GROUP BY 1),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+grid AS (SELECT cohort_day, day - cohort_day AS day_offset,
+                COUNT(DISTINCT a.user_id)::BIGINT AS active_users
+         FROM activity a JOIN firsts USING (user_id) GROUP BY 1, 2),
+sizes AS (SELECT cohort_day, COUNT(*)::BIGINT AS cohort_size
+          FROM firsts GROUP BY 1)
+SELECT strftime(g.cohort_day, '%Y-%m-%d') AS cohort_day, g.day_offset,
+       g.active_users, s.cohort_size
+FROM grid g JOIN sizes s USING (cohort_day)
+""",
+    doc="cohort retention matrix: users bucketed by first-activity day, "
+    "counted on each return day — first-day agg and distinct activity both "
+    "keyed on user (one partitioning serves both + the join); everything "
+    "after the user-key stages is dimension-sized",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(read_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_value_deciles",
+    """
+SELECT event_type, decile, COUNT(*)::BIGINT AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM (SELECT event_type, value,
+             NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+                 AS decile
+      FROM events)
+GROUP BY 1, 2
+""",
+    doc="exact per-type value deciles via NTILE — deterministic tie-break on "
+    "event_id, min/max emitted as untouched parquet doubles. Scale note: "
+    "exact ntiles sort each type partition (the honest cost of exact "
+    "quantiles; type-count bounds parallelism) — at 100 TB the "
+    "events_sketch_quantiles t-digest path is the approximation dial",
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "basket_brand_pairs",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+sizes AS (SELECT b FROM items GROUP BY b HAVING COUNT(*) <= 64),
+bounded AS (SELECT items.* FROM items JOIN sizes USING (b)),
+pairs AS (SELECT a.i AS item_a, bb.i AS item_b, COUNT(*)::BIGINT AS pair_support
+          FROM bounded a JOIN bounded bb ON a.b = bb.b AND a.i < bb.i
+          GROUP BY 1, 2),
+sup AS (SELECT i, COUNT(*)::BIGINT AS s FROM bounded GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT b)::BIGINT AS total FROM bounded)
+SELECT p.item_a, p.item_b, p.pair_support, sa.s AS support_a, sb.s AS support_b,
+       t.total AS n_baskets,
+       CAST(p.pair_support * t.total AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE) AS lift
+FROM pairs p JOIN sup sa ON sa.i = p.item_a JOIN sup sb ON sb.i = p.item_b
+CROSS JOIN tot t
+ORDER BY p.pair_support DESC, p.item_a, p.item_b
+LIMIT 20
+""",
+    doc="market-basket co-occurrence at brand granularity: distinct "
+    "(order, brand) baskets, size-capped against basket-skew pair blowup, "
+    "self-join on the (re-used) basket partitioning, supports and the 1-row "
+    "total broadcast back, lift as one IEEE division of exact counts, "
+    "top-20 via TakeOrderedAndProject",
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.basket import cooccurrence_pairs
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    branded = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return cooccurrence_pairs(
+        branded, "l_orderkey", "p_brand", top_k=20, max_basket_items=64
+    )

@@ -1,0 +1,88 @@
+"""Market-basket co-occurrence analysis.
+
+The association-rules primer operator: which items appear together in the
+same basket, with enough support to matter. Outputs exact integer supports
+plus a lift score computed as one IEEE division of exact counts — engines
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_k: int = 20,
+    max_basket_items: int = 64,
+) -> DataFrame:
+    """Top-`top_k` item pairs by basket co-occurrence: support counts for the
+    pair and each item, total basket count, and lift.
+
+    Basket semantics: item multiplicity within a basket does not inflate
+    support — the first step is `distinct(basket, item)`. Baskets larger
+    than `max_basket_items` are dropped BEFORE the self-join: a single hot
+    basket (one crawler session, one mega-order) otherwise contributes
+    O(n²) pair rows — the classic basket-skew blowup; the cap makes the
+    join volume provably ≤ baskets·cap²/2.
+
+    Plan: distinct (shuffle on basket,item) → basket-size filter (same
+    basket key, co-partitioned agg + join) → self-join on the basket key
+    (again co-partitioned — one physical exchange serves the distinct, the
+    size filter, and the join) → pair count (small shuffle) → per-item
+    supports and the 1-row basket total both broadcast back → top-k via
+    TakeOrderedAndProject (per-partition partial top-k, no global sort).
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    bounded = items.join(
+        sizes.filter(F.col("__n") <= max_basket_items).select("__b"), on="__b"
+    )
+    a = bounded.select("__b", F.col("__i").alias("item_a"))
+    b = bounded.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, on="__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+    )
+    item_support = bounded.groupBy(F.col("__i")).agg(
+        F.count(F.lit(1)).alias("__s")
+    )
+    total = bounded.select("__b").distinct().agg(
+        F.count(F.lit(1)).alias("__total")
+    )
+    scored = (
+        pairs.join(
+            broadcast(item_support.select(F.col("__i").alias("item_a"), F.col("__s").alias("support_a"))),
+            on="item_a",
+        )
+        .join(
+            broadcast(item_support.select(F.col("__i").alias("item_b"), F.col("__s").alias("support_b"))),
+            on="item_b",
+        )
+        .join(broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_support",
+            "support_a",
+            "support_b",
+            F.col("__total").alias("n_baskets"),
+            # lift = P(a∧b)/(P(a)·P(b)) — one division of exact BIGINT
+            # products, so both engines produce the identical double
+            (
+                (F.col("pair_support") * F.col("__total")).cast("double")
+                / (F.col("support_a") * F.col("support_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pair_support").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(top_k)

@@ -86,3 +86,42 @@ def funnel_summary(per_user: DataFrame, steps: tuple[str, ...]) -> DataFrame:
     return wide.select(F.explode(pairs).alias("r")).select(
         "r.step_no", "r.step", "r.users"
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity day
+    (the cohort), counted on each later day they return — the
+    (cohort_day, day_offset, active_users, cohort_size) grid behind every
+    retention curve.
+
+    Plan: first-day per user (groupBy user), distinct (user, day) activity
+    — both shuffles keyed on the user column, so the second re-uses the
+    first's partitioning — then a co-partitioned join and a tiny
+    (cohort, offset) aggregate. Cohort sizes join back by cohort day
+    (broadcast: one row per day). Everything downstream of the two user-key
+    stages is dimension-sized regardless of corpus scale.
+    """
+    day = F.to_date(F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    activity = events.select(F.col(user_col), day.alias("__day")).distinct()
+    grid = (
+        activity.join(firsts, on=user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("__day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("active_users"))
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return grid.join(F.broadcast(sizes), on="cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "active_users",
+        "cohort_size",
+    )

@@ -202,3 +202,46 @@ def test_funnel_steps_chain_and_ties(spark):
         for r in funnel_summary(funnel_steps(ev, steps), steps).collect()
     }
     assert summary == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
+
+
+def test_retention_cohorts_offsets_and_sizes(spark):
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-01"), (1, "2024-01-03"),
+        (2, "2024-01-01"), (2, "2024-01-02"),
+        (3, "2024-01-02"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, d string").selectExpr(
+        "user_id", "CAST(d AS TIMESTAMP_NTZ) AS ts"
+    )
+    from aci_export_spark.operators.funnel import retention_cohorts
+
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["active_users"], r["cohort_size"])
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2)  # u1+u2 on day 0 (dup event collapsed)
+    assert got[("2024-01-01", 1)] == (1, 2)  # u2 returns day 1
+    assert got[("2024-01-01", 2)] == (1, 2)  # u1 returns day 2
+    assert got[("2024-01-02", 0)] == (1, 1)  # u3's own cohort
+    assert len(got) == 4
+
+
+def test_basket_cooccurrence_cap_and_lift(spark):
+    from aci_export_spark.operators.basket import cooccurrence_pairs
+
+    rows = (
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+        # basket 9 is over the cap → contributes nothing
+        + [(9, f"x{i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r.asDict()
+        for r in cooccurrence_pairs(df, "basket", "item", top_k=10,
+                                    max_basket_items=3).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c")}
+    ab = out[("a", "b")]
+    assert ab["pair_support"] == 2 and ab["support_a"] == 3 and ab["support_b"] == 2
+    assert ab["n_baskets"] == 3
+    assert ab["lift"] == (2 * 3) / (3 * 2)  # exact-count division
