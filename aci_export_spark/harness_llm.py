@@ -2205,3 +2205,76 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_pairs(
         branded, "l_orderkey", "p_brand", top_k=20, max_basket_items=64
     )
+
+
+def _compression_oracle() -> str:
+    """Golden-reference oracle for the zlib compression signal: zlib is not
+    SQL-expressible, so raw/compressed byte lengths are computed
+    single-process over the fixture parquet (pyarrow, no Spark) and embedded
+    as a VALUES literal; ratio and flag are then DERIVED IN SQL from those
+    exact integers — the same IEEE division and integer comparison the
+    distributed path performs."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        data = (text or "").encode("utf-8")
+        rows.append(f"({doc_id},{len(data)},{len(zlib.compress(data, 6))})")
+    values = ",".join(rows)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(raw_len AS BIGINT) AS raw_len,
+       CAST(compressed_len AS BIGINT) AS compressed_len,
+       CAST(compressed_len AS DOUBLE) / CAST(raw_len AS DOUBLE) AS compression_ratio,
+       10 * compressed_len <= 3 * raw_len AS repetitive_compress
+FROM (VALUES {values}) AS t(doc_id, raw_len, compressed_len)
+"""
+
+
+@register(
+    "llm_compression_ratio",
+    _compression_oracle,  # golden VALUES from single-process zlib (CDC pattern)
+    doc="zlib compression-ratio quality signal (Dolma/Gopher family): "
+    "repetitive/machine-generated text compresses hard, binary noise "
+    "doesn't. The canonical genuinely-needs-Python stage: Arrow-batched "
+    "mapInPandas, one scan, no shuffle; flag decided by integer "
+    "cross-multiplication, ratio one IEEE division of exact lengths",
+)
+def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.compression_signals(docs, "doc_id", "text", level=6)
+
+
+@register(
+    "llm_doc_keywords",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+), tf AS (
+    SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+    SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, rank FROM (
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+                        tf.token ASC
+           ) AS rank
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+) WHERE rank <= 3
+""",
+    doc="per-document tf-idf keywords: rank by the raw rational tf*N/df "
+    "(idf's log is monotone — same order, no transcendental at the "
+    "boundary), token tie-break; document frequency derived from the tf "
+    "aggregate itself (no second corpus scan), per-doc top-k planned as "
+    "WindowGroupLimit",
+)
+def llm_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.doc_keywords(docs, "doc_id", "text", top_k=3)

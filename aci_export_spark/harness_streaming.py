@@ -170,3 +170,38 @@ def streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = ST.read_events_stream(spark, sf_dir)
     agg = ST.dq_monitor_stream(events, watermark="1 hour")
     return ST.run_stream_to_table(agg, spark, output_mode="complete")
+
+
+@register(
+    "streaming_funnel",
+    """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1)
+SELECT s1.user_id,
+       strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t_signup,
+       strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t_view,
+       strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t_click,
+       strftime(s4.t4, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+       CAST(CASE WHEN s4.t4 IS NOT NULL THEN 4
+            WHEN s3.t3 IS NOT NULL THEN 3
+            WHEN s2.t2 IS NOT NULL THEN 2
+            ELSE 1 END AS INTEGER) AS stage_reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        LEFT JOIN s4 USING (user_id)
+""",
+    doc="streaming twin of events_funnel_steps: applyInPandasWithState "
+    "keyed by user with a 4-slot write-once chain state (signup→view→"
+    "click→purchase), monotone snapshots reconciled by max(); oracle "
+    "equals the batch min-with-predicate funnel",
+)
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ST.read_events_stream(spark, sf_dir)
+    snapshots = ST.funnel_stream(events)
+    landed = ST.run_stream_to_table(snapshots, spark, output_mode="update")
+    return ST.reconcile_funnel_snapshots(landed)

@@ -500,6 +500,96 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def compression_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signal (the Dolma/Gopher-family
+    heuristic): highly compressible text is repetitive boilerplate or
+    machine-generated filler; barely compressible text is often binary
+    noise. Emits exact byte lengths, their IEEE ratio, and a
+    ``repetitive_compress`` flag decided by integer cross-multiplication
+    (10·compressed ≤ 3·raw ⇔ ratio ≤ 0.3) so no float sits at the boundary.
+
+    This is the repo's canonical "genuinely needs Python" stage: zlib is not
+    a SQL expression, so it runs as an Arrow-batched ``mapInPandas`` over
+    one scan — embarrassingly parallel, no shuffle, fixed-width output. The
+    golden-VALUES oracle replays the same zlib over the fixture
+    single-process (the CDC pattern), checking batching/schema/fan-out."""
+    import zlib
+
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, raw_len long, compressed_len long, "
+        "compression_ratio double, repetitive_compress boolean"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, raws, comps = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                data = (t or "").encode("utf-8")
+                ids.append(i)
+                raws.append(len(data))
+                comps.append(len(zlib.compress(data, level)))
+            out = pd.DataFrame({id_col: ids, "raw_len": raws, "compressed_len": comps})
+            out["compression_ratio"] = [
+                (c / r) if r else None for c, r in zip(comps, raws)
+            ]
+            out["repetitive_compress"] = [
+                10 * c <= 3 * r for c, r in zip(comps, raws)
+            ]
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def doc_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document tf-idf keywords: the `top_k` tokens ranked by
+    tf·N/df — the idf's log is monotone, so ranking by the raw rational
+    (computed as ONE IEEE division of exact BIGINT products) orders
+    identically to tf·idf while staying bit-identical across engines.
+    Deterministic tie-break on the token.
+
+    Plan: per-(doc, token) tf groupBy, token document-frequency derived
+    from the SAME aggregate (no second corpus scan), doc count as a 1-row
+    broadcast, score join keyed on the token, then a per-doc top-k window
+    (WindowGroupLimit: partial top-k before the doc-key shuffle)."""
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, on="token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "__score",
+            (F.col("tf") * F.col("__n")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "token", "tf", "df", "rank")
+    )
+
+
 def vocab_stats(
     df: DataFrame,
     id_col: str = "doc_id",

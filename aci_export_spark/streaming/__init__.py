@@ -8,6 +8,8 @@ from aci_export_spark.streaming.core import (
     distinct_users_stream,
     stream_into_mirror,
     dq_monitor_stream,
+    funnel_stream,
+    reconcile_funnel_snapshots,
 )
 
 __all__ = [
@@ -20,4 +22,6 @@ __all__ = [
     "distinct_users_stream",
     "stream_into_mirror",
     "dq_monitor_stream",
+    "funnel_stream",
+    "reconcile_funnel_snapshots",
 ]

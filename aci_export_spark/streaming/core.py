@@ -364,3 +364,90 @@ def dq_monitor_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             "n_props_missing_k",
         )
     )
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+_FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, t_signup string, t_view string, t_click string, "
+    "t_purchase string, stage_reached int"
+)
+_FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long, t4 long"
+
+
+def _funnel_group(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful funnel chain for one user (applyInPandasWithState).
+
+    State: the four chain timestamps (µs, None until reached). Events are
+    processed in (ts, event_id) order; step N's slot is filled by the first
+    step-N event at-or-after slot N-1 — identical to the batch
+    min-with-predicate semantics under the watermark-ordered per-user
+    contract the sessionizer documents. Slots are write-once, so snapshots
+    are monotone and the last one per user is the final row.
+    """
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = rows["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+
+    slots: list[int | None] = list(state.get) if state.exists else [None] * 4
+    step_of = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+    for t, etype in zip(ts_us, rows["event_type"]):
+        i = step_of.get(etype)
+        if i is None or slots[i] is not None:
+            continue
+        if i == 0 or (slots[i - 1] is not None and int(t) >= slots[i - 1]):
+            slots[i] = int(t)
+    state.update(tuple(slots))
+
+    if slots[0] is None:  # no signup yet → user not in the funnel table
+        return
+
+    def fmt(us):
+        return None if us is None else pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S")
+
+    stage = sum(1 for s in slots if s is not None)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "t_signup": [fmt(slots[0])],
+            "t_view": [fmt(slots[1])],
+            "t_click": [fmt(slots[2])],
+            "t_purchase": [fmt(slots[3])],
+            "stage_reached": [stage],
+        }
+    )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming conversion funnel — the stateful twin of
+    ``operators/funnel.funnel_steps``: one 4-slot state tuple per user,
+    write-once slots, snapshot per touched user per micro-batch."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_group,
+            outputStructType=_FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def reconcile_funnel_snapshots(snapshots: DataFrame) -> DataFrame:
+    """Collapse per-batch funnel snapshots to the final per-user table:
+    slots are write-once (monotone), so max() per column reconstructs the
+    last snapshot."""
+    return snapshots.groupBy("user_id").agg(
+        F.max("t_signup").alias("t_signup"),
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+        F.max("stage_reached").alias("stage_reached"),
+    )

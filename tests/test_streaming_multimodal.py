@@ -145,3 +145,67 @@ def test_phash_real_mode_gated(spark):
     media = MM.attach_media(read_table(spark, SF_SMOKE, "documents"))
     with _pytest.raises(Exception, match="codec"):
         MM.phash_table(media, real=True).collect()
+
+
+def test_streaming_funnel_equals_batch(spark):
+    from aci_export_spark.harness_llm import events_funnel_steps
+    from aci_export_spark.harness_streaming import streaming_funnel
+
+    got = streaming_funnel(spark, SF_SMOKE)
+    want = events_funnel_steps(spark, SF_SMOKE)
+    cols = ["user_id", "t_signup", "t_view", "t_click", "t_purchase", "stage_reached"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_funnel_multi_batch_snapshots(spark, tmp_path):
+    """Split the feed into multiple files and force one-file micro-batches:
+    write-once slots must survive arbitrary batching and reconcile to the
+    single-batch result."""
+    import glob
+
+    from aci_export_spark.streaming.core import (
+        funnel_stream, reconcile_funnel_snapshots, run_stream_to_table,
+    )
+
+    ev = read_table(spark, SF_SMOKE, "events").orderBy("ts", "event_id")
+    src = str(tmp_path / "feed")
+    # 4 sequential chunks — events stay time-ordered across files, matching
+    # the watermark-ordered per-user contract
+    ev.coalesce(1).write.parquet(src)
+    single = {
+        tuple(r)
+        for r in run_stream_to_table(
+            funnel_stream(
+                spark.readStream.schema(ev.schema).parquet(src)
+            ),
+            spark,
+            output_mode="update",
+        ).groupBy().count().collect()
+    }
+    assert single  # stream produced snapshots
+    # chunked replay
+    chunked_dir = str(tmp_path / "chunks")
+    n = ev.count()
+    import math
+    per = math.ceil(n / 4)
+    pdf = ev.toPandas()
+    import os
+    os.makedirs(chunked_dir)
+    for i in range(4):
+        part = pdf.iloc[i * per : (i + 1) * per]
+        if len(part):
+            spark.createDataFrame(part, schema=ev.schema).coalesce(1).write.parquet(
+                f"{chunked_dir}/c{i}", mode="overwrite"
+            )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunked_dir}/c*")
+    )
+    landed = run_stream_to_table(funnel_stream(stream), spark, output_mode="update")
+    final = reconcile_funnel_snapshots(landed)
+    from aci_export_spark.harness_llm import events_funnel_steps
+
+    want = events_funnel_steps(spark, SF_SMOKE)
+    cols = ["user_id", "t_signup", "t_view", "t_click", "t_purchase", "stage_reached"]
+    assert _rows(final, cols) == _rows(want, cols)
