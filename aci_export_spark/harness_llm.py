@@ -2278,3 +2278,48 @@ SELECT doc_id, token, tf, df, rank FROM (
 def llm_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.doc_keywords(docs, "doc_id", "text", top_k=3)
+
+
+@register(
+    "graph_brand_triangles",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+sizes AS (SELECT b FROM items GROUP BY b HAVING COUNT(*) <= 64),
+bounded AS (SELECT items.* FROM items JOIN sizes USING (b)),
+pairs AS (SELECT a.i AS item_a, bb.i AS item_b, COUNT(*)::BIGINT AS pair_support
+          FROM bounded a JOIN bounded bb ON a.b = bb.b AND a.i < bb.i
+          GROUP BY 1, 2),
+edges AS (SELECT item_a AS lo, item_b AS hi FROM pairs
+          ORDER BY pair_support DESC, item_a, item_b LIMIT 40),
+wedges AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+           FROM edges e1 JOIN edges e2 ON e1.hi = e2.lo),
+tri AS (SELECT w.a, w.b, w.c FROM wedges w
+        JOIN edges e3 ON w.a = e3.lo AND w.c = e3.hi),
+corners AS (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri),
+nodes AS (SELECT lo AS node FROM edges UNION SELECT hi FROM edges),
+cnt AS (SELECT node, COUNT(*)::BIGINT AS triangles FROM corners GROUP BY 1)
+SELECT n.node, COALESCE(c.triangles, 0)::BIGINT AS triangles
+FROM nodes n LEFT JOIN cnt c USING (node)
+""",
+    doc="per-node triangle counts over the brand co-occurrence graph (top-40 "
+    "pairs by support as edges): oriented-edge two-join enumeration — each "
+    "triangle a<b<c materialized exactly once, no permutation blowup; the "
+    "canonical edge set persists once for its three join roles. The "
+    "clustering-density primitive beside connected components",
+)
+def graph_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.basket import cooccurrence_pairs
+    from aci_export_spark.operators.graph import triangle_counts
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    branded = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    edges = cooccurrence_pairs(
+        branded, "l_orderkey", "p_brand", top_k=40, max_basket_items=64
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return triangle_counts(edges, "src", "dst")

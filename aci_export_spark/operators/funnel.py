@@ -98,27 +98,27 @@ def retention_cohorts(
     (cohort_day, day_offset, active_users, cohort_size) grid behind every
     retention curve.
 
-    Plan: first-day per user (groupBy user), distinct (user, day) activity
-    — both shuffles keyed on the user column, so the second re-uses the
-    first's partitioning — then a co-partitioned join and a tiny
-    (cohort, offset) aggregate. Cohort sizes join back by cohort day
-    (broadcast: one row per day). Everything downstream of the two user-key
-    stages is dimension-sized regardless of corpus scale.
+    Plan: exactly TWO corpus-wide shuffles — the (user, day) distinct, then
+    a user-key exchange for the window that stamps each activity row with
+    its user's first day (the cohort). Everything after is dimension-sized:
+    the (cohort, offset) grid counts rows directly (each user contributes
+    at most one row per day, so count(*) IS distinct users), and cohort
+    sizes fall out of the same stamped table (the rows where day ==
+    cohort day) — no separate corpus aggregate, no count-distinct.
     """
+    from pyspark.sql import Window
+
     day = F.to_date(F.col(ts_col))
-    firsts = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
     activity = events.select(F.col(user_col), day.alias("__day")).distinct()
-    grid = (
-        activity.join(firsts, on=user_col)
-        .groupBy(
-            "cohort_day",
-            F.datediff(F.col("__day"), F.col("cohort_day")).alias("day_offset"),
-        )
-        .agg(F.count_distinct(F.col(user_col)).alias("active_users"))
-    )
-    sizes = firsts.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
+    w = Window.partitionBy(user_col)
+    stamped = activity.withColumn("cohort_day", F.min("__day").over(w))
+    grid = stamped.groupBy(
+        "cohort_day",
+        F.datediff(F.col("__day"), F.col("cohort_day")).alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+    sizes = stamped.filter(F.col("__day") == F.col("cohort_day")).groupBy(
+        "cohort_day"
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
     return grid.join(F.broadcast(sizes), on="cohort_day").select(
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         "day_offset",

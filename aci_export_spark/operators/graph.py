@@ -132,3 +132,60 @@ def canonical_per_component(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the clustering /
+    community-density primitive next to :func:`connected_components`.
+
+    Uses the standard oriented-edge trick: edges are canonicalized to
+    (lo < hi), so each triangle {a<b<c} is materialized exactly once as the
+    path a→b→c closed by a→c — two equi-joins, no permutation blowup, no
+    post-hoc division by 6. At scale the join keys are node ids; skew
+    follows degree (a celebrity node fans out), which is the documented
+    reason production triangle counting pre-sorts by degree — the
+    lowest-degree endpoint orientation drops worst-case join volume from
+    O(Σd²) on hot nodes to O(m^1.5). Here the id orientation keeps the
+    oracle trivially replayable; swap the orientation key for the degree
+    rank when the graph has power-law hubs.
+
+    Returns (node, triangles) for every node that appears in ≥1 edge
+    (nodes in no triangle report 0).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        # three consumers (two wedge sides + the closing probe) — persist
+        # the canonicalized edge set once
+        .persist()
+    )
+    wedge = (
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .join(
+            e.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+            on="b",
+        )
+    )
+    tri = wedge.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
+        on=["a", "c"],
+    )
+    per_corner = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = e.select(F.col("lo").alias("node")).union(
+        e.select(F.col("hi").alias("node"))
+    ).distinct()
+    return nodes.join(per_corner, on="node", how="left").select(
+        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )

@@ -57,6 +57,15 @@ QUERIES = [
     "q21_waiting_suppliers",
     "llm_dedup_semantic",
     "llm_repetition_signals",
+    "llm_domain_quota",
+    "llm_quality_unigram_lm",
+    "llm_sim_rplsh_topk",
+    "llm_bloom_membership",
+    "llm_compression_ratio",
+    "llm_doc_keywords",
+    "basket_brand_pairs",
+    "events_retention_cohorts",
+    "events_funnel_steps",
 ]
 
 

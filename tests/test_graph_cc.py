@@ -87,3 +87,16 @@ def test_canonical_per_component(spark):
     rows = {(r["doc_id"], r["component"], r["cluster_size"]) for r in kept}
     # cluster 1: docs 2 and 3 tie on n_chars=30 → doc 2 wins the id tie-break
     assert rows == {(2, 1, 3), (9, 9, 1)}
+
+
+def test_triangle_counts_known_graph(spark):
+    from aci_export_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5 and
+    # an isolated edge 6-7; edges given in mixed orientation + a duplicate
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1), (1, 4), (2, 3), (4, 2), (3, 4), (5, 4), (6, 7)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}

@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     # subqueries, and the right one at any scale (1-row build side)
     "q11_important_stock",
     "q22_global_balance_anti",
+    "llm_quality_unigram_lm",  # 1-row (total, vocab) aggregate broadcast
+    "llm_doc_keywords",  # 1-row corpus-count aggregate broadcast
+    "basket_brand_pairs",  # 1-row basket-total aggregate broadcast
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
