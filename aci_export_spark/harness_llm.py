@@ -2323,3 +2323,109 @@ def graph_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         branded, "l_orderkey", "p_brand", top_k=40, max_basket_items=64
     ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     return triangle_counts(edges, "src", "dst")
+
+
+@register(
+    "events_transition_matrix",
+    """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), outdeg AS (
+    SELECT prev_type, SUM(n_transitions)::BIGINT AS n_out FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.n_transitions,
+       CAST(p.n_transitions AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS p_next
+FROM pairs p JOIN outdeg o USING (prev_type)
+""",
+    doc="first-order event-type transition matrix (Markov view of user "
+    "journeys): lag window keyed on the high-cardinality user column, "
+    "dimension-sized (prev, next) counts, row-normalized transition "
+    "probability as one IEEE division of exact counts; the outdegree table "
+    "derives from the pair aggregate — no second corpus pass",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    outdeg = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_out")
+    )
+    return pairs.join(F.broadcast(outdeg), on="prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double") / F.col("n_out").cast("double")
+        ).alias("p_next"),
+    )
+
+
+def _curation_v2_oracle() -> str:
+    """Compose the registered single-signal oracles (each already verified
+    independently) into the keep-list conjunction — signal SQL is reused
+    verbatim as CTEs, so v2 cannot drift from the signals it claims to
+    apply."""
+    from aci_export_spark.harness import REGISTRY
+
+    def sql_of(name: str) -> str:
+        o = REGISTRY[name].oracle
+        return o() if callable(o) else o
+
+    return f"""
+WITH gq AS ({sql_of("llm_quality_gopher")}),
+ul AS ({sql_of("llm_quality_unigram_lm")}),
+cz AS ({sql_of("llm_compression_ratio")}),
+dq AS ({sql_of("llm_domain_quota")})
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN gq ON gq.doc_id = d.doc_id
+JOIN ul ON ul.doc_id = d.doc_id
+JOIN cz ON cz.doc_id = d.doc_id
+JOIN dq ON dq.doc_id = d.doc_id
+WHERE gq.keep AND ul.keep AND NOT cz.repetitive_compress
+"""
+
+
+@register(
+    "llm_curation_kept_corpus_v2",
+    _curation_v2_oracle,  # composes the verified single-signal oracles
+    doc="round-4 curation keep-list: Gopher gate ∧ unigram-LM keep ∧ "
+    "not-compression-repetitive ∧ inside the per-domain quota — the "
+    "multi-signal pipeline OUTPUT, each signal joined on the doc key so "
+    "the corpus scans stay per-signal (shareable/cacheable) and the "
+    "conjunction is a chain of key joins, not a monolithic scan",
+)
+def llm_curation_kept_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = T.gopher_quality_flags(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("__gk")
+    )
+    u = T.unigram_lm_scores(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("__uk")
+    )
+    c = T.compression_signals(docs, "doc_id", "text").select(
+        "doc_id", "repetitive_compress"
+    )
+    q = T.domain_quota(docs, "source", "doc_id", quota=15).select("doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(g, on="doc_id")
+        .join(u, on="doc_id")
+        .join(c, on="doc_id")
+        .join(q, on="doc_id")
+        .filter(F.col("__gk") & F.col("__uk") & ~F.col("repetitive_compress"))
+        .select("doc_id", "lang", "n_chars")
+    )
