@@ -2429,3 +2429,25 @@ def llm_curation_kept_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__gk") & F.col("__uk") & ~F.col("repetitive_compress"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "events_rolling_active_users",
+    """
+WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, COUNT(*)::BIGINT AS dau FROM activity GROUP BY 1),
+cover AS (SELECT user_id, day + i::INTEGER AS day
+          FROM activity, unnest(generate_series(0, 6)) AS t(i)),
+wau AS (SELECT day, COUNT(DISTINCT user_id)::BIGINT AS wau FROM cover GROUP BY 1)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+FROM dau d JOIN wau w USING (day)
+""",
+    doc="DAU + trailing-7-day WAU per observed day: (user, day) distinct "
+    "once, bounded 7x window-cover explode, one distinct count per day; "
+    "DAU counts rows directly (distinct by construction). The HLL sketch "
+    "merge is the documented 100 TB swap when exact distinct dominates",
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.funnel import rolling_active_users
+
+    return rolling_active_users(read_table(spark, sf_dir, "events"), window_days=7)

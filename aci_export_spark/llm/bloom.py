@@ -121,3 +121,16 @@ def bloom_probe(
         F.sum("__hit").cast("long").alias("n_bits_hit"),
         (F.sum("__hit") == k_hashes).alias("maybe_member"),
     )
+
+
+def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two Bloom bitmaps built with the same (m_bits, k_hashes): OR
+    the word rows together. Because the filter is relational, incremental
+    ingest unions yesterday's filter with the delta batch's — no rebuild,
+    no driver-side sketch objects, and the result is again just a
+    (word_idx, word) table."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )

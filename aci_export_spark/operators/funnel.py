@@ -125,3 +125,44 @@ def retention_cohorts(
         "active_users",
         "cohort_size",
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Daily + trailing-window active users (the DAU/WAU/MAU board metric):
+    for each calendar day with activity, the distinct users that day and in
+    the trailing `window_days` window ending that day.
+
+    Exact formulation: each (user, day) activity row is exploded to the
+    `window_days` window-end days it contributes to (a BOUNDED fan-out —
+    7× or 28×, never data-dependent), then one distinct count per day.
+    That is the standard exact plan; at 100 TB the approximate path is one
+    HLL sketch per (user-shard, day) merged across the trailing window
+    (`events_sketch_distinct` is the in-repo sketch primitive) — swap when
+    the exact distinct's shuffle dominates. Window-end days are
+    inner-joined to observed days so the metric stops at the data's edge
+    instead of reporting phantom trailing days."""
+    day = F.to_date(F.col(ts_col))
+    activity = events.select(F.col(user_col), day.alias("__day")).distinct()
+    dau = activity.groupBy(F.col("__day").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    cover = activity.select(
+        F.col(user_col),
+        F.explode(
+            F.sequence(
+                F.col("__day"), F.date_add(F.col("__day"), window_days - 1)
+            )
+        ).alias("day"),
+    )
+    wau = cover.groupBy("day").agg(
+        F.count_distinct(F.col(user_col)).alias("wau")
+    )
+    return (
+        dau.join(wau, on="day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )

@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     "llm_quality_unigram_lm",  # 1-row (total, vocab) aggregate broadcast
     "llm_doc_keywords",  # 1-row corpus-count aggregate broadcast
     "basket_brand_pairs",  # 1-row basket-total aggregate broadcast
+    "graph_brand_triangles",  # composes basket_brand_pairs (same 1-row cross)
+    "llm_curation_kept_corpus_v2",  # composes the unigram 1-row broadcast
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")

@@ -174,3 +174,16 @@ def test_bloom_no_false_negatives_and_fp_audit(spark):
     # bound loosely — the point is "some but far from all"
     assert 0 < fps < 150
     assert all(0 <= r["n_bits_hit"] <= 3 for r in probed)
+
+
+def test_bloom_union_equals_combined_build(spark):
+    from aci_export_spark.llm import bloom as B
+
+    k1 = spark.createDataFrame([(f"a{i}",) for i in range(50)], "key string")
+    k2 = spark.createDataFrame([(f"b{i}",) for i in range(50)], "key string")
+    merged = B.bloom_union(
+        B.bloom_build(k1, "key", m_bits=512, k_hashes=3),
+        B.bloom_build(k2, "key", m_bits=512, k_hashes=3),
+    )
+    direct = B.bloom_build(k1.unionByName(k2), "key", m_bits=512, k_hashes=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
