@@ -2451,3 +2451,106 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aci_export_spark.operators.funnel import rolling_active_users
 
     return rolling_active_users(read_table(spark, sf_dir, "events"), window_days=7)
+
+
+@register(
+    "docs_cube_stats",
+    """
+SELECT lang, source, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS total_chars,
+       (CASE WHEN GROUPING(lang) = 1 THEN 1 ELSE 0 END
+        + CASE WHEN GROUPING(source) = 1 THEN 2 ELSE 0 END) AS grouping_id
+FROM documents
+GROUP BY CUBE (lang, source)
+""",
+    doc="CUBE aggregation over (lang, source): all four grouping sets in one "
+    "pass — Spark expands the cube map-side and shuffles once on the "
+    "expanded grouping keys; grouping_id disambiguates subtotal NULLs from "
+    "data NULLs (emitted with Spark's bit order: lang=1, source=2)",
+)
+def docs_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    gid = (
+        F.when(F.grouping("lang") == 1, 1).otherwise(0)
+        + F.when(F.grouping("source") == 1, 2).otherwise(0)
+    )
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        gid.alias("grouping_id"),
+    )
+
+
+@register(
+    "events_time_to_convert",
+    """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1)
+SELECT s1.user_id,
+       CAST(date_sub('second', s1.t1, s4.t4) AS BIGINT) AS seconds_to_convert
+FROM s1 JOIN s4 USING (user_id)
+""",
+    doc="conversion latency: whole seconds from first signup to funnel "
+    "completion for converted users — exact integer epoch difference, "
+    "composed over the funnel chain",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.funnel import funnel_steps
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = funnel_steps(ev, _FUNNEL_STEPS)
+    return per_user.filter(F.col("t_purchase").isNotNull()).select(
+        "user_id",
+        F.expr(
+            "(unix_micros(CAST(t_purchase AS TIMESTAMP))"
+            " - unix_micros(CAST(t_signup AS TIMESTAMP))) div 1000000"
+        ).alias("seconds_to_convert"),
+    )
+
+
+@register(
+    "events_countmin_user_counts",
+    """
+WITH keys AS (SELECT user_id, COUNT(*)::BIGINT AS exact_n FROM events GROUP BY 1),
+cells AS (SELECT i, ('0x' || substr(md5('cms' || i || ':' || e.user_id), 1, 15))::BIGINT
+                     % 256 AS bucket
+          FROM events e, unnest([0, 1, 2, 3]) AS t(i)),
+counters AS (SELECT i, bucket, COUNT(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+probes AS (SELECT user_id, i,
+                  ('0x' || substr(md5('cms' || i || ':' || user_id), 1, 15))::BIGINT
+                      % 256 AS bucket
+           FROM keys, unnest([0, 1, 2, 3]) AS t(i)),
+est AS (SELECT p.user_id, MIN(c.cnt)::BIGINT AS cms_estimate
+        FROM probes p JOIN counters c USING (i, bucket) GROUP BY 1)
+SELECT k.user_id, k.exact_n, e.cms_estimate,
+       (e.cms_estimate - k.exact_n)::BIGINT AS overcount
+FROM keys k JOIN est e USING (user_id)
+""",
+    doc="count-min sketch (depth 4 × width 256, md5-derived buckets) "
+    "estimating per-user event counts: the counter grid is a bounded "
+    "(i, bucket, cnt) DataFrame built with map-side partial aggregation — "
+    "each task reduces to ≤ depth·width rows before the shuffle, the whole "
+    "point of sketching at 100 TB; estimate = min over probed cells, "
+    "always ≥ exact (overcount emitted beside the exact audit count, both "
+    "deterministic — the sketch replays bit-for-bit in any engine)",
+)
+def events_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.sketches import countmin_build, countmin_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    counters = countmin_build(ev, "user_id", width=256, depth=4)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = countmin_estimate(
+        exact.select("user_id"), counters, "user_id", width=256, depth=4
+    )
+    return exact.join(est, on="user_id").select(
+        "user_id",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
+    )

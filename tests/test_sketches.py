@@ -56,3 +56,24 @@ def test_approx_quantiles_within_rank_error(spark):
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.01) * n))]
             assert lo <= est <= hi, (etype, q, est, lo, hi)
+
+
+def test_countmin_never_underestimates_and_unions(spark):
+    from aci_export_spark.operators.sketches import countmin_build, countmin_estimate
+
+    rows = [(f"k{i % 20}",) for i in range(400)]  # skewed: k0..k19, 20 each
+    df = spark.createDataFrame(rows, "key string")
+    counters = countmin_build(df, "key", width=16, depth=3)  # tiny → collisions
+    keys = df.distinct()
+    est = {
+        r["key"]: r["cms_estimate"]
+        for r in countmin_estimate(keys, counters, "key", width=16, depth=3).collect()
+    }
+    assert all(v >= 20 for v in est.values())  # never underestimates
+    # an absent key estimates from whatever collided into its buckets — may
+    # be positive, never negative
+    ghost = spark.createDataFrame([("nope",)], "key string")
+    g = countmin_estimate(ghost, counters, "key", width=16, depth=3).collect()[0]
+    assert g["cms_estimate"] >= 0
+    # grid is bounded
+    assert counters.count() <= 16 * 3
