@@ -2554,3 +2554,51 @@ def events_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
     )
+
+
+@register(
+    "basket_brand_triples",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+sizes AS (SELECT b FROM items GROUP BY b HAVING COUNT(*) <= 64),
+bounded AS (SELECT items.* FROM items JOIN sizes USING (b)),
+fp AS (SELECT a.i AS ia, bb.i AS ib
+       FROM bounded a JOIN bounded bb ON a.b = bb.b AND a.i < bb.i
+       GROUP BY 1, 2 HAVING COUNT(*) >= 70),
+tri AS (
+    -- fp is unique on (ia, ib), so inner joins are exact EXISTS semantics
+    -- (and let the optimizer hash-join instead of re-running the pair
+    -- aggregate per candidate row)
+    SELECT a.i AS item_a, bb.i AS item_b, c.i AS item_c,
+           COUNT(*)::BIGINT AS triple_support
+    FROM bounded a
+    JOIN bounded bb ON a.b = bb.b AND a.i < bb.i
+    JOIN bounded c ON a.b = c.b AND bb.i < c.i
+    JOIN fp f1 ON f1.ia = a.i AND f1.ib = bb.i
+    JOIN fp f2 ON f2.ia = bb.i AND f2.ib = c.i
+    JOIN fp f3 ON f3.ia = a.i AND f3.ib = c.i
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 70
+)
+SELECT * FROM tri
+ORDER BY triple_support DESC, item_a, item_b, item_c
+LIMIT 20
+""",
+    doc="A-priori frequent triples: the thresholded frequent-pair table "
+    "semi-joins into the enumeration BEFORE the third basket join "
+    "(monotonicity prune — a triple needs all three pairs frequent), "
+    "cutting candidates from O(baskets*cap^3) to the frequent-pair "
+    "fan-out; size-capped baskets, top-20 deterministic",
+)
+def basket_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.basket import frequent_triples
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    branded = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return frequent_triples(
+        branded, "l_orderkey", "p_brand",
+        min_support=70, top_k=20, max_basket_items=64,
+    )

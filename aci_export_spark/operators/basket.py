@@ -96,3 +96,81 @@ def cooccurrence_pairs(
     return scored.orderBy(
         F.col("pair_support").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     ).limit(top_k)
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 70,
+    top_k: int = 20,
+    max_basket_items: int = 64,
+) -> DataFrame:
+    """Top-`top_k` frequent item TRIPLES with A-priori pruning: a triple can
+    only reach `min_support` if all three of its pairs do (monotonicity), so
+    the pair-frequency table — tiny after thresholding — semi-joins into the
+    enumeration BEFORE the third basket join, cutting the candidate stream
+    from O(baskets·cap³) to the frequent-pair fan-out. This prune-early
+    shape is the entire A-priori idea and exactly what survives at 100 TB;
+    the size cap bounds the per-basket blowup as in
+    :func:`cooccurrence_pairs`.
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    bounded = (
+        items.join(
+            sizes.filter(F.col("__n") <= max_basket_items).select("__b"), on="__b"
+        )
+        .repartition(F.col("__b"))
+        .persist()
+    )
+    a = bounded.select("__b", F.col("__i").alias("item_a"))
+    b = bounded.select("__b", F.col("__i").alias("item_b"))
+    c = bounded.select("__b", F.col("__i").alias("item_c"))
+    freq_pairs = (
+        a.join(b, on="__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("__ps"))
+        .filter(F.col("__ps") >= min_support)
+        .select("item_a", "item_b")
+        .persist()
+    )
+    cand = (
+        a.join(b, on="__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .join(broadcast(freq_pairs), on=["item_a", "item_b"], how="left_semi")
+        .join(c, on="__b")
+        .filter(F.col("item_b") < F.col("item_c"))
+        .join(
+            broadcast(
+                freq_pairs.select(
+                    F.col("item_a").alias("item_b"), F.col("item_b").alias("item_c")
+                )
+            ),
+            on=["item_b", "item_c"],
+            how="left_semi",
+        )
+        .join(
+            broadcast(
+                freq_pairs.select(
+                    F.col("item_a"), F.col("item_b").alias("item_c")
+                )
+            ),
+            on=["item_a", "item_c"],
+            how="left_semi",
+        )
+    )
+    triples = (
+        cand.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("triple_support"))
+        .filter(F.col("triple_support") >= min_support)
+    )
+    return triples.orderBy(
+        F.col("triple_support").desc(),
+        F.col("item_a").asc(),
+        F.col("item_b").asc(),
+        F.col("item_c").asc(),
+    ).limit(top_k)

@@ -245,3 +245,20 @@ def test_basket_cooccurrence_cap_and_lift(spark):
     assert ab["pair_support"] == 2 and ab["support_a"] == 3 and ab["support_b"] == 2
     assert ab["n_baskets"] == 3
     assert ab["lift"] == (2 * 3) / (3 * 2)  # exact-count division
+
+
+def test_frequent_triples_apriori(spark):
+    from aci_export_spark.operators.basket import frequent_triples
+
+    # {a,b,c} together in 3 baskets; {a,b,d} only once; d never frequent
+    rows = []
+    for bkt in (1, 2, 3):
+        rows += [(bkt, "a"), (bkt, "b"), (bkt, "c")]
+    rows += [(4, "a"), (4, "b"), (4, "d")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = frequent_triples(
+        df, "basket", "item", min_support=3, top_k=10, max_basket_items=10
+    ).collect()
+    assert [(r["item_a"], r["item_b"], r["item_c"], r["triple_support"]) for r in out] == [
+        ("a", "b", "c", 3)
+    ]
