@@ -2602,3 +2602,59 @@ def basket_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         branded, "l_orderkey", "p_brand",
         min_support=70, top_k=20, max_basket_items=64,
     )
+
+
+@register(
+    "events_activity_streaks",
+    """
+WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+grp AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                      AS INTEGER) AS island
+    FROM activity
+), streaks AS (
+    SELECT user_id, island, COUNT(*)::BIGINT AS streak_len,
+           MIN(day) AS streak_start
+    FROM grp GROUP BY 1, 2
+)
+SELECT user_id,
+       SUM(streak_len)::BIGINT AS n_active_days,
+       COUNT(*)::BIGINT AS n_streaks,
+       MAX(streak_len)::BIGINT AS longest_streak,
+       strftime(MIN(CASE WHEN streak_len = m THEN streak_start END),
+                '%Y-%m-%d') AS longest_streak_start
+FROM (SELECT *, MAX(streak_len) OVER (PARTITION BY user_id) AS m FROM streaks)
+GROUP BY user_id
+""",
+    doc="gaps-and-islands: consecutive-day activity streaks per user via the "
+    "day-minus-row_number island key — one user-key window plus two "
+    "user-keyed reductions re-using the same partitioning; reports active "
+    "days, streak count, longest streak, and its (earliest) start date",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = activity.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    wm = Window.partitionBy("user_id")
+    with_max = streaks.withColumn("m", F.max("streak_len").over(wm))
+    return with_max.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+        F.date_format(
+            F.min(F.when(F.col("streak_len") == F.col("m"), F.col("streak_start"))),
+            "yyyy-MM-dd",
+        ).alias("longest_streak_start"),
+    )

@@ -109,3 +109,32 @@ def scope_union(primary: DataFrame, expansion: DataFrame) -> DataFrame:
     happens.
     """
     return primary.unionByName(expansion).distinct()
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Tolerant JSON-lines source: explicit schema (NEVER schema inference at
+    scale — inference is a full extra pass over 100 TB and produces
+    run-dependent schemas), PERMISSIVE decode with malformed lines captured
+    in `corrupt_col` instead of failing the job. The ingest contract every
+    crawl/log pipeline needs: good rows flow, bad rows land in a quarantine
+    column for audit, and counts of each are one aggregation away.
+
+    Spark only populates the corrupt column when a parsed column is also
+    selected, and requires caching semantics to inspect it alone — callers
+    should `filter(col(corrupt_col).isNotNull())` AFTER selecting data
+    columns. Use mode="DROPMALFORMED" to silently drop or "FAILFAST" to
+    abort on first bad line.
+    """
+    full_schema = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

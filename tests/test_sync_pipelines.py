@@ -427,3 +427,22 @@ class TestObservedSync:
         stats3 = run_mirror_sync_and_write(aci, spark, m1, today=TODAY_S)
         for name in LOAD_ORDER:
             assert stats3[name]["deleted"] == 0, name
+
+
+def test_read_jsonl_quarantines_malformed(spark, tmp_path):
+    from aci_export_spark.sources import read_jsonl
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "ok two"}\n'
+        '{"doc_id": "not-a-number", "text": "bad type"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id long, text string")
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 2  # the non-JSON line and the type mismatch
+    assert all(r["doc_id"] is None for r in bad if r["_corrupt_record"] == "this is not json")
