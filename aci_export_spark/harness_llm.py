@@ -2658,3 +2658,93 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd",
         ).alias("longest_streak_start"),
     )
+
+
+@register(
+    "orders_value_gini",
+    """
+WITH ranked AS (
+    SELECT o_orderpriority AS segment,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+                                       o_orderkey) AS i
+    FROM orders
+), agg AS (
+    SELECT segment, COUNT(*)::BIGINT AS n,
+           SUM(x) AS s, SUM(i * x) AS s1
+    FROM ranked GROUP BY 1
+)
+SELECT segment, n,
+       CAST(s AS DOUBLE) AS total_value,
+       CAST(2 * s1 - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+FROM agg
+""",
+    doc="Gini concentration of order value per priority segment: the exact "
+    "rank-sum formula G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)) over "
+    "exact decimals — rank ties carry equal x so the coefficient is "
+    "tie-break-invariant; one ranking window per segment, numerator and "
+    "denominator exact until the single closing division",
+)
+def orders_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_orderpriority").orderBy(x, F.col("o_orderkey"))
+    ranked = o.select(
+        F.col("o_orderpriority").alias("segment"),
+        x.alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    )
+    return agg.select(
+        "segment",
+        "n",
+        F.col("s").cast("double").alias("total_value"),
+        (
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "orders_benford_digits",
+    """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+    FROM orders
+)
+SELECT first_digit, COUNT(*)::BIGINT AS n,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)
+           AS observed_share
+FROM d GROUP BY 1
+""",
+    doc="Benford first-significant-digit profile of order totals (the "
+    "classic fraud/synthetic-data audit): digit extracted from the exact "
+    "integer cents representation (no float formatting in the loop), "
+    "share as one IEEE division of exact counts",
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("first_digit")
+    )
+    agg = d.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        "first_digit",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double")
+        ).alias("observed_share"),
+    )
