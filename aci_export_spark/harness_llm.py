@@ -2748,3 +2748,39 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy()).cast("double")
         ).alias("observed_share"),
     )
+
+
+@register(
+    "j_salted_join_equivalence",
+    """
+SELECT o_orderpriority AS priority, COUNT(*)::BIGINT AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+    doc="skew-resistant salted join under the correctness gate: the "
+    "lineitem-orders join runs through operators/joins.salted_join (16 salt "
+    "buckets — hot keys spread across tasks, right side replicated per "
+    "bucket) and must aggregate to exactly the plain join's answer; the "
+    "oracle IS the plain join. AQE skew-splitting covers most skew "
+    "automatically — this explicit form is for keys too hot for a split "
+    "shuffle block",
+)
+def j_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.joins import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on=["l_orderkey"], salt_buckets=16)
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
