@@ -321,6 +321,16 @@ def _ensure_all_registered() -> None:
 #: same scale. Names absent from this list keep their registration order
 #: after it; the flagship stays first (it is also the driver's entry()
 #: smoke check).
+#: ROUND-5 NOTE: once CORRECTNESS_r04 lands green rows for this window,
+#: rotate the round-4 batch-2 queries (llm_domain_quota, llm_quality_unigram_lm,
+#: llm_sim_rplsh_topk, llm_bloom_membership, llm_vocab_stats, llm_split_leakage,
+#: llm_compression_ratio, llm_doc_keywords, llm_curation_kept_corpus_v2,
+#: events_funnel_*, events_retention_cohorts, events_value_deciles,
+#: events_transition_matrix, events_rolling_active_users, events_activity_streaks,
+#: events_time_to_convert, events_countmin_user_counts, basket_*, graph_brand_triangles,
+#: docs_cube_stats, orders_value_gini, orders_benford_digits,
+#: j_salted_join_equivalence, streaming_funnel) into the window in their place —
+#: every one already hash-matches the identical local gate.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
     # SURVEY §2 reference-surface operators never driver-checked (r1-r3)

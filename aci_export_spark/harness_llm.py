@@ -2784,3 +2784,70 @@ def j_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "events_pit_state_enrichment",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_type,
+           ROW_NUMBER() OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versions AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+), hist AS (
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS state_version
+    FROM versions
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       h.state, h.state_version
+FROM events p JOIN hist h
+  ON p.user_id = h.user_id
+ AND h.valid_from <= p.ts
+ AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+WHERE p.event_type = 'purchase'
+""",
+    doc="point-in-time enrichment (the feature-store correctness op): each "
+    "purchase event joined to the SCD2 state version valid AT its "
+    "timestamp — user-key equi-join with interval containment, exactly one "
+    "match per event by interval construction (no dedup pass). The "
+    "time-travel complement to the SCD2 derivation; at scale the history "
+    "side partitions by the same user key as the fact",
+)
+def events_pit_state_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.scd import scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev, "user_id", "ts", ["event_type"], tiebreak_col="event_id"
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        F.col("version").alias("state_version"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        p.join(hist, on="user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "state",
+            "state_version",
+        )
+    )
