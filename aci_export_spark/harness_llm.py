@@ -2851,3 +2851,51 @@ def events_pit_state_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state_version",
         )
     )
+
+
+@register(
+    "events_anomalous_days",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS days
+    FROM daily
+), med AS (
+    SELECT event_type, n AS med_n FROM ranked WHERE rn = (days + 1) // 2
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n, m.med_n,
+       d.n * 2 > m.med_n * 3 AS anomalous
+FROM daily d JOIN med m USING (event_type)
+""",
+    doc="volume anomaly detection with exact integers: per-type daily "
+    "counts vs the (lower) median day — median picked by rank, not "
+    "percentile interpolation, and the 1.5x-median flag decided by "
+    "integer cross-multiplication (2n > 3·median). The shape of every "
+    "pipeline-health monitor; daily grid is dimension-sized after one "
+    "corpus aggregate",
+)
+def events_anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("n", "day")
+    ws = Window.partitionBy("event_type")
+    ranked = daily.withColumn("rn", F.row_number().over(w)).withColumn(
+        "days", F.count(F.lit(1)).over(ws)
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(days + 1) div 2")
+    ).select("event_type", F.col("n").alias("med_n"))
+    return daily.join(F.broadcast(med), on="event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "med_n",
+        (F.col("n") * 2 > F.col("med_n") * 3).alias("anomalous"),
+    )
