@@ -2899,3 +2899,80 @@ def events_anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med_n",
         (F.col("n") * 2 > F.col("med_n") * 3).alias("anomalous"),
     )
+
+
+_BRAND_EDGES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+sizes AS (SELECT b FROM items GROUP BY b HAVING COUNT(*) <= 64),
+bounded AS (SELECT items.* FROM items JOIN sizes USING (b)),
+pairs AS (SELECT a.i AS item_a, bb.i AS item_b, COUNT(*) AS pair_support
+          FROM bounded a JOIN bounded bb ON a.b = bb.b AND a.i < bb.i
+          GROUP BY 1, 2)
+SELECT item_a, item_b FROM pairs
+ORDER BY pair_support DESC, item_a, item_b LIMIT 40
+"""
+
+
+def _pagerank_golden_oracle() -> str:
+    """Golden oracle for fixed-point PageRank: edges come from the same
+    top-40 brand-pair SQL (run here in DuckDB), the rank iteration is
+    replayed in pure Python with the IDENTICAL integer arithmetic, and the
+    expected table is embedded as a VALUES literal (the CDC pattern —
+    iterative integer updates are not reasonably expressible in one SQL
+    statement)."""
+    import duckdb
+
+    from aci_export_spark.operators.graph import PAGERANK_SCALE
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'"
+        )
+    edges = con.sql(_BRAND_EDGES_SQL).fetchall()
+    directed: dict[str, list[str]] = {}
+    for a, b in edges:
+        directed.setdefault(a, []).append(b)
+        directed.setdefault(b, []).append(a)
+    nodes = sorted(directed)
+    n = len(nodes)
+    base = PAGERANK_SCALE * 15 // (100 * n)
+    rank = {v: PAGERANK_SCALE // n for v in nodes}
+    for _ in range(10):
+        incoming = {v: 0 for v in nodes}
+        for src, dsts in directed.items():
+            share = (rank[src] * 85) // (100 * len(dsts))
+            for d in dsts:
+                incoming[d] += share
+        rank = {v: base + incoming[v] for v in nodes}
+    values = ",".join(f"('{v}',{r})" for v, r in rank.items())
+    return f"""
+SELECT node, CAST(rank AS BIGINT) AS rank
+FROM (VALUES {values}) AS t(node, rank)
+"""
+
+
+@register(
+    "graph_brand_pagerank",
+    _pagerank_golden_oracle,
+    doc="fixed-point integer PageRank (damping 85/100, 10 rounds) over the "
+    "top-40 brand co-occurrence graph: ranks in units of 1e-9 updated with "
+    "integer multiply/`div` only — bit-identical across engines where "
+    "float PageRank never replays; per-round localCheckpoint keeps plan "
+    "depth constant (the connected-components iterative pattern). Golden "
+    "oracle = the same integer iteration in pure Python",
+)
+def graph_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.basket import cooccurrence_pairs
+    from aci_export_spark.operators.graph import pagerank_fixed_point
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    branded = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    edges = cooccurrence_pairs(
+        branded, "l_orderkey", "p_brand", top_k=40, max_basket_items=64
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return pagerank_fixed_point(edges, "src", "dst", iterations=10)

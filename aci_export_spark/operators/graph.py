@@ -189,3 +189,75 @@ def triangle_counts(
     return nodes.join(per_corner, on="node", how="left").select(
         "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+PAGERANK_SCALE = 1_000_000_000
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """PageRank with FIXED-POINT integer arithmetic — every rank is an
+    integer in units of 1/PAGERANK_SCALE, updates use only integer
+    multiply/divide, so ranks are bit-identical across engines and runs
+    (float PageRank sums in partition order and never replays exactly).
+    Damping is the rational `damping_num/damping_den`; a fixed iteration
+    count keeps the driver loop free of convergence collects.
+
+    Undirected interpretation: each edge contributes both directions.
+    Per round: one groupBy(dst) of the contribution stream joined back to
+    the node table — the labels are `localCheckpoint`ed per round like
+    :func:`connected_components`, so plan depth stays constant in the
+    iteration count. Dangling mass (nodes with no outgoing edges) cannot
+    occur in the undirected view; integer-division remainders are dropped
+    deterministically (both the distributed and the reference
+    implementation lose the same ulps).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    directed = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    nodes = directed.select(F.col("src").alias("node")).distinct().persist()
+    n_nodes = nodes.count()
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+
+    base = PAGERANK_SCALE * (damping_den - damping_num) // (damping_den * n_nodes)
+    init = PAGERANK_SCALE // n_nodes
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    out_edges = directed.join(deg, on="src").persist()
+
+    for _ in range(iterations):
+        contrib = (
+            out_edges.join(ranks.withColumnRenamed("node", "src"), on="src")
+            .select(
+                F.col("dst").alias("node"),
+                # share = damping * rank / deg — `div`, NOT `/`: float
+                # division of 10-digit ints can land 1 ulp off the exact
+                # integer quotient and break bit-replayability
+                F.expr(
+                    f"(rank * {damping_num}) div ({damping_den} * __deg)"
+                ).alias("__share"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__share").alias("__in"))
+        ranks = (
+            nodes.join(summed, on="node", how="left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("__in", F.lit(0))).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -100,3 +100,18 @@ def test_triangle_counts_known_graph(spark):
     )
     got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_pagerank_star_center_dominates_and_is_deterministic(spark):
+    from aci_export_spark.operators.graph import pagerank_fixed_point
+
+    # star: hub 0 connected to leaves 1..5
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank_fixed_point(edges, iterations=5).collect()}
+    r2 = {r["node"]: r["rank"] for r in pagerank_fixed_point(edges, iterations=5).collect()}
+    assert r1 == r2  # bit-identical replay
+    assert r1[0] > max(r1[i] for i in range(1, 6))  # hub dominates
+    leaf_ranks = {r1[i] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
