@@ -2976,3 +2976,122 @@ def graph_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         branded, "l_orderkey", "p_brand", top_k=40, max_basket_items=64
     ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     return pagerank_fixed_point(edges, "src", "dst", iterations=10)
+
+
+def _zorder_sql(x: str, y: str, bits: int = 10) -> str:
+    """Bit-interleave SQL shared verbatim by the Spark expression and the
+    DuckDB oracle: z = Σ ((x>>i)&1)<<2i | ((y>>i)&1)<<2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "events_zorder_keys",
+    f"""
+WITH d AS (
+    SELECT event_id,
+           CAST(user_id % 1024 AS BIGINT) AS ux,
+           CAST(date_part('hour', ts) * 60 + date_part('minute', ts) AS BIGINT)
+               AS minute_of_day
+    FROM events
+)
+SELECT event_id, ux, minute_of_day,
+       CAST({_zorder_sql('ux', 'minute_of_day')} AS BIGINT) AS zorder_key
+FROM d
+""",
+    doc="Z-order (Morton) clustering keys over (user bucket, minute-of-day): "
+    "the data-layout primitive behind multi-dimensional file skipping — "
+    "sort-write by this key and range predicates on EITHER dimension prune "
+    "files. Pure bit arithmetic generated from one shared SQL template, so "
+    "the oracle replays the interleave literally",
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        (F.col("user_id") % 1024).cast("long").alias("ux"),
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("minute_of_day"),
+    )
+    return d.withColumn(
+        "zorder_key", F.expr(_zorder_sql("ux", "minute_of_day")).cast("long")
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no,
+           ts
+    FROM gaps
+), bounds AS (
+    SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e
+    FROM sess GROUP BY 1, 2
+), pts AS (
+    SELECT s AS ts, -1 AS pri, 1 AS delta FROM bounds
+    UNION ALL
+    SELECT e, 1, -1 FROM bounds
+), sweep AS (
+    SELECT ts, delta,
+           SUM(delta) OVER (ORDER BY ts, pri, delta
+                            ROWS UNBOUNDED PRECEDING) AS concurrent
+    FROM pts
+)
+SELECT CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent_sessions,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+FROM sweep
+""",
+    doc="peak concurrent sessions via the sweep line: session intervals "
+    "from the 30-min sessionizer become +1/-1 boundary points, a running "
+    "sum over (ts, start-before-end tie order) finds the maximum overlap — "
+    "the interval-aggregation primitive (capacity planning, license "
+    "counting). Global ordered sum is the honest cost; per-day partition "
+    "keys bound it at scale",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_no", F.sum("new_session").over(wcum))
+    bounds = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = bounds.select(
+        F.col("s").alias("ts"), F.lit(-1).alias("pri"), F.lit(1).alias("delta")
+    ).unionByName(
+        bounds.select(
+            F.col("e").alias("ts"), F.lit(1).alias("pri"), F.lit(-1).alias("delta")
+        )
+    )
+    wsweep = Window.orderBy("ts", "pri", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = pts.withColumn("concurrent", F.sum("delta").over(wsweep))
+    return sweep.agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent_sessions"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )
