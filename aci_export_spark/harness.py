@@ -304,6 +304,7 @@ def _ensure_all_registered() -> None:
     from aci_export_spark import harness_multimodal  # noqa: F401
     from aci_export_spark import harness_ref2  # noqa: F401
     from aci_export_spark import harness_tpch2  # noqa: F401
+    from aci_export_spark import harness_analytics  # noqa: F401
 
 
 #: The driver's correctness gate checks the FIRST 50 entries of ``queries()``

@@ -367,21 +367,19 @@ def hashed_shingle_rows(
     return shingles.select(F.col(id_col), F.xxhash64(F.col(shingle_col)).alias("__h"))
 
 
-def minhash_lsh_candidates(
+def lsh_band_rows(
     sig: DataFrame,
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Banded LSH candidate pairs from a signature table
-    (:func:`minhash_signatures` output).
-
-    Signature → `bands` bands of num_hashes/bands values → one row per
-    (doc, band) keyed by md5(band values) → self-join per (band_id,
-    band_key). Each doc contributes exactly `bands` shuffle rows regardless
-    of size; candidate generation is linear in n. Returns distinct
-    (id_a < id_b) pairs.
-    """
+    """The LSH *index* itself: one (id, band_id, band_key) row per band of
+    a MinHash signature table.  This is the table a 100 TB pipeline
+    persists and maintains incrementally — new documents append their
+    `bands` rows (signature computed from the delta's shingles only),
+    deleted documents anti-join out by id; the corpus is never re-shingled
+    (see :mod:`aci_export_spark.operators.ivm` for the same argument on
+    aggregates)."""
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -400,9 +398,27 @@ def minhash_lsh_candidates(
             for i in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("__b")).select(
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("__b")).select(
         F.col(id_col), F.col("__b.band_id"), F.col("__b.band_key")
     )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH candidate pairs from a signature table
+    (:func:`minhash_signatures` output).
+
+    Signature → `bands` bands of num_hashes/bands values → one row per
+    (doc, band) keyed by md5(band values) → self-join per (band_id,
+    band_key). Each doc contributes exactly `bands` shuffle rows regardless
+    of size; candidate generation is linear in n. Returns distinct
+    (id_a < id_b) pairs.
+    """
+    banded = lsh_band_rows(sig, id_col, num_hashes=num_hashes, bands=bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     return (

@@ -1,0 +1,221 @@
+"""Fixture/property tests for the batch-3 analytics operators: skyline
+vs brute-force dominance, IVM under retractions, item-item cosine by
+hand, BM25 ranking sanity, trailing-window boundaries, and the Morton
+interleave property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aci_export_spark.operators.ivm import merge_partials, partial_aggregate
+from aci_export_spark.operators.recsys import item_item_cosine
+from aci_export_spark.operators.skyline import pareto_frontier
+
+
+# ---------------------------------------------------------------------------
+# Skyline
+# ---------------------------------------------------------------------------
+
+
+def _brute_frontier(rows):
+    out = []
+    for r in rows:
+        # strict-part dominance: an exact duplicate never dominates its twin
+        dominated = any(
+            o[1] >= r[1] and o[2] >= r[2] and (o[1] > r[1] or o[2] > r[2])
+            for o in rows
+        )
+        if not dominated:
+            out.append(r[0])
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce(spark):
+    rows = [
+        # (id, x, y) — includes x-ties, y-ties, exact duplicates, and a
+        # point dominated only via equal-x
+        (1, 10.0, 5),
+        (2, 10.0, 7),   # beats 1 at same x
+        (3, 8.0, 9),
+        (4, 8.0, 9),    # exact duplicate of 3 — both survive
+        (5, 12.0, 3),
+        (6, 12.0, 3),   # duplicate of 5
+        (7, 7.0, 9),    # dominated by 3 (same y, smaller x)
+        (8, 1.0, 1),    # dominated by everyone
+        (9, 13.0, 1),   # max x, survives
+    ]
+    df = spark.createDataFrame(rows, "id int, x double, y int")
+    got = sorted(
+        r.id for r in pareto_frontier(df, "x", "y").select("id").collect()
+    )
+    assert got == _brute_frontier(rows)
+
+
+def test_skyline_partitioned(spark):
+    rows = [(1, "a", 1.0, 1), (2, "a", 2.0, 2), (3, "b", 1.0, 1)]
+    df = spark.createDataFrame(rows, "id int, p string, x double, y int")
+    got = sorted(
+        r.id
+        for r in pareto_frontier(df, "x", "y", partition_by=["p"])
+        .select("id")
+        .collect()
+    )
+    # partition b's only row survives even though partition a dominates it
+    assert got == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# IVM
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_retractions_match_recompute(spark):
+    base_facts = spark.createDataFrame(
+        [("k1", 10, 1), ("k1", 20, 1), ("k2", 5, 1)], "k string, v long, w int"
+    )
+    # delta retracts one k1 fact, inserts a k3 fact, and fully retracts k2
+    delta_facts = spark.createDataFrame(
+        [("k1", 10, -1), ("k3", 7, 1), ("k2", 5, -1)], "k string, v long, w int"
+    )
+    spec = dict(keys=["k"], count_col="n", sum_cols={"s": "v"}, weight_col="w")
+    merged = merge_partials(
+        partial_aggregate(base_facts, **spec),
+        partial_aggregate(delta_facts, **spec),
+        keys=["k"],
+        count_col="n",
+        sum_cols=["s"],
+        delta_has_retractions=True,
+    )
+    got = {r.k: (r.n, r.s) for r in merged.collect()}
+    # recompute over surviving facts: k1 keeps (20,), k3 has (7,), k2 vanishes
+    assert got == {"k1": (1, 20), "k3": (1, 7)}
+
+
+def test_ivm_max_under_deletes_refused(spark):
+    df = spark.createDataFrame([("k", 1, 1)], "k string, v long, w int")
+    agg = partial_aggregate(
+        df, keys=["k"], count_col="n", sum_cols={}, max_cols={"m": "v"}
+    )
+    with pytest.raises(ValueError):
+        merge_partials(
+            agg, agg, keys=["k"], count_col="n", sum_cols=[],
+            max_cols=["m"], delta_has_retractions=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Item-item cosine
+# ---------------------------------------------------------------------------
+
+
+def test_item_cosine_by_hand(spark):
+    # u1: A×2, B×1; u2: A×1, B×1 → dot(A,B)=2·1+1·1=3,
+    # ‖A‖²=4+1=5, ‖B‖²=1+1=2
+    rows = [("u1", "A"), ("u1", "A"), ("u1", "B"), ("u2", "A"), ("u2", "B")]
+    df = spark.createDataFrame(rows, "u string, i string")
+    got = item_item_cosine(df, "u", "i", top_k=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.item_a, r.item_b, r.dot, r.norm_sq_a, r.norm_sq_b) == ("A", "B", 3, 5, 2)
+    assert r.cosine == pytest.approx(3 / (5**0.5 * 2**0.5))
+
+
+def test_item_cosine_hub_user_capped(spark):
+    hub = [("hub", f"i{k}") for k in range(10)]
+    pair = [("u", "i0"), ("u", "i1")]
+    df = spark.createDataFrame(hub + pair, "u string, i string")
+    got = item_item_cosine(df, "u", "i", top_k=100, max_items_per_user=5).collect()
+    # hub user exceeds the cap, so only u's single pair remains
+    assert [(r.item_a, r.item_b) for r in got] == [("i0", "i1")]
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_term_density(spark):
+    from aci_export_spark.llm.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana cherry dates"),
+            (3, "cherry dates elderberry fig"),
+            (4, "apple banana apple banana"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, "doc_id", "text", n_terms=2, top_k=10).collect()
+    by_id = {r.doc_id: r for r in got}
+    # doc 3 matches neither of the top-2 terms (apple, banana) → absent
+    assert 3 not in by_id
+    # doc 4 hits both terms twice; doc 2 hits both once; same length → 4 first
+    assert got[0].doc_id == 4
+    assert by_id[4].score > by_id[2].score
+    assert by_id[4].n_terms_hit == 2
+    # ranks are 1..n in score order
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window trending
+# ---------------------------------------------------------------------------
+
+
+def test_trending_window_boundary(spark):
+    from aci_export_spark import harness_analytics as ha
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, '{"k": 1}'),
+            (2, "2024-01-07 00:00:00", 1, '{"k": 2}'),  # day 1 is 6 days back: inside
+            (3, "2024-01-08 00:00:00", 1, '{"k": 2}'),  # day 1 is 7 days back: outside
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        F.col("event_type").alias("props"),
+    )
+    # reuse the query body on a temp dir is heavier than inlining the same
+    # plan; replicate the operator pipeline directly
+    daily = (
+        ev.select(F.to_date("ts").alias("day"),
+                  F.get_json_object("props", "$.k").cast("int").alias("item"))
+        .groupBy("day", "item").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    covered = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+        "item", "cnt",
+    )
+    windowed = covered.groupBy("day", "item").agg(F.sum("cnt").alias("w7"))
+    active = daily.select("day").distinct()
+    got = {
+        (str(r.day), r.item): r.w7
+        for r in windowed.join(active, "day", "left_semi").collect()
+    }
+    assert got[("2024-01-07", 1)] == 1  # item 1 still visible 6 days later
+    assert ("2024-01-08", 1) not in got  # fell out on day 7
+
+
+# ---------------------------------------------------------------------------
+# Morton interleave property
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_bit_interleave(spark):
+    from aci_export_spark.harness_llm import _zorder_sql
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 1023) for y in (0, 1, 7, 1023)],
+        "ux long, minute_of_day long",
+    )
+    rows = df.select(
+        "ux", "minute_of_day",
+        F.expr(_zorder_sql("ux", "minute_of_day")).cast("long").alias("z"),
+    ).collect()
+    for r in rows:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(10))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (x, y) == (r.ux, r.minute_of_day)
