@@ -481,3 +481,253 @@ def events_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         layout_stats("tfile", "time-linear")
     )
     return both.crossJoin(F.broadcast(matches))
+
+
+# ---------------------------------------------------------------------------
+# Epsilon band join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_price_band_pairs",
+    """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_retailprice AS price_a, b.p_retailprice AS price_b
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(a.p_retailprice - b.p_retailprice) <= 0.05
+""",
+    doc="epsilon band join: part pairs priced within 5 cents, found by "
+    "quantizing both sides to eps-width buckets and equi-joining each "
+    "bucket to itself and its neighbors — any pair within eps shares or "
+    "adjoins a bucket (guaranteed recall), and the exact |delta|<=eps "
+    "filter runs only on bucket-local candidates. Shuffle is O(3n) keyed "
+    "rows where the naive inequality predicate forces a cartesian "
+    "BroadcastNestedLoopJoin; the oracle IS that quadratic predicate, so "
+    "the bucketed plan is checked against the definition",
+)
+def parts_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.band_join import band_join
+
+    part = read_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_retailprice").alias("price_a")
+    )
+    b = part.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_retailprice").alias("price_b")
+    )
+    pairs = band_join(
+        a, b, "price_a", "price_b", eps=0.05,
+        how_filter=F.col("part_a") < F.col("part_b"),
+    )
+    return pairs.select("part_a", "part_b", "price_a", "price_b").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_linear_attribution",
+    """
+WITH conv AS (
+    SELECT user_id AS u, event_id AS conversion_id, ts AS cts
+    FROM events WHERE event_type = 'purchase'
+), touch AS (
+    SELECT user_id AS u, event_type AS channel, ts AS tts
+    FROM events WHERE event_type IN ('view', 'click')
+), pairs AS (
+    SELECT conversion_id, channel
+    FROM conv JOIN touch USING (u)
+    WHERE tts <= cts
+      AND epoch_us(cts) - epoch_us(tts) <= 604800000000
+), per_channel AS (
+    SELECT conversion_id, channel, COUNT(*)::BIGINT AS touches_n
+    FROM pairs GROUP BY 1, 2
+), totals AS (
+    SELECT conversion_id, COUNT(*)::BIGINT AS total_n FROM pairs GROUP BY 1
+)
+SELECT p.conversion_id, p.channel, p.touches_n, t.total_n,
+       CAST(p.touches_n AS DOUBLE) / CAST(t.total_n AS DOUBLE) AS share
+FROM per_channel p JOIN totals t USING (conversion_id)
+""",
+    doc="linear multi-touch attribution: every view/click in the 7 days "
+    "before a purchase shares the credit. Shares stay RATIONAL — each row "
+    "carries exact (channel touches, total touches) integers and one IEEE "
+    "division; summing float shares across conversions would be "
+    "aggregation-order-dependent, so rollups happen on the integers. "
+    "Conversions and touches meet on the user-key partitioning with the "
+    "window predicate inside the join; both aggregations reuse the "
+    "conversion-key partitioning",
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.attribution import linear_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return linear_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        conversion_type="purchase", touch_types=("view", "click"), window_days=7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: top event-type trigrams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_type_trigrams_topk",
+    """
+WITH seq AS (
+    SELECT user_id, event_type AS t1,
+           LEAD(event_type, 1) OVER w AS t2,
+           LEAD(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, n, rank FROM (
+    SELECT t1, t2, t3, COUNT(*)::BIGINT AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t1, t2, t3) AS rank
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+) WHERE rank <= 10
+""",
+    doc="sequential pattern mining: the 10 most frequent per-user "
+    "event-type trigrams (the 3-step generalization of the transition "
+    "matrix). One user-key window pass emits (t, lead1, lead2) per row — "
+    "no self-joins; counts are dimension-cubed-sized, global top-k is "
+    "TakeOrderedAndProject over at most |types|^3 rows. Deterministic "
+    "(ts, event_id) sequence order and full tie-break on the trigram",
+)
+def events_type_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    counts = seq.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select("t1", "t2", "t3", "n", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence interval for daily click-through rate
+# ---------------------------------------------------------------------------
+
+_Z = 1.96
+_Z2 = 1.96 * 1.96  # embedded as the same double literal on both sides
+
+_WILSON_ORACLE = f"""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS clicks,
+           SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)::BIGINT
+               AS trials
+    FROM events GROUP BY 1
+), d AS (
+    SELECT day, clicks, trials,
+           CAST(clicks AS DOUBLE) / CAST(trials AS DOUBLE) AS p,
+           CAST(trials AS DOUBLE) AS n
+    FROM daily WHERE trials > 0
+)
+SELECT day, clicks, trials, p AS ctr,
+       ((p + {_Z2!r} / (2.0 * n))
+        - {_Z!r} * sqrt(p * (1.0 - p) / n + {_Z2!r} / (4.0 * (n * n))))
+           / (1.0 + {_Z2!r} / n) AS wilson_low,
+       ((p + {_Z2!r} / (2.0 * n))
+        + {_Z!r} * sqrt(p * (1.0 - p) / n + {_Z2!r} / (4.0 * (n * n))))
+           / (1.0 + {_Z2!r} / n) AS wilson_high
+FROM d
+"""
+
+
+@register(
+    "events_ctr_wilson",
+    _WILSON_ORACLE,
+    doc="daily click-through rate with a 95% Wilson score interval — the "
+    "experimentation-analytics primitive that stays deterministic: counts "
+    "are exact, and the interval uses only +,-,*,/ and sqrt (all "
+    "correctly-rounded IEEE), with z and z² embedded as identical double "
+    "literals on both sides and the expression tree mirrored node for "
+    "node. One scan, one date-key aggregation, no shuffle after it",
+)
+def events_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("clicks"),
+            F.sum(F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0))
+            .cast("long")
+            .alias("trials"),
+        )
+        .filter(F.col("trials") > 0)
+    )
+    p = F.col("clicks").cast("double") / F.col("trials").cast("double")
+    n = F.col("trials").cast("double")
+    d = daily.withColumn("p", p).withColumn("n", n)
+    z, z2 = F.lit(_Z), F.lit(_Z2)
+    center = F.col("p") + z2 / (F.lit(2.0) * F.col("n"))
+    margin = z * F.sqrt(
+        F.col("p") * (F.lit(1.0) - F.col("p")) / F.col("n")
+        + z2 / (F.lit(4.0) * (F.col("n") * F.col("n")))
+    )
+    denom = F.lit(1.0) + z2 / F.col("n")
+    return d.select(
+        "day",
+        "clicks",
+        "trials",
+        F.col("p").alias("ctr"),
+        ((center - margin) / denom).alias("wilson_low"),
+        ((center + margin) / denom).alias("wilson_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_histogram",
+    """
+WITH stats AS (
+    SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), bucketed AS (
+    SELECT LEAST(19, CAST(FLOOR((value - mn) * 20.0 / (mx - mn)) AS BIGINT))
+               AS bucket
+    FROM events, stats
+)
+SELECT bucket, COUNT(*)::BIGINT AS n
+FROM bucketed GROUP BY 1
+""",
+    doc="equi-width histogram (20 buckets) over the event value: global "
+    "min/max as a 1-row broadcast, bucket index from floor() on doubles "
+    "(exact and engine-portable), one aggregation keyed on the bucket. "
+    "The profiling complement to the exact NTILE deciles — this one "
+    "needs only a broadcast and map-side partial counts, no global sort",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bucketed = ev.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("value") - F.col("mn")) * F.lit(20.0)
+                / (F.col("mx") - F.col("mn"))
+            ),
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))

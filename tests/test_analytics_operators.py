@@ -219,3 +219,67 @@ def test_zorder_bit_interleave(spark):
         x = sum(((r.z >> (2 * i)) & 1) << i for i in range(10))
         y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(10))
         assert (x, y) == (r.ux, r.minute_of_day)
+
+
+# ---------------------------------------------------------------------------
+# Band join
+# ---------------------------------------------------------------------------
+
+
+def test_band_join_matches_bruteforce(spark):
+    from aci_export_spark.operators.band_join import band_join
+
+    vals = [0.0, 0.049, 0.05, 0.051, 0.1, 0.15, 1.0, 1.049, -0.02, -0.07]
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "lid int, lv double"
+    )
+    right = spark.createDataFrame(
+        [(i + 100, v) for i, v in enumerate(vals)], "rid int, rv double"
+    )
+    eps = 0.05
+    got = sorted(
+        (r.lid, r.rid)
+        for r in band_join(left, right, "lv", "rv", eps=eps).collect()
+    )
+    expect = sorted(
+        (i, j + 100)
+        for i, a in enumerate(vals)
+        for j, b in enumerate(vals)
+        if abs(a - b) <= eps
+    )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Attribution
+# ---------------------------------------------------------------------------
+
+
+def test_linear_attribution_by_hand(spark):
+    from aci_export_spark.operators.attribution import linear_attribution
+
+    rows = [
+        # u1: view(d1), click(d2), purchase(d3) → both touches credited
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-02 00:00:00", 1, "click"),
+        (3, "2024-01-03 00:00:00", 1, "purchase"),
+        # u1 second purchase 10 days later → only touches within 7d (none)
+        (4, "2024-01-13 00:00:00", 1, "purchase"),
+        # u2: touch AFTER the purchase → no credit
+        (5, "2024-01-05 00:00:00", 2, "purchase"),
+        (6, "2024-01-06 00:00:00", 2, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.conversion_id, r.channel): (r.touches_n, r.total_n, r.share)
+        for r in linear_attribution(
+            ev, "user_id", "ts", "event_type", "event_id",
+            "purchase", ("view", "click"), window_days=7,
+        ).collect()
+    }
+    assert got == {
+        (3, "view"): (1, 2, 0.5),
+        (3, "click"): (1, 2, 0.5),
+    }
