@@ -40,6 +40,10 @@ BNLJ_ALLOWED = {
     "basket_brand_pairs",  # 1-row basket-total aggregate broadcast
     "graph_brand_triangles",  # composes basket_brand_pairs (same 1-row cross)
     "llm_curation_kept_corpus_v2",  # composes the unigram 1-row broadcast
+    "docs_bm25_topk",  # 1-row (n_docs, total_tokens) corpus-stats broadcast
+    "events_value_histogram",  # 1-row global min/max broadcast
+    "events_zorder_pruning_stats",  # 1-row rows-matching aggregate crossed in
+    "llm_lsh_index_upsert",  # cross of two single-row invariant aggregates
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
