@@ -731,3 +731,319 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket")
     )
     return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group OLS trend (closed-form regression on integer-cents sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_trend_slope",
+    """
+WITH pts AS (
+    SELECT event_type,
+           (CAST(ts AS DATE) - DATE '1970-01-01')::BIGINT AS x,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+    FROM events
+), sums AS (
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           SUM(x)::BIGINT AS sx,
+           SUM(yc)::BIGINT AS syc,
+           SUM(x * x)::BIGINT AS sxx,
+           SUM(x * yc)::BIGINT AS sxyc
+    FROM pts GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxyc - sx * syc AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_day,
+       (CAST(syc AS DOUBLE) / 100.0
+        - (CAST(n * sxyc - sx * syc AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+FROM sums
+""",
+    doc="per-event-type OLS trend line in closed form: x = epoch day, "
+    "y = exact integer cents, so every regression sum (n, Σx, Σy, Σx², "
+    "Σxy) is exact BIGINT — the slope is one subtraction-of-products per "
+    "side and two IEEE divisions at the edge, bit-identical anywhere. "
+    "One scan, one map-side-combined aggregation per group; the "
+    "distributed-regression pattern that needs no ML library and no "
+    "float accumulation ordering",
+)
+def events_value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        (_dec(F.col("value")) * 100).cast("long").alias("yc"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("syc"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxyc"),
+    )
+    num = (F.col("n") * F.col("sxyc") - F.col("sx") * F.col("syc")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den / F.lit(100.0)
+    intercept = (
+        F.col("syc").cast("double") / F.lit(100.0)
+        - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return sums.select(
+        "event_type", "n", slope.alias("slope_per_day"), intercept.alias("intercept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square contingency cells (independence audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_chi2_cells",
+    """
+WITH cells AS (
+    SELECT event_type,
+           ((CAST(ts AS DATE) - DATE '1970-01-01') % 7)::BIGINT AS dow,
+           COUNT(*)::BIGINT AS observed
+    FROM events GROUP BY 1, 2
+), rowt AS (
+    SELECT event_type, SUM(observed)::BIGINT AS row_total FROM cells GROUP BY 1
+), colt AS (
+    SELECT dow, SUM(observed)::BIGINT AS col_total FROM cells GROUP BY 1
+), grand AS (SELECT SUM(observed)::BIGINT AS grand_total FROM cells)
+SELECT c.event_type, c.dow, c.observed,
+       CAST(r.row_total * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE)
+           AS expected,
+       (CAST(c.observed AS DOUBLE)
+        - CAST(r.row_total * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE))
+       * (CAST(c.observed AS DOUBLE)
+        - CAST(r.row_total * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE))
+       / (CAST(r.row_total * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE))
+           AS contribution
+FROM cells c
+JOIN rowt r USING (event_type)
+JOIN colt t USING (dow)
+CROSS JOIN grand g
+""",
+    doc="chi-square independence audit for event_type × day-of-week: "
+    "per-cell observed count, expected under independence "
+    "(row·col/grand — exact BIGINT products, one IEEE division), and the "
+    "(O−E)²/E contribution with a mirrored expression tree. The global "
+    "statistic is a float sum whose order the engine would own, so cells "
+    "stay rows and the caller folds them — same rationale as rational "
+    "attribution shares. Day-of-week from epoch-day % 7 (pure integer "
+    "arithmetic, no locale-dependent dayofweek())",
+)
+def events_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            (
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7
+            )
+            .cast("long")
+            .alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    cells = cells.persist()
+    rowt = cells.groupBy("event_type").agg(
+        F.sum("observed").cast("long").alias("row_total")
+    )
+    colt = cells.groupBy("dow").agg(F.sum("observed").cast("long").alias("col_total"))
+    grand = cells.agg(F.sum("observed").cast("long").alias("grand_total"))
+    joined = (
+        cells.join(F.broadcast(rowt), on="event_type")
+        .join(F.broadcast(colt), on="dow")
+        .crossJoin(F.broadcast(grand))
+    )
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col(
+        "grand_total"
+    ).cast("double")
+    diff = F.col("observed").cast("double") - expected
+    return joined.select(
+        "event_type",
+        "dow",
+        "observed",
+        expected.alias("expected"),
+        (diff * diff / expected).alias("contribution"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    """
+WITH first_day AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+), purchases AS (
+    SELECT e.user_id, CAST(e.ts AS DATE) AS d,
+           CAST(e.value AS DECIMAL(18,2)) AS v
+    FROM events e WHERE e.event_type = 'purchase'
+), offsets AS (
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+           (p.d - f.cohort_day)::BIGINT AS day_offset,
+           SUM(p.v) AS revenue
+    FROM purchases p JOIN first_day f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT cohort, day_offset,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(SUM(revenue) OVER (PARTITION BY cohort ORDER BY day_offset
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS cum_revenue
+FROM offsets
+""",
+    doc="cohort lifetime value: purchase revenue per (signup cohort, day "
+    "offset) with the running cumulative — the LTV curve behind every "
+    "retention dashboard. First-activity day and the purchase join share "
+    "the user-key partitioning; the cumulative window runs per cohort "
+    "over exact DECIMAL sums (offset-ordered, gap-free by construction), "
+    "cast to double only at the edge",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d"), _dec(F.col("value")).alias("v")
+    )
+    offsets = (
+        purchases.join(first_day, on="user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.sum("v").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return offsets.select(
+        "cohort",
+        "day_offset",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality percentile normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_quality_percentile",
+    """
+WITH ranked AS (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang)::BIGINT AS n
+    FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN n > 1
+            THEN CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+            ELSE 0.0 END AS pct
+FROM ranked
+""",
+    doc="per-language percentile normalization of a quality signal "
+    "(n_chars): the cross-language score calibration step before a "
+    "global curation threshold — raw signals aren't comparable across "
+    "languages, percentiles are. Explicit (row_number-1)/(n-1) with a "
+    "doc_id tie-break instead of percent_rank(), so tie and "
+    "single-row-partition semantics are pinned by the query, not the "
+    "engine; one window pass per language partition",
+)
+def llm_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    pct = F.when(
+        F.col("n") > 1,
+        (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return ranked.select("doc_id", "lang", "n_chars", pct.alias("pct"))
+
+
+# ---------------------------------------------------------------------------
+# Inverted index posting lists
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_inverted_index",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+), tf AS (
+    SELECT doc_id, token FROM toks GROUP BY 1, 2
+), dfreq AS (
+    SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+), top_tokens AS (
+    SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 20
+)
+SELECT t.token, t.df,
+       string_agg(tf.doc_id, ',' ORDER BY tf.doc_id) AS postings
+FROM top_tokens t JOIN tf USING (token)
+GROUP BY t.token, t.df
+""",
+    doc="inverted-index posting lists for the 20 highest-df tokens: the "
+    "physical artifact behind BM25 — (token, df, sorted posting list). "
+    "Distinct (doc, token) pairs derive from the same single corpus "
+    "scan as every text query; the token top-k is "
+    "TakeOrderedAndProject; postings serialize as a comma-joined sorted "
+    "string (engine-portable, no array-representation skew). At 100 TB "
+    "postings shard by (token, doc_id range) — the groupBy key extends "
+    "without changing the plan",
+)
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    from aci_export_spark.llm.text import word_tokens
+
+    tf = (
+        docs.select(
+            "doc_id", F.explode(word_tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .select("doc_id", "token")
+    )
+    tf = tf.persist()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(20)
+    return (
+        tf.join(F.broadcast(top), on="token")
+        .groupBy("token", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )

@@ -283,3 +283,50 @@ def test_linear_attribution_by_hand(spark):
         (3, "view"): (1, 2, 0.5),
         (3, "click"): (1, 2, 0.5),
     }
+
+
+# ---------------------------------------------------------------------------
+# Exact OLS slope
+# ---------------------------------------------------------------------------
+
+
+def test_ols_slope_by_hand(spark, duck):
+    # y = 2x + 1 exactly, one group → slope 2, intercept 1
+    from aci_export_spark import harness  # registry import side effect
+
+    rows = [(i, 2 * i + 1) for i in range(5)]
+    pts = spark.createDataFrame(rows, "x long, yc long")
+    sums = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("syc"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxyc"),
+    )
+    num = (F.col("n") * F.col("sxyc") - F.col("sx") * F.col("syc")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    r = sums.select((num / den).alias("slope")).collect()[0]
+    assert r.slope == 2.0
+
+
+def test_chi2_cells_reconstruct_statistic(spark, duck):
+    """Folding the contribution cells gives the classic chi² statistic."""
+    from aci_export_spark.harness import REGISTRY
+
+    from tests.conftest import SF_CORRECT
+
+    df = REGISTRY["events_chi2_cells"].fn(spark, SF_CORRECT).toPandas()
+    # observed totals are consistent: sum of expected == sum of observed
+    assert df["observed"].sum() == int(round(df["expected"].sum()))
+    assert (df["contribution"] >= 0).all()
+
+
+def test_inverted_index_postings_numeric_order(spark):
+    from aci_export_spark.harness import REGISTRY
+    from tests.conftest import SF_CORRECT
+
+    df = REGISTRY["docs_inverted_index"].fn(spark, SF_CORRECT).toPandas()
+    assert len(df) == 20
+    for p in df["postings"]:
+        ids = [int(x) for x in p.split(",")]
+        assert ids == sorted(ids) and len(set(ids)) == len(ids)

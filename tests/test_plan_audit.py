@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "events_value_histogram",  # 1-row global min/max broadcast
     "events_zorder_pruning_stats",  # 1-row rows-matching aggregate crossed in
     "llm_lsh_index_upsert",  # cross of two single-row invariant aggregates
+    "events_chi2_cells",  # 1-row grand-total aggregate broadcast
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
