@@ -1047,3 +1047,175 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join equivalence (runtime row-level skipping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_bloom_prefilter_join",
+    """
+WITH sel AS (
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+)
+SELECT (SELECT COUNT(*) FROM orders JOIN sel ON o_custkey = c_custkey)::BIGINT
+           AS n_join_rows,
+       true AS paths_equal,
+       true AS prefilter_sound
+""",
+    doc="Bloom-prefiltered join: the selective dimension subset's keys "
+    "build the relational Bloom bitmap (llm/bloom.py), the fact side "
+    "keeps only maybe-members BEFORE the real join — runtime row-level "
+    "skipping, the poor man's DPP for non-partition keys. At 100 TB the "
+    "bitmap is a broadcastable dimension while the join's shuffle drops "
+    "by the prefilter's selectivity. The query runs BOTH paths and folds "
+    "their equality (no false negatives ⇒ identical results) plus the "
+    "soundness invariant (every true match passes the filter) into "
+    "hashed booleans beside the oracle-pinned join cardinality",
+)
+def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.bloom import bloom_build, bloom_probe
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    sel = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey", "c_name")
+
+    plain = orders.join(sel, orders.o_custkey == sel.c_custkey)
+
+    bloom = bloom_build(sel.select(F.col("c_custkey").alias("key")), "key")
+    probed = bloom_probe(
+        orders.select(F.col("o_custkey").alias("key")).distinct(), bloom, "key"
+    ).filter(F.col("maybe_member"))
+    prefiltered = orders.join(
+        probed.select(F.col("key").alias("o_custkey")), on="o_custkey", how="left_semi"
+    )
+    bloom_path = prefiltered.join(sel, prefiltered.o_custkey == sel.c_custkey)
+
+    n_plain = plain.agg(F.count(F.lit(1)).cast("long").alias("n_join_rows"))
+    n_bloom = bloom_path.agg(F.count(F.lit(1)).cast("long").alias("__n_bloom"))
+    n_pref = prefiltered.agg(F.count(F.lit(1)).cast("long").alias("__n_pref"))
+    return (
+        n_plain.crossJoin(n_bloom)
+        .crossJoin(n_pref)
+        .select(
+            "n_join_rows",
+            (F.col("n_join_rows") == F.col("__n_bloom")).alias("paths_equal"),
+            (F.col("__n_pref") >= F.col("n_join_rows")).alias("prefilter_sound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sync_snapshot_diff",
+    """
+WITH old AS (
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+), new AS (
+    -- deterministic churn: delete %17, update balance on %13, insert shifted keys on %23
+    SELECT c_custkey,
+           c_name,
+           CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+               AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 17 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 23 = 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'changed'
+            END AS change_type,
+       CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                 AND o.c_acctbal IS DISTINCT FROM n.c_acctbal
+            THEN 'c_acctbal' ELSE '' END AS changed_cols
+FROM old o FULL OUTER JOIN new n USING (c_custkey)
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+   OR o.c_name IS DISTINCT FROM n.c_name
+   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+""",
+    doc="snapshot diff: row-level added/removed/changed (+ exact changed "
+    "column list) between two versions of a keyed table from ONE "
+    "full-outer join — the reconciliation op that verifies a mirror "
+    "without re-exporting (the reference instead trusts full re-export, "
+    "sync-app/src/sync.rs:541-590). Output is churn-sized; with both "
+    "snapshots bucketed by key the join plans with zero exchanges "
+    "(mirror layout). Churn here is derived deterministically from the "
+    "same table so the oracle replays it",
+)
+def sync_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.diff import snapshot_diff
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 17 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 23 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    return snapshot_diff(
+        cust, new, ["c_custkey"], ["c_name", "c_acctbal", "c_mktsegment"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cumulative_unique_users",
+    """
+WITH first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+), per_day AS (
+    SELECT first_day AS day, COUNT(*)::BIGINT AS new_users
+    FROM first_seen GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_users
+FROM per_day
+""",
+    doc="cumulative distinct users per day: running COUNT(DISTINCT) is "
+    "not window-expressible, but first-seen day IS — one user-key "
+    "aggregate collapses each user to a single row, the per-day count is "
+    "dimension-sized, and the running sum orders day-cardinality rows. "
+    "No distinct-within-window state anywhere; the growth-curve "
+    "primitive at any scale",
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

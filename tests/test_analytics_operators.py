@@ -330,3 +330,44 @@ def test_inverted_index_postings_numeric_order(spark):
     for p in df["postings"]:
         ids = [int(x) for x in p.split(",")]
         assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_by_hand(spark):
+    from aci_export_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    got = {
+        r.k: (r.change_type, r.changed_cols)
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        2: ("changed", "s"),
+        3: ("changed", "v"),   # NULL → 30 is a change (null-safe compare)
+        4: ("removed", ""),
+        5: ("added", ""),
+    }
+
+
+def test_bloom_prefilter_reduces_fact_side(spark):
+    from aci_export_spark.llm.bloom import bloom_build, bloom_probe
+
+    keys = spark.range(0, 50).select(F.col("id").alias("key"))
+    facts = spark.range(0, 5000).select(F.col("id").alias("key"))
+    bloom = bloom_build(keys, "key")
+    kept = (
+        bloom_probe(facts, bloom, "key").filter(F.col("maybe_member")).count()
+    )
+    # all 50 true members kept (no false negatives), most of the 5000 dropped
+    assert 50 <= kept < 500

@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "events_zorder_pruning_stats",  # 1-row rows-matching aggregate crossed in
     "llm_lsh_index_upsert",  # cross of two single-row invariant aggregates
     "events_chi2_cells",  # 1-row grand-total aggregate broadcast
+    "j_bloom_prefilter_join",  # cross of three single-row count aggregates
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
