@@ -138,3 +138,72 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_csv_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Tolerant CSV source, same ingest contract as :func:`read_jsonl`:
+    explicit schema (no inference pass over 100 TB), PERMISSIVE decode with
+    malformed lines quarantined in `corrupt_col`. CSV adds the delimiter
+    and header knobs; multiline quoted fields are off by default because
+    multiline parsing breaks record-boundary splitting (a file with
+    embedded newlines cannot be chunked by offset, so one file = one task
+    — keep source files bounded instead)."""
+    full_schema = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: str,
+    cluster_cols: tuple[str, ...],
+    target_files_per_partition: int = 1,
+) -> None:
+    """Layout writer: hive-partition by `partition_by`, and inside every
+    partition sort rows by `cluster_cols` before writing — the writer half
+    of the file-skipping story (`events_zorder_pruning_stats` measures the
+    reader half). With a Morton key in `cluster_cols`, each written file
+    covers a tight hyper-rectangle of the clustered dimensions, so parquet
+    footer min/max stats prune files for range predicates on ANY clustered
+    column.
+
+    `repartition(partition_value)` before the sort gives one shuffle whose
+    output partitioning matches the write layout (no per-writer
+    spill-sort of foreign partitions); `target_files_per_partition`
+    scales output file count via a salt column when partitions are large
+    (100 TB: pick it so files land near the 128-1024 MB sweet spot).
+    """
+    from pyspark.sql import functions as F
+
+    parts = [F.col(partition_by)]
+    tmp = df
+    if target_files_per_partition > 1:
+        tmp = tmp.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in cluster_cols]),
+                   F.lit(target_files_per_partition)),
+        )
+        parts.append(F.col("__salt"))
+    (
+        tmp.repartition(*parts)
+        .sortWithinPartitions(*cluster_cols)
+        .drop("__salt")
+        .write.mode("overwrite")
+        .partitionBy(partition_by)
+        .parquet(path)
+    )

@@ -66,6 +66,18 @@ QUERIES = [
     "basket_brand_pairs",
     "events_retention_cohorts",
     "events_funnel_steps",
+    # batch-3 warehouse/maintenance operators
+    "ivm_orders_maintained_agg",
+    "llm_lsh_index_upsert",
+    "rec_item_item_cosine",
+    "orders_pareto_frontier",
+    "parts_price_band_pairs",
+    "docs_bm25_topk",
+    "events_linear_attribution",
+    "events_trending_topk",
+    "events_cohort_ltv",
+    "sync_snapshot_diff",
+    "j_bloom_prefilter_join",
 ]
 
 

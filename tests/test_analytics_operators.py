@@ -371,3 +371,49 @@ def test_bloom_prefilter_reduces_fact_side(spark):
     )
     # all 50 true members kept (no false negatives), most of the 5000 dropped
     assert 50 <= kept < 500
+
+
+# ---------------------------------------------------------------------------
+# Tolerant CSV source + clustered writer
+# ---------------------------------------------------------------------------
+
+
+def test_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
+    from aci_export_spark.sources import read_csv_tolerant
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,v\n1,10\n2,notanint\n3,30\n")
+    df = read_csv_tolerant(spark, str(p), "id int, v int").cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted((r.id, r.v) for r in good.collect()) == [(1, 10), (3, 30)]
+    assert bad.count() == 1 and bad.collect()[0]._corrupt_record == "2,notanint"
+    df.unpersist()
+
+
+def test_write_clustered_layout(spark, tmp_path):
+    from aci_export_spark.sources import write_clustered
+
+    df = spark.createDataFrame(
+        [(d % 3, i, 1000 - i) for d, i in
+         ((x // 100, x) for x in range(300))],
+        "day int, a long, b long",
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, "day", ("a",))
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    # hive partitioning materialized
+    import os
+    assert any(n.startswith("day=") for n in os.listdir(out))
+    # rows inside each file are sorted by the cluster column → per-file
+    # min/max ranges are tight; check via per-input-file monotonicity
+    rows = back.select(
+        "a", F.monotonically_increasing_id().alias("rid"),
+        F.input_file_name().alias("f"),
+    ).collect()
+    by_file = {}
+    for r in sorted(rows, key=lambda r: r.rid):
+        by_file.setdefault(r.f, []).append(r.a)
+    for seq in by_file.values():
+        assert seq == sorted(seq)
