@@ -1219,3 +1219,151 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact variance / stddev by group (integer-cents sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_variance_by_type",
+    """
+WITH pts AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+    FROM events
+), sums AS (
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           SUM(yc)::BIGINT AS syc, SUM(yc * yc)::BIGINT AS syyc
+    FROM pts GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * syyc - syc * syc AS DOUBLE)
+           / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS variance,
+       sqrt(CAST(n * syyc - syc * syc AS DOUBLE)
+            / CAST(n * (n - 1) AS DOUBLE) / 10000.0) AS stddev
+FROM sums WHERE n > 1
+""",
+    doc="exact sample variance/stddev per event type: the numerator "
+    "n·Σy² − (Σy)² is computed on exact integer-cents BIGINTs (no "
+    "catastrophic cancellation, no accumulation-order dependence — the "
+    "textbook one-pass float algorithm is neither), then two IEEE "
+    "divisions and a correctly-rounded sqrt at the edge. One map-side-"
+    "combined aggregation; Welford is unnecessary when the moments fit "
+    "integers",
+)
+def events_value_variance_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", (_dec(F.col("value")) * 100).cast("long").alias("yc")
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("syc"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("syyc"),
+    ).filter(F.col("n") > 1)
+    num = (F.col("n") * F.col("syyc") - F.col("syc") * F.col("syc")).cast("double")
+    den = (F.col("n") * (F.col("n") - 1)).cast("double")
+    variance = num / den / F.lit(10000.0)
+    return sums.select(
+        "event_type", "n", variance.alias("variance"), F.sqrt(variance).alias("stddev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity (log-free entropy substitute)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_type_diversity",
+    """
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+    FROM events GROUP BY 1, 2
+), per_user AS (
+    SELECT user_id, SUM(c)::BIGINT AS n, SUM(c * c)::BIGINT AS ss,
+           COUNT(*)::BIGINT AS n_types
+    FROM counts GROUP BY 1
+)
+SELECT user_id, n, n_types,
+       1.0 - CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini_simpson
+FROM per_user
+""",
+    doc="per-user behavioral diversity as the Gini-Simpson index "
+    "1 − Σpᵢ² — the log-free entropy substitute that stays exact: Σcᵢ² "
+    "and n² are BIGINT, one IEEE division at the edge (Shannon entropy's "
+    "per-class log() would be transcendental and engine-dependent). Two "
+    "aggregations sharing the user-key partitioning; the "
+    "engagement-breadth signal behind segmentation",
+)
+def events_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    gs = F.lit(1.0) - F.col("ss").cast("double") / (F.col("n") * F.col("n")).cast(
+        "double"
+    )
+    return per_user.select("user_id", "n", "n_types", gs.alias("gini_simpson"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_interarrival_stats",
+    """
+WITH seq AS (
+    SELECT o_custkey,
+           (CAST(o_orderdate AS DATE)
+            - LAG(CAST(o_orderdate AS DATE))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey))::BIGINT AS gap_days
+    FROM orders
+)
+SELECT o_custkey AS custkey,
+       COUNT(gap_days)::BIGINT AS n_gaps,
+       SUM(gap_days)::BIGINT AS total_gap_days,
+       MIN(gap_days)::BIGINT AS min_gap_days,
+       MAX(gap_days)::BIGINT AS max_gap_days
+FROM seq
+GROUP BY 1
+HAVING COUNT(gap_days) > 0
+""",
+    doc="per-customer order inter-arrival gaps: one customer-key window "
+    "pass (lag over the deterministic (date, orderkey) sequence) feeds a "
+    "reduction on the SAME partitioning — purchase-cadence features for "
+    "churn models kept in exact integer days (mean = total/n is the "
+    "caller's one division; emitting the exact pair avoids hashing a "
+    "float)",
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w))
+        )
+        .cast("long")
+        .alias("gap_days"),
+    )
+    return (
+        seq.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("gap_days").cast("long").alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+            F.min("gap_days").cast("long").alias("min_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
