@@ -331,7 +331,17 @@ def _ensure_all_registered() -> None:
 #: events_time_to_convert, events_countmin_user_counts, basket_*, graph_brand_triangles,
 #: docs_cube_stats, orders_value_gini, orders_benford_digits,
 #: j_salted_join_equivalence, streaming_funnel) into the window in their place —
-#: every one already hash-matches the identical local gate.
+#: every one already hash-matches the identical local gate. The round-4
+#: batch-3 queries (ivm_*, llm_lsh_index_upsert, rec_item_item_cosine,
+#: orders_pareto_frontier, parts_price_band_pairs, docs_bm25_topk,
+#: docs_inverted_index, events_trending_topk, events_linear_attribution,
+#: events_type_trigrams_topk, events_ctr_wilson, events_value_histogram,
+#: events_zorder_pruning_stats, events_chi2_cells, events_cohort_ltv,
+#: events_value_trend_slope, events_value_variance_by_type,
+#: events_user_type_diversity, events_cumulative_unique_users,
+#: llm_quality_percentile, orders_interarrival_stats, sync_snapshot_diff,
+#: j_bloom_prefilter_join) queue behind them in later rounds, all green in
+#: the same local gate.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
     # SURVEY §2 reference-surface operators never driver-checked (r1-r3)
