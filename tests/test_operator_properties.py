@@ -392,3 +392,106 @@ class TestDqChecks:
         assert (got["k"].n_rows, got["k"].n_null, got["k"].n_distinct) == (3, 0, 2)
         assert (got["v"].n_null, got["v"].n_distinct) == (1, 2)
         assert got["k"].min_value == "1" and got["k"].max_value == "2"
+
+
+class TestBatch3Properties:
+    """Random differential tests for the batch-3 operator algebra."""
+
+    pair_rows = st.lists(
+        st.tuples(
+            st.integers(0, 20),                      # id-ish
+            st.integers(0, 8),                       # x (small domain → ties)
+            st.integers(0, 8),                       # y
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @given(data=pair_rows)
+    @settings(**SETTINGS)
+    def test_skyline_equals_dominance_definition(self, spark, data):
+        from aci_export_spark.operators.skyline import pareto_frontier
+
+        rows = [(i, float(x), y) for i, (_, x, y) in enumerate(data)]
+        df = spark.createDataFrame(rows, "id int, x double, y int")
+        got = sorted(r.id for r in pareto_frontier(df, "x", "y").select("id").collect())
+        expect = sorted(
+            rid
+            for rid, x, y in rows
+            if not any(
+                ox >= x and oy >= y and (ox > x or oy > y) for _, ox, oy in rows
+            )
+        )
+        assert got == expect
+
+    band_vals = st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=15,
+    )
+
+    @given(lv=band_vals, rv=band_vals, eps_i=st.integers(1, 40))
+    @settings(**SETTINGS)
+    def test_band_join_equals_predicate(self, spark, lv, rv, eps_i):
+        from aci_export_spark.operators.band_join import band_join
+
+        eps = eps_i / 10.0
+        left = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(lv)], "lid int, lval double"
+        )
+        right = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rv)], "rid int, rval double"
+        )
+        got = sorted(
+            (r.lid, r.rid)
+            for r in band_join(left, right, "lval", "rval", eps=eps).collect()
+        )
+        expect = sorted(
+            (i, j)
+            for i, a in enumerate(lv)
+            for j, b in enumerate(rv)
+            if abs(a - b) <= eps
+        )
+        assert got == expect
+
+    fact_rows = st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-20, 20)), max_size=25
+    )
+
+    @given(base=fact_rows, ins=fact_rows, dels=st.data())
+    @settings(**SETTINGS)
+    def test_ivm_merge_equals_recompute(self, spark, base, ins, dels):
+        from aci_export_spark.operators.ivm import merge_partials, partial_aggregate
+
+        # deletions retract a random subset of base facts (valid retractions
+        # by construction — you can only delete what exists)
+        n_del = dels.draw(st.integers(0, len(base)))
+        deleted = base[:n_del]
+        survivors = base[n_del:] + ins
+        if not survivors and not base:
+            return
+
+        def df_of(rows, w):
+            pdf = pd.DataFrame(rows or [], columns=["k", "v"])
+            pdf["w"] = w
+            return spark.createDataFrame(pdf, schema="k long, v long, w int")
+
+        base_df = df_of(base, 1)
+        delta_df = df_of([*ins], 1).unionByName(df_of(deleted, -1))
+        spec = dict(keys=["k"], count_col="n", sum_cols={"s": "v"}, weight_col="w")
+        merged = merge_partials(
+            partial_aggregate(base_df, **spec),
+            partial_aggregate(delta_df, **spec),
+            keys=["k"],
+            count_col="n",
+            sum_cols=["s"],
+            delta_has_retractions=True,
+        )
+        got = {r.k: (r.n, r.s) for r in merged.collect()}
+        expect: dict = {}
+        for k, v in survivors:
+            n, s = expect.get(k, (0, 0))
+            expect[k] = (n + 1, s + v)
+        assert got == expect
