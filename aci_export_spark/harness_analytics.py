@@ -1367,3 +1367,79 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal state: as-known-at T, valid-at V
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bitemporal_state",
+    """
+WITH cutoffs AS (
+    SELECT MAX(ts) - INTERVAL 7 DAY AS t_known,
+           MAX(ts) - INTERVAL 14 DAY AS v_valid
+    FROM events
+), visible AS (
+    SELECT e.* FROM events e, cutoffs c WHERE e.ts <= c.t_known
+), ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER w AS prev_type,
+           ROW_NUMBER() OVER w AS rn
+    FROM visible
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versions AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered
+    WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+), intervals AS (
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version
+    FROM versions
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT i.user_id, i.event_type AS state_at_v, i.version,
+       strftime(i.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from
+FROM intervals i, cutoffs c
+WHERE i.valid_from <= c.v_valid
+  AND (i.valid_to IS NULL OR i.valid_to > c.v_valid)
+""",
+    doc="bitemporal state query: 'what did the system believe at "
+    "transaction time T about each user's state at valid time V' — the "
+    "audit/backtest primitive (reproduce yesterday's model features "
+    "exactly, corrections excluded). Transaction-time filter (arrival "
+    "ts <= T, a 1-row broadcast cutoff) feeds the SAME scd2_history "
+    "operator, then the point-in-time interval pick at V; both cutoffs "
+    "are data-derived so the query replays anywhere. One user-key "
+    "shuffle end-to-end — the tx filter prunes before the window",
+)
+def events_bitemporal_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.scd import scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoffs = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("t_known"),
+        (F.max("ts") - F.expr("INTERVAL 14 DAY")).alias("v_valid"),
+    )
+    visible = ev.crossJoin(F.broadcast(cutoffs)).filter(
+        F.col("ts") <= F.col("t_known")
+    )
+    h = scd2_history(
+        visible.select("user_id", "ts", "event_type", "event_id"),
+        "user_id",
+        "ts",
+        ["event_type"],
+        tiebreak_col="event_id",
+    )
+    at_v = h.crossJoin(F.broadcast(cutoffs)).filter(
+        (F.col("valid_from") <= F.col("v_valid"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("v_valid")))
+    )
+    return at_v.select(
+        "user_id",
+        F.col("event_type").alias("state_at_v"),
+        "version",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+    )

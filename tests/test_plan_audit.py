@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "llm_lsh_index_upsert",  # cross of two single-row invariant aggregates
     "events_chi2_cells",  # 1-row grand-total aggregate broadcast
     "j_bloom_prefilter_join",  # cross of three single-row count aggregates
+    "events_bitemporal_state",  # 1-row (T, V) cutoff aggregate broadcast ×2
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
