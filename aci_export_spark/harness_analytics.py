@@ -1443,3 +1443,73 @@ def events_bitemporal_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set-intersection estimate (inclusion-exclusion) with exact audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sketch_intersection",
+    """
+WITH flags AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1 AS a,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS b
+    FROM events GROUP BY 1
+)
+SELECT SUM(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS exact_a,
+       SUM(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS exact_b,
+       SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS exact_intersection,
+       true AS within_bound
+FROM flags
+""",
+    # Estimate stays out of the hash (engine-specific), same contract as
+    # events_sketch_distinct: the oracle pins the exact cardinalities and
+    # the deterministic bound verdict.
+    doc="audience-overlap estimate: |clickers ∩ purchasers| by "
+    "inclusion-exclusion over three HyperLogLog sketches "
+    "(|A|+|B|−|A∪B|) bound-checked against the exact intersection "
+    "(3·rsd·(|A|+|B|+|A∪B|) — the union's error dominates a "
+    "differenced estimate). One user-key flag aggregation feeds BOTH "
+    "paths (HLL over a distinct set equals HLL over the multiset), so "
+    "the corpus is scanned once; at 100 TB the three sketches merge "
+    "map-side in fixed memory while the exact path exists only as this "
+    "query's audit",
+)
+def events_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    rsd = 0.02
+    flags = ev.groupBy("user_id").agg(
+        (F.max((F.col("event_type") == "click").cast("int")) == 1).alias("a"),
+        (F.max((F.col("event_type") == "purchase").cast("int")) == 1).alias("b"),
+    )
+    agg = flags.agg(
+        F.sum(F.col("a").cast("int")).cast("long").alias("exact_a"),
+        F.sum(F.col("b").cast("int")).cast("long").alias("exact_b"),
+        F.sum((F.col("a") & F.col("b")).cast("int")).cast("long").alias(
+            "exact_intersection"
+        ),
+        F.approx_count_distinct(F.when(F.col("a"), F.col("user_id")), rsd=rsd).alias(
+            "__ea"
+        ),
+        F.approx_count_distinct(F.when(F.col("b"), F.col("user_id")), rsd=rsd).alias(
+            "__eb"
+        ),
+        F.approx_count_distinct(
+            F.when(F.col("a") | F.col("b"), F.col("user_id")), rsd=rsd
+        ).alias("__eu"),
+    )
+    est = F.col("__ea") + F.col("__eb") - F.col("__eu")
+    bound = F.greatest(
+        F.lit(10.0),
+        F.lit(3 * rsd)
+        * (F.col("exact_a") + F.col("exact_b") + F.col("__eu")).cast("double"),
+    )
+    return agg.select(
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        (F.abs(est - F.col("exact_intersection")) <= bound).alias("within_bound"),
+    )
