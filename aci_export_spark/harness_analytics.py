@@ -1513,3 +1513,250 @@ def events_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_intersection",
         (F.abs(est - F.col("exact_intersection")) <= bound).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: trending top-k on a streaming-maintained daily aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_trending_topk",
+    """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(props->>'$.k' AS INTEGER) AS item,
+           COUNT(*)::BIGINT AS cnt
+    FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM daily),
+win AS (
+    SELECT d.day, x.item, SUM(x.cnt)::BIGINT AS w7_count
+    FROM days d JOIN daily x ON x.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, item, w7_count, rank FROM (
+    SELECT day, item, w7_count,
+           ROW_NUMBER() OVER (PARTITION BY day
+                              ORDER BY w7_count DESC, item) AS rank
+    FROM win
+) WHERE rank <= 3
+""",
+    doc="streaming twin of events_trending_topk, in the lambda shape: the "
+    "STREAM maintains only the 1-day × item count (state is one row per "
+    "window×item; complete mode on the finite replay so the final open "
+    "day emits — a live deployment uses update mode + watermark "
+    "eviction); the trailing-7-day cover and per-day top-3 derive from "
+    "that landed aggregate batch-side — day-cardinality work, never raw "
+    "events. Oracle equals the batch trending query on the same data",
+)
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.streaming import core as ST
+
+    events = ST.read_events_stream(spark, sf_dir)
+    daily_stream = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.to_date(F.col("w.start")).alias("day"), "item", "cnt")
+    )
+    daily = ST.run_stream_to_table(daily_stream, spark, output_mode="complete")
+    covered = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+        "item",
+        "cnt",
+    )
+    windowed = covered.groupBy("day", "item").agg(
+        F.sum("cnt").cast("long").alias("w7_count")
+    )
+    active_days = daily.select("day").distinct()
+    windowed = windowed.join(active_days, on="day", how="left_semi")
+    w = Window.partitionBy("day").orderBy(F.col("w7_count").desc(), F.col("item").asc())
+    return (
+        windowed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "item",
+            "w7_count",
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus source-similarity matrix (vocabulary Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_source_similarity",
+    f"""
+WITH vocab AS (
+    SELECT DISTINCT source, t.token
+    FROM documents, unnest({_SQL_TOKS}) AS t(token)
+), sizes AS (
+    SELECT source, COUNT(*)::BIGINT AS vocab_size FROM vocab GROUP BY 1
+), inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*)::BIGINT AS n_common
+    FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       sa.vocab_size AS size_a, sb.vocab_size AS size_b,
+       CAST(n_common AS DOUBLE)
+           / CAST(sa.vocab_size + sb.vocab_size - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+""",
+    doc="source-pair vocabulary Jaccard: which corpus sources speak the "
+    "same language — the domain-mixing diagnostic before weighting "
+    "(near-identical sources double-count their distribution). Distinct "
+    "(source, token) pairs from one scan, token-keyed self-join (source "
+    "dimension small, token join uniform), exact integer "
+    "intersection/union, one IEEE division. At 100 TB the vocab table "
+    "is Zipf-bounded, orders smaller than the corpus",
+)
+def docs_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.text import word_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(word_tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    vocab = vocab.persist()
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size")
+    )
+    a = vocab.select(F.col("source").alias("source_a"), "token")
+    b = vocab.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, on="token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("vocab_size").alias("size_a"),
+                )
+            ),
+            on="source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("vocab_size").alias("size_b"),
+                )
+            ),
+            on="source_b",
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return scored.select(
+        "source_a", "source_b", "n_common", "size_a", "size_b", jac.alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (exact integer statistic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_changepoint_cusum",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS cnt
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT event_type, day, cnt,
+           SUM(cnt) OVER w AS cum,
+           ROW_NUMBER() OVER w AS k
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)
+), totals AS (
+    SELECT event_type, COUNT(*)::BIGINT AS n_days, SUM(cnt)::BIGINT AS total
+    FROM daily GROUP BY 1
+), scored AS (
+    SELECT s.event_type, s.day,
+           (t.n_days * s.cum - s.k * t.total)::BIGINT AS s_stat,
+           t.n_days, t.total
+    FROM seq s JOIN totals t USING (event_type)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS changepoint_day,
+       s_stat, n_days, total
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY abs(s_stat) DESC, day) AS rn
+    FROM scored
+) WHERE rn = 1
+""",
+    doc="CUSUM changepoint per event type: the day maximizing "
+    "|n·cumsum_k − k·total| — the classic cumulative-deviation statistic "
+    "kept EXACT by clearing denominators (cum_k − k·mean scaled by n is "
+    "pure BIGINT, no float drift over long series). One day-cardinality "
+    "window pass per type + a broadcast totals join; argmax with a "
+    "deterministic day tie-break. The volume-shift detector "
+    "complementing the median anomaly monitor",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    daily = daily.persist()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = daily.select(
+        "event_type",
+        "day",
+        F.sum("cnt").over(w).alias("cum"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("k"),
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    scored = seq.join(F.broadcast(totals), on="event_type").select(
+        "event_type",
+        "day",
+        (F.col("n_days") * F.col("cum") - F.col("k") * F.col("total"))
+        .cast("long")
+        .alias("s_stat"),
+        "n_days",
+        "total",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("s_stat")).desc(), F.col("day").asc()
+        )
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            "s_stat",
+            "n_days",
+            "total",
+        )
+    )
