@@ -1760,3 +1760,176 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (inverse-CDF, bucketed join, no RNG)
+# ---------------------------------------------------------------------------
+
+_WS_K = 20  # number of draws
+
+
+@register(
+    "llm_weighted_sample",
+    f"""
+WITH w AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents WHERE n_chars > 0
+), cum AS (
+    SELECT doc_id, wt,
+           CAST(SUM(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_hi
+    FROM w
+), tot AS (SELECT SUM(wt)::BIGINT AS total,
+             CAST(SUM(wt)::BIGINT // 64 AS BIGINT) AS bsize FROM w),
+draws AS (
+    SELECT j AS draw_id,
+           ('0x' || substr(md5('wsample:v1:' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+               % (SELECT total FROM tot) + 1 AS target
+    FROM unnest(generate_series(1, {_WS_K})) AS t(j)
+), bucketed_docs AS (
+    SELECT c.doc_id, c.wt, c.cum_hi, b.bucket
+    FROM cum c, tot,
+         unnest(generate_series((c.cum_hi - c.wt) // GREATEST(tot.bsize, 1),
+                                c.cum_hi // GREATEST(tot.bsize, 1))) AS b(bucket)
+), bucketed_draws AS (
+    SELECT d.draw_id, d.target,
+           d.target // GREATEST(tot.bsize, 1) AS bucket
+    FROM draws d, tot
+)
+SELECT CAST(bd.draw_id AS BIGINT) AS draw_id, bd.target, c.doc_id,
+       c.wt AS weight
+FROM bucketed_draws bd JOIN bucketed_docs c USING (bucket)
+WHERE bd.target > c.cum_hi - c.wt AND bd.target <= c.cum_hi
+""",
+    doc="deterministic weighted sampling (with replacement, weight = doc "
+    "length): inverse-CDF over the exact cumulative-weight intervals, "
+    "targets from md5 draws (engine-replayable, no RNG — the stable-split "
+    "principle applied to weighted draws). The interval lookup is NOT a "
+    "cross join: intervals explode onto coarse weight-space buckets "
+    "(W/64 each, ≥1 covering row per doc + its span) and draws equi-join "
+    "their bucket — candidate volume O(docs + draws), the band-join "
+    "trick in CDF space. 100 TB: cumsum is the one ordered pass "
+    "(hierarchical per-partition offsets at scale); draws broadcast",
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id", F.col("n_chars").cast("long").alias("wt")
+    )
+    cum = w.withColumn(
+        "cum_hi",
+        F.sum("wt").over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    tot = w.agg(
+        F.sum("wt").cast("long").alias("total"),
+        F.expr("sum(wt) div 64").cast("long").alias("bsize"),
+    )
+    draws = (
+        spark.range(1, _WS_K + 1)
+        .select(F.col("id").alias("draw_id"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "draw_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("wsample:v1:"), F.col("draw_id").cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("total")
+                + 1
+            ).alias("target"),
+            F.greatest(F.col("bsize"), F.lit(1)).alias("bsize"),
+        )
+    )
+    bucketed_docs = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("__b", F.greatest(F.col("bsize"), F.lit(1)))
+        .select(
+            "doc_id",
+            "wt",
+            "cum_hi",
+            F.explode(
+                F.sequence(
+                    F.expr("(cum_hi - wt) div greatest(bsize, 1)"),
+                    F.expr("cum_hi div greatest(bsize, 1)"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    bucketed_draws = draws.select(
+        "draw_id", "target", F.expr("target div bsize").alias("bucket")
+    )
+    joined = bucketed_draws.join(bucketed_docs, on="bucket").filter(
+        (F.col("target") > F.col("cum_hi") - F.col("wt"))
+        & (F.col("target") <= F.col("cum_hi"))
+    )
+    return joined.select(
+        F.col("draw_id").cast("long").alias("draw_id"),
+        "target",
+        "doc_id",
+        F.col("wt").alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_join_key_skew",
+    """
+WITH counts AS (
+    SELECT o_custkey AS key, COUNT(*)::BIGINT AS cnt FROM orders GROUP BY 1
+), tot AS (
+    SELECT COUNT(*)::BIGINT AS n_keys, SUM(cnt)::BIGINT AS n_rows FROM counts
+)
+SELECT key, cnt, rank, n_keys, n_rows,
+       CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share
+FROM (
+    SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+    FROM counts
+) , tot
+WHERE rank <= 10
+""",
+    doc="join-key skew report: the 10 heaviest values of a prospective "
+    "join key with exact counts and share of the fact table — the "
+    "pre-flight diagnostic that decides between a plain shuffle join, "
+    "AQE skew splitting, and the salted join "
+    "(operators/joins.salted_join). Key-cardinality aggregation + "
+    "TakeOrderedAndProject; at 100 TB this is exactly the query you run "
+    "before committing a multi-hour join",
+)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("key")))
+    ).filter(F.col("rank") <= 10)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "cnt",
+        "rank",
+        "n_keys",
+        "n_rows",
+        (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias("share"),
+    )

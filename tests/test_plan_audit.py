@@ -47,6 +47,8 @@ BNLJ_ALLOWED = {
     "events_chi2_cells",  # 1-row grand-total aggregate broadcast
     "j_bloom_prefilter_join",  # cross of three single-row count aggregates
     "events_bitemporal_state",  # 1-row (T, V) cutoff aggregate broadcast ×2
+    "llm_weighted_sample",  # 1-row (total, bucket-size) aggregate broadcast
+    "dq_join_key_skew",  # 1-row (n_keys, n_rows) aggregate broadcast
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
