@@ -1933,3 +1933,258 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_position_attribution",
+    """
+WITH conv AS (
+    SELECT user_id AS u, event_id AS conversion_id, ts AS cts
+    FROM events WHERE event_type = 'purchase'
+), touch AS (
+    SELECT user_id AS u, event_id AS touch_id, event_type AS channel, ts AS tts
+    FROM events WHERE event_type IN ('view', 'click')
+), pairs AS (
+    SELECT conversion_id, touch_id, channel,
+           ROW_NUMBER() OVER (PARTITION BY conversion_id
+                              ORDER BY tts, touch_id) AS pos,
+           COUNT(*) OVER (PARTITION BY conversion_id)::BIGINT AS n
+    FROM conv JOIN touch USING (u)
+    WHERE tts <= cts
+      AND epoch_us(cts) - epoch_us(tts) <= 604800000000
+)
+SELECT conversion_id, touch_id, channel,
+       CASE WHEN n = 1 THEN 'only'
+            WHEN pos = 1 THEN 'first'
+            WHEN pos = n THEN 'last'
+            ELSE 'middle' END AS position,
+       CASE WHEN n = 1 THEN 1
+            WHEN n = 2 THEN 1
+            WHEN pos = 1 OR pos = n THEN 2
+            ELSE 1 END::BIGINT AS credit_num,
+       CASE WHEN n = 1 THEN 1
+            WHEN n = 2 THEN 2
+            WHEN pos = 1 OR pos = n THEN 5
+            ELSE 5 * (n - 2) END::BIGINT AS credit_den,
+       CAST(CASE WHEN n = 1 THEN 1
+                 WHEN n = 2 THEN 1
+                 WHEN pos = 1 OR pos = n THEN 2
+                 ELSE 1 END AS DOUBLE)
+           / CAST(CASE WHEN n = 1 THEN 1
+                       WHEN n = 2 THEN 2
+                       WHEN pos = 1 OR pos = n THEN 5
+                       ELSE 5 * (n - 2) END AS DOUBLE) AS share
+FROM pairs
+""",
+    doc="position-based (U-shaped) attribution: first and last touch take "
+    "2/5 each, middles split the remaining 1/5 — credit kept as exact "
+    "integer fractions per touch (num/den) with one IEEE division for "
+    "the display share; n=1 → 1/1, n=2 → 1/2 each. Same user-key join + "
+    "conversion-key window as linear attribution, one extra ROW_NUMBER "
+    "for position; the weights-vary-by-rank generalization the linear "
+    "model can't express",
+)
+def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("conversion_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+    )
+    window_us = 7 * 86400 * 1_000_000
+    pairs = conv.join(touch, on="u").filter(
+        (F.col("tts") <= F.col("cts"))
+        & (
+            F.unix_micros(F.col("cts").cast("timestamp"))
+            - F.unix_micros(F.col("tts").cast("timestamp"))
+            <= window_us
+        )
+    )
+    wp = Window.partitionBy("conversion_id").orderBy("tts", "touch_id")
+    wn = Window.partitionBy("conversion_id")
+    ranked = pairs.select(
+        "conversion_id",
+        "touch_id",
+        "channel",
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    n, pos = F.col("n"), F.col("pos")
+    edge = (pos == 1) | (pos == n)
+    num = (
+        F.when(n == 1, 1).when(n == 2, 1).when(edge, 2).otherwise(1)
+    ).cast("long")
+    den = (
+        F.when(n == 1, 1)
+        .when(n == 2, 2)
+        .when(edge, 5)
+        .otherwise(5 * (n - 2))
+    ).cast("long")
+    position = (
+        F.when(n == 1, "only")
+        .when(pos == 1, "first")
+        .when(pos == n, "last")
+        .otherwise("middle")
+    )
+    return ranked.select(
+        "conversion_id",
+        "touch_id",
+        "channel",
+        position.alias("position"),
+        num.alias("credit_num"),
+        den.alias("credit_den"),
+        (num.cast("double") / den.cast("double")).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitor (period-over-period histogram shares)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_value_drift_cells",
+    """
+WITH bounds AS (
+    SELECT MIN(value) AS mn, MAX(value) AS mx,
+           MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+    FROM events
+), tagged AS (
+    SELECT LEAST(19, CAST(FLOOR((value - mn) * 20.0 / (mx - mn)) AS BIGINT))
+               AS bucket,
+           CAST(ts AS DATE) <= d0 + CAST((d1 - d0) // 2 AS INTEGER) AS in_a
+    FROM events, bounds
+), cells AS (
+    SELECT bucket,
+           SUM(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           SUM(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS n_b
+    FROM tagged GROUP BY 1
+), tot AS (SELECT SUM(n_a)::BIGINT AS t_a, SUM(n_b)::BIGINT AS t_b FROM cells)
+SELECT bucket, n_a, n_b,
+       CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE) AS share_a,
+       CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS share_b,
+       CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+           - CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS share_diff
+FROM cells, tot
+""",
+    doc="distribution-drift monitor: the event-value histogram compared "
+    "between the first and second half of the time range (deterministic "
+    "integer-day midpoint split, shared 20-bucket equi-width grid) — "
+    "per-bucket counts exact, shares and their difference as mirrored "
+    "IEEE divisions. The ML-ops drift primitive (PSI/KL are monotone "
+    "transforms of these cells; their logs stay caller-side, like the "
+    "chi² fold). One scan, one bucket-key aggregation, two 1-row "
+    "broadcasts",
+)
+def dq_value_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("value") - F.col("mn")) * F.lit(20.0)
+                / (F.col("mx") - F.col("mn"))
+            ),
+        )
+        .cast("long")
+        .alias("bucket"),
+        (
+            F.to_date("ts")
+            <= F.expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))")
+        ).alias("in_a"),
+    )
+    cells = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    tot = cells.agg(
+        F.sum("n_a").cast("long").alias("t_a"), F.sum("n_b").cast("long").alias("t_b")
+    )
+    joined = cells.crossJoin(F.broadcast(tot))
+    share_a = F.col("n_a").cast("double") / F.col("t_a").cast("double")
+    share_b = F.col("n_b").cast("double") / F.col("t_b").cast("double")
+    return joined.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a"),
+        share_b.alias("share_b"),
+        (share_a - share_b).alias("share_diff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end fuzzy entity resolution: pairs → components → entities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er_fuzzy_entities",
+    """
+WITH RECURSIVE pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r
+    JOIN edges e ON r.dst = e.src AND e.dst <> r.src
+), comp AS (
+    SELECT src AS id, LEAST(src, MIN(dst)) AS entity_id FROM reach GROUP BY src
+)
+SELECT entity_id,
+       COUNT(*)::BIGINT AS n_members,
+       string_agg(id, ',' ORDER BY id) AS members
+FROM comp GROUP BY 1
+""",
+    doc="end-to-end fuzzy entity resolution: FastSS edit-distance-1 pairs "
+    "become EDGES, connected components merge transitive matches "
+    "(A~B~C groups even when A!~C — the reason pair output alone is not "
+    "ER), min-id labels each entity, members serialize sorted. Only "
+    "multi-member entities emit (singletons are the identity case). "
+    "Composes operators/fuzzy.py + operators/graph.py unchanged; oracle "
+    "= brute-force pairs + recursive-CTE closure",
+)
+def er_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.fuzzy import edit_distance_pairs
+    from aci_export_spark.operators.graph import connected_components
+
+    customer = read_table(spark, sf_dir, "customer")
+    pairs = edit_distance_pairs(customer, "c_custkey", "c_name", max_distance=1)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = connected_components(edges, "src", "dst")
+    return (
+        comps.groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+    )

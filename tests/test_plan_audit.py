@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "events_bitemporal_state",  # 1-row (T, V) cutoff aggregate broadcast ×2
     "llm_weighted_sample",  # 1-row (total, bucket-size) aggregate broadcast
     "dq_join_key_skew",  # 1-row (n_keys, n_rows) aggregate broadcast
+    "dq_value_drift_cells",  # 1-row bounds + totals aggregate broadcasts
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
