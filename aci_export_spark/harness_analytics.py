@@ -2188,3 +2188,65 @@ def er_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (time-series candle aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc_hourly",
+    """
+WITH seq AS (
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(value AS DECIMAL(18,2)) AS v,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn_open,
+           ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_close
+    FROM events
+)
+SELECT event_type, hour,
+       CAST(MAX(CASE WHEN rn_open = 1 THEN v END) AS DOUBLE) AS open,
+       CAST(MAX(v) AS DOUBLE) AS high,
+       CAST(MIN(v) AS DOUBLE) AS low,
+       CAST(MAX(CASE WHEN rn_close = 1 THEN v END) AS DOUBLE) AS close,
+       COUNT(*)::BIGINT AS n
+FROM seq GROUP BY 1, 2
+""",
+    doc="OHLC candle bars per (event_type, hour): open/close are the "
+    "first/last value under the deterministic (ts, event_id) total order "
+    "— picked via struct-ordered min/max aggregates (one aggregation, no "
+    "join-back; the struct comparison makes argmin/argmax total), "
+    "high/low are plain min/max on exact decimals. The time-series "
+    "downsampling primitive: one window-free shuffle on the bar key",
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+        F.col("event_id").alias("__id"),
+        _dec(F.col("value")).alias("v"),
+    )
+    bars = base.groupBy("event_type", "hour").agg(
+        F.min(F.struct("__us", "__id", "v")).alias("__first"),
+        F.max(F.struct("__us", "__id", "v")).alias("__last"),
+        F.max("v").alias("__high"),
+        F.min("v").alias("__low"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return bars.select(
+        "event_type",
+        "hour",
+        F.col("__first.v").cast("double").alias("open"),
+        F.col("__high").cast("double").alias("high"),
+        F.col("__low").cast("double").alias("low"),
+        F.col("__last.v").cast("double").alias("close"),
+        "n",
+    )
