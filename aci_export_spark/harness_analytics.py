@@ -2250,3 +2250,123 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__last.v").cast("double").alias("close"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification by cumulative revenue share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_abc_classification",
+    """
+WITH rev AS (
+    SELECT o_custkey AS custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders GROUP BY 1
+), ranked AS (
+    SELECT custkey, revenue,
+           ROW_NUMBER() OVER (ORDER BY revenue DESC, custkey) AS rank,
+           CAST(SUM(revenue) OVER (ORDER BY revenue DESC, custkey
+                                   ROWS UNBOUNDED PRECEDING)
+                AS DECIMAL(38,2)) AS cum_revenue
+    FROM rev
+), tot AS (SELECT SUM(revenue) AS total FROM rev)
+SELECT custkey, CAST(revenue AS DOUBLE) AS revenue, rank,
+       CAST(cum_revenue AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum_revenue AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                 THEN 'A'
+            WHEN CAST(cum_revenue AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked, tot
+""",
+    doc="ABC / Pareto classification: customers ranked by revenue, "
+    "cumulative share against the exact-decimal running sum, class "
+    "thresholds at 80/95% — the inventory-management segmentation "
+    "primitive. Cumulative sums stay DECIMAL (exact) until the one share "
+    "division; the threshold comparison is on the same IEEE double both "
+    "engines compute. Global ordered window over the customer-cardinality "
+    "aggregate, not the fact table",
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(_dec(F.col("o_totalprice"))).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("custkey"))
+    ranked = rev.select(
+        "custkey",
+        "revenue",
+        F.row_number().over(w).alias("rank"),
+        F.sum("revenue")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,2)")
+        .alias("cum_revenue"),
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    joined = ranked.crossJoin(F.broadcast(tot))
+    share = F.col("cum_revenue").cast("double") / F.col("total").cast("double")
+    abc = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return joined.select(
+        "custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        "rank",
+        share.alias("cum_share"),
+        abc.alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stickiness ratio (DAU / trailing-28-day MAU)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_stickiness_ratio",
+    """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), dau AS (
+    SELECT d AS day, COUNT(*)::BIGINT AS dau FROM activity GROUP BY 1
+), cover AS (
+    SELECT a.user_id, a.d + CAST(x.o AS INTEGER) AS day
+    FROM activity a, unnest(generate_series(0, 27)) AS x(o)
+), mau AS (
+    SELECT day, COUNT(DISTINCT user_id)::BIGINT AS mau FROM cover GROUP BY 1
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+       CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day
+""",
+    doc="stickiness (DAU / trailing-28-day MAU): the engagement-quality "
+    "board metric. Same bounded window-cover explode as DAU/WAU (28×, "
+    "never data-dependent) feeding one distinct count per day, ratio as "
+    "one IEEE division; the inner join to observed days stops the metric "
+    "at the data's edge. HLL swap documented for the 100 TB distinct",
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    activity = activity.persist()
+    dau = activity.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    cover = activity.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 27))).alias("day"),
+    )
+    mau = cover.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    joined = dau.join(mau, on="day")
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+            "stickiness"
+        ),
+    )

@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "llm_weighted_sample",  # 1-row (total, bucket-size) aggregate broadcast
     "dq_join_key_skew",  # 1-row (n_keys, n_rows) aggregate broadcast
     "dq_value_drift_cells",  # 1-row bounds + totals aggregate broadcasts
+    "orders_abc_classification",  # 1-row revenue-total aggregate broadcast
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
