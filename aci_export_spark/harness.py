@@ -322,85 +322,81 @@ def _ensure_all_registered() -> None:
 #: same scale. Names absent from this list keep their registration order
 #: after it; the flagship stays first (it is also the driver's entry()
 #: smoke check).
-#: ROUND-5 NOTE: once CORRECTNESS_r04 lands green rows for this window,
-#: rotate the round-4 batch-2 queries (llm_domain_quota, llm_quality_unigram_lm,
-#: llm_sim_rplsh_topk, llm_bloom_membership, llm_vocab_stats, llm_split_leakage,
-#: llm_compression_ratio, llm_doc_keywords, llm_curation_kept_corpus_v2,
-#: events_funnel_*, events_retention_cohorts, events_value_deciles,
-#: events_transition_matrix, events_rolling_active_users, events_activity_streaks,
-#: events_time_to_convert, events_countmin_user_counts, basket_*, graph_brand_triangles,
-#: docs_cube_stats, orders_value_gini, orders_benford_digits,
-#: j_salted_join_equivalence, streaming_funnel) into the window in their place —
-#: every one already hash-matches the identical local gate. The round-4
-#: batch-3 queries (ivm_*, llm_lsh_index_upsert, rec_item_item_cosine,
-#: orders_pareto_frontier, parts_price_band_pairs, docs_bm25_topk,
-#: docs_inverted_index, events_trending_topk, events_linear_attribution,
-#: events_type_trigrams_topk, events_ctr_wilson, events_value_histogram,
-#: events_zorder_pruning_stats, events_chi2_cells, events_cohort_ltv,
-#: events_value_trend_slope, events_value_variance_by_type,
-#: events_user_type_diversity, events_cumulative_unique_users,
-#: llm_quality_percentile, orders_interarrival_stats, sync_snapshot_diff,
-#: j_bloom_prefilter_join) queue behind them in later rounds, all green in
-#: the same local gate.
+#: ROUND-5 ROTATION: CORRECTNESS_r04 landed green rows (50/50, 0 err) for the
+#: round-4 window, so every SURVEY §2 reference-surface query now has a driver
+#:row. This window is the first 49 of the 77 queries that have NEVER received
+#: a driver CORRECTNESS row (all beyond-reference analytics, in registration
+#: order), behind the flagship (which doubles as the driver's entry() smoke
+#: check). Every name below already hash-matches the identical local replica
+#: of the driver gate, `tests/test_oracle_queries.py`, at the same scale —
+#: this rotation is pure verification bookkeeping, not new code.
+#: ROUND-6 NOTE: once CORRECTNESS_r05 lands green rows for this window,
+#: rotate the final 28 never-checked names into the window
+#: (events_linear_attribution, events_type_trigrams_topk,
+#: events_ctr_wilson, events_value_histogram,
+#: events_value_trend_slope, events_chi2_cells, events_cohort_ltv,
+#: llm_quality_percentile, docs_inverted_index, j_bloom_prefilter_join,
+#: sync_snapshot_diff, events_cumulative_unique_users,
+#: events_value_variance_by_type, events_user_type_diversity,
+#: orders_interarrival_stats, events_bitemporal_state,
+#: events_sketch_intersection, streaming_trending_topk,
+#: docs_source_similarity, events_changepoint_cusum, llm_weighted_sample,
+#: dq_join_key_skew, events_position_attribution, dq_value_drift_cells,
+#: er_fuzzy_entities, events_ohlc_hourly, orders_abc_classification,
+#: events_stickiness_ratio, plus any query added in round 5) — that
+#: completes driver coverage for the whole registry.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
-    # SURVEY §2 reference-surface operators never driver-checked (r1-r3)
-    "j3_self_join_partner",
-    "j4_coalesce_key_join",
-    "j7_existence_flags",
-    "j12_referential_integrity",
-    "j14_entity_resolution_coalesce",
-    "p9_email_validity",
-    "f11_f12_merge_field_render",
-    "s13_merge_field_schema_diff",
-    "a9_sync_stats",
-    "a10_set_difference_count",
-    # formerly err=no_oracle, now carrying deterministic oracles (round 4)
-    "llm_dedup_minhash_lsh",
-    "llm_sim_ivf_kmeans_topk",
-    "events_sketch_distinct",
-    "events_sketch_quantiles",
-    # remaining never-driver-checked queries (all carry exact oracles)
-    "events_rollup_totals",
-    "llm_split_train_val",
-    "llm_quality_gopher",
-    "llm_boilerplate_spans",
-    "llm_decontaminate_overlap",
-    "llm_pack_sequences",
-    "llm_epoch_mix",
-    "llm_pii_scrub",
-    "llm_stratified_sample",
-    "events_pivot_type_counts",
-    "events_unpivot_metrics",
-    "asof_click_to_view",
-    "range_user_error_windows",
-    "range_global_incidents",
-    "streaming_hourly_agg",
-    "streaming_sessionization",
-    "streaming_interval_join",
-    "streaming_distinct_users",
-    "streaming_stream_static_join",
-    "mm_decode_metadata",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    # round-4 additions refilling the 50-entry window: none of these has a
-    # driver row yet, while the §2 core queries they displace (q1, j1, j6,
-    # j8, j10, a2, a4, a5, a8, f7/f8, f-suite, o1, partner fan-out) are
-    # green in BOTH CORRECTNESS_r01 and _r03 and stay covered by the local
-    # gate every run
-    "llm_dedup_semantic",
-    "llm_repetition_signals",
-    "er_fuzzy_name_pairs",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q21_waiting_suppliers",
-    "q22_global_balance_anti",
+    # never-driver-checked batch 1/2 (49 of 77), registration order
+    "events_scd2_history",
+    "events_sessionization_native",
+    "dq_check_report",
+    "dq_profile_customer",
+    "llm_curation_kept_corpus",
+    "llm_domain_quota",
+    "llm_quality_unigram_lm",
+    "llm_sim_rplsh_topk",
+    "events_funnel_steps",
+    "events_funnel_summary",
+    "llm_bloom_membership",
+    "llm_vocab_stats",
+    "llm_split_leakage",
+    "events_retention_cohorts",
+    "events_value_deciles",
+    "basket_brand_pairs",
+    "llm_compression_ratio",
+    "llm_doc_keywords",
+    "graph_brand_triangles",
+    "events_transition_matrix",
+    "llm_curation_kept_corpus_v2",
+    "events_rolling_active_users",
+    "docs_cube_stats",
+    "events_time_to_convert",
+    "events_countmin_user_counts",
+    "basket_brand_triples",
+    "events_activity_streaks",
+    "orders_value_gini",
+    "orders_benford_digits",
+    "j_salted_join_equivalence",
+    "events_pit_state_enrichment",
+    "events_anomalous_days",
+    "graph_brand_pagerank",
+    "events_zorder_keys",
+    "events_peak_concurrency",
+    "streaming_dq_monitor",
+    "streaming_funnel",
+    "mm_phash_pairs",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q12_late_shipment_modes",
+    "ivm_orders_maintained_agg",
+    "llm_lsh_index_upsert",
+    "rec_item_item_cosine",
+    "orders_pareto_frontier",
+    "events_trending_topk",
+    "docs_bm25_topk",
+    "events_zorder_pruning_stats",
+    "parts_price_band_pairs",
 ]
 
 
