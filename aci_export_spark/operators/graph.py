@@ -9,27 +9,39 @@ db/src/user.rs); it is required the moment "duplicate" is a similarity
 relation, which is not transitive — A~B and B~C does not imply A~C, so
 groupBy on any single key under-merges and only a graph closure is correct.
 
-Algorithm: iterative min-label propagation ("hash-to-min" family,
-Rastogi et al., "Finding Connected Components in Map-Reduce in Logarithmic
-Rounds"). Every node starts labeled with its own id; each round every node
-takes the min of its label and its neighbors' labels; fixed point = every
-node carries the min id of its component, which is the component id.
+Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — the published
+MapReduce CC used at web scale). Each large-star step hangs every node's
+larger neighbors off the minimum of its neighborhood; each small-star step
+hangs the node and its smaller neighbors off that minimum. Both steps
+preserve connectivity, and their joint fixed point is exactly a forest of
+stars rooted at each component's minimum id — which IS the component
+labeling. Convergence is O(log² n) rounds REGARDLESS of graph shape.
+
+Plain min-label propagation (the textbook alternative) needs diameter
+rounds, and a low-threshold similarity graph chains into sprawling
+components whose diameter grows with corpus size — measured: the SemDeDup
+pair graph at sf0.1 exceeds 25 propagation hops, so a diameter-bound loop
+either truncates (silently wrong labels) or runs unboundedly long. The
+star algorithm's round count is scale-safe by construction, and the edge
+list *shrinks* toward the star forest as it converges, so later rounds get
+cheaper rather than replaying the full graph.
 
 Scale design (the 100 TB contract):
-- each round is ONE shuffle-join (edges ⋈ labels on dst) + ONE groupBy —
-  both partition by node id, and AQE coalesces/skew-splits them;
-- labels are `localCheckpoint()`-ed per round: iterative DataFrame loops
-  otherwise re-derive the whole lineage each round (plan grows O(rounds²))
-  — truncation is what GraphFrames/GraphX do between Pregel supersteps;
-- rounds needed = graph diameter. Near-dup clusters are small and dense
-  (diameter ≤ a few hops), so propagation converges in single-digit rounds;
-  for adversarial long-path graphs the large-star/small-star variant
-  converges in O(log n) rounds at the cost of re-keying edges every round —
-  not worth it for dedup graphs, documented here as the escape hatch;
-- convergence detection exploits monotonicity: labels only ever DECREASE,
-  so the label sum strictly decreases every round until the fixed point —
-  one scalar aggregation per round (which also materializes that round's
-  checkpoint), instead of a join-and-count of changed rows.
+- each star step is one groupBy(center).min + one equi-join back on the
+  center — both partition by node id, and AQE coalesces/skew-splits them;
+  no step ever materializes anything larger than the current edge list;
+- the edge list is `localCheckpoint()`-ed per round: iterative DataFrame
+  loops otherwise re-derive the whole lineage each round (plan grows
+  O(rounds²)) — truncation is what GraphFrames/GraphX do between Pregel
+  supersteps;
+- convergence detection: the round function is deterministic, so an
+  unchanged edge multiset IS the fixed point — checked with an
+  order-independent signature (count + sum of a 64-bit pair hash), one
+  scalar aggregation per round that doubles as the checkpoint
+  materializer. Non-convergence within max_iter raises instead of
+  returning silently-wrong labels (25 rounds covers graphs far beyond any
+  physical corpus: rounds grow with log², not diameter).
 """
 
 from __future__ import annotations
@@ -55,50 +67,93 @@ def connected_components(
 
     Returns a DataFrame (node, component), one row per node.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # symmetrize once so each round's neighbor-min sees both directions;
-    # pre-partition on the join key BEFORE the checkpoint: LogicalRDD
-    # preserves the hash partitioning, so when labels outgrow the broadcast
-    # threshold the per-round join shuffles only the label table — the edge
-    # table (the big side at scale) never moves again
-    sym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .repartition(F.col("b"))
         .localCheckpoint()
     )
-    # Iterate ONLY over edge-endpoint nodes. On a deduplicated corpus the
-    # edge graph is a small fraction of the node set (most docs have no
-    # near-dup), so folding isolated nodes in before the loop would make
-    # every propagation round shuffle a corpus-sized label table for
-    # nothing — at 100 TB that is billions of rows per round vs the edge
-    # graph's millions. Isolated nodes join in ONCE at the end, labeled
-    # with themselves.
-    lab = sym.select(F.col("a").alias("node")).distinct()
-    labels = lab.select("node", F.col("node").alias("component")).localCheckpoint()
-    prev_sum = None
 
+    def _neighborhood(cur: DataFrame) -> DataFrame:
+        # (center u, neighbor v) over both orientations — each star step
+        # reads every edge from both endpoints' perspective
+        return cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    from pyspark.sql import Window
+
+    # m(u) is computed as a window min over the neighborhood partitioned by
+    # the center — ONE shuffle per star step (the window's partitioning)
+    # instead of a groupBy + join-back pair; the filter/select above the
+    # window stays in the same stage. Dedup happens once per round (in
+    # small-star), not per step: duplicate edges inflate one step's rows at
+    # most 2× and min() is duplicate-invariant.
+    _w = Window.partitionBy("u")
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        # hang every LARGER neighbor of u off m(u) = min(N(u) ∪ {u})
+        nbrs = _neighborhood(cur)
+        return (
+            nbrs.withColumn("__m", F.least(F.min("v").over(_w), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("__m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # orient each edge toward its larger endpoint, then hang u and all
+        # its SMALLER neighbors off m(u) = min of those neighbors
+        sm = (
+            _neighborhood(cur)
+            .filter(F.col("v") < F.col("u"))
+            .withColumn("__m", F.min("v").over(_w))
+        )
+        attach_nbrs = sm.select(F.col("v").alias("a"), F.col("__m").alias("b"))
+        attach_self = sm.select(F.col("u").alias("a"), F.col("__m").alias("b"))
+        return (
+            attach_nbrs.union(attach_self)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    # order-independent edge-multiset signature: the round function is
+    # deterministic, so signature equality across a round certifies the
+    # fixed point (star forest) without a sorted compare
+    def _signature(cur: DataFrame):
+        # decimal(38,0) sum: ANSI mode throws on long overflow, and a sum of
+        # 64-bit hashes overflows almost surely at any real edge count
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = _signature(e)
+    converged = prev_sig[0] == 0
     for _ in range(max_iter):
-        # one round = ONE join + ONE aggregate: neighbor labels and own
-        # labels union before a single min-groupBy, instead of a
-        # neighbor-min groupBy followed by a second own-label join
-        neigh = sym.join(labels.withColumnRenamed("node", "b"), on="b").select(
-            F.col("a").alias("node"), "component"
-        )
-        new_labels = (
-            neigh.union(labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
-        )
-        # labels only decrease, so an unchanged sum IS the fixed point; the
-        # agg action doubles as the (lazy) checkpoint materializer — one
-        # Spark job per round, not an eager-checkpoint job plus the agg
-        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels = new_labels
-        if cur_sum == prev_sum:
+        if converged:
             break
-        prev_sum = cur_sum
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # the signature agg doubles as the (lazy) checkpoint materializer —
+        # one Spark job per round, not an eager-checkpoint job plus the agg
+        sig = _signature(e)
+        if sig == prev_sig:
+            converged = True
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "silently truncated labels would be wrong; raise max_iter"
+        )
+
+    # the fixed point is a star forest: every non-root node carries exactly
+    # the edge (node, root); roots and isolated nodes label themselves
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("node")).distinct().join(
+        labels.select("node"), on="node", how="left_anti"
+    ).select("node", F.col("node").alias("component"))
+    labels = labels.unionByName(roots)
     if nodes is not None:
         nc = node_col or src
         all_nodes = nodes.select(F.col(nc).alias("node")).distinct()

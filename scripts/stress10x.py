@@ -150,10 +150,13 @@ def run(spark, sf_dir: str) -> dict[str, float]:
     from aci_export_spark import harness_llm
 
     timings = {}
+    from aci_export_spark import artifacts
+
     for name in QUERIES:
-        # every query pays its own artifact builds (CC components, kmeans
-        # centroids) — intra-list reuse would misattribute the build cost
-        harness_llm._CLUSTER_CACHE.clear()
+        # every query pays its own artifact builds (near-dup pairs, CC
+        # components, kmeans centroids) — intra-list reuse would
+        # misattribute the build cost
+        artifacts._CACHE.clear()
         harness_llm._KMEANS_MODEL_CACHE.clear()
         t0 = time.perf_counter()
         harness.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
