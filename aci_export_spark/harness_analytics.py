@@ -703,8 +703,10 @@ def events_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH stats AS (
     SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
 ), bucketed AS (
-    SELECT LEAST(19, CAST(FLOOR((value - mn) * 20.0 / (mx - mn)) AS BIGINT))
-               AS bucket
+    SELECT CASE WHEN mx = mn THEN 0
+                ELSE LEAST(19, CAST(FLOOR((value - mn) * 20.0 / (mx - mn))
+                                    AS BIGINT))
+           END AS bucket
     FROM events, stats
 )
 SELECT bucket, COUNT(*)::BIGINT AS n
@@ -714,18 +716,24 @@ FROM bucketed GROUP BY 1
     "min/max as a 1-row broadcast, bucket index from floor() on doubles "
     "(exact and engine-portable), one aggregation keyed on the bucket. "
     "The profiling complement to the exact NTILE deciles — this one "
-    "needs only a broadcast and map-side partial counts, no global sort",
+    "needs only a broadcast and map-side partial counts, no global sort. "
+    "A degenerate constant column (mx = mn) lands everything in bucket 0 "
+    "on BOTH engines, instead of NULL (Spark non-ANSI divide) vs "
+    "NaN/error (DuckDB IEEE divide) diverging",
 )
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     bucketed = ev.crossJoin(F.broadcast(stats)).select(
-        F.least(
-            F.lit(19),
-            F.floor(
-                (F.col("value") - F.col("mn")) * F.lit(20.0)
-                / (F.col("mx") - F.col("mn"))
-            ),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(19),
+                F.floor(
+                    (F.col("value") - F.col("mn")) * F.lit(20.0)
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            )
         )
         .cast("long")
         .alias("bucket")
@@ -1121,7 +1129,9 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH old AS (
     SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
 ), new AS (
-    -- deterministic churn: delete %17, update balance on %13, insert shifted keys on %23
+    -- deterministic churn: delete %17, update balance on %13, insert
+    -- NEGATED keys on %23 (keys are positive at every SF, so negation can
+    -- never collide with a real key — a +1000000 shift would at SF >= ~6.7)
     SELECT c_custkey,
            c_name,
            CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
@@ -1129,7 +1139,7 @@ WITH old AS (
            c_mktsegment
     FROM customer WHERE c_custkey % 17 <> 0
     UNION ALL
-    SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+    SELECT -c_custkey, c_name, c_acctbal, c_mktsegment
     FROM customer WHERE c_custkey % 23 = 0
 )
 SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
@@ -1171,7 +1181,7 @@ def sync_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             cust.filter(F.col("c_custkey") % 23 == 0).withColumn(
-                "c_custkey", F.col("c_custkey") + 1000000
+                "c_custkey", -F.col("c_custkey")
             )
         )
     )
@@ -2061,8 +2071,10 @@ WITH bounds AS (
            MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
     FROM events
 ), tagged AS (
-    SELECT LEAST(19, CAST(FLOOR((value - mn) * 20.0 / (mx - mn)) AS BIGINT))
-               AS bucket,
+    SELECT CASE WHEN mx = mn THEN 0
+                ELSE LEAST(19, CAST(FLOOR((value - mn) * 20.0 / (mx - mn))
+                                    AS BIGINT))
+           END AS bucket,
            CAST(ts AS DATE) <= d0 + CAST((d1 - d0) // 2 AS INTEGER) AS in_a
     FROM events, bounds
 ), cells AS (
@@ -2072,10 +2084,13 @@ WITH bounds AS (
     FROM tagged GROUP BY 1
 ), tot AS (SELECT SUM(n_a)::BIGINT AS t_a, SUM(n_b)::BIGINT AS t_b FROM cells)
 SELECT bucket, n_a, n_b,
-       CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE) AS share_a,
-       CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS share_b,
-       CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
-           - CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS share_diff
+       CASE WHEN t_a = 0 THEN NULL
+            ELSE CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE) END AS share_a,
+       CASE WHEN t_b = 0 THEN NULL
+            ELSE CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE) END AS share_b,
+       CASE WHEN t_a = 0 OR t_b = 0 THEN NULL
+            ELSE CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+                 - CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE) END AS share_diff
 FROM cells, tot
 """,
     doc="distribution-drift monitor: the event-value histogram compared "
@@ -2096,12 +2111,17 @@ def dq_value_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.to_date("ts")).alias("d1"),
     )
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.lit(19),
-            F.floor(
-                (F.col("value") - F.col("mn")) * F.lit(20.0)
-                / (F.col("mx") - F.col("mn"))
-            ),
+        # mx = mn (degenerate constant column) → everything in bucket 0,
+        # mirrored in the oracle — engines' x/0 semantics differ otherwise
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(19),
+                F.floor(
+                    (F.col("value") - F.col("mn")) * F.lit(20.0)
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            )
         )
         .cast("long")
         .alias("bucket"),
@@ -2118,8 +2138,14 @@ def dq_value_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_a").cast("long").alias("t_a"), F.sum("n_b").cast("long").alias("t_b")
     )
     joined = cells.crossJoin(F.broadcast(tot))
-    share_a = F.col("n_a").cast("double") / F.col("t_a").cast("double")
-    share_b = F.col("n_b").cast("double") / F.col("t_b").cast("double")
+    # explicit NULL when a half is empty, mirrored in the oracle (DuckDB's
+    # IEEE divide would give Inf/NaN where Spark's non-ANSI divide NULLs)
+    share_a = F.when(
+        F.col("t_a") == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("n_a").cast("double") / F.col("t_a").cast("double"))
+    share_b = F.when(
+        F.col("t_b") == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("n_b").cast("double") / F.col("t_b").cast("double"))
     return joined.select(
         "bucket",
         "n_a",

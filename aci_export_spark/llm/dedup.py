@@ -34,14 +34,21 @@ def spread_for_explode(df: DataFrame) -> DataFrame:
     partial aggregation above it through that many cores, regardless of
     cluster size — the shuffle that matters is the one that *doesn't happen*
     after the explosion. Moving the pre-explosion rows is negligible next to
-    the generator output. Guarded: if the input already has ≥ parallelism
-    partitions (any real cluster scan), this is a no-op — it never reduces
-    partitioning.
+    the generator output. Guarded: a scan that already carries ≥ parallelism
+    input files (any real cluster scan) is left alone — it never reduces
+    partitioning. The guard reads `inputFiles()` (a pure catalog lookup)
+    rather than `df.rdd.getNumPartitions()`: touching `.rdd` forces an
+    extra analysis + RDD conversion pass on the query path in PySpark 4.
+    Non-file sources (in-memory test frames) report no files and take the
+    repartition, which is the narrow-input case the helper exists for.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 

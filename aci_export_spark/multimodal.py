@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-Beyond-reference surface for the 100 TB training-data pipeline. The real
+Beyond-reference surface for the 100 TB training-data pipeline. The full
 codec libraries (Pillow, torchaudio, pyav) are not in this container, so the
-*decode kernels* are stubbed two ways:
+*decode kernels* come in two modes:
 
-- ``real=True`` → ``NotImplementedError`` (clearly marked; swap in the codec
-  call on a cluster that ships the library);
+- ``real=True`` → for IMAGES, container-header parsing implemented here
+  directly (PNG IHDR / JPEG SOFn / GIF logical-screen descriptor — pure
+  struct reads over the binary column, no codec dependency), so metadata
+  extraction works on genuine image bytes; pixel-touching kernels (resize,
+  frame decode, perceptual hash) and audio/video decode still raise
+  ``NotImplementedError`` until a codec library is present;
 - ``real=False`` (default) → a deterministic fake that derives metadata from
   the bytes themselves (length / md5 / arithmetic), so the Spark-side
   plumbing — schema, mapInPandas signature, Arrow batch shape, partitioning,
@@ -71,13 +75,78 @@ def _fake_dims(byte_len: int) -> tuple[int, int]:
     return _DIM_BASE + byte_len % _W_MOD, _DIM_BASE + (byte_len * 7) % _H_MOD
 
 
-def _decode_real(content: bytes, media_type: str):
-    """The real codec hook. Container ships no image/audio libs, so this is
-    an explicit stub — replace with PIL / torchaudio / pyav on a real
-    cluster."""
+#: JPEG start-of-frame markers that carry dimensions (SOF0-15 minus the
+#: non-frame DHT/DAC/JPG markers C4/C8/CC)
+_JPEG_SOF = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def parse_image_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) parsed straight from the container header of PNG,
+    JPEG, or GIF bytes — pure ``struct`` reads, no codec library. Returns
+    ``None`` when the payload is not one of the three containers (or is
+    truncated before its dimension fields).
+
+    PNG: the 8-byte signature is followed by the IHDR chunk, whose first
+    two fields are big-endian width/height. GIF: the 6-byte version tag is
+    followed by the little-endian logical-screen width/height. JPEG:
+    dimensions live in the first SOFn segment, so walk the segment list
+    (marker, big-endian length) from SOI to it.
+    """
+    import struct
+
+    if (
+        data[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(data) >= 24
+        and data[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", data[16:24])
+        return int(w), int(h)
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return int(w), int(h)
+    if data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:  # tolerate fill bytes between segments
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker == 0xFF:  # padding before a marker
+                i += 1
+                continue
+            # standalone markers (no length field): SOI, TEM, RSTn; EOI ends
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 9 > len(data):
+                    return None
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seg_len
+    return None
+
+
+def _decode_real(content: bytes, media_type: str) -> tuple[int, int]:
+    """The real decode hook. Image METADATA needs only the container header
+    — parsed here with no codec dependency. Audio/video decode (and any
+    pixel-touching kernel) still requires libraries this container doesn't
+    ship; those paths raise until PIL/torchaudio/pyav are present."""
+    if media_type == "image":
+        dims = parse_image_dims(bytes(content))
+        if dims is None:
+            raise ValueError(
+                "unrecognized image container: header is not PNG, JPEG, or GIF"
+            )
+        return dims
     raise NotImplementedError(
-        "real media decode requires codec libraries not present in this "
-        "environment (Pillow/torchaudio/pyav); run with real=False for the "
+        "real audio/video decode requires codec libraries not present in "
+        "this environment (torchaudio/pyav); run with real=False for the "
         "deterministic fake"
     )
 
@@ -88,14 +157,28 @@ def decode_metadata(media: DataFrame, real: bool = False) -> DataFrame:
     Fake decode: byte length, md5 checksum, dimensions derived
     arithmetically from the byte length — deterministic, so the DuckDB
     oracle recomputes identical values from the text column.
+
+    Real decode (``real=True``): dimensions parsed from the actual PNG /
+    JPEG / GIF container headers (:func:`parse_image_dims`) — works on
+    genuine image bytes with no codec library; audio/video rows raise
+    ``NotImplementedError`` (header-only parsing can't produce their
+    metadata honestly).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real:
-                _decode_real(b"", "")
             lens = pdf["content"].map(len)
-            dims = lens.map(_fake_dims)
+            if real:
+                parsed = [
+                    _decode_real(c, t)
+                    for c, t in zip(pdf["content"], pdf["media_type"])
+                ]
+                widths = [d[0] for d in parsed]
+                heights = [d[1] for d in parsed]
+            else:
+                dims = lens.map(_fake_dims)
+                widths = dims.map(lambda d: d[0])
+                heights = dims.map(lambda d: d[1])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -104,8 +187,8 @@ def decode_metadata(media: DataFrame, real: bool = False) -> DataFrame:
                     "checksum": pdf["content"].map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
-                    "width": dims.map(lambda d: d[0]),
-                    "height": dims.map(lambda d: d[1]),
+                    "width": widths,
+                    "height": heights,
                 }
             )
 

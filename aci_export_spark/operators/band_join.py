@@ -15,6 +15,16 @@ doubles and replayable in any engine, so the candidate set itself is
 deterministic (the final filter makes correctness independent of edge
 rounding anyway: a pair on a bucket boundary appears via the neighbor
 key).
+
+Domain bound for exact recall: the ±1 neighbor probe assumes the division
+v/ε is accurate enough that a true |a−b| ≤ ε pair lands at most one bucket
+apart. That holds while the quotient |v|/ε stays well inside double
+precision (≲ 2⁵¹); as it approaches 2⁵² the division's half-ulp rounding
+can itself exceed 1 bucket and silently drop a boundary pair. Callers in
+that regime should quantize exactly instead — when inputs are decimals
+(e.g. cent-valued prices, as in `parts_price_band_pairs`), scale to
+integers and bucket with integer division, which has no rounding at any
+magnitude.
 """
 
 from __future__ import annotations

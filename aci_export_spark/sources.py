@@ -182,27 +182,39 @@ def write_clustered(
     footer min/max stats prune files for range predicates on ANY clustered
     column.
 
-    `repartition(partition_value)` before the sort gives one shuffle whose
-    output partitioning matches the write layout (no per-writer
-    spill-sort of foreign partitions); `target_files_per_partition`
-    scales output file count via a salt column when partitions are large
-    (100 TB: pick it so files land near the 128-1024 MB sweet spot).
+    With `target_files_per_partition == 1`, `repartition(partition_value)`
+    before the sort gives one shuffle whose output partitioning matches the
+    write layout (no per-writer spill-sort of foreign partitions). With
+    more files per partition, the split must follow the CLUSTER-KEY RANGE,
+    not a hash: a hash salt scatters contiguous key ranges uniformly across
+    every file, so each file's min/max spans ~the whole domain and footer
+    pruning is destroyed — exactly the property this writer exists to
+    provide. `repartitionByRange(partition, cluster...)` instead samples
+    range boundaries, so every task (hence every written file) covers a
+    disjoint slice of the cluster-key domain; it also load-balances skewed
+    hive partitions across tasks, which the one-task-per-partition-value
+    plan cannot (100 TB: pick `target_files_per_partition` so files land
+    near the 128-1024 MB sweet spot, or set
+    `spark.sql.files.maxRecordsPerFile` and let each sorted task emit
+    contiguous — still range-disjoint — chunks).
     """
     from pyspark.sql import functions as F
 
-    parts = [F.col(partition_by)]
-    tmp = df
     if target_files_per_partition > 1:
-        tmp = tmp.withColumn(
-            "__salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in cluster_cols]),
-                   F.lit(target_files_per_partition)),
+        # one extra single-column pass to size the range shuffle — noise
+        # next to the write itself
+        n_parts = max(1, df.select(partition_by).distinct().count())
+        tmp = df.repartitionByRange(
+            n_parts * target_files_per_partition,
+            F.col(partition_by),
+            *[F.col(c) for c in cluster_cols],
         )
-        parts.append(F.col("__salt"))
+    else:
+        tmp = df.repartition(F.col(partition_by))
     (
-        tmp.repartition(*parts)
-        .sortWithinPartitions(*cluster_cols)
-        .drop("__salt")
+        # partition_by leads the sort so a range task straddling a hive-
+        # partition boundary still writes each partition's rows contiguously
+        tmp.sortWithinPartitions(partition_by, *cluster_cols)
         .write.mode("overwrite")
         .partitionBy(partition_by)
         .parquet(path)

@@ -417,3 +417,77 @@ def test_write_clustered_layout(spark, tmp_path):
         by_file.setdefault(r.f, []).append(r.a)
     for seq in by_file.values():
         assert seq == sorted(seq)
+
+
+def test_histogram_and_drift_survive_degenerate_inputs(spark, tmp_path):
+    # constant value (mx = mn) AND all events on one day (second half
+    # empty): both engines must produce the same DEFINED result — bucket 0
+    # for every row, NULL shares for the empty half — instead of diverging
+    # on x/0 semantics (Spark non-ANSI NULL vs DuckDB IEEE Inf/NaN)
+    import duckdb
+
+    from aci_export_spark.harness import REGISTRY, _ensure_all_registered
+
+    _ensure_all_registered()
+
+    ev_dir = tmp_path / "degenerate"
+    ev_dir.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT CAST(i AS BIGINT) AS event_id,
+                   TIMESTAMP '2024-03-01 12:00:00' AS ts,
+                   CAST(i % 7 AS BIGINT) AS user_id,
+                   'click' AS event_type,
+                   CAST(5.5 AS DOUBLE) AS value,
+                   '{{}}' AS props
+            FROM range(50) t(i)
+        ) TO '{ev_dir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{ev_dir}/events.parquet'"
+    )
+    for name in ("events_value_histogram", "dq_value_drift_cells"):
+        spec = REGISTRY[name]
+        got = spec.fn(spark, str(ev_dir)).toPandas()
+        oracle = spec.oracle() if callable(spec.oracle) else spec.oracle
+        want = con.sql(oracle).df()
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        g = sorted(tuple(str(v) for v in r) for r in got.itertuples(index=False))
+        w = sorted(tuple(str(v) for v in r) for r in want.itertuples(index=False))
+        assert g == w, f"{name} diverged on degenerate input:\n{g}\n{w}"
+        assert len(g) > 0
+
+
+def test_write_clustered_multi_file_ranges_disjoint(spark, tmp_path):
+    # target_files_per_partition > 1 must split along the CLUSTER-KEY RANGE:
+    # every written file's [min, max] of the cluster column is disjoint from
+    # every other file's in the same hive partition — that is what lets
+    # parquet footer stats prune files for range predicates. (A hash salt
+    # would make every file span ~the full domain.)
+    from aci_export_spark.sources import write_clustered
+
+    df = spark.createDataFrame(
+        [(x // 200, x, 1000 - x) for x in range(600)],
+        "day int, a long, b long",
+    )
+    out = str(tmp_path / "clustered_multi")
+    write_clustered(df, out, "day", ("a",), target_files_per_partition=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 600
+    spans = (
+        back.groupBy("day", F.input_file_name().alias("f"))
+        .agg(F.min("a").alias("lo"), F.max("a").alias("hi"))
+        .collect()
+    )
+    by_day = {}
+    for r in spans:
+        by_day.setdefault(r.day, []).append((r.lo, r.hi))
+    for day, ranges in by_day.items():
+        ranges.sort()
+        assert len(ranges) > 1, f"day {day} wrote a single file at target 4"
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, f"day {day}: file ranges overlap: {ranges}"

@@ -69,14 +69,79 @@ def test_frame_checksums_match_byte_slices(spark):
         assert (row["doc_id"], n_frames) not in frames
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
-    docs = read_table(spark, SF_SMOKE, "documents").limit(1)
+def test_real_decode_rejects_non_image_payloads(spark):
+    # text bytes are not a PNG/JPEG/GIF container → image rows must fail
+    # loudly (not fabricate dims); audio/video rows stay codec-gated
+    docs = read_table(spark, SF_SMOKE, "documents").limit(6)
     media = MM.attach_media(docs)
     with pytest.raises(Exception) as exc_info:
         MM.decode_metadata(media, real=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+    msg = str(exc_info.value)
+    assert (
+        "unrecognized image container" in msg
+        or "NotImplementedError" in msg
+        or "codec" in msg
     )
+
+
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\rIHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\xf7\x00\x00"
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    # SOI + APP0 (JFIF) + COM + SOF0 carrying the dimensions
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"hello"
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + com + sof0
+
+
+def test_parse_image_dims_headers():
+    assert MM.parse_image_dims(_png(131, 47)) == (131, 47)
+    assert MM.parse_image_dims(_gif(320, 200)) == (320, 200)
+    assert MM.parse_image_dims(_jpeg(1920, 1080)) == (1920, 1080)
+    assert MM.parse_image_dims(b"not an image at all") is None
+    assert MM.parse_image_dims(b"\x89PNG\r\n\x1a\n\x00\x00") is None  # truncated
+    assert MM.parse_image_dims(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
+
+
+def test_real_decode_metadata_on_genuine_image_bytes(spark):
+    payloads = [
+        (1, _png(640, 480)),
+        (2, _jpeg(1024, 768)),
+        (3, _gif(88, 31)),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(b), "image") for i, b in payloads],
+        "doc_id long, content binary, media_type string",
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["byte_len"], r["checksum"])
+        for r in MM.decode_metadata(media, real=True).collect()
+    }
+    import hashlib as _hl
+
+    assert got == {
+        i: (w, h, len(b), _hl.md5(b).hexdigest())
+        for (i, b), (w, h) in zip(payloads, [(640, 480), (1024, 768), (88, 31)])
+    }
 
 
 def test_stream_into_mirror_foreachbatch(spark, tmp_path):
