@@ -1394,10 +1394,21 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aci_export_spark.llm import semdedup as SD
 
     emb = read_table(spark, sf_dir, "embeddings")
-    key = (sf_dir, 8, 42)
+    # cell count scales with the corpus (~250 vectors/cell, floor 8): the
+    # within-cell pair join is O(Σ cell²), so a FIXED k means cells fatten
+    # and pair volume grows quadratically as the corpus grows — the 10×
+    # stress run measured exactly that (5.5× wall at k=8). Growing k keeps
+    # cell size — hence per-cell pair volume — constant, which is how IVF
+    # layouts scale (more data → more cells, never fatter cells). The k
+    # formula is deterministic from the corpus count, so the oracle
+    # replays it (k = 8 at the sf0.01 gate, matching the golden centroids).
+    k_cells = max(8, emb.count() // 250)
+    key = (sf_dir, k_cells, 42)
     centroids = _KMEANS_MODEL_CACHE.get(key)
     if centroids is None:
-        centroids = S.kmeans_fit_sample(emb, k_cells=8, seed=42, sample_rows=2048)
+        centroids = S.kmeans_fit_sample(
+            emb, k_cells=k_cells, seed=42, sample_rows=2048
+        )
         _KMEANS_MODEL_CACHE[key] = centroids
     return SD.semantic_dedup(
         emb, centroids, id_col="vec_id", vec_col="embedding",

@@ -121,6 +121,50 @@ def write_bucketed_mirror(
     writer.saveAsTable(table_name)
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package is importable. The sandbox does not
+    ship it, so the Delta paths are gated rather than assumed."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def delta_mirror_sync(spark, source: DataFrame, target_path: str, keys: Sequence[str]):
+    """S8/S9 on a transactional table: ONE ``MERGE INTO`` with
+    ``WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT / WHEN NOT MATCHED BY
+    SOURCE DELETE`` — the idiomatic Delta statement of exactly the
+    upsert+retain algebra :func:`mirror_sync` computes (SURVEY §2 names this
+    as the preferred target, with plain-parquet overwrite-diff as the
+    sanctioned fallback). Readers never observe a half-synced mirror: the
+    merge is a single atomic commit, the property the reference gets from
+    its one-transaction Postgres merge (`db/src/lib.rs:16-76`).
+
+    Requires delta-spark (gate with :func:`delta_available`); bootstrap
+    writes the initial snapshot when `target_path` is not yet a Delta table.
+    At 100 TB the merge shuffles on the mirror key like the DataFrame
+    algebra — co-locate with a key-partitioned layout and enable deletion
+    vectors so the delete half is metadata-only.
+    """
+    from delta.tables import DeltaTable  # ImportError = env lacks delta-spark
+
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        source.write.format("delta").save(target_path)
+        return
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, target_path)
+        .alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .whenNotMatchedBySourceDelete()
+        .execute()
+    )
+
+
 def jdbc_merge_sql(
     target_table: str,
     staging_table: str,

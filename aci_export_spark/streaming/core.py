@@ -16,6 +16,22 @@ Scale notes:
 - both run under ``Trigger.AvailableNow`` in tests so the finite parquet
   input is processed exactly once and the result is comparable to the
   batch twin (the correctness harness does exactly that comparison).
+
+On ``transformWithStateInPandas`` (the Spark 4 stateful API): a port was
+prototyped and is ENVIRONMENT-BLOCKED — PySpark's transformWithState
+driver worker imports ``google.protobuf`` for its state-server protocol,
+which this container does not ship (the worker crashes with
+``ImportError: cannot import name 'descriptor'``). Measured overhead of
+the shipped path at sf0.1 (100k events / 1.5k users, warm session): the
+``applyInPandasWithState`` machinery floor — a pass-through stateful op —
+is ~1.8s at 4 partitions (per-group Arrow round trips dominate; the
+session logic itself adds only ~0.6s and the reconcile ~0.7s). Because
+the bottleneck is Python-side per-group work, the stateful twins run at
+16 shuffle partitions (more parallel Python workers; A/B in
+harness_streaming) while JVM-stateful streams keep the low-partition
+default. Revisit the port when the environment ships protobuf — the
+per-group protocol there amortizes round trips through a long-lived state
+server and should cut the machinery floor.
 """
 
 from __future__ import annotations
