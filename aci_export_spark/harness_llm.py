@@ -3128,3 +3128,85 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("concurrent").cast("long").alias("peak_concurrent_sessions"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training data)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_hard_negatives",
+    """
+WITH q AS (
+    SELECT vec_id AS query_id, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 20
+), c AS (
+    SELECT vec_id AS neighbor_id, label AS cl, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC
+           ) AS rank
+    FROM q JOIN c ON neighbor_id <> query_id AND cl <> ql
+) WHERE rank <= 5
+""",
+    doc="hard-negative mining for contrastive training: per query vector, "
+    "the top-5 most-similar corpus vectors with a DIFFERENT label — the "
+    "wrong-class examples nearest the decision boundary, which is what "
+    "metric-learning losses need (random in-batch negatives are too easy). "
+    "Broadcast queries, one corpus scan, hoisted norms, label-mismatch "
+    "predicate on the join, per-query window top-k with id tie-break; the "
+    "corpus-scale path reuses the IVF index (probe nearest cells, filter "
+    "label in-cell). Ranks (not float scores) make the oracle exact",
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.hard_negative_topk(emb, queries, "label", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc exact-substring duplication (suffix-array-dedup shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_substring_anchor_dup",
+    """
+WITH sized AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+), pos AS (
+    SELECT doc_id, text, CAST(i AS INTEGER) AS i
+    FROM sized, unnest(generate_series(1, n - 31, 16)) u(i)
+    WHERE n >= 32
+), anch AS (
+    SELECT doc_id, md5(substr(text, i, 32)) AS d FROM pos
+), freq AS (
+    SELECT d, COUNT(DISTINCT doc_id) AS nd FROM anch GROUP BY 1
+), per AS (
+    SELECT a.doc_id,
+           COUNT(*)::BIGINT AS n_anchors,
+           SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_anchors
+    FROM anch a JOIN freq f USING (d) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_anchors, 0)::BIGINT AS n_anchors,
+       COALESCE(per.dup_anchors, 0)::BIGINT AS dup_anchors,
+       (COALESCE(per.dup_anchors, 0) * 16)::BIGINT AS dup_char_estimate
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+    doc="cross-document exact-substring duplication via rare-anchor "
+    "sampling — the distributed surrogate for suffix-array substring "
+    "dedup (Lee et al. 2022): 32-char anchors every 16 chars, an anchor "
+    "is duplicated when the identical substring occurs in >= 2 distinct "
+    "docs; per-doc duplicated-substring mass for curation thresholds. "
+    "One generator explode, one md5-keyed frequency aggregation (uniform "
+    "keys), one join-back — linear in corpus size",
+)
+def llm_substring_anchor_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.anchor_dup_stats(docs, "doc_id", "text", anchor_len=32, stride=16)

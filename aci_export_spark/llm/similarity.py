@@ -85,6 +85,58 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most similar corpus vectors whose label DIFFERS from the query's
+    — the highest-similarity wrong-class examples are exactly the negatives
+    that give contrastive/metric-learning losses gradient signal (in-batch
+    random negatives are mostly too easy).
+
+    Same physical shape as :func:`brute_force_topk`: queries broadcast, one
+    corpus scan, per-row hoisted norms, per-query window top-k with id
+    tie-break; the label-mismatch predicate rides the join condition so
+    same-class pairs are dropped before the dot product. At corpus scale
+    swap the scan for the IVF path (assign cells, probe nearest cells,
+    filter label inside the cell) — mining is a search problem and inherits
+    whatever index the corpus already carries.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = c.join(
+        broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("__cl") != F.col("__ql")),
+    ).withColumn(
+        "__cos",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -841,3 +841,79 @@ def repetition_signals(
     for r in rules[1:]:
         clean = clean & r
     return wide.withColumn("repetitive", ~clean)
+
+
+def anchor_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    anchor_len: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Cross-document exact-substring duplication via rare-anchor sampling —
+    the distributed shape of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    A full distributed suffix array is the exact tool; its Spark-feasible
+    surrogate samples fixed-width ANCHORS (length `anchor_len`, every
+    `stride` chars) from each document and calls an anchor duplicated when
+    the identical substring occurs in ≥ 2 distinct documents. A duplicated
+    span of length L ≥ anchor_len + stride − 1 is guaranteed to contribute
+    ≥ ⌊(L − anchor_len)/stride⌋ + 1 shared anchors on both sides (the
+    anchor grid is phase-aligned per document, so only spans starting at
+    equal phase match exactly — the standard recall/cost dial: smaller
+    stride, higher recall, more rows).
+
+    Returns per-doc (n_anchors, dup_anchors, dup_char_estimate ≈ stride ×
+    dup_anchors) — the per-document duplicated-substring mass a curation
+    pass thresholds on, complementing `boilerplate_span_stats` (which keys
+    on whole segments) with sub-segment granularity.
+
+    Scale shape: one generator explode (len/stride rows per doc), one
+    digest-keyed aggregation for the corpus frequency table (md5 keys —
+    uniform, no skew), one join back + per-doc aggregation. Everything is
+    linear in corpus size; anchors are md5 digests so the shuffle carries
+    fixed-width keys and any engine replays them.
+    """
+    from aci_export_spark.llm.dedup import spread_for_explode
+
+    n = F.length(F.col(text_col))
+    positions = spread_for_explode(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(
+            F.when(
+                n >= anchor_len,
+                F.sequence(F.lit(1), n - (anchor_len - 1), F.lit(stride)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__pos"),
+    )
+    anch = positions.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).substr(F.col("__pos"), F.lit(anchor_len))).alias("__d"),
+    )
+    freq = anch.groupBy("__d").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    per = (
+        anch.join(freq, on="__d")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_anchors"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_anchors", F.lit(0)).cast("long").alias("n_anchors"),
+            F.coalesce("dup_anchors", F.lit(0)).cast("long").alias("dup_anchors"),
+            (F.coalesce("dup_anchors", F.lit(0)) * stride)
+            .cast("long")
+            .alias("dup_char_estimate"),
+        )
+    )

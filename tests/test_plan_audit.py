@@ -29,6 +29,8 @@ harness._ensure_all_registered()
 #: queries whose plan legitimately contains BroadcastNestedLoopJoin
 BNLJ_ALLOWED = {
     "llm_sim_bruteforce_topk",  # definitionally all-pairs (tiny query side broadcast)
+    "llm_hard_negatives",  # same all-pairs shape: tiny query side broadcast,
+    # label-mismatch predicate is non-equi by definition
     "a9_sync_stats",  # cross of two single-row aggregate results
     # decorrelated global-scalar subqueries: a non-equi filter against a
     # broadcast ONE-row aggregate — the plan Spark itself picks for scalar

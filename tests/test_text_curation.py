@@ -187,3 +187,51 @@ def test_bloom_union_equals_combined_build(spark):
     )
     direct = B.bloom_build(k1.unionByName(k2), "key", m_bits=512, k_hashes=3)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_anchor_dup_stats_planted_duplicate_span(spark):
+    # doc 1 and doc 2 share an identical 80-char span starting at position 1
+    # (equal anchor phase), doc 3 is unique, doc 4 is shorter than one anchor
+    base = "the quick brown fox jumps over the lazy dog again and again until done "
+    span = base + "x" * (80 - len(base))
+    assert len(span) == 80
+    rows = [
+        (1, span + " tail one unique to doc1 " + "a" * 40),
+        (2, span + " other tail unique here " + "b" * 40),
+        (3, "completely different text with no repeats " + "c" * 60),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_anchors"], r["dup_anchors"], r["dup_char_estimate"])
+        for r in T.anchor_dup_stats(df, "doc_id", "text", anchor_len=32, stride=16).collect()
+    }
+    # an 80-char shared span at phase 1 holds anchors at positions 1,17,33,49
+    # (pos+31 <= 80) -> 4 duplicated anchors on each side
+    assert got[1][1] == 4 and got[2][1] == 4
+    assert got[1][2] == 64 and got[2][2] == 64
+    assert got[3] == (got[3][0], 0, 0) and got[3][0] > 0
+    assert got[4] == (0, 0, 0)
+
+
+def test_hard_negative_topk_excludes_same_label_and_self(spark):
+    from aci_export_spark.llm.similarity import hard_negative_topk
+
+    # label 0: ids 1,2 near each other; label 1: ids 3,4; label 2: id 5 far
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.99, 0.14]),
+        (3, 1, [0.98, 0.2]),
+        (4, 1, [0.0, 1.0]),
+        (5, 2, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 1)
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in hard_negative_topk(df, q, "label", k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    # id 2 (same label) and id 1 (self) excluded; hardest negative is id 3
+    assert got == [(3, 1), (4, 2), (5, 3)]
