@@ -115,3 +115,21 @@ def test_pagerank_star_center_dominates_and_is_deterministic(spark):
     assert r1[0] > max(r1[i] for i in range(1, 6))  # hub dominates
     leaf_ranks = {r1[i] for i in range(1, 6)}
     assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+
+
+def test_long_random_id_chain_converges(spark):
+    # regression for the min-label-propagation cap: a 200-node path with
+    # randomly permuted ids has diameter 199, far beyond any sane fixed
+    # round budget — the star algorithm must converge in O(log² n) rounds
+    # (and raise rather than silently truncate if it ever cannot)
+    rng = random.Random(99)
+    ids = list(range(1000, 1200))
+    rng.shuffle(ids)
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(i, 1000) for i in ids}
