@@ -78,6 +78,9 @@ QUERIES = [
     "events_cohort_ltv",
     "sync_snapshot_diff",
     "j_bloom_prefilter_join",
+    # round-5 additions
+    "llm_hard_negatives",
+    "llm_substring_anchor_dup",
 ]
 
 
