@@ -54,20 +54,33 @@ def edit_distance_pairs(
         raise NotImplementedError(
             "deletion-neighborhood blocking is implemented for max_distance=1"
         )
+    # variants join on their 64-bit hash, not the string: the block join and
+    # the candidate-dedup shuffle then carry fixed 8-byte keys instead of
+    # ~name-length strings. A hash collision can only ADD a false candidate,
+    # which the exact levenshtein verify below removes — recall is untouched.
     v = df.select(
-        F.col(id_col), F.col(name_col), F.explode(deletion_variants(name_col)).alias("__var")
+        F.col(id_col),
+        F.explode(
+            F.transform(deletion_variants(name_col), lambda s: F.xxhash64(s))
+        ).alias("__vh"),
     )
-    a = v.select(
-        F.col(id_col).alias("id_a"), F.col(name_col).alias("__na"), "__var"
-    )
-    b = v.select(
-        F.col(id_col).alias("id_b"), F.col(name_col).alias("__nb"), "__var"
-    )
+    a = v.select(F.col(id_col).alias("id_a"), "__vh")
+    b = v.select(F.col(id_col).alias("id_b"), "__vh")
     cand = (
-        a.join(b, on="__var")
+        a.join(b, on="__vh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__na", "__nb")
+        .select("id_a", "id_b")
         .distinct()  # dedup BEFORE the verify: one levenshtein per pair
+    )
+    # names rejoin AFTER the dedup (name-table-sized joins, broadcast when
+    # small), so the wide strings never ride the candidate shuffles
+    names = df.select(F.col(id_col), F.col(name_col))
+    cand = cand.join(
+        names.select(F.col(id_col).alias("id_a"), F.col(name_col).alias("__na")),
+        on="id_a",
+    ).join(
+        names.select(F.col(id_col).alias("id_b"), F.col(name_col).alias("__nb")),
+        on="id_b",
     )
     dist = F.levenshtein(F.col("__na"), F.col("__nb"))
     return (
