@@ -67,11 +67,11 @@ def connected_components(
 
     Returns a DataFrame (node, component), one row per node.
     """
+    # checkpointed (with its signature) by the observed-checkpoint below
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
 
     def _neighborhood(cur: DataFrame) -> DataFrame:
@@ -119,25 +119,29 @@ def connected_components(
 
     # order-independent edge-multiset signature: the round function is
     # deterministic, so signature equality across a round certifies the
-    # fixed point (star forest) without a sorted compare
-    def _signature(cur: DataFrame):
-        # decimal(38,0) sum: ANSI mode throws on long overflow, and a sum of
-        # 64-bit hashes overflows almost surely at any real edge count
-        row = cur.agg(
+    # fixed point (star forest) without a sorted compare. The signature is
+    # attached via observe() so the per-round eager checkpoint is ALSO the
+    # metric collection — one Spark job per round, no separate agg scan.
+    # decimal(38,0) sum: ANSI mode throws on long overflow, and a sum of
+    # 64-bit hashes overflows almost surely at any real edge count.
+    from pyspark.sql import Observation
+
+    def _observed_checkpoint(cur: DataFrame):
+        obs = Observation()
+        ckpt = cur.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+        ).localCheckpoint(eager=True)
+        sig = obs.get
+        return ckpt, (sig["n"], sig["h"])
 
-    prev_sig = _signature(e)
+    e, prev_sig = _observed_checkpoint(e)
     converged = prev_sig[0] == 0
     for _ in range(max_iter):
         if converged:
             break
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        # the signature agg doubles as the (lazy) checkpoint materializer —
-        # one Spark job per round, not an eager-checkpoint job plus the agg
-        sig = _signature(e)
+        e, sig = _observed_checkpoint(_small_star(_large_star(e)))
         if sig == prev_sig:
             converged = True
         prev_sig = sig
