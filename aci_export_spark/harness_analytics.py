@@ -764,12 +764,16 @@ WITH pts AS (
     FROM pts GROUP BY 1
 )
 SELECT event_type, n,
-       CAST(n * sxyc - sx * syc AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_day,
-       (CAST(syc AS DOUBLE) / 100.0
-        - (CAST(n * sxyc - sx * syc AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0) * CAST(sx AS DOUBLE))
-           / CAST(n AS DOUBLE) AS intercept
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxyc - sx * syc AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 END
+           AS slope_per_day,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (CAST(syc AS DOUBLE) / 100.0
+                  - (CAST(n * sxyc - sx * syc AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept
 FROM sums
 """,
     doc="per-event-type OLS trend line in closed form: x = epoch day, "
@@ -798,7 +802,13 @@ def events_value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (F.col("n") * F.col("sxyc") - F.col("sx") * F.col("syc")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = num / den / F.lit(100.0)
+    # zero x-variance (all points on one day) leaves the slope undefined:
+    # explicit NULL mirrored in the oracle — Spark's ANSI divide would
+    # otherwise throw where DuckDB's IEEE divide gives NaN/Inf (caught by
+    # the degenerate-corpus sweep)
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        num / den / F.lit(100.0)
+    )
     intercept = (
         F.col("syc").cast("double") / F.lit(100.0)
         - slope * F.col("sx").cast("double")

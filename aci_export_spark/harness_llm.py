@@ -153,8 +153,8 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_clusters",
     _CLUSTER_CTES + "SELECT doc_id, cluster_id FROM assigned",
     doc="duplicate-cluster assignment: near-dup pairs are EDGES, dedup needs "
-    "CLUSTERS (similarity is not transitive) — iterative min-label "
-    "propagation connected components over the exact-Jaccard pair graph, "
+    "CLUSTERS (similarity is not transitive) — large-star/small-star "
+    "contraction connected components over the exact-Jaccard pair graph, "
     "every doc labeled with the min reachable doc_id; isolated docs label "
     "themselves. Oracle = recursive-CTE transitive closure in DuckDB",
 )
