@@ -3008,7 +3008,10 @@ def graph_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cooccurrence_pairs(
         branded, "l_orderkey", "p_brand", top_k=40, max_basket_items=64
     ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
-    return pagerank_fixed_point(edges, "src", "dst", iterations=10)
+    # top_k=40 caps the edge list at any corpus scale, so the iteration is
+    # bounded work: one executor task, not 10 rounds of 3-stage shuffles
+    # (bit-identical either way — see the operator's equivalence pytest)
+    return pagerank_fixed_point(edges, "src", "dst", iterations=10, bounded=True)
 
 
 def _zorder_sql(x: str, y: str, bits: int = 10) -> str:

@@ -260,6 +260,7 @@ def pagerank_fixed_point(
     iterations: int = 10,
     damping_num: int = 85,
     damping_den: int = 100,
+    bounded: bool = False,
 ) -> DataFrame:
     """PageRank with FIXED-POINT integer arithmetic — every rank is an
     integer in units of 1/PAGERANK_SCALE, updates use only integer
@@ -267,6 +268,17 @@ def pagerank_fixed_point(
     (float PageRank sums in partition order and never replays exactly).
     Damping is the rational `damping_num/damping_den`; a fixed iteration
     count keeps the driver loop free of convergence collects.
+
+    `bounded=True` declares the edge list BOUNDED BY CONSTRUCTION (e.g. a
+    top-k co-occurrence graph, where k caps edges at any corpus scale):
+    the distributed upstream aggregation still reduces the corpus, but the
+    iteration itself runs as ONE executor task over the whole (tiny) edge
+    set — 10 rounds of 3-stage shuffles on a ≤k-edge graph is pure
+    scheduling waste at every scale, the same bounded-work discipline as
+    the driver-side kmeans quantizer fit. The arithmetic is the identical
+    integer recurrence, so `bounded` never changes a single output bit
+    (asserted by the equivalence pytest). Default False = the distributed
+    loop, for graphs that grow with the data.
 
     Undirected interpretation: each edge contributes both directions.
     Per round: one groupBy(dst) of the contribution stream joined back to
@@ -285,6 +297,8 @@ def pagerank_fixed_point(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if bounded:
+        return _pagerank_single_task(e, iterations, damping_num, damping_den)
     directed = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).persist()
@@ -326,3 +340,42 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def _pagerank_single_task(
+    e: DataFrame, iterations: int, damping_num: int, damping_den: int
+) -> DataFrame:
+    """One-task PageRank for bounded graphs: the deduped undirected edge
+    list `e(a, b)` is gathered into a single group and the integer
+    recurrence runs in plain Python over it — bit-identical to the
+    distributed loop (and to the golden-oracle replay) because both
+    execute the same `(rank * d_num) // (d_den * deg)` updates in the
+    same exact arithmetic."""
+    node_type = dict(e.dtypes)["a"]
+
+    def run(pdf):
+        import pandas as pd
+
+        directed: dict = {}
+        for a, b in zip(pdf["a"], pdf["b"]):
+            directed.setdefault(a, []).append(b)
+            directed.setdefault(b, []).append(a)
+        nodes = sorted(directed)
+        n = len(nodes)
+        if n == 0:
+            return pd.DataFrame({"node": [], "rank": []})
+        base = PAGERANK_SCALE * (damping_den - damping_num) // (damping_den * n)
+        rank = {v: PAGERANK_SCALE // n for v in nodes}
+        for _ in range(iterations):
+            incoming = {v: 0 for v in nodes}
+            for s, dsts in directed.items():
+                share = (rank[s] * damping_num) // (damping_den * len(dsts))
+                for d in dsts:
+                    incoming[d] += share
+            rank = {v: base + incoming[v] for v in nodes}
+        return pd.DataFrame({"node": nodes, "rank": [rank[v] for v in nodes]})
+
+    return (
+        e.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(run, schema=f"node {node_type}, rank long")
+    )

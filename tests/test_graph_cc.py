@@ -117,6 +117,31 @@ def test_pagerank_star_center_dominates_and_is_deterministic(spark):
     assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
 
 
+def test_pagerank_bounded_bit_identical_to_distributed(spark):
+    # bounded=True runs the identical integer recurrence in one executor
+    # task; it must never change a single output bit vs the distributed
+    # loop — here on an asymmetric graph (two components, a duplicate
+    # and a reversed edge, string node ids like the brand graph)
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("a", "c"),
+            ("x", "y"), ("y", "z"), ("d", "e"), ("e", "a"),
+        ],
+        "src string, dst string",
+    )
+    from aci_export_spark.operators.graph import pagerank_fixed_point
+
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iterations=7).collect()
+    }
+    bnd = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iterations=7, bounded=True).collect()
+    }
+    assert dist == bnd
+
+
 def test_long_random_id_chain_converges(spark):
     # regression for the min-label-propagation cap: a 200-node path with
     # randomly permuted ids has diameter 199, far beyond any sane fixed
