@@ -14,8 +14,11 @@ Spark-first composition of operators this repo already ships:
    :func:`~aci_export_spark.llm.similarity.embedding_cosine_pairs`
    (O(Σ cell²), never O(n²) — the 100 TB corpus is partitioned by cell);
 3. duplicate groups: similarity is not transitive, so pairs become
-   components via
-   :func:`~aci_export_spark.operators.graph.connected_components`;
+   components — and because cosine pairs exist only within a cell,
+   components never span cells, so
+   :func:`~aci_export_spark.operators.graph.partitioned_components`
+   (per-cell union-find, one shuffle, zero iterative rounds) replaces the
+   general star-contraction loop with identical min-id labels;
 4. keep rule: one survivor per component — either the engine-portable
    ``min_id`` (integer ordering, hash-stable across engines) or the paper's
    ``centroid_sim`` rule (keep the member with the LOWEST cosine to its
@@ -35,7 +38,7 @@ from aci_export_spark.llm.similarity import (
     embedding_cosine_pairs,
     ivf_assign_centroids,
 )
-from aci_export_spark.operators.graph import connected_components
+from aci_export_spark.operators.graph import partitioned_components
 
 KEEP_RULES = ("min_id", "centroid_sim")
 
@@ -93,13 +96,17 @@ def semantic_dedup(
     )
     pairs = embedding_cosine_pairs(
         assigned, id_col=id_col, vec_col=vec_col, cell_col="cell",
-        threshold=threshold,
+        threshold=threshold, emit_cell=True,
     )
-    comps = connected_components(
-        pairs.select("id_a", "id_b"), "id_a", "id_b",
-        nodes=assigned.select(id_col), node_col=id_col,
-    )
-    keyed = assigned.join(comps.withColumnRenamed("node", id_col), on=id_col)
+    # cosine pairs exist only WITHIN a cell, so components can never span
+    # cells — per-cell union-find (one shuffle, no iterative rounds) is
+    # provably equivalent to the star algorithm here and is the bounded
+    # per-group plan at any scale (cell size is held constant by the
+    # caller's k formula); labels are the same component minima
+    labels = partitioned_components(pairs, "cell", "id_a", "id_b")
+    keyed = assigned.join(
+        labels.withColumnRenamed("node", id_col), on=id_col, how="left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
     if keep_rule == "centroid_sim":
         keyed = keyed.withColumn(
             "__sim", centroid_cosine(vec_col, "cell", centroids)

@@ -189,6 +189,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     cell_col: str = "label",
     threshold: float = 0.3,
+    emit_cell: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, compared only
     within the same coarse cell (O(cell²) not O(n²) — at 100 TB the corpus is
@@ -198,6 +199,9 @@ def embedding_cosine_pairs(
     Emits id pairs only (id_a < id_b), not the cosine value: cross-engine
     float summation differs in final bits, so the score column would break
     byte-level comparison while the ≥-threshold *decision* does not.
+    ``emit_cell=True`` adds the shared cell id back as ``cell`` — both
+    endpoints have it by construction, and downstream per-cell operators
+    (``partitioned_components``) key on it.
     """
     a = df.select(
         F.col(id_col).alias("id_a"),
@@ -213,11 +217,14 @@ def embedding_cosine_pairs(
     )
     # per-row norms hoisted out of the pair join (see brute_force_topk)
     sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    out = ["id_a", "id_b"] + (
+        [F.col("__cell").alias("cell")] if emit_cell else []
+    )
     return (
         a.join(b, on="__cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(sim >= threshold)
-        .select("id_a", "id_b")
+        .select(*out)
     )
 
 

@@ -250,6 +250,67 @@ def triangle_counts(
     )
 
 
+def partitioned_components(
+    edges: DataFrame,
+    part_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Connected components for a graph whose edges PROVABLY never cross
+    ``part_col`` groups — e.g. SemDeDup cosine pairs, which exist only
+    within one quantizer cell by construction. Under that precondition the
+    global component structure decomposes exactly into per-group
+    structure, so no iterative star rounds are needed at all: one shuffle
+    partitions edges by group, and a single union-find pass per group
+    labels every touched node with its component minimum — the same
+    min-id labels :func:`connected_components` converges to.
+
+    Scale shape: groups are bounded (a quantizer cell holds ~constant
+    vectors because cell COUNT grows with the corpus, never cell size),
+    so per-group work is O(edges·α) with bounded edges; group count grows
+    with the data and Spark spreads groups across executors. This is the
+    cheapest correct plan whenever the precondition holds — the iterative
+    operator remains for graphs with cross-bucket edges (MinHash bands,
+    FastSS neighborhoods).
+
+    Returns (node, component) for every node incident to an edge; nodes
+    with no edges are absent (callers left-join and coalesce to own id,
+    as with :func:`connected_components`'s ``nodes`` argument).
+    """
+    node_type = dict(edges.dtypes)[src]
+
+    def run(pdf):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf[src], pdf[dst]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by VALUE: larger root attaches under smaller, so
+                # every root IS its component's minimum id — matching the
+                # star algorithm's fixed-point labels exactly
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"node": nodes, "component": [find(v) for v in nodes]}
+        )
+
+    return edges.groupBy(part_col).applyInPandas(
+        run, schema=f"node {node_type}, component {node_type}"
+    )
+
+
 PAGERANK_SCALE = 1_000_000_000
 
 

@@ -117,6 +117,37 @@ def test_pagerank_star_center_dominates_and_is_deterministic(spark):
     assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
 
 
+def test_partitioned_components_matches_global_cc(spark):
+    # random multi-group graph with edges confined to their group (the
+    # partitioned operator's precondition): labels must equal the global
+    # star-contraction operator's min-id labels exactly
+    from aci_export_spark.operators.graph import (
+        connected_components,
+        partitioned_components,
+    )
+
+    rng = random.Random(4)
+    rows = []
+    for g in range(6):
+        ids = [g * 1000 + i for i in range(rng.randint(2, 40))]
+        for _ in range(rng.randint(1, 60)):
+            rows.append((g, rng.choice(ids), rng.choice(ids)))
+    edges = spark.createDataFrame(rows, "cell int, src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in partitioned_components(edges, "cell").collect()
+    }
+    loops_dropped = edges.filter("src != dst")
+    expect = {
+        r["node"]: r["component"]
+        for r in connected_components(loops_dropped, "src", "dst").collect()
+    }
+    # self-loop-only nodes: global CC (which drops loops) never sees them,
+    # the partitioned operator labels them with themselves — align
+    got = {n: c for n, c in got.items() if n in expect}
+    assert got == expect
+
+
 def test_pagerank_bounded_bit_identical_to_distributed(spark):
     # bounded=True runs the identical integer recurrence in one executor
     # task; it must never change a single output bit vs the distributed

@@ -41,6 +41,9 @@ BNLJ_ALLOWED = {
     "llm_doc_keywords",  # 1-row corpus-count aggregate broadcast
     "basket_brand_pairs",  # 1-row basket-total aggregate broadcast
     "graph_brand_triangles",  # composes basket_brand_pairs (same 1-row cross)
+    "graph_brand_pagerank",  # composes basket_brand_pairs too; the bounded
+    # single-task iteration keeps the co-occurrence lineage in the audited
+    # plan (the old distributed loop's count() action hid it)
     "llm_curation_kept_corpus_v2",  # composes the unigram 1-row broadcast
     "docs_bm25_topk",  # 1-row (n_docs, total_tokens) corpus-stats broadcast
     "events_value_histogram",  # 1-row global min/max broadcast
