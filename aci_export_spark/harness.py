@@ -343,9 +343,10 @@ def _ensure_all_registered() -> None:
 #: docs_source_similarity, events_changepoint_cusum, llm_weighted_sample,
 #: dq_join_key_skew, events_position_attribution, dq_value_drift_cells,
 #: er_fuzzy_entities, events_ohlc_hourly, orders_abc_classification,
-#: events_stickiness_ratio, plus the two added in round 5:
-#: llm_hard_negatives, llm_substring_anchor_dup) — that completes driver
-#: coverage for the whole registry (30 names, within the 49-slot budget).
+#: events_stickiness_ratio, plus the three added in round 5:
+#: llm_hard_negatives, llm_substring_anchor_dup,
+#: llm_dedup_lsh_recall_audit) — that completes driver coverage for the
+#: whole registry (31 names, within the 49-slot budget).
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
     # never-driver-checked batch 1/2 (49 of 77), registration order

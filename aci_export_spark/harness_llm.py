@@ -393,6 +393,87 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_audit_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.9
+) -> str:
+    """DuckDB replay of the ENTIRE portable-minhash LSH pipeline (same
+    Kirsch-Mitzenmacher family as minhash_signatures_portable: one md5
+    per token, h1 = 60-bit prefix, h2 = 56-bit tail, fn i = (h1 + i·h2)
+    masked to 60 bits) plus the exact all-pairs truth — so the confusion
+    counts are deterministic facts both engines must agree on, not a
+    banding-probability model. 3-word-gram sets (token-count-sized AND
+    sparse) — see lsh_recall_audit's docstring for the cost argument."""
+    mask = (1 << 60) - 1
+    h1 = "('0x' || substr(md5(x), 1, 15))::BIGINT"
+    h2 = "('0x' || substr(md5(x), 17, 14))::BIGINT"
+    mh_exprs = ",\n           ".join(
+        f"list_min([({h1} + {i} * {h2}) & {mask} FOR x IN s]) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        key = " || ',' || ".join(f"mh{i}::VARCHAR" for i in range(b * r, (b + 1) * r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({key}) AS sig FROM mh"
+        )
+    bands_sql = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                          FOR i IN range(1, len(t) - 2 + 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+), mh AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM sh
+), bands AS (
+    {bands_sql}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), truth AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id
+     AND least(len(a.s), len(b.s))::DOUBLE
+             / greatest(len(a.s), len(b.s))::DOUBLE >= {threshold}
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s))::DOUBLE >= {threshold}
+), j AS (
+    SELECT t.id_a IS NOT NULL AS is_true, c.id_a IS NOT NULL AS is_cand
+    FROM truth t FULL JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT COALESCE(SUM(CASE WHEN is_true THEN 1 ELSE 0 END), 0)::BIGINT AS n_true,
+       COALESCE(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 0)::BIGINT AS n_candidates,
+       COALESCE(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END), 0)::BIGINT AS n_found,
+       COALESCE(SUM(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END), 0)::BIGINT AS n_missed,
+       COALESCE(SUM(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END), 0)::BIGINT AS n_pruned
+FROM j
+"""
+
+
+@register(
+    "llm_dedup_lsh_recall_audit",
+    _lsh_recall_audit_oracle(),
+    doc="LSH quality audit: confusion counts of banded-MinHash candidates "
+    "vs exact 3-word-gram Jaccard ≥ 0.9 truth (n_true/n_candidates/n_found/"
+    "n_missed/n_pruned) — recall and verify-workload factor as exact "
+    "integer facts, not S-curve estimates. Portable md5 hash family, so "
+    "the oracle replays the identical buckets; truth via the prefix-"
+    "filter plan, candidates via the linear banded plan",
+)
+def llm_dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.lsh_recall_audit(
+        docs, "doc_id", "text", threshold=0.9, num_hashes=16, bands=4
+    )
+
+
 def _simhash_oracle(bits: int = D.SIMHASH_BITS) -> str:
     votes = ",\n           ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"

@@ -133,3 +133,74 @@ def test_simhash_blocked_rejects_bad_params(spark):
     with pytest.raises(ValueError):
         D.simhash_near_dup_pairs_blocked(docs, "doc_id", "text",
                                          max_hamming=40)
+
+
+def test_lsh_recall_audit_matches_pure_python_replay(spark):
+    """Third independent implementation: the audit's confusion counts are
+    replayed in plain Python (hashlib md5, dict buckets, brute-force
+    Jaccard) — catching any drift in the portable hash family, the band
+    key derivation, or the confusion algebra that the Spark/DuckDB pair
+    could share by construction."""
+    import hashlib
+    from itertools import combinations
+
+    # 60 DISTINCT tokens -> 58 distinct 3-grams; one appended word makes a
+    # 58/59-gram Jaccard ~0.983 near-dup, comfortably in truth
+    base = " ".join(f"word{i:02d}" for i in range(60))
+    texts = {
+        1: base,
+        2: base + " tailword",  # near-dup of 1 (J ~ 0.983)
+        3: base,  # exact duplicate of 1
+        4: "completely different content about spark catalyst plans "
+           "and shuffle partitioning strategies at scale " * 3,
+        5: "short doc",  # two tokens -> no 3-grams, out of scope
+        6: "completely different content about spark catalyst plans "
+           "and shuffle partitioning strategies at scale " * 3 + "near dup tail",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = D.lsh_recall_audit(docs, "doc_id", "text").collect()[0].asDict()
+
+    def grams(t):
+        toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    mask = (1 << 60) - 1
+    sets = {i: grams(t) for i, t in texts.items() if grams(t)}
+
+    def signature(s):
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in s]
+        pairs = [(int(h[:15], 16), int(h[16:30], 16)) for h in hs]
+        return [
+            min((h1 + i * h2) & mask for h1, h2 in pairs) for i in range(16)
+        ]
+
+    buckets: dict = {}
+    for i, s in sets.items():
+        sig = signature(s)
+        for b in range(4):
+            key = (b, hashlib.md5(
+                ",".join(str(v) for v in sig[b * 4 : b * 4 + 4]).encode()
+            ).hexdigest())
+            buckets.setdefault(key, set()).add(i)
+    cand = {
+        tuple(sorted(p))
+        for members in buckets.values()
+        for p in combinations(sorted(members), 2)
+    }
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.9
+    }
+    assert got == {
+        "n_true": len(truth),
+        "n_candidates": len(cand),
+        "n_found": len(truth & cand),
+        "n_missed": len(truth - cand),
+        "n_pruned": len(cand - truth),
+    }
+    assert got["n_true"] >= 2  # the planted dup + near-dup are in truth
