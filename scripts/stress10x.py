@@ -81,6 +81,8 @@ QUERIES = [
     # round-5 additions
     "llm_hard_negatives",
     "llm_substring_anchor_dup",
+    "llm_dedup_lsh_recall_audit",
+    "graph_brand_pagerank",
 ]
 
 
