@@ -274,3 +274,57 @@ def test_streaming_funnel_multi_batch_snapshots(spark, tmp_path):
     want = events_funnel_steps(spark, SF_SMOKE)
     cols = ["user_id", "t_signup", "t_view", "t_click", "t_purchase", "stage_reached"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_stream_into_mirror_resumes_from_checkpoint(spark, tmp_path):
+    """The exactly-once contract the foreachBatch mirror actually relies
+    on: resuming with the SAME checkpoint after new files land processes
+    ONLY the new files (no reprocessing, no loss), and the mirror ends
+    equal to the batch upsert of both chunks; an immediate re-run with
+    nothing new is a no-op."""
+    from pyspark.sql import functions as F
+
+    from aci_export_spark.operators.mirror import upsert
+    from aci_export_spark.streaming.core import stream_into_mirror
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "mirror.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    chunk1 = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 30, 3.0)],
+        "event_id long, user_id long, value double",
+    )
+    chunk1.coalesce(1).write.mode("overwrite").parquet(str(landing / "c1"))
+
+    def stream():
+        return (
+            spark.readStream.schema(chunk1.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(landing))
+        )
+
+    stream_into_mirror(stream(), target, ckpt, keys=["event_id"])
+    got1 = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got1 == {1: 1.0, 2: 2.0, 3: 3.0}
+
+    # new chunk lands: one overlapping key (2 -> 2.5, source wins) and one new
+    chunk2 = spark.createDataFrame(
+        [(2, 20, 2.5), (4, 40, 4.0)],
+        "event_id long, user_id long, value double",
+    )
+    chunk2.coalesce(1).write.mode("overwrite").parquet(str(landing / "c2"))
+    stream_into_mirror(stream(), target, ckpt, keys=["event_id"])
+    got2 = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    expect = {
+        r["event_id"]: r["value"]
+        for r in upsert(chunk1, chunk2, ["event_id"]).collect()
+    }
+    assert got2 == expect == {1: 1.0, 2: 2.5, 3: 3.0, 4: 4.0}
+
+    # nothing new: resume is a no-op, mirror unchanged
+    stream_into_mirror(stream(), target, ckpt, keys=["event_id"])
+    got3 = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got3 == got2
