@@ -5,13 +5,18 @@ exercise only at fixed points."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
+# default 12 examples keeps the suite fast; periodic deep fuzz runs crank it
+# via SPARK_GRAFT_FUZZ_EXAMPLES (the band_join boundary-absorption bug was a
+# hypothesis catch — budget is what finds the next one)
 SETTINGS = dict(
-    max_examples=12,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
