@@ -32,6 +32,20 @@ _SQL_TOKS = (
 #: index build is a one-time cost; queries should measure search, not re-fit
 _KMEANS_MODEL_CACHE: dict = {}
 
+#: the bounded quantizer-training sample keyed by (sf_dir, sample_rows) —
+#: the coarse and PQ fits train on the SAME md5-keyed sample, so the
+#: TakeOrdered corpus scan is paid once per snapshot, not once per fit
+_FIT_SAMPLE_CACHE: dict = {}
+
+
+def _fit_sample(emb, sf_dir: str, sample_rows: int = 2048):
+    key = (sf_dir, sample_rows)
+    arr = _FIT_SAMPLE_CACHE.get(key)
+    if arr is None:
+        arr = S.load_fit_sample(emb, sample_rows=sample_rows)
+        _FIT_SAMPLE_CACHE[key] = arr
+    return arr
+
 
 # ---------------------------------------------------------------------------
 # Dedup family
@@ -821,13 +835,131 @@ def llm_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, 8, 42)
     centroids = _KMEANS_MODEL_CACHE.get(key)
     if centroids is None:
-        centroids = S.kmeans_fit_sample(emb, k_cells=8, seed=42, sample_rows=2048)
+        centroids = S.kmeans_fit_sample(
+            emb, k_cells=8, seed=42, sample_rows=2048,
+            sample_arr=_fit_sample(emb, sf_dir),
+        )
         _KMEANS_MODEL_CACHE[key] = centroids
     # assignment + search are pure column expressions over one scan each —
     # no ML pipeline objects anywhere in the distributed path
     assigned = S.ivf_assign_centroids(emb, centroids)
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivf_topk_multiprobe(assigned, queries, centroids, nprobe=3, k=5)
+
+
+#: PQ sub-quantizer codebooks keyed by (sf_dir, m, ksub, seed) — same
+#: build-once discipline as _KMEANS_MODEL_CACHE
+_PQ_CODEBOOK_CACHE: dict = {}
+
+
+def _ivf_pq_golden_oracle() -> str:
+    """Golden-VALUES oracle for the IVF-PQ search (same pattern as
+    `_ivf_kmeans_golden_oracle`): the whole pipeline is deterministic
+    (md5-keyed sample, seeded fits, sequential-fold float sums, id
+    tie-breaks), so an independent single-process numpy implementation
+    reading the parquet directly computes the expected rows. Driver
+    correctness runs pin sf0.01, which is what the literal encodes."""
+    from aci_export_spark.llm.similarity import pq_reference_topk_numpy
+
+    rows = pq_reference_topk_numpy(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        k_cells=8, m=8, ksub=16, seed=42, sample_rows=2048,
+        nprobe=3, shortlist=15, k=5, n_queries=20,
+    )
+    values = ",".join(f"({q},{n},{r})" for q, n, r in rows)
+    return f"""
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS INTEGER) AS rank
+FROM (VALUES {values}) AS t(query_id, neighbor_id, rank)
+"""
+
+
+@register(
+    "llm_sim_ivf_pq_topk",
+    _ivf_pq_golden_oracle,  # resolved lazily; recall + bit-match vs the
+    # numpy reference additionally asserted in tests/test_ivf_pq.py
+    doc="IVF-PQ with exact re-rank (FAISS IVFPQR shape): sample-fit coarse "
+    "quantizer + per-subspace PQ codebooks → constant-folded encode (one "
+    "map) → multiprobe ADC scan over the CODE table (m lookups/candidate) "
+    "→ shortlist-only vector fetch for exact cosine top-k — the memory-"
+    "resident-index 100 TB ANN path: the scanned table is ~8 ints/vector, "
+    "not 64 floats",
+)
+def llm_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    ckey = (sf_dir, 8, 42)
+    centroids = _KMEANS_MODEL_CACHE.get(ckey)
+    if centroids is None:
+        centroids = S.kmeans_fit_sample(
+            emb, k_cells=8, seed=42, sample_rows=2048,
+            sample_arr=_fit_sample(emb, sf_dir),
+        )
+        _KMEANS_MODEL_CACHE[ckey] = centroids
+    pkey = (sf_dir, 8, 16, 42)
+    books = _PQ_CODEBOOK_CACHE.get(pkey)
+    if books is None:
+        books = S.pq_fit_sample(
+            emb, m=8, ksub=16, seed=42, sample_rows=2048,
+            sample_arr=_fit_sample(emb, sf_dir),
+        )
+        _PQ_CODEBOOK_CACHE[pkey] = books
+    encoded = S.pq_encode(S.ivf_assign_centroids(emb, centroids), books)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_pq_topk(
+        encoded, queries, centroids, books, nprobe=3, shortlist=15, k=5
+    )
+
+
+def _mmr_golden_oracle() -> str:
+    """Golden-VALUES oracle for brute-pool + MMR re-rank: every float fold
+    in the pipeline is sequential in element order on both sides, so the
+    single-process reference (which also calls the SAME `_mmr_select` greedy
+    the Arrow UDF runs) reproduces the distributed result exactly."""
+    from aci_export_spark.llm.similarity import mmr_reference_numpy
+
+    rows = mmr_reference_numpy(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        pool=12, k=5, lam=0.7, n_queries=20,
+    )
+    values = ",".join(f"({q},{n},{r})" for q, n, r in rows)
+    return f"""
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(mmr_rank AS INTEGER) AS mmr_rank
+FROM (VALUES {values}) AS t(query_id, neighbor_id, mmr_rank)
+"""
+
+
+@register(
+    "llm_sim_mmr_rerank",
+    _mmr_golden_oracle,  # resolved lazily; greedy-property pytests in
+    # tests/test_mmr.py
+    doc="MMR diversified re-ranking (Carbonell-Goldstein): exact-cosine "
+    "top-12 candidate pool per query, then greedy λ·relevance − (1−λ)·max-"
+    "redundancy selection of 5 via applyInPandas — per-group imperative by "
+    "definition, Arrow-batched, pool-bounded so per-query cost is flat in "
+    "corpus size; the curation use is diverse subsampling from near-dup-"
+    "heavy pools",
+)
+def llm_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    pool = S.brute_force_topk(emb, queries, k=12)
+    # join both vector payloads back onto the (query, candidate) pool —
+    # candidate side by id against the corpus, query side broadcast
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    cands = (
+        pool.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+    )
+    return S.mmr_rerank(cands, k=5, lam=0.7)
 
 
 @register(
@@ -1488,7 +1620,8 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _KMEANS_MODEL_CACHE.get(key)
     if centroids is None:
         centroids = S.kmeans_fit_sample(
-            emb, k_cells=k_cells, seed=42, sample_rows=2048
+            emb, k_cells=k_cells, seed=42, sample_rows=2048,
+            sample_arr=_fit_sample(emb, sf_dir),
         )
         _KMEANS_MODEL_CACHE[key] = centroids
     return SD.semantic_dedup(

@@ -459,6 +459,30 @@ def _kmeans_numpy(arr, k_cells: int, seed: int, max_iter: int) -> list[list[floa
     return [[float(x) for x in c] for c in cent]
 
 
+def load_fit_sample(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 4096,
+):
+    """Pull the bounded deterministic training sample (smallest
+    `hash64(id, SAMPLE_SALT)` keys — TakeOrderedAndProject: one scan, no
+    shuffle, no full sort) as a float64 numpy array. Factored out so the
+    coarse quantizer and the PQ sub-quantizers train on ONE sample pull
+    instead of re-scanning per fit."""
+    import numpy as np
+
+    from aci_export_spark.llm.hashing import hash64
+
+    pdf = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(hash64(F.col(id_col).cast("string"), SAMPLE_SALT).asc())
+        .limit(sample_rows)
+        .toPandas()  # Arrow transfer: ~10× faster than Row collect
+    )
+    return np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+
+
 def kmeans_fit_sample(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -467,6 +491,7 @@ def kmeans_fit_sample(
     max_iter: int = 20,
     sample_rows: int = 4096,
     id_col: str = "vec_id",
+    sample_arr=None,
 ) -> list[list[float]]:
     """FAISS-style quantizer training: fit k-means on a BOUNDED sample,
     driver-side, and return plain centroid lists.
@@ -486,19 +511,14 @@ def kmeans_fit_sample(
     production IVF indexes (FAISS et al.) train coarse quantizers; a
     job-per-iteration distributed KMeans on a tiny sample pays scheduler
     latency per pass for no accuracy gain (use :func:`ivf_build_kmeans` when
-    the training set itself must stay distributed).
+    the training set itself must stay distributed). Pass `sample_arr` (from
+    :func:`load_fit_sample`) to reuse an already-pulled sample.
     """
-    import numpy as np
-
-    from aci_export_spark.llm.hashing import hash64
-
-    pdf = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
-        .orderBy(hash64(F.col(id_col).cast("string"), SAMPLE_SALT).asc())
-        .limit(sample_rows)
-        .toPandas()  # Arrow transfer: ~10× faster than Row collect
+    arr = (
+        sample_arr
+        if sample_arr is not None
+        else load_fit_sample(corpus, vec_col, id_col, sample_rows)
     )
-    arr = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
     return _kmeans_numpy(arr, k_cells, seed, max_iter)
 
 
@@ -558,6 +578,447 @@ def ivf_reference_topk_numpy(
         cos = (vecs[cidx] @ vecs[qi]) / (norms[cidx] * norms[qi])
         order = sorted(range(len(cidx)), key=lambda j: (-cos[j], ids[cidx[j]]))[:k]
         rows.extend((qid, int(ids[cidx[j]]), r + 1) for r, j in enumerate(order))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ): the FAISS memory-resident-index shape.
+# Vectors are compressed to m small codes (here m sub-spaces × ksub
+# centroids each → m bytes-ish per vector); search scans CODES with a
+# per-query lookup table (ADC) and fetches full vectors only for the
+# shortlist it re-ranks. At 100 TB the code table is ~dim·8/m× smaller than
+# the raw vectors — it is the difference between an index that fits in
+# cluster memory and one that doesn't.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit_sample(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_rows: int = 2048,
+    sample_arr=None,
+) -> list[list[list[float]]]:
+    """Train PQ sub-quantizer codebooks on the same bounded deterministic
+    sample as :func:`kmeans_fit_sample` (smallest md5-derived keys — one
+    TakeOrdered scan, no shuffle) — FAISS discipline: training cost is flat
+    in corpus size. The vector is split into `m` contiguous sub-spaces of
+    dim/m components; each gets an independent seeded kmeans++/Lloyd fit
+    (seed offset per sub-space). Returns codebooks[m][ksub][dsub]. Pass
+    `sample_arr` (from :func:`load_fit_sample`) to reuse an already-pulled
+    sample."""
+    arr = (
+        sample_arr
+        if sample_arr is not None
+        else load_fit_sample(corpus, vec_col, id_col, sample_rows)
+    )
+    dim = arr.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        _kmeans_numpy(arr[:, s * dsub : (s + 1) * dsub], ksub, seed + s, max_iter)
+        for s in range(m)
+    ]
+
+
+def _pq_codebooks_sql(codebooks: list[list[list[float]]]) -> tuple[str, int]:
+    """One constant-folded literal for the whole codebook set:
+    `array<struct<off:int, cb:array<struct<j:int, c:array<double>>>>>` —
+    same discipline as `_ranked_cells_sql`: a single constant keeps driver
+    analysis flat in m·ksub·dsub."""
+    dsub = len(codebooks[0][0])
+    sql = "array(" + ",".join(
+        "struct(%d as off, array(%s) as cb)"
+        % (
+            s * dsub,
+            ",".join(
+                "struct(%d as j, array(%s) as c)"
+                % (j, ",".join("%.17gD" % x for x in c))
+                for j, c in enumerate(cb)
+            ),
+        )
+        for s, cb in enumerate(codebooks)
+    ) + ")"
+    return sql, dsub
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to its `array<int>` of m sub-space codes (nearest
+    sub-centroid per sub-space, lowest-index tie-break via (d², j) struct
+    sort). Pure column expressions in whole-stage codegen: one scan, zero
+    shuffle, zero Python — the 100 TB encode is a single map the corpus
+    write pipelines with. Sub-space distances fold the slice of the vector
+    against each sub-centroid in element order (bit-reproducible by the
+    numpy reference)."""
+    cb_sql, dsub = _pq_codebooks_sql(codebooks)
+    code = F.expr(
+        f"transform({cb_sql}, sb -> array_sort(transform(sb.cb, e -> struct("
+        f"aggregate(zip_with(slice(cast({vec_col} as array<double>), sb.off + 1, "
+        f"{dsub}), e.c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x) "
+        "as d, e.j as i)))[0].i)"
+    )
+    return df.withColumn(code_col, code)
+
+
+def _pq_lut_expr(codebooks: list[list[list[float]]], vec_col: str) -> Column:
+    """Per-query ADC lookup table: `array<array<double>>` of m × ksub
+    sub-distances² between the query's sub-vector and every sub-centroid.
+    Computed once per query row; the candidate scan then costs m array
+    lookups + adds per code — the whole point of PQ."""
+    cb_sql, dsub = _pq_codebooks_sql(codebooks)
+    return F.expr(
+        f"transform({cb_sql}, sb -> transform(sb.cb, e -> "
+        f"aggregate(zip_with(slice(cast({vec_col} as array<double>), sb.off + 1, "
+        f"{dsub}), e.c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)))"
+    )
+
+
+def ivf_pq_topk(
+    encoded_corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 3,
+    shortlist: int = 15,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ search with exact re-rank (the FAISS IVFPQR shape).
+
+    1. Each query probes its `nprobe` nearest coarse cells (one constant-
+       folded expression over the centroid literal — no centroid join) and
+       carries its ADC lookup table.
+    2. The CODE table — not the vectors — joins the broadcast probe set on
+       the cell; the approximate distance per candidate is m lookups + adds
+       (`zip_with(code, lut)` fold). Per-query (ADC, id) window keeps the
+       `shortlist` best.
+    3. Only shortlist rows join back to the full vectors for exact-cosine
+       re-ranking to top-k.
+
+    Scale shape: the scan side touches codes only (≈ m bytes/vector vs
+    8·dim), the vector fetch is shortlist-sized and hits the corpus by id
+    (broadcast of queries·shortlist ids), and everything is expressions in
+    whole-stage codegen. Returns (query_id, neighbor_id, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _pq_lut_expr(codebooks, vec_col).alias("__lut"),
+        F.explode(
+            F.expr(
+                f"transform(slice({_ranked_cells_sql(centroids, vec_col)}, 1, "
+                f"{int(nprobe)}), p -> p.i)"
+            )
+        ).alias(cell_col),
+    )
+    codes = encoded_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(cell_col), F.col(code_col)
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            F.col("__lut"),
+            lambda c, lut: F.element_at(lut, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        codes.join(broadcast(q), on=cell_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__adc", adc)
+        .withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= shortlist)
+        .select("query_id", "neighbor_id", "__qv")
+    )
+    # exact re-rank: fetch full vectors for the shortlist only
+    vecs = encoded_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        vecs.join(broadcast(short), on="neighbor_id")
+        .withColumn(
+            "__cos",
+            dot(F.col("__qv"), F.col("__cv"))
+            / (l2_norm(F.col("__qv")) * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_reference_topk_numpy(
+    parquet_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample_rows: int = 2048,
+    max_iter: int = 20,
+    nprobe: int = 3,
+    shortlist: int = 15,
+    k: int = 5,
+    n_queries: int = 20,
+) -> list[tuple[int, int, int]]:
+    """Single-process golden reference for the whole IVF-PQ path (sample →
+    coarse fit → sub-quantizer fits → encode → probe → ADC shortlist →
+    exact re-rank). All distance folds use SEQUENTIAL Python summation in
+    element order, bit-matching Spark's `aggregate(..., 0D, acc + x)` fold —
+    equal PQ codes therefore produce exactly equal ADC distances in both
+    engines, and the id tie-break resolves them identically (numpy's
+    pairwise `np.sum` would not guarantee that). Backs the harness golden-
+    VALUES oracle, the llm_sim_ivf_kmeans pattern."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = np.asarray(tbl[id_col].to_pylist())
+    vecs = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+    dim = vecs.shape[1]
+    dsub = dim // m
+
+    keys = np.array(
+        [
+            int(hashlib.md5(f"{SAMPLE_SALT}{int(i)}".encode()).hexdigest()[:15], 16)
+            for i in ids
+        ]
+    )
+    sample = vecs[np.argsort(keys, kind="stable")[:sample_rows]]
+    cent = np.asarray(_kmeans_numpy(sample, k_cells, seed, max_iter))
+    books = [
+        np.asarray(
+            _kmeans_numpy(sample[:, s * dsub : (s + 1) * dsub], ksub, seed + s, max_iter)
+        )
+        for s in range(m)
+    ]
+
+    def seq_d2(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            acc += (x - y) * (x - y)
+        return acc
+
+    # coarse assignment + PQ encode, sequential-fold distances w/ low-index ties
+    cell = np.empty(len(vecs), dtype=int)
+    qd2 = np.empty((len(vecs), k_cells))
+    for i, v in enumerate(vecs):
+        ds = [seq_d2(v, c) for c in cent]
+        qd2[i] = ds
+        cell[i] = min(range(k_cells), key=lambda j: (ds[j], j))
+    codes = np.empty((len(vecs), m), dtype=int)
+    for i, v in enumerate(vecs):
+        for s in range(m):
+            sub = v[s * dsub : (s + 1) * dsub]
+            ds = [seq_d2(sub, e) for e in books[s]]
+            codes[i, s] = min(range(ksub), key=lambda j: (ds[j], j))
+    norms = np.linalg.norm(vecs, axis=1)
+
+    def seq_cos(a, b, na, nb) -> float:
+        acc = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            acc += x * y
+        return acc / (na * nb)
+
+    rows: list[tuple[int, int, int]] = []
+    for qi in np.argsort(ids, kind="stable"):
+        qid = int(ids[qi])
+        if qid >= n_queries:
+            continue
+        probe_cells = sorted(range(k_cells), key=lambda j: (qd2[qi][j], j))[:nprobe]
+        lut = [
+            [seq_d2(vecs[qi][s * dsub : (s + 1) * dsub], e) for e in books[s]]
+            for s in range(m)
+        ]
+        cidx = np.nonzero(np.isin(cell, probe_cells) & (ids != qid))[0]
+
+        def adc(ci) -> float:
+            acc = 0.0
+            for s in range(m):
+                acc += lut[s][codes[ci, s]]
+            return acc
+
+        sl = sorted(cidx, key=lambda ci: (adc(ci), ids[ci]))[:shortlist]
+        order = sorted(
+            sl, key=lambda ci: (-seq_cos(vecs[qi], vecs[ci], norms[qi], norms[ci]), ids[ci])
+        )[:k]
+        rows.extend((qid, int(ids[ci]), r + 1) for r, ci in enumerate(order))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking: retrieval returns the k most RELEVANT-BUT-
+# DIVERSE results, not k near-copies of the best hit (Carbonell & Goldstein
+# 1998). For training-data curation the same greedy selects a diverse
+# subsample from a near-duplicate-heavy candidate pool.
+# ---------------------------------------------------------------------------
+
+
+def _mmr_select(
+    qv: list[float],
+    ids: list[int],
+    vecs: list[list[float]],
+    k: int,
+    lam: float,
+) -> list[int]:
+    """Greedy MMR over one query's candidate pool, pure sequential-fold
+    Python arithmetic (no BLAS — OpenBLAS threaded matmuls do not guarantee
+    a summation order, which would break the bit-exact golden oracle; pools
+    are bounded-small so the O(pool²·dim) loops are trivial). Score of a
+    candidate d given the selected set S:
+        lam · cos(q, d) − (1 − lam) · max_{s∈S} cos(d, s)
+    with the first pick scored lam · cos(q, d); ties break on the smaller
+    candidate id. Returns ids in selection order."""
+
+    def seq_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    import math
+
+    qn = math.sqrt(seq_dot(qv, qv))
+    norms = [math.sqrt(seq_dot(v, v)) for v in vecs]
+    simq = [seq_dot(qv, v) / (qn * n) for v, n in zip(vecs, norms)]
+    # pool×pool cosine, computed once (symmetric, but recomputing the lower
+    # triangle keeps index arithmetic obvious at this size)
+    sims = [
+        [seq_dot(a, b) / (na * nb) for b, nb in zip(vecs, norms)]
+        for a, na in zip(vecs, norms)
+    ]
+    remaining = list(range(len(ids)))
+    chosen: list[int] = []
+    while remaining and len(chosen) < k:
+        best = min(
+            remaining,
+            key=lambda i: (
+                -(
+                    lam * simq[i]
+                    - (1.0 - lam) * max(sims[i][j] for j in chosen)
+                    if chosen
+                    else lam * simq[i]
+                ),
+                ids[i],
+            ),
+        )
+        chosen.append(best)
+        remaining.remove(best)
+    return [int(ids[i]) for i in chosen]
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    qvec_col: str = "__qv",
+    vec_col: str = "__cv",
+) -> DataFrame:
+    """Re-rank each query's candidate pool with greedy MMR; emits
+    (query_id, neighbor_id, mmr_rank) with mmr_rank = selection order.
+
+    `candidates` carries one row per (query, candidate) with both vectors
+    attached — the output of any ANN path joined back to embeddings. The
+    greedy is genuinely per-group imperative (each pick depends on the set
+    selected so far), so this is the sanctioned Arrow escape hatch:
+    `applyInPandas` grouped by query — groups are pool-sized (bounded by the
+    upstream top-N), queries spread across executors, one Arrow round trip
+    per group. At 100 TB the pool bound is what keeps this flat: MMR cost is
+    O(pool²·dim) per query regardless of corpus size."""
+    import pandas as pd
+
+    def select(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = pdf[query_col].iloc[0]
+        qv = list(pdf[qvec_col].iloc[0])
+        ids = [int(x) for x in pdf[id_col]]
+        vecs = [list(v) for v in pdf[vec_col]]
+        picked = _mmr_select(qv, ids, vecs, k, lam)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(picked),
+                "neighbor_id": picked,
+                "mmr_rank": list(range(1, len(picked) + 1)),
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(
+        select, schema="query_id long, neighbor_id long, mmr_rank int"
+    )
+
+
+def mmr_reference_numpy(
+    parquet_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool: int = 12,
+    k: int = 5,
+    lam: float = 0.7,
+    n_queries: int = 20,
+) -> list[tuple[int, int, int]]:
+    """Single-process golden for brute-pool + MMR: exact cosine top-`pool`
+    per query (sequential folds, id tie-breaks — bit-matching the JVM
+    `dot`/`l2_norm` expressions), then the SAME `_mmr_select` the Arrow UDF
+    runs. Returns (query_id, neighbor_id, mmr_rank) rows."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = np.asarray(tbl[id_col].to_pylist())
+    vecs = [list(map(float, v)) for v in tbl[vec_col].to_pylist()]
+
+    def seq_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    norms = [math.sqrt(seq_dot(v, v)) for v in vecs]
+    rows: list[tuple[int, int, int]] = []
+    for qi in np.argsort(ids, kind="stable"):
+        qid = int(ids[qi])
+        if qid >= n_queries:
+            continue
+        cos = [
+            (seq_dot(vecs[qi], vecs[ci]) / (norms[qi] * norms[ci]), int(ids[ci]), ci)
+            for ci in range(len(vecs))
+            if int(ids[ci]) != qid
+        ]
+        top = sorted(cos, key=lambda t: (-t[0], t[1]))[:pool]
+        picked = _mmr_select(
+            vecs[qi], [t[1] for t in top], [vecs[t[2]] for t in top], k, lam
+        )
+        rows.extend((qid, nid, r + 1) for r, nid in enumerate(picked))
     return rows
 
 

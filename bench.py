@@ -61,6 +61,8 @@ def main() -> None:
         # previous sweep's cache or the median under-reports the real cost
         artifacts._CACHE.clear()
         harness_llm._KMEANS_MODEL_CACHE.clear()
+        harness_llm._PQ_CODEBOOK_CACHE.clear()
+        harness_llm._FIT_SAMPLE_CACHE.clear()
         for name, spec in sorted(harness.REGISTRY.items()):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -163,6 +163,8 @@ def run(spark, sf_dir: str) -> dict[str, float]:
         # misattribute the build cost
         artifacts._CACHE.clear()
         harness_llm._KMEANS_MODEL_CACHE.clear()
+        harness_llm._PQ_CODEBOOK_CACHE.clear()
+        harness_llm._FIT_SAMPLE_CACHE.clear()
         t0 = time.perf_counter()
         harness.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"

@@ -31,6 +31,8 @@ BNLJ_ALLOWED = {
     "llm_sim_bruteforce_topk",  # definitionally all-pairs (tiny query side broadcast)
     "llm_hard_negatives",  # same all-pairs shape: tiny query side broadcast,
     # label-mismatch predicate is non-equi by definition
+    "llm_sim_mmr_rerank",  # candidate pool comes from the brute-force
+    # scorer (same all-pairs shape); swap in any indexed ANN path at scale
     "a9_sync_stats",  # cross of two single-row aggregate results
     # decorrelated global-scalar subqueries: a non-equi filter against a
     # broadcast ONE-row aggregate — the plan Spark itself picks for scalar
