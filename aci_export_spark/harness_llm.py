@@ -911,6 +911,47 @@ def llm_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_golden_oracle() -> str:
+    """Golden-VALUES oracle for the BPE merge trainer: the loop is fully
+    deterministic (integer counts, lexicographic tie-breaks), so the
+    single-process reference implementation reproduces the merge table
+    exactly at the sf0.01 gate."""
+    from aci_export_spark.llm.bpe import bpe_reference_python
+
+    rows = bpe_reference_python(
+        "/root/testdata/sf0.01/documents.parquet", n_merges=8
+    )
+    values = ",".join(
+        "({}, '{}', '{}', {})".format(r, l.replace("'", "''"), ri.replace("'", "''"), c)
+        for r, l, ri, c in rows
+    )
+    return f"""
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+       CAST(left_sym AS VARCHAR) AS left_sym,
+       CAST(right_sym AS VARCHAR) AS right_sym,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES {values}) AS t(merge_rank, left_sym, right_sym, pair_count)
+"""
+
+
+@register(
+    "llm_bpe_train",
+    _bpe_golden_oracle,  # resolved lazily; reference-equivalence and greedy
+    # semantics pytests in tests/test_bpe.py
+    doc="BPE tokenizer merge training (Sennrich 2016) as distributed "
+    "aggregations: corpus reduced once to the word-type table, then each "
+    "round is one map-side-combined pair-count shuffle + a 1-row argmax + "
+    "a JVM fold substitution, localCheckpointed per round — rounds bounded "
+    "by the n_merges hyperparameter, per-round data bounded by vocabulary "
+    "size, the corpus itself scanned exactly once",
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm import bpe as B
+
+    docs = read_table(spark, sf_dir, "documents")
+    return B.bpe_train(docs, n_merges=8)
+
+
 def _mmr_golden_oracle() -> str:
     """Golden-VALUES oracle for brute-pool + MMR re-rank: every float fold
     in the pipeline is sequential in element order on both sides, so the

@@ -1,0 +1,194 @@
+"""Byte-pair-encoding merge training as distributed aggregations.
+
+The classic tokenizer-training loop (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"): start from character
+sequences per word type, repeatedly count adjacent symbol pairs (weighted by
+word frequency) and merge the most frequent pair, emitting the merge table —
+the model artifact a BPE tokenizer ships.
+
+Scale design (100 TB):
+- the corpus is reduced ONCE to the word-type table (word, count) — the only
+  corpus-scale shuffle; every merge round then aggregates over vocabulary-
+  sized data (word types, not tokens). Production tokenizer training bounds
+  this further by sampling the corpus first; the operator is agnostic.
+- per round: one map-side-combined pair-count aggregation + one 1-row argmax
+  collect (the connected-components convergence idiom — bounded by the
+  n_merges hyperparameter, not by data) + one fold-transform over the symbol
+  arrays, `localCheckpoint`ed so lineage stays flat across rounds.
+- the merge substitution is a sequential `aggregate` fold per word —
+  left-to-right non-overlapping greedy, the reference semantics — executed
+  as JVM expressions (no Python in the loop).
+
+Everything is deterministic: ties in the argmax break on (left, right)
+lexicographic order, so an independent single-process implementation
+(:func:`bpe_reference_python`) reproduces the merge table exactly — that
+backs the golden-VALUES oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aci_export_spark.llm.dedup import word_tokens
+
+#: end-of-word marker, per the reference algorithm (distinguishes "est</w>"
+#: in "highest" from "est" in "estimate")
+EOW = "</w>"
+
+
+def _word_type_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(symbols array<string>, wcount) — one row per distinct word, symbols
+    initialized to characters + the end-of-word marker."""
+    words = (
+        docs.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    chars = F.expr(
+        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), "
+        f"array('{EOW}'))"
+    )
+    return words.select(chars.alias("symbols"), "wcount")
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency: explode
+    zip(symbols[:-1], symbols[1:]) and sum — partial aggregation combines
+    map-side before the one shuffle."""
+    pairs = F.expr(
+        "zip_with(slice(symbols, 1, size(symbols) - 1), "
+        "slice(symbols, 2, size(symbols) - 1), "
+        "(a, b) -> struct(a as left, b as right))"
+    )
+    return (
+        words.filter(F.size("symbols") >= 2)
+        .select(F.explode(pairs).alias("p"), "wcount")
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("wcount").alias("pair_count"))
+    )
+
+
+def _merge_fold_sql(left: str, right: str) -> str:
+    """Left-to-right non-overlapping substitution of the (left, right)
+    symbol pair with their concatenation, as one sequential fold."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    merged = q(left + right)
+    return (
+        "aggregate(symbols, cast(array() as array<string>), (acc, x) -> "
+        f"if(size(acc) > 0 AND element_at(acc, -1) = {q(left)} AND x = {q(right)}, "
+        f"concat(slice(acc, 1, size(acc) - 1), array({merged})), "
+        "concat(acc, array(x))))"
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train `n_merges` BPE merges over the corpus; returns the merge table
+    (merge_rank, left, right, pair_count) — tiny by construction (the merge
+    count is a hyperparameter), assembled on the driver like any fitted
+    model artifact (the kmeans-quantizer discipline). Stops early if the
+    corpus degenerates to single-symbol words."""
+    spark = docs.sparkSession
+    words = _word_type_table(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((r, left, right, int(cnt)))
+        words = words.withColumn(
+            "symbols", F.expr(_merge_fold_sql(left, right))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        # left/right are SQL keywords — suffix them so the DuckDB oracle and
+        # any SQL consumer can reference the columns unquoted
+        schema="merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_encode_expr(merges: list[tuple[str, str]], symbols_col: str = "symbols") -> str:
+    """SQL applying a learned merge list in rank order to a symbol-array
+    column — one chained fold per merge (merge lists are hyperparameter-
+    sized, so expression depth is bounded). The encode path for scoring a
+    corpus with a trained tokenizer."""
+    sql = symbols_col
+    for left, right in merges:
+
+        def q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        merged = q(left + right)
+        sql = (
+            f"aggregate({sql}, cast(array() as array<string>), (acc, x) -> "
+            f"if(size(acc) > 0 AND element_at(acc, -1) = {q(left)} AND x = {q(right)}, "
+            f"concat(slice(acc, 1, size(acc) - 1), array({merged})), "
+            "concat(acc, array(x))))"
+        )
+    return sql
+
+
+def bpe_reference_python(
+    parquet_path: str,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Single-process reference BPE trainer over the same parquet —
+    tokenization mirrors `word_tokens` (lowercase, collapse ASCII
+    whitespace, split; Java's \\s is ASCII-only, hence the explicit class),
+    pair counting mirrors the zip explode (overlaps counted), the argmax
+    tie-break is (count desc, left, right), and the substitution is the
+    same left-to-right greedy. Backs the golden-VALUES oracle."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(parquet_path, columns=[text_col])[text_col].to_pylist()
+    wcounts: Counter = Counter()
+    for t in texts:
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (t or "").lower()).strip()
+        for w in norm.split(" "):
+            if w:
+                wcounts[w] += 1
+    words: dict[tuple[str, ...], int] = {
+        tuple(list(w) + [EOW]): c for w, c in wcounts.items()
+    }
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        stats: Counter = Counter()
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += c
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, left, right, int(cnt)))
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+    return merges

@@ -761,74 +761,73 @@ def repetition_signals(
     top-3-gram ≤ 18%, dup-4-gram chars ≤ 16%) as integer cross-
     multiplications, so the keep decision is bit-identical across engines.
 
-    One corpus scan: all n sizes explode from a single fused
-    array-of-struct expression (no scan per n), then one (doc, n, gram)
-    count shuffle with map-side partial aggregation and a per-doc pivot.
+    Repetition is DOC-LOCAL, so no corpus-wide shuffle exists in the plan at
+    all: per row, each n's grams are sorted and run-length encoded with
+    array expressions (sort → run starts → (count, gram) runs), and the four
+    integers fold over the runs — one scan, embarrassingly parallel, linear
+    at any corpus size. (The previous implementation exploded ~Σ|doc| gram
+    rows into a (doc, n, gram) count shuffle — correct, but it moved the
+    whole token stream through the exchange for a per-document statistic.)
     Docs shorter than n words contribute zero counts for that n and pass
     the corresponding rule vacuously.
     """
-    toks = F.col("__toks")
-
-    def gram_structs(n: int) -> Column:
-        g = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+    work = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    for n in ns:
+        # sorted gram array (empty when the doc is shorter than n words)
+        work = work.withColumn(
+            f"__s{n}",
+            F.expr(
+                f"CASE WHEN size(__toks) >= {n} THEN "
+                f"array_sort(transform(sequence(1, size(__toks) - {n} + 1), "
+                f"i -> array_join(slice(__toks, i, {n}), ' '))) "
+                "ELSE cast(array() as array<string>) END"
             ),
         )
-        return F.when(F.size(toks) >= n, g).otherwise(
-            F.array().cast("array<struct<n:int,gram:string>>")
-        )
-
-    exploded = (
-        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
-        .select(
-            F.col(id_col),
-            F.explode(F.flatten(F.array(*[gram_structs(n) for n in ns]))).alias(
-                "__s"
+        # run starts: positions where the sorted value changes (IF keeps
+        # element_at(s, 0) from ever evaluating; sequence(1, 0) would count
+        # DOWN, hence the empty-array guard)
+        work = work.withColumn(
+            f"__st{n}",
+            F.expr(
+                f"CASE WHEN size(__s{n}) = 0 THEN cast(array() as array<int>) "
+                f"ELSE filter(sequence(1, size(__s{n})), i -> IF(i = 1, true, "
+                f"element_at(__s{n}, i) != element_at(__s{n}, i - 1))) END"
             ),
         )
-        .select(F.col(id_col), F.col("__s.n").alias("n"), F.col("__s.gram").alias("gram"))
-    )
-    counts = exploded.groupBy(id_col, "n", "gram").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    gram_chars = F.col("__c") * F.length("gram").cast("long")
-    per_n = counts.groupBy(id_col, "n").agg(
-        F.max("__c").alias("top_count"),
-        F.sum("__c").alias("n_grams"),
-        F.sum(F.when(F.col("__c") >= 2, gram_chars).otherwise(F.lit(0))).alias(
-            "dup_chars"
-        ),
-        F.sum(gram_chars).alias("tot_chars"),
-    )
-    pivoted = (
-        per_n.groupBy(id_col)
-        .pivot("n", list(ns))
-        .agg(
-            F.first("top_count").alias("top_count"),
-            F.first("n_grams").alias("n_grams"),
-            F.first("dup_chars").alias("dup_chars"),
-            F.first("tot_chars").alias("tot_chars"),
+        # (count, gram) runs: each start paired with the next start (or end)
+        work = work.withColumn(
+            f"__r{n}",
+            F.expr(
+                f"CASE WHEN size(__st{n}) = 0 THEN "
+                "cast(array() as array<struct<c:int,g:string>>) ELSE "
+                f"zip_with(__st{n}, concat(slice(__st{n}, 2, size(__st{n})), "
+                f"array(size(__s{n}) + 1)), "
+                f"(a, b) -> struct(b - a as c, element_at(__s{n}, a) as g)) END"
+            ),
         )
-    )
     out_cols = [F.col(id_col)]
     for n in ns:
-        for metric, alias in (
-            ("top_count", f"top{n}_count"),
-            ("n_grams", f"n_{n}grams"),
-            ("dup_chars", f"dup{n}_chars"),
-            ("tot_chars", f"tot{n}_chars"),
-        ):
-            out_cols.append(
-                F.coalesce(F.col(f"{n}_{metric}"), F.lit(0).cast("long")).alias(
-                    alias
-                )
-            )
-    wide = df.select(F.col(id_col)).join(pivoted, on=id_col, how="left").select(
-        *out_cols
-    )
+        out_cols.extend(
+            [
+                F.expr(
+                    f"IF(size(__r{n}) = 0, CAST(0 AS BIGINT), "
+                    f"CAST(array_max(transform(__r{n}, r -> r.c)) AS BIGINT))"
+                ).alias(f"top{n}_count"),
+                F.expr(f"CAST(size(__s{n}) AS BIGINT)").alias(f"n_{n}grams"),
+                F.expr(
+                    f"aggregate(__r{n}, CAST(0 AS BIGINT), (acc, r) -> acc + "
+                    "IF(r.c >= 2, CAST(r.c AS BIGINT) * length(r.g), "
+                    "CAST(0 AS BIGINT)))"
+                ).alias(f"dup{n}_chars"),
+                F.expr(
+                    f"aggregate(__r{n}, CAST(0 AS BIGINT), (acc, r) -> acc + "
+                    "CAST(r.c AS BIGINT) * length(r.g))"
+                ).alias(f"tot{n}_chars"),
+            ]
+        )
+    wide = work.select(*out_cols)
     # Gopher thresholds, each applied only when its n size was requested
     rules = []
     if 2 in ns:

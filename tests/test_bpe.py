@@ -1,0 +1,81 @@
+"""BPE trainer validation: greedy/overlap semantics, early stop, encode
+path, and equivalence with the single-process reference trainer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aci_export_spark.llm import bpe as B
+from aci_export_spark.sources import read_table
+from tests.conftest import SF_SMOKE
+
+
+def test_merge_fold_is_left_to_right_non_overlapping(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "</w>"],)], schema="symbols array<string>"
+    )
+    out = df.select(F.expr(B._merge_fold_sql("a", "a")).alias("s")).collect()[0]["s"]
+    # greedy left-to-right: "aaa" → [aa, a], never [a, aa]
+    assert out == ["aa", "a", "</w>"]
+
+
+def test_merge_fold_quotes_are_escaped(spark):
+    df = spark.createDataFrame([(["don", "'", "t"],)], schema="symbols array<string>")
+    out = df.select(F.expr(B._merge_fold_sql("'", "t")).alias("s")).collect()[0]["s"]
+    assert out == ["don", "'t"]
+
+
+def test_bpe_train_known_tiny_corpus(spark):
+    # hand-checkable: "low low lower" → most frequent pair is (l, o) ×3
+    docs = spark.createDataFrame([("low low lower",)], schema="text string")
+    rows = B.bpe_train(docs, n_merges=2).collect()
+    assert (rows[0]["left_sym"], rows[0]["right_sym"], rows[0]["pair_count"]) == (
+        "l",
+        "o",
+        3,
+    )
+    # after merging "lo", the next most frequent is (lo, w) ×3
+    assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["pair_count"]) == (
+        "lo",
+        "w",
+        3,
+    )
+
+
+def test_bpe_train_stops_when_no_pairs_remain(spark):
+    # one single-char word: round 1 merges (a, </w>), round 2 finds nothing
+    docs = spark.createDataFrame([("a a a",)], schema="text string")
+    rows = B.bpe_train(docs, n_merges=5).collect()
+    assert len(rows) == 1
+    assert (rows[0]["left_sym"], rows[0]["right_sym"]) == ("a", B.EOW)
+
+
+def test_bpe_train_empty_corpus(spark):
+    docs = spark.createDataFrame([("   ",), ("",)], schema="text string")
+    assert B.bpe_train(docs, n_merges=3).count() == 0
+
+
+def test_bpe_matches_reference_on_fixture(spark):
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in B.bpe_train(
+            read_table(spark, SF_SMOKE, "documents"), n_merges=8
+        ).collect()
+    ]
+    want = B.bpe_reference_python(f"{SF_SMOKE}/documents.parquet", n_merges=8)
+    assert got == want
+
+
+def test_bpe_encode_expr_applies_merges_in_order(spark):
+    docs = spark.createDataFrame([("low low lower",)], schema="text string")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in B.bpe_train(docs, n_merges=3).collect()
+    ]
+    word = spark.createDataFrame([(["l", "o", "w", "e", "r", "</w>"],)],
+                                 schema="symbols array<string>")
+    enc = word.select(F.expr(B.bpe_encode_expr(merges)).alias("s")).collect()[0]["s"]
+    # merges learned: (l,o) → (lo,w) → (low,</w>); "lower" encodes with the
+    # first two applied and the third blocked by the intervening "e"
+    assert enc[0] == "low"
+    assert "".join(enc) == "lower</w>"
