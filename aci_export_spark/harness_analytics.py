@@ -387,6 +387,110 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", n_terms=3, top_k=20)
 
 
+_HYBRID_RRF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+), tf AS (
+    SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+    SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY 1
+), dfreq AS (
+    SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+), stats AS (
+    SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+           (SELECT SUM(tf) FROM tf)::BIGINT AS total_tokens
+), qterms AS (
+    SELECT query_id, token, term_rank, df FROM (
+        SELECT doc_id AS query_id, token,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, token) AS term_rank
+        FROM tf WHERE doc_id < 10
+    ) q JOIN dfreq USING (token) WHERE term_rank <= 3
+), hits AS (
+    SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, q.term_rank, q.df
+    FROM tf JOIN qterms q USING (token) JOIN dl USING (doc_id)
+    WHERE tf.doc_id <> q.query_id
+), contrib AS (
+    SELECT query_id, doc_id, term_rank,
+        ((CAST((SELECT n_docs FROM stats) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+        * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                    / (CAST((SELECT total_tokens FROM stats) AS DOUBLE)
+                       / CAST((SELECT n_docs FROM stats) AS DOUBLE)))))) AS c
+    FROM hits
+), per_doc AS (
+    SELECT query_id, doc_id,
+           COALESCE(MAX(CASE WHEN term_rank = 1 THEN c END), 0.0) AS s1,
+           COALESCE(MAX(CASE WHEN term_rank = 2 THEN c END), 0.0) AS s2,
+           COALESCE(MAX(CASE WHEN term_rank = 3 THEN c END), 0.0) AS s3
+    FROM contrib GROUP BY 1, 2
+), sparse AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s1 + s2 + s3 DESC, doc_id) AS rank
+        FROM per_doc
+    ) WHERE rank <= 20
+), qv AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id < 10
+), cv AS (
+    SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dense AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT q.query_id, c.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.doc_id ASC
+               ) AS rank
+        FROM qv q JOIN cv c ON c.doc_id <> q.query_id
+    ) WHERE rank <= 20
+), fused AS (
+    SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+           COALESCE(s.doc_id, d.doc_id) AS doc_id,
+           COALESCE(1.0 / (60 + s.rank), 0.0)
+               + COALESCE(1.0 / (60 + d.rank), 0.0) AS rrf,
+           s.rank IS NOT NULL AS in_sparse,
+           d.rank IS NOT NULL AS in_dense
+    FROM sparse s FULL JOIN dense d
+      ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, CAST(fused_rank AS INTEGER) AS fused_rank,
+       in_sparse, in_dense
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id) AS fused_rank
+    FROM fused
+) WHERE fused_rank <= 10
+"""
+
+
+@register(
+    "docs_hybrid_rrf_topk",
+    _HYBRID_RRF_ORACLE,
+    doc="hybrid retrieval with reciprocal-rank fusion (Cormack 2009): each "
+    "of 10 query documents retrieves more-like-this candidates twice — "
+    "BM25 over its own top-3 tokens (sparse) and embedding cosine (dense, "
+    "doc_id ≡ vec_id) — and the two per-query top-20 rankings fuse by "
+    "Σ 1/(60+rank). Two-term IEEE sums are commutative, so the fused "
+    "ranking is exactly oracle-checkable; fusion moves only pool-bounded "
+    "rows, so the rankers, not the fusion, dominate at any scale",
+)
+def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.retrieval import mlt_bm25_topk, rrf_fuse
+    from aci_export_spark.llm.similarity import brute_force_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    sparse = mlt_bm25_topk(docs, "doc_id", "text", n_queries=10, n_terms=3, pool=20)
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=20
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    return rrf_fuse(sparse, dense, k=10, rrf_k=60)
+
+
 # ---------------------------------------------------------------------------
 # Z-order pruning effectiveness (data-layout file-skipping audit)
 # ---------------------------------------------------------------------------

@@ -108,3 +108,125 @@ def bm25_topk(
     ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(top_k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def mlt_bm25_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_queries: int = 10,
+    n_terms: int = 3,
+    pool: int = 20,
+) -> DataFrame:
+    """More-like-this BM25: each of the first `n_queries` documents queries
+    the corpus with its OWN `n_terms` most frequent tokens (tf desc, token
+    asc — deterministic, data-derived), scoring every other document with
+    the same rational-idf / fixed-slot-summation BM25 as :func:`bm25_topk`.
+    Returns (query_id, doc_id, rank) with per-query rank ≤ `pool`.
+
+    Plan shape: ONE corpus scan builds tf; dl/df/stats derive from it; the
+    query-term table is n_queries·n_terms rows and broadcasts into the tf
+    join, so the scoring join is corpus-linear regardless of query count.
+    The self-match is excluded (a document trivially tops its own query).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(
+        tf.agg(F.sum("tf").cast("long").alias("total_tokens"))
+    )
+
+    wq = Window.partitionBy(id_col).orderBy(F.col("tf").desc(), F.col("token").asc())
+    qterms = (
+        tf.filter(F.col(id_col) < n_queries)
+        .withColumn("term_rank", F.row_number().over(wq))
+        .filter(F.col("term_rank") <= n_terms)
+        .select(F.col(id_col).alias("query_id"), "token", "term_rank")
+    )
+    # attach df to the tiny term table (broadcast side), not to every hit
+    qterms = dfreq.join(F.broadcast(qterms), on="token").select(
+        "query_id", "token", "term_rank", "df"
+    )
+
+    hits = (
+        tf.join(F.broadcast(qterms), on="token")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    n_docs_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (n_docs_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    denom = tf_d + F.lit(K1) * (F.lit(_ONE_MINUS_B) + F.lit(B) * (dl_d / avgdl))
+    slotted = hits.withColumn("contrib", idf * ((tf_d * F.lit(_K1P1)) / denom))
+
+    slot_cols = [
+        F.coalesce(
+            F.max(F.when(F.col("term_rank") == r, F.col("contrib"))),
+            F.lit(0.0),
+        ).alias(f"__s{r}")
+        for r in range(1, n_terms + 1)
+    ]
+    per_doc = slotted.groupBy("query_id", id_col).agg(*slot_cols)
+    score = F.col("__s1")
+    for r in range(2, n_terms + 1):
+        score = score + F.col(f"__s{r}")
+    w = Window.partitionBy("query_id").orderBy(F.col("__score").desc(), F.col(id_col).asc())
+    return (
+        per_doc.withColumn("__score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= pool)
+        .select("query_id", F.col(id_col).alias("doc_id"), "rank")
+    )
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    rankings, each shaped (query_id, doc_id, rank):
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))
+
+    with absent-from-list contributing 0. With exactly TWO lists the score
+    is a two-term IEEE sum — addition is commutative (only associativity
+    isn't), so the score is bit-identical in any engine regardless of
+    evaluation order, which is what makes the fused ranking (ties broken on
+    doc_id) exactly oracle-checkable. Emits (query_id, doc_id, fused_rank,
+    in_sparse, in_dense), fused_rank ≤ k per query.
+
+    Scale shape: both inputs are already per-query top-`pool` (bounded), so
+    the full-outer join and the fusion window move k·queries rows — the
+    fusion stage is never the bottleneck; the rankers are.
+    """
+    s = sparse.select("query_id", "doc_id", F.col("rank").alias("__sr"))
+    d = dense.select("query_id", "doc_id", F.col("rank").alias("__dr"))
+    fused = s.join(d, on=["query_id", "doc_id"], how="full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("__sr")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("__dr")), F.lit(0.0))
+        ).alias("__rrf"),
+        F.col("__sr").isNotNull().alias("in_sparse"),
+        F.col("__dr").isNotNull().alias("in_dense"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", "doc_id", "fused_rank", "in_sparse", "in_dense")
+    )

@@ -83,6 +83,11 @@ QUERIES = [
     "llm_substring_anchor_dup",
     "llm_dedup_lsh_recall_audit",
     "graph_brand_pagerank",
+    # round-5 session-3 additions
+    "llm_sim_ivf_pq_topk",
+    "llm_sim_mmr_rerank",
+    "llm_bpe_train",
+    "docs_hybrid_rrf_topk",
 ]
 
 

@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
     # plan (the old distributed loop's count() action hid it)
     "llm_curation_kept_corpus_v2",  # composes the unigram 1-row broadcast
     "docs_bm25_topk",  # 1-row (n_docs, total_tokens) corpus-stats broadcast
+    "docs_hybrid_rrf_topk",  # composes the bm25 1-row stats cross AND the
+    # brute-force dense ranker (all-pairs by definition on the tiny query set)
     "events_value_histogram",  # 1-row global min/max broadcast
     "events_zorder_pruning_stats",  # 1-row rows-matching aggregate crossed in
     "llm_lsh_index_upsert",  # cross of two single-row invariant aggregates
