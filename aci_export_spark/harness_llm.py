@@ -401,10 +401,8 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE
     "5-char shingles; linear candidate generation (4 shuffle rows per doc)",
 )
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_dedup_pairs(
-        docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=4, shingle_size=5
-    )
+    # shared artifact: the agreement audit reuses the same pair table
+    return _minhash_pairs(spark, sf_dir)
 
 
 def _lsh_recall_audit_oracle(
@@ -538,10 +536,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     "which is exactly the oracle",
 )
 def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs_blocked(
-        docs, "doc_id", "text", max_hamming=3, bits=60
-    )
+    # shared artifact: the agreement audit reuses the same pair table
+    return _simhash_pairs60(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -908,6 +904,262 @@ def llm_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ivf_pq_topk(
         encoded, queries, centroids, books, nprobe=3, shortlist=15, k=5
+    )
+
+
+def _vector_upsert_oracle() -> str:
+    """Full SQL oracle for the incremental vector-index maintenance query:
+    centroids come from the independent numpy fit (semdedup pattern),
+    assignment + per-cell stats replay natively in DuckDB over the FINAL
+    corpus (all minus deletes) — the incremental path must equal that
+    exactly, so the oracle asserts matches_rebuild = true per cell."""
+    from aci_export_spark.llm.semdedup import reference_centroids_numpy
+
+    cents = reference_centroids_numpy(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        k_cells=8, seed=42, sample_rows=2048,
+    )
+    values = ",".join(
+        "(%d, CAST([%s] AS DOUBLE[]))"
+        % (i, ",".join("%.17e" % x for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(i, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 10 <> 7),
+asg AS (
+    SELECT vec_id, i AS cell FROM (
+        SELECT e.vec_id, c.i,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c.c) ASC,
+                                           c.i ASC) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+)
+SELECT CAST(cell AS INTEGER) AS cell,
+       COUNT(*)::BIGINT AS n_vectors,
+       SUM(vec_id)::BIGINT AS sum_ids,
+       true AS matches_rebuild
+FROM asg GROUP BY cell
+"""
+
+
+@register(
+    "llm_vector_index_upsert",
+    _vector_upsert_oracle,  # resolved lazily (fits centroids on sf0.01)
+    doc="incremental vector-index maintenance, the IVM discipline applied "
+    "to the IVF layout: per-cell partial stats absorb a delta batch (only "
+    "the DELTA's vectors are assigned) and retract a delete set with "
+    "signed merges — upsert cost O(|delta| + k_cells), never a corpus "
+    "re-assignment. The query materializes the incremental per-cell stats "
+    "AND the rebuild's, and proves them equal cell-by-cell; the oracle "
+    "replays assignment + stats over the final corpus natively in DuckDB "
+    "from independently-fitted centroid literals",
+)
+def llm_vector_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    ckey = (sf_dir, 8, 42)
+    centroids = _KMEANS_MODEL_CACHE.get(ckey)
+    if centroids is None:
+        centroids = S.kmeans_fit_sample(
+            emb, k_cells=8, seed=42, sample_rows=2048,
+            sample_arr=_fit_sample(emb, sf_dir),
+        )
+        _KMEANS_MODEL_CACHE[ckey] = centroids
+
+    def stats_of(d: DataFrame) -> DataFrame:
+        return (
+            S.ivf_assign_centroids(d, centroids)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("vec_id").cast("long").alias("s"),
+            )
+        )
+
+    ten = F.col("vec_id") % 10
+    # standing index predates today's batch (no %10==3 rows); the batch
+    # inserts %10==3 and deletes %10==7
+    base = stats_of(emb.filter(ten != 3))
+    delta = stats_of(emb.filter(ten == 3))
+    dels = stats_of(emb.filter(ten == 7))
+    inc = (
+        base.withColumnsRenamed({"n": "nb", "s": "sb"})
+        .join(delta.withColumnsRenamed({"n": "nd", "s": "sd"}), "cell", "full_outer")
+        .join(dels.withColumnsRenamed({"n": "nx", "s": "sx"}), "cell", "full_outer")
+        .select(
+            "cell",
+            (
+                F.coalesce("nb", F.lit(0))
+                + F.coalesce("nd", F.lit(0))
+                - F.coalesce("nx", F.lit(0))
+            ).alias("n_vectors"),
+            (
+                F.coalesce("sb", F.lit(0))
+                + F.coalesce("sd", F.lit(0))
+                - F.coalesce("sx", F.lit(0))
+            ).alias("sum_ids"),
+        )
+        .filter(F.col("n_vectors") > 0)
+    )
+    reb = stats_of(emb.filter(ten != 7)).withColumnsRenamed(
+        {"n": "nr", "s": "sr"}
+    )
+    return inc.join(reb, on="cell", how="full_outer").select(
+        "cell",
+        F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+        F.coalesce("sum_ids", F.lit(0)).alias("sum_ids"),
+        (
+            (F.coalesce("n_vectors", F.lit(0)) == F.coalesce("nr", F.lit(0)))
+            & (F.coalesce("sum_ids", F.lit(0)) == F.coalesce("sr", F.lit(0)))
+        ).alias("matches_rebuild"),
+    )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared artifact: the MinHash-LSH verified pair table (id_a, id_b,
+    jaccard ≥ 0.5) — one shingle→signature→band→verify pipeline per corpus
+    snapshot, shared by the MinHash query and the method-agreement audit."""
+
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=4,
+            shingle_size=5,
+        )
+
+    # the pipeline localCheckpoints its verified output already
+    return shared_df(
+        spark, ("minhash_lsh_pairs", sf_dir, 0.5), build, materialize=False
+    )
+
+
+def _simhash_pairs60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared artifact: 60-bit SimHash pairs at Hamming ≤ 3 via pigeonhole
+    blocks (id_a, id_b, hamming)."""
+
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return D.simhash_near_dup_pairs_blocked(
+            docs, "doc_id", "text", max_hamming=3, bits=60
+        )
+
+    return shared_df(
+        spark, ("simhash_pairs", sf_dir, 60, 3), build, materialize=False
+    )
+
+
+def _method_agreement_oracle() -> str:
+    from aci_export_spark.harness_llm import _simhash_oracle
+
+    return f"""
+WITH s AS (
+    SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks FROM documents
+), ngram_p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(a.toks || b.toks))::DOUBLE >= 0.9
+), sim AS ({_simhash_oracle(60)}),
+simhash_p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([substr(t, i, 5)
+                          FOR i IN range(1, greatest(length(t) - 4, 1) + 1)]) AS s
+    FROM norm
+), minhash_p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id
+     AND least(len(a.s), len(b.s))::DOUBLE
+             / greatest(len(a.s), len(b.s))::DOUBLE >= 0.5
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s))::DOUBLE >= 0.5
+), tagged AS (
+    SELECT id_a, id_b, 'ngram' AS method FROM ngram_p
+    UNION ALL SELECT id_a, id_b, 'simhash' FROM simhash_p
+    UNION ALL SELECT id_a, id_b, 'minhash' FROM minhash_p
+), totals AS (
+    SELECT method, COUNT(*)::BIGINT AS n FROM tagged GROUP BY method
+), commons AS (
+    SELECT a.method AS method_a, b.method AS method_b,
+           COUNT(*)::BIGINT AS n_common
+    FROM tagged a JOIN tagged b
+      ON a.id_a = b.id_a AND a.id_b = b.id_b AND a.method < b.method
+    GROUP BY 1, 2
+), mp(method_a, method_b) AS (
+    VALUES ('minhash', 'ngram'), ('minhash', 'simhash'), ('ngram', 'simhash')
+)
+SELECT mp.method_a, mp.method_b,
+       COALESCE(ta.n, 0)::BIGINT AS n_a,
+       COALESCE(tb.n, 0)::BIGINT AS n_b,
+       COALESCE(c.n_common, 0)::BIGINT AS n_common
+FROM mp
+LEFT JOIN totals ta ON ta.method = mp.method_a
+LEFT JOIN totals tb ON tb.method = mp.method_b
+LEFT JOIN commons c
+  ON c.method_a = mp.method_a AND c.method_b = mp.method_b
+"""
+
+
+@register(
+    "llm_dedup_method_agreement",
+    _method_agreement_oracle,
+    doc="near-dup method agreement audit: the three production dedup pair "
+    "generators (exact token Jaccard ≥ 0.9, 60-bit SimHash Hamming ≤ 3, "
+    "MinHash-LSH shingle Jaccard ≥ 0.5) compared pairwise — per-method "
+    "pair totals and pair-set intersections as exact integers. The "
+    "method-selection evidence a curation pipeline needs (which detectors "
+    "agree, which find disjoint duplicate classes); all three pair tables "
+    "are shared artifacts, so the audit adds joins over pair-sized data "
+    "only, never a fourth candidate-generation pass",
+)
+def llm_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ngram = _prefix_pairs(spark, sf_dir).select("id_a", "id_b")
+    simhash = _simhash_pairs60(spark, sf_dir).select("id_a", "id_b")
+    minhash = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    tagged = (
+        ngram.withColumn("method", F.lit("ngram"))
+        .unionByName(simhash.withColumn("method", F.lit("simhash")))
+        .unionByName(minhash.withColumn("method", F.lit("minhash")))
+    )
+    totals = tagged.groupBy("method").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = tagged.select("id_a", "id_b", F.col("method").alias("method_a"))
+    b = tagged.select("id_a", "id_b", F.col("method").alias("method_b"))
+    commons = (
+        a.join(b, on=["id_a", "id_b"])
+        .filter(F.col("method_a") < F.col("method_b"))
+        .groupBy("method_a", "method_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    mp = tagged.sparkSession.createDataFrame(
+        [("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")],
+        schema="method_a string, method_b string",
+    )
+    return (
+        mp.join(
+            F.broadcast(totals.withColumnsRenamed({"method": "method_a", "n": "n_a"})),
+            on="method_a", how="left",
+        )
+        .join(
+            F.broadcast(totals.withColumnsRenamed({"method": "method_b", "n": "n_b"})),
+            on="method_b", how="left",
+        )
+        .join(F.broadcast(commons), on=["method_a", "method_b"], how="left")
+        .select(
+            "method_a",
+            "method_b",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        )
     )
 
 
