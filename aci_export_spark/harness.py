@@ -345,8 +345,11 @@ def _ensure_all_registered() -> None:
 #: er_fuzzy_entities, events_ohlc_hourly, orders_abc_classification,
 #: events_stickiness_ratio, plus the three added in round 5:
 #: llm_hard_negatives, llm_substring_anchor_dup,
-#: llm_dedup_lsh_recall_audit) — that completes driver coverage for the
-#: whole registry (31 names, within the 49-slot budget).
+#: llm_dedup_lsh_recall_audit, plus the six added in round-5 session 3:
+#: llm_sim_ivf_pq_topk, llm_sim_mmr_rerank, llm_bpe_train,
+#: docs_hybrid_rrf_topk, llm_vector_index_upsert,
+#: llm_dedup_method_agreement) — that completes driver coverage for the
+#: whole registry (37 names, within the 49-slot budget).
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
     # never-driver-checked batch 1/2 (49 of 77), registration order

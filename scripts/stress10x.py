@@ -88,6 +88,8 @@ QUERIES = [
     "llm_sim_mmr_rerank",
     "llm_bpe_train",
     "docs_hybrid_rrf_topk",
+    "llm_vector_index_upsert",
+    "llm_dedup_method_agreement",
 ]
 
 
