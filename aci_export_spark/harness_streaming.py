@@ -39,6 +39,57 @@ def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_window",
+    """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM gaps
+), agg AS (
+    SELECT user_id, session_no,
+           MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+)
+SELECT user_id, session_no,
+       strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM agg
+WHERE s_end + INTERVAL 30 MINUTE <= (SELECT MAX(ts) FROM events)
+""",
+    # Two conventions mirrored exactly from session_window's semantics:
+    # (a) the >= break condition — an event extends a session iff its
+    # distance to the last event is < gap (the custom stateful twin breaks
+    # on >, differing only on exact-30:00 ties); (b) append mode emits only
+    # sessions CLOSED by the end-of-feed watermark (0s delay → max event
+    # time), i.e. s_end + gap <= max(ts) — per-user open sessions are a
+    # suffix, so the closed prefix's numbering is unaffected. Still-open
+    # sessions are genuinely not final in a live stream; emitting them is
+    # the update-mode twin's job (streaming_sessionization).
+    doc="JVM-native session windows (F.session_window): the built-in "
+    "stateful operator for gap sessionization with aggregative per-session "
+    "results — no Python state, no per-group Arrow round trips (the "
+    "applyInPandasWithState twin's ~1.8s machinery floor); append mode "
+    "emits each session exactly once when the watermark closes it; oracle "
+    "equals the batch lag+cumsum sessionization restricted to "
+    "watermark-closed sessions",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ST.read_events_stream(spark, sf_dir)
+    snapshots = ST.session_window_stream(events, gap="30 minutes", watermark="0 seconds")
+    landed = ST.run_stream_to_table(snapshots, spark, output_mode="append")
+    return ST.reconcile_session_windows(landed)
+
+
+@register(
     "streaming_sessionization",
     """
 WITH gaps AS (

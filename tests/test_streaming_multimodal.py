@@ -50,6 +50,77 @@ def test_streaming_sessionization_equals_batch(spark):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_streaming_session_window_equals_closed_batch_sessions(spark):
+    """The JVM-native session_window twin must equal the batch lag+cumsum
+    sessionization under session_window's own conventions: >= gap breaks,
+    and only sessions the end-of-feed watermark closed are emitted."""
+    from pyspark.sql import Window
+
+    from aci_export_spark.harness_streaming import streaming_session_window
+    from aci_export_spark.sources import read_table as rt
+
+    got = streaming_session_window(spark, SF_SMOKE)
+    ev = rt(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    flag = F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("__f", flag).withColumn("session_no", F.sum("__f").over(wc))
+    agg = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("__smin"),
+        F.max("ts").alias("__smax"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    want = (
+        agg.filter(F.col("__smax") + F.expr("INTERVAL 30 MINUTES") <= F.lit(mx))
+        .select(
+            "user_id",
+            F.col("session_no").cast("long").alias("session_no"),
+            F.date_format("__smin", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("__smax", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "session_no", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # sanity: nearly every session closes on the smoke fixture
+    assert got.count() >= ev.select("user_id").distinct().count()
+
+
+def test_reconcile_session_windows_dedupes_replayed_snapshots(spark):
+    """A sink accumulating multiple runs carries superseded snapshots:
+    grown/merged spans must shadow contained ones, same-span re-emissions
+    keep the max count, and numbering follows start order."""
+    from aci_export_spark.streaming.core import reconcile_session_windows
+
+    snaps = spark.createDataFrame(
+        [
+            # user 1: early partial (contained), its grown form, same-span re-emit
+            (1, "2026-01-01 10:00:00", "2026-01-01 10:05:00", 2),
+            (1, "2026-01-01 10:00:00", "2026-01-01 10:20:00", 3),
+            (1, "2026-01-01 10:00:00", "2026-01-01 10:20:00", 5),
+            # user 1: a later disjoint session
+            (1, "2026-01-01 12:00:00", "2026-01-01 12:01:00", 1),
+            # user 2: single session
+            (2, "2026-01-01 09:00:00", "2026-01-01 09:30:00", 4),
+        ],
+        schema="user_id long, session_start string, session_end string, n_events long",
+    )
+    rows = sorted(
+        (r["user_id"], r["session_no"], r["session_start"], r["n_events"])
+        for r in reconcile_session_windows(snaps, dedupe_replays=True).collect()
+    )
+    assert rows == [
+        (1, 1, "2026-01-01 10:00:00", 5),
+        (1, 2, "2026-01-01 12:00:00", 1),
+        (2, 1, "2026-01-01 09:00:00", 4),
+    ]
+
+
 def test_frame_checksums_match_byte_slices(spark):
     docs = read_table(spark, SF_SMOKE, "documents").limit(50)
     media = MM.attach_media(docs)
