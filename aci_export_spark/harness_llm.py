@@ -1653,6 +1653,52 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_pack_efficiency",
+    f"""
+WITH t AS (
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS n_tokens,
+           md5('pack:v1:' || CAST(doc_id AS VARCHAR)) AS ord_key,
+           ('0x' || substr(md5('pack:v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS shard
+    FROM documents
+), c AS (
+    SELECT doc_id, shard, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+    FROM t
+), asg AS (
+    SELECT doc_id, shard, n_tokens,
+           (start_off // 256)::BIGINT AS first_pack,
+           ((start_off + n_tokens - 1) // 256)::BIGINT AS last_pack
+    FROM c
+), agg AS (
+    SELECT shard, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           (MAX(last_pack) + 1)::BIGINT AS n_packs,
+           SUM(CASE WHEN last_pack > first_pack THEN 1 ELSE 0 END)::BIGINT AS n_crossing
+    FROM asg GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens, n_packs,
+       (n_packs * 256 - total_tokens)::BIGINT AS tail_pad,
+       n_crossing
+FROM agg
+""",
+    doc="packing-efficiency report per shard: packs produced, tail padding "
+    "(concat-and-chunk's only waste — interior packs are full by "
+    "construction), and boundary-crossing doc count (the attention-mask "
+    "cost that trades against padding) — exact integers over the "
+    "assignment table, one aggregation, no corpus rescan",
+)
+def llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm import pack as P
+
+    docs = read_table(spark, sf_dir, "documents")
+    asg = P.pack_assignments(docs, "doc_id", "text", window=256, shards=32)
+    return P.pack_efficiency(asg, window=256)
+
+
+@register(
     "llm_epoch_mix",
     """
 WITH w AS (

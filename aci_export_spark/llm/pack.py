@@ -98,3 +98,41 @@ def weighted_epoch_mix(
         .withColumn("epoch_copy", F.explode(copies))
         .drop(weight_col)
     )
+
+
+def pack_efficiency(assignments: DataFrame, window: int = 256) -> DataFrame:
+    """Packing-efficiency report over :func:`pack_assignments` output — the
+    numbers a batch-assembly pipeline monitors per shard:
+
+    - ``n_packs``: fixed-length sequences produced (max last_pack + 1);
+    - ``tail_pad``: padding tokens in the shard's final partial pack — the
+      ONLY waste concat-and-chunk incurs (every interior pack is full by
+      construction);
+    - ``n_crossing``: documents straddling a pack boundary — the
+      attention-mask / document-boundary cost of the concat semantic (the
+      dial against padding waste: respecting boundaries pads more, chunking
+      crosses more).
+
+    All exact integers over the assignment table (shard-count × stats —
+    tiny); one aggregation, no rescan of the corpus."""
+    return (
+        assignments.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.max("last_pack") + 1).cast("long").alias("n_packs"),
+            F.sum((F.col("last_pack") > F.col("first_pack")).cast("int"))
+            .cast("long")
+            .alias("n_crossing"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "n_packs",
+            (F.col("n_packs") * window - F.col("total_tokens"))
+            .cast("long")
+            .alias("tail_pad"),
+            "n_crossing",
+        )
+    )
