@@ -51,9 +51,16 @@ def shared_df(
     """
     if os.environ.get("SPARK_GRAFT_PLAN_CAPTURE"):
         return build()
-    full = (spark.sparkContext.applicationId, *key)
+    app_id = spark.sparkContext.applicationId
+    full = (app_id, *key)
     df = _CACHE.get(full)
     if df is None:
+        # evict entries from stopped sessions before inserting: keys are
+        # app-scoped so stale entries are never *returned*, but without this
+        # sweep their DataFrame handles would accumulate forever in a
+        # long-lived process that restarts SparkSessions
+        for stale in [k for k in _CACHE if k[0] != app_id]:
+            del _CACHE[stale]
         df = build()
         if materialize:
             df = df.localCheckpoint(eager=True)

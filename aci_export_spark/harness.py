@@ -322,86 +322,65 @@ def _ensure_all_registered() -> None:
 #: same scale. Names absent from this list keep their registration order
 #: after it; the flagship stays first (it is also the driver's entry()
 #: smoke check).
-#: ROUND-5 ROTATION: CORRECTNESS_r04 landed green rows (50/50, 0 err) for the
-#: round-4 window, so every SURVEY §2 reference-surface query now has a driver
-#:row. This window is the first 49 of the 77 queries that have NEVER received
-#: a driver CORRECTNESS row (all beyond-reference analytics, in registration
-#: order), behind the flagship (which doubles as the driver's entry() smoke
-#: check). Every name below already hash-matches the identical local replica
-#: of the driver gate, `tests/test_oracle_queries.py`, at the same scale —
-#: this rotation is pure verification bookkeeping, not new code.
-#: ROUND-6 NOTE: once CORRECTNESS_r05 lands green rows for this window,
-#: rotate the final 28 never-checked names into the window
-#: (events_linear_attribution, events_type_trigrams_topk,
-#: events_ctr_wilson, events_value_histogram,
-#: events_value_trend_slope, events_chi2_cells, events_cohort_ltv,
-#: llm_quality_percentile, docs_inverted_index, j_bloom_prefilter_join,
-#: sync_snapshot_diff, events_cumulative_unique_users,
-#: events_value_variance_by_type, events_user_type_diversity,
-#: orders_interarrival_stats, events_bitemporal_state,
-#: events_sketch_intersection, streaming_trending_topk,
-#: docs_source_similarity, events_changepoint_cusum, llm_weighted_sample,
-#: dq_join_key_skew, events_position_attribution, dq_value_drift_cells,
-#: er_fuzzy_entities, events_ohlc_hourly, orders_abc_classification,
-#: events_stickiness_ratio, plus the three added in round 5:
-#: llm_hard_negatives, llm_substring_anchor_dup,
-#: llm_dedup_lsh_recall_audit, plus the six added in round-5 session 3:
-#: llm_sim_ivf_pq_topk, llm_sim_mmr_rerank, llm_bpe_train,
-#: docs_hybrid_rrf_topk, llm_vector_index_upsert,
-#: llm_dedup_method_agreement) — that completes driver coverage for the
-#: whole registry (37 names, within the 49-slot budget).
+#: ROUND-6 ROTATION: CORRECTNESS_r05 landed green rows (49/49, 0 err) for the
+#: round-5 window, bringing cumulative driver coverage to 144/183. This window
+#: is the flagship (the driver's entry() smoke check) plus ALL 39 remaining
+#: never-driver-checked queries — computed from the union of
+#: CORRECTNESS_r01..r05 keys against the registry, NOT from the (stale by two
+#: names: llm_pack_efficiency, streaming_session_window) round-5 note. A green
+#: CORRECTNESS_r06 on this window completes 183/183 cumulative driver
+#: coverage: every registered query then has a green driver row. Every name
+#: below already hash-matches the identical local replica of the driver gate,
+#: `tests/test_oracle_queries.py`, at the same scale — pure verification
+#: bookkeeping, not new code.
+#: ROUND-7 NOTE: after CORRECTNESS_r06 is green, the whole registry is
+#: driver-verified; future windows should front-load any NEWLY REGISTERED
+#: queries (compute never-checked as registry minus union of all
+#: CORRECTNESS_r*.json keys — do not trust hand-maintained lists) and
+#: back-fill with long-untouched entries for re-verification.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
-    # never-driver-checked batch 1/2 (49 of 77), registration order
-    "events_scd2_history",
-    "events_sessionization_native",
-    "dq_check_report",
-    "dq_profile_customer",
-    "llm_curation_kept_corpus",
-    "llm_domain_quota",
-    "llm_quality_unigram_lm",
-    "llm_sim_rplsh_topk",
-    "events_funnel_steps",
-    "events_funnel_summary",
-    "llm_bloom_membership",
-    "llm_vocab_stats",
-    "llm_split_leakage",
-    "events_retention_cohorts",
-    "events_value_deciles",
-    "basket_brand_pairs",
-    "llm_compression_ratio",
-    "llm_doc_keywords",
-    "graph_brand_triangles",
-    "events_transition_matrix",
-    "llm_curation_kept_corpus_v2",
-    "events_rolling_active_users",
-    "docs_cube_stats",
-    "events_time_to_convert",
-    "events_countmin_user_counts",
-    "basket_brand_triples",
-    "events_activity_streaks",
-    "orders_value_gini",
-    "orders_benford_digits",
-    "j_salted_join_equivalence",
-    "events_pit_state_enrichment",
-    "events_anomalous_days",
-    "graph_brand_pagerank",
-    "events_zorder_keys",
-    "events_peak_concurrency",
-    "streaming_dq_monitor",
-    "streaming_funnel",
-    "mm_phash_pairs",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q12_late_shipment_modes",
-    "ivm_orders_maintained_agg",
-    "llm_lsh_index_upsert",
-    "rec_item_item_cosine",
-    "orders_pareto_frontier",
-    "events_trending_topk",
-    "docs_bm25_topk",
-    "events_zorder_pruning_stats",
-    "parts_price_band_pairs",
+    # the final 39 never-driver-checked queries (registry minus all prior
+    # CORRECTNESS rows), green under the local oracle gate
+    "llm_dedup_lsh_recall_audit",
+    "llm_sim_ivf_pq_topk",
+    "llm_vector_index_upsert",
+    "llm_dedup_method_agreement",
+    "llm_bpe_train",
+    "llm_sim_mmr_rerank",
+    "llm_pack_efficiency",
+    "llm_hard_negatives",
+    "llm_substring_anchor_dup",
+    "streaming_session_window",
+    "docs_hybrid_rrf_topk",
+    "events_linear_attribution",
+    "events_type_trigrams_topk",
+    "events_ctr_wilson",
+    "events_value_histogram",
+    "events_value_trend_slope",
+    "events_chi2_cells",
+    "events_cohort_ltv",
+    "llm_quality_percentile",
+    "docs_inverted_index",
+    "j_bloom_prefilter_join",
+    "sync_snapshot_diff",
+    "events_cumulative_unique_users",
+    "events_value_variance_by_type",
+    "events_user_type_diversity",
+    "orders_interarrival_stats",
+    "events_bitemporal_state",
+    "events_sketch_intersection",
+    "streaming_trending_topk",
+    "docs_source_similarity",
+    "events_changepoint_cusum",
+    "llm_weighted_sample",
+    "dq_join_key_skew",
+    "events_position_attribution",
+    "dq_value_drift_cells",
+    "er_fuzzy_entities",
+    "events_ohlc_hourly",
+    "orders_abc_classification",
+    "events_stickiness_ratio",
 ]
 
 

@@ -384,7 +384,14 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aci_export_spark.llm.retrieval import bm25_topk
 
     docs = read_table(spark, sf_dir, "documents")
-    return bm25_topk(docs, "doc_id", "text", n_terms=3, top_k=20)
+    return bm25_topk(
+        docs,
+        "doc_id",
+        "text",
+        n_terms=3,
+        top_k=20,
+        artifact_key=("bm25_tf", sf_dir),
+    )
 
 
 _HYBRID_RRF_ORACLE = f"""
@@ -484,7 +491,15 @@ def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
-    sparse = mlt_bm25_topk(docs, "doc_id", "text", n_queries=10, n_terms=3, pool=20)
+    sparse = mlt_bm25_topk(
+        docs,
+        "doc_id",
+        "text",
+        n_queries=10,
+        n_terms=3,
+        pool=20,
+        artifact_key=("bm25_tf", sf_dir),
+    )
     dense = brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=20
     ).withColumnRenamed("neighbor_id", "doc_id")

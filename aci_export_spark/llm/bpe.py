@@ -70,17 +70,27 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _q(s: str) -> str:
+    """Spark SQL single-quoted string literal for an arbitrary symbol.
+
+    Backslash MUST be escaped before the quote doubling: with the default
+    ``spark.sql.parser.escapedStringLiterals=false`` Spark treats ``\\`` in a
+    literal as an escape introducer (an unknown escape like ``\\b`` silently
+    drops the backslash), so an unescaped symbol containing ``\\`` would
+    produce a literal that never equals the actual array value and the fold
+    would silently skip the merge while the pure-Python reference applies it.
+    """
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def _merge_fold_sql(left: str, right: str) -> str:
     """Left-to-right non-overlapping substitution of the (left, right)
     symbol pair with their concatenation, as one sequential fold."""
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    merged = q(left + right)
+    merged = _q(left + right)
     return (
         "aggregate(symbols, cast(array() as array<string>), (acc, x) -> "
-        f"if(size(acc) > 0 AND element_at(acc, -1) = {q(left)} AND x = {q(right)}, "
+        f"if(size(acc) > 0 AND element_at(acc, -1) = {_q(left)} AND x = {_q(right)}, "
         f"concat(slice(acc, 1, size(acc) - 1), array({merged})), "
         "concat(acc, array(x))))"
     )
@@ -128,14 +138,10 @@ def bpe_encode_expr(merges: list[tuple[str, str]], symbols_col: str = "symbols")
     corpus with a trained tokenizer."""
     sql = symbols_col
     for left, right in merges:
-
-        def q(s: str) -> str:
-            return "'" + s.replace("'", "''") + "'"
-
-        merged = q(left + right)
+        merged = _q(left + right)
         sql = (
             f"aggregate({sql}, cast(array() as array<string>), (acc, x) -> "
-            f"if(size(acc) > 0 AND element_at(acc, -1) = {q(left)} AND x = {q(right)}, "
+            f"if(size(acc) > 0 AND element_at(acc, -1) = {_q(left)} AND x = {_q(right)}, "
             f"concat(slice(acc, 1, size(acc) - 1), array({merged})), "
             "concat(acc, array(x))))"
         )

@@ -12,6 +12,8 @@ and oracle-checkable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -25,6 +27,17 @@ def word_tokens(text: Column) -> Column:
     return F.split(normalize_text(text), r"\s+")
 
 
+_BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf string ('134217728b', '128m', '1g') → bytes."""
+    s = str(v).strip().lower()
+    digits = s.rstrip("kmgb")
+    return int(digits) * _BYTE_SUFFIX[s[len(digits):]]
+
+
 def spread_for_explode(df: DataFrame) -> DataFrame:
     """Round-robin repartition a narrow input up to the cluster's default
     parallelism BEFORE a generator amplifies it ~100-1000×.
@@ -34,19 +47,39 @@ def spread_for_explode(df: DataFrame) -> DataFrame:
     partial aggregation above it through that many cores, regardless of
     cluster size — the shuffle that matters is the one that *doesn't happen*
     after the explosion. Moving the pre-explosion rows is negligible next to
-    the generator output. Guarded: a scan that already carries ≥ parallelism
-    input files (any real cluster scan) is left alone — it never reduces
-    partitioning. The guard reads `inputFiles()` (a pure catalog lookup)
-    rather than `df.rdd.getNumPartitions()`: touching `.rdd` forces an
-    extra analysis + RDD conversion pass on the query path in PySpark 4.
-    Non-file sources (in-memory test frames) report no files and take the
-    repartition, which is the narrow-input case the helper exists for.
+    the generator output. Guarded: a scan that is already wide — either ≥
+    parallelism input files, or few files whose total bytes split into ≥
+    parallelism partitions under `spark.sql.files.maxPartitionBytes` (a few
+    large splittable parquet files is the common warehouse layout) — is left
+    alone: it never reduces partitioning. The guard reads `inputFiles()` +
+    filesystem sizes (pure catalog/metadata lookups) rather than
+    `df.rdd.getNumPartitions()`: touching `.rdd` forces an extra analysis +
+    RDD conversion pass on the query path in PySpark 4. Non-file sources
+    (in-memory test frames) report no files and take the repartition, which
+    is the narrow-input case the helper exists for.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
+        files = df.inputFiles()
+        if len(files) >= target:
             return df
+        if files:
+            max_split = _parse_bytes(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "128m"
+                )
+            )
+            total = 0
+            for f in files:
+                path = f
+                if path.startswith("file:"):
+                    path = path[5:]
+                    while path.startswith("//"):
+                        path = path[1:]
+                total += os.path.getsize(path)
+            if total // max_split >= target:
+                return df
     except Exception:
         pass
     return df.repartition(target)

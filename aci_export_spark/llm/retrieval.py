@@ -25,6 +25,8 @@ TakeOrderedAndProject.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,12 +38,37 @@ _K1P1 = K1 + 1.0  # 2.2 — same double as the SQL literal
 _ONE_MINUS_B = 1.0 - B  # 0.25, exact
 
 
+def _materialize_tf(tf: DataFrame, artifact_key: tuple | None) -> DataFrame:
+    """Materialize the (doc, token, tf) aggregate that four downstream
+    subtrees (dl, df, stats, hits) all consume.
+
+    ``persist()`` is deliberately avoided: CacheManager entries are pinned
+    until an explicit unpersist, so a library function that persists and
+    returns a lazy result leaks one cached corpus-sized table per call in
+    any long-lived process (bench sweeps across sf_dirs accumulate them —
+    the round-5 ADVICE finding). With an `artifact_key` the table goes
+    through the shared_df artifact cache (deduplicated per application +
+    corpus snapshot, the warehouse-table discipline); without one it is
+    ``localCheckpoint``-ed, whose blocks the ContextCleaner frees when the
+    RDD handle is garbage-collected. Under SPARK_GRAFT_PLAN_CAPTURE the
+    lazy plan is returned so captured plans show the real computation.
+    """
+    if os.environ.get("SPARK_GRAFT_PLAN_CAPTURE"):
+        return tf
+    if artifact_key is not None:
+        from aci_export_spark.artifacts import shared_df
+
+        return shared_df(tf.sparkSession, artifact_key, lambda: tf)
+    return tf.localCheckpoint(eager=True)
+
+
 def bm25_topk(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_terms: int = 3,
     top_k: int = 20,
+    artifact_key: tuple | None = None,
 ) -> DataFrame:
     """Top-`top_k` documents by BM25 against the corpus's own `n_terms`
     most frequent tokens (a deterministic, data-derived query — no
@@ -52,7 +79,7 @@ def bm25_topk(
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = tf.persist()
+    tf = _materialize_tf(tf, artifact_key)
 
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = tf.groupBy("token").agg(
@@ -117,6 +144,7 @@ def mlt_bm25_topk(
     n_queries: int = 10,
     n_terms: int = 3,
     pool: int = 20,
+    artifact_key: tuple | None = None,
 ) -> DataFrame:
     """More-like-this BM25: each of the first `n_queries` documents queries
     the corpus with its OWN `n_terms` most frequent tokens (tf desc, token
@@ -135,8 +163,8 @@ def mlt_bm25_topk(
         )
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
+    tf = _materialize_tf(tf, artifact_key)
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(

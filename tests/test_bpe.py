@@ -25,6 +25,38 @@ def test_merge_fold_quotes_are_escaped(spark):
     assert out == ["don", "'t"]
 
 
+def test_merge_fold_backslashes_are_escaped(spark):
+    # Spark parses backslash escapes inside string literals (unknown escapes
+    # like \b silently drop the backslash), so an unescaped symbol literal
+    # would never match the actual array value and the fold would skip the
+    # merge (the round-5 ADVICE finding).
+    df = spark.createDataFrame(
+        [(["a\\b", "c", "a\\b", "c"],)], schema="symbols array<string>"
+    )
+    out = df.select(F.expr(B._merge_fold_sql("a\\b", "c")).alias("s")).collect()[0][
+        "s"
+    ]
+    assert out == ["a\\bc", "a\\bc"]
+
+
+def test_bpe_train_matches_reference_on_backslash_corpus(spark):
+    text = "x\\y x\\y x\\y zz"
+    docs = spark.createDataFrame([(text,)], schema="text string")
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in B.bpe_train(docs, n_merges=4).collect()
+    ]
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "docs.parquet")
+        spark.createDataFrame([(text,)], schema="text string").write.parquet(p)
+        want = B.bpe_reference_python(p, n_merges=4)
+    assert got == want
+    # the learned merges must actually involve the backslash-bearing symbols
+    assert any("\\" in left or "\\" in right for _, left, right, _ in got)
+
+
 def test_bpe_train_known_tiny_corpus(spark):
     # hand-checkable: "low low lower" → most frequent pair is (l, o) ×3
     docs = spark.createDataFrame([("low low lower",)], schema="text string")
