@@ -381,6 +381,9 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_ohlc_hourly",
     "orders_abc_classification",
     "events_stickiness_ratio",
+    # round-6 additions (registered after the rotation was computed)
+    "streaming_funnel_native",
+    "mm_av_metadata",
 ]
 
 

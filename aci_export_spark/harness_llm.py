@@ -98,6 +98,28 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prefix_pairs(spark, sf_dir)
 
 
+def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared artifact: the documents corpus with `text` pre-normalized
+    (lowercase, collapsed whitespace) and spread to default parallelism.
+
+    All three near-dup pair builders start with scan → normalize →
+    repartition; sharing that prefix means the corpus is read and
+    regex-normalized ONCE per snapshot instead of once per method.
+    `normalize_text` is idempotent, so downstream operators that normalize
+    internally produce byte-identical output from this pre-normalized view.
+    """
+
+    def build() -> DataFrame:
+        from aci_export_spark.functions.text import normalize_text
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", normalize_text(F.col("text")).alias("text")
+        )
+        return docs.repartition(spark.sparkContext.defaultParallelism)
+
+    return shared_df(spark, ("norm_docs", sf_dir), build, materialize=True)
+
+
 def _prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared artifact: the exact-Jaccard ≥ 0.9 near-dup pair table over
     `documents` (AllPairs prefix plan). Emitted directly by
@@ -106,7 +128,7 @@ def _prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pass would persist it."""
 
     def build() -> DataFrame:
-        docs = read_table(spark, sf_dir, "documents").withColumn(
+        docs = _norm_docs(spark, sf_dir).withColumn(
             "toks", D.word_tokens(F.col("text"))
         )
         return D.jaccard_pairs_prefix(docs, "doc_id", "toks", "lang", threshold=0.9)
@@ -1023,15 +1045,20 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot, shared by the MinHash query and the method-agreement audit."""
 
     def build() -> DataFrame:
-        docs = read_table(spark, sf_dir, "documents")
+        docs = _norm_docs(spark, sf_dir)
         return D.minhash_lsh_dedup_pairs(
             docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=4,
             shingle_size=5,
         )
 
-    # the pipeline localCheckpoints its verified output already
+    # materialize=True: the pipeline checkpoints its INTERMEDIATE tables
+    # (signatures, candidates, shingle sets) but returns the final verify
+    # join lazily — without checkpointing the pair table itself every
+    # consumer (the pair query, the agreement audit's totals AND both
+    # self-join sides) re-runs the verify joins (measured 1.5-3 s each at
+    # sf0.1)
     return shared_df(
-        spark, ("minhash_lsh_pairs", sf_dir, 0.5), build, materialize=False
+        spark, ("minhash_lsh_pairs", sf_dir, 0.5), build, materialize=True
     )
 
 
@@ -1040,13 +1067,16 @@ def _simhash_pairs60(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks (id_a, id_b, hamming)."""
 
     def build() -> DataFrame:
-        docs = read_table(spark, sf_dir, "documents")
+        docs = _norm_docs(spark, sf_dir)
         return D.simhash_near_dup_pairs_blocked(
             docs, "doc_id", "text", max_hamming=3, bits=60
         )
 
+    # materialize=True: the blocked pipeline checkpoints only the one-row-
+    # per-doc hash table; the bucket self-join + verify would otherwise
+    # re-run per consumer (see _minhash_pairs)
     return shared_df(
-        spark, ("simhash_pairs", sf_dir, 60, 3), build, materialize=False
+        spark, ("simhash_pairs", sf_dir, 60, 3), build, materialize=True
     )
 
 
@@ -1122,6 +1152,15 @@ LEFT JOIN commons c
     "only, never a fourth candidate-generation pass",
 )
 def llm_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan shape: union the three (checkpointed) pair artifacts, ONE pair-
+    # keyed groupBy folds each pair's method memberships into three 0/1
+    # flags, ONE global aggregate (map-side partial → 1 row) produces all
+    # totals and pairwise intersections, and the 3-row matrix is exploded
+    # from that row. The method universe is a 3-element constant, so pivoting
+    # it into fixed flag columns replaces the previous tagged⋈tagged
+    # self-join + three broadcast-subtree jobs with two aggregations — the
+    # audit adds two pair-sized shuffles over the shared artifacts, nothing
+    # corpus-sized.
     ngram = _prefix_pairs(spark, sf_dir).select("id_a", "id_b")
     simhash = _simhash_pairs60(spark, sf_dir).select("id_a", "id_b")
     minhash = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -1130,37 +1169,39 @@ def llm_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(simhash.withColumn("method", F.lit("simhash")))
         .unionByName(minhash.withColumn("method", F.lit("minhash")))
     )
-    totals = tagged.groupBy("method").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = tagged.select("id_a", "id_b", F.col("method").alias("method_a"))
-    b = tagged.select("id_a", "id_b", F.col("method").alias("method_b"))
-    commons = (
-        a.join(b, on=["id_a", "id_b"])
-        .filter(F.col("method_a") < F.col("method_b"))
-        .groupBy("method_a", "method_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    flags = tagged.groupBy("id_a", "id_b").agg(
+        *[
+            F.max((F.col("method") == m).cast("long")).alias(f"f_{m}")
+            for m in ("ngram", "simhash", "minhash")
+        ]
     )
-    mp = tagged.sparkSession.createDataFrame(
-        [("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")],
-        schema="method_a string, method_b string",
+    stats = flags.agg(
+        F.sum("f_ngram").alias("t_ngram"),
+        F.sum("f_simhash").alias("t_simhash"),
+        F.sum("f_minhash").alias("t_minhash"),
+        F.sum(F.col("f_minhash") * F.col("f_ngram")).alias("c_mn"),
+        F.sum(F.col("f_minhash") * F.col("f_simhash")).alias("c_ms"),
+        F.sum(F.col("f_ngram") * F.col("f_simhash")).alias("c_ns"),
     )
-    return (
-        mp.join(
-            F.broadcast(totals.withColumnsRenamed({"method": "method_a", "n": "n_a"})),
-            on="method_a", how="left",
+
+    def cell(method_a: str, method_b: str, ta: str, tb: str, c: str):
+        return F.struct(
+            F.lit(method_a).alias("method_a"),
+            F.lit(method_b).alias("method_b"),
+            F.coalesce(F.col(ta), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col(tb), F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias("n_common"),
         )
-        .join(
-            F.broadcast(totals.withColumnsRenamed({"method": "method_b", "n": "n_b"})),
-            on="method_b", how="left",
-        )
-        .join(F.broadcast(commons), on=["method_a", "method_b"], how="left")
-        .select(
-            "method_a",
-            "method_b",
-            F.coalesce("n_a", F.lit(0)).alias("n_a"),
-            F.coalesce("n_b", F.lit(0)).alias("n_b"),
-            F.coalesce("n_common", F.lit(0)).alias("n_common"),
-        )
-    )
+
+    return stats.select(
+        F.explode(
+            F.array(
+                cell("minhash", "ngram", "t_minhash", "t_ngram", "c_mn"),
+                cell("minhash", "simhash", "t_minhash", "t_simhash", "c_ms"),
+                cell("ngram", "simhash", "t_ngram", "t_simhash", "c_ns"),
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 def _bpe_golden_oracle() -> str:

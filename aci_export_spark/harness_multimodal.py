@@ -120,3 +120,34 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 6
 def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_media(read_table(spark, sf_dir, "documents"))
     return MM.phash_pairs(media, max_hamming=6)
+
+
+@register(
+    "mm_av_metadata",
+    f"""
+SELECT doc_id,
+       {_MEDIA_TYPE} AS media_type,
+       {_BYTE_LEN} AS byte_len,
+       CASE WHEN {_MEDIA_TYPE} IN ('audio', 'video')
+            THEN 1000 + ({_BYTE_LEN} * 13) % 59000 END AS duration_ms,
+       CASE WHEN {_MEDIA_TYPE} = 'audio'
+            THEN 8000 + ({_BYTE_LEN} % 37) * 1000 END AS sample_rate,
+       CASE WHEN {_MEDIA_TYPE} = 'audio'
+            THEN 1 + {_BYTE_LEN} % 2 END AS channels,
+       CASE WHEN {_MEDIA_TYPE} IN ('image', 'video')
+            THEN 64 + {_BYTE_LEN} % 449 END AS width,
+       CASE WHEN {_MEDIA_TYPE} IN ('image', 'video')
+            THEN 64 + ({_BYTE_LEN} * 7) % 257 END AS height
+FROM documents
+""",
+    doc="modality-typed A/V container metadata (duration / sample rate / "
+    "channels / display dims, NULL where the modality lacks the field) via "
+    "the same Arrow-batched shuffle-free mapInPandas stage; real=True "
+    "parses genuine WAV fmt/data chunks and MP4 moov/mvhd+tkhd boxes with "
+    "pure struct reads (container metadata lives in headers, no codec "
+    "needed — pytest-verified on synthesized containers); the oracle "
+    "replays the deterministic fake",
+)
+def mm_av_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_media(read_table(spark, sf_dir, "documents"))
+    return MM.decode_av_metadata(media)

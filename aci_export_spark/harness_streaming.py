@@ -266,3 +266,49 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshots, spark, output_mode="update", shuffle_partitions=16
     )
     return ST.reconcile_funnel_snapshots(landed)
+
+
+@register(
+    "streaming_funnel_native",
+    """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1)
+SELECT s1.user_id,
+       strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t_signup,
+       strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t_view,
+       strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t_click,
+       strftime(s4.t4, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+       CAST(CASE WHEN s4.t4 IS NOT NULL THEN 4
+            WHEN s3.t3 IS NOT NULL THEN 3
+            WHEN s2.t2 IS NOT NULL THEN 2
+            ELSE 1 END AS INTEGER) AS stage_reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        LEFT JOIN s4 USING (user_id)
+""",
+    doc="JVM-native streaming funnel: foreachBatch incremental chain merge "
+    "— filled chain slots re-enter the next micro-batch as synthetic "
+    "events, so each batch runs the ordinary batch min-with-predicate "
+    "funnel over (state ∪ batch), all JVM joins/aggregates, no per-group "
+    "Arrow round trips (the applyInPandasWithState twin's ~1.8s floor); "
+    "oracle equals the batch funnel, identical to the Python-stateful "
+    "twin's",
+)
+def streaming_funnel_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = ST.read_events_stream(spark, sf_dir)
+    final = ST.funnel_foreach_batch(events, spark)
+    return final.select(
+        "user_id",
+        *[
+            F.date_format(f"t_{s}", "yyyy-MM-dd HH:mm:ss").alias(f"t_{s}")
+            for s in ST.core.FUNNEL_STEPS
+        ],
+        "stage_reached",
+    )

@@ -132,6 +132,108 @@ def parse_image_dims(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_wav_meta(data: bytes) -> tuple[int, int, int] | None:
+    """(duration_ms, sample_rate, channels) parsed from a RIFF/WAVE
+    container — pure struct reads over the ``fmt `` and ``data`` chunk
+    headers, no codec library. The PCM payload itself is never decoded.
+    Returns ``None`` for non-WAV or truncated input.
+    """
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    sample_rate = channels = byte_rate = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (csize,) = struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= len(data):
+            _fmt, channels, sample_rate, byte_rate = struct.unpack(
+                "<HHII", data[i + 8 : i + 20]
+            )
+        elif cid == b"data":
+            data_size = csize
+        # chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + csize + (csize & 1)
+    if sample_rate is None or byte_rate in (None, 0) or data_size is None:
+        return None
+    return int(data_size * 1000 // byte_rate), int(sample_rate), int(channels)
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the MP4 boxes in
+    ``data[start:end]`` — handles 32-bit and 64-bit (size == 1) box sizes."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        btype = data[i + 4 : i + 8]
+        header = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+            header = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < header or i + size > end:
+            return
+        yield btype, i + header, i + size
+        i += size
+
+
+def parse_mp4_meta(data: bytes) -> tuple[int, int | None, int | None] | None:
+    """(duration_ms, width, height) from an ISO-BMFF (MP4) container —
+    walks the box tree to ``moov/mvhd`` (timescale + duration) and the
+    first video ``trak/tkhd`` carrying nonzero 16.16-fixed dimensions.
+    Pure struct reads; samples are never touched. Returns ``None`` for
+    non-MP4 or truncated input.
+    """
+    import struct
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    duration_ms = None
+    width = height = None
+    for btype, ps, pe in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(data, ps, pe):
+            if ctype == b"mvhd" and ce - cs >= 4:
+                version = data[cs]
+                if version == 1 and ce - cs >= 28 + 4:
+                    (timescale,) = struct.unpack(">I", data[cs + 20 : cs + 24])
+                    (duration,) = struct.unpack(">Q", data[cs + 24 : cs + 32])
+                elif ce - cs >= 20 + 4:
+                    (timescale,) = struct.unpack(">I", data[cs + 12 : cs + 16])
+                    (duration,) = struct.unpack(">I", data[cs + 16 : cs + 20])
+                else:
+                    continue
+                if timescale:
+                    duration_ms = int(duration * 1000 // timescale)
+            elif ctype == b"trak" and width is None:
+                for ttype, ts, te in _mp4_boxes(data, cs, ce):
+                    if ttype != b"tkhd" or te - ts < 4:
+                        continue
+                    version = data[ts]
+                    # tkhd layout: version/flags(4) + times(8 or 16) +
+                    # track_id(4) + reserved(4) + duration(4 or 8) +
+                    # reserved(8) + layer/alt/volume/reserved(8) +
+                    # matrix(36), then width/height as 16.16 fixed
+                    off = ts + 4 + (16 if version == 1 else 8) + 8
+                    off += 8 if version == 1 else 4
+                    off += 8 + 8 + 36
+                    if off + 8 <= te:
+                        w, h = struct.unpack(">II", data[off : off + 8])
+                        if w and h:
+                            width, height = w >> 16, h >> 16
+    if duration_ms is None:
+        return None
+    return duration_ms, width, height
+
+
 def _decode_real(content: bytes, media_type: str) -> tuple[int, int]:
     """The real decode hook. Image METADATA needs only the container header
     — parsed here with no codec dependency. Audio/video decode (and any
@@ -145,9 +247,12 @@ def _decode_real(content: bytes, media_type: str) -> tuple[int, int]:
             )
         return dims
     raise NotImplementedError(
-        "real audio/video decode requires codec libraries not present in "
-        "this environment (torchaudio/pyav); run with real=False for the "
-        "deterministic fake"
+        "decode_metadata's (width, height) contract is image-shaped; for "
+        "audio/video container metadata (duration, sample rate, channels, "
+        "display dims) use decode_av_metadata(real=True), which parses WAV "
+        "and MP4 headers directly. Pixel/sample-touching decode still "
+        "requires codec libraries this environment does not ship "
+        "(torchaudio/pyav); run with real=False for the deterministic fake"
     )
 
 
@@ -193,6 +298,81 @@ def decode_metadata(media: DataFrame, real: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=DECODED_SCHEMA)
+
+
+AV_META_SCHEMA = (
+    "doc_id long, media_type string, byte_len long, duration_ms long, "
+    "sample_rate long, channels long, width long, height long"
+)
+
+
+def _fake_av_meta(byte_len: int, media_type: str):
+    """Deterministic fake A/V metadata (mirrored by the DuckDB oracle):
+    modality-appropriate NULL shape, values derived from the byte length."""
+    dur = 1000 + (byte_len * 13) % 59000
+    if media_type == "audio":
+        return dur, 8000 + (byte_len % 37) * 1000, 1 + byte_len % 2, None, None
+    if media_type == "video":
+        w, h = _fake_dims(byte_len)
+        return dur, None, None, w, h
+    w, h = _fake_dims(byte_len)
+    return None, None, None, w, h  # image: no duration
+
+
+def _real_av_meta(content: bytes, media_type: str):
+    data = bytes(content)
+    if media_type == "image":
+        dims = parse_image_dims(data)
+        if dims is None:
+            raise ValueError("unrecognized image container (not PNG/JPEG/GIF)")
+        return None, None, None, dims[0], dims[1]
+    if media_type == "audio":
+        meta = parse_wav_meta(data)
+        if meta is None:
+            raise ValueError("unrecognized audio container (not RIFF/WAVE)")
+        dur, rate, ch = meta
+        return dur, rate, ch, None, None
+    meta = parse_mp4_meta(data)
+    if meta is None:
+        raise ValueError("unrecognized video container (not ISO-BMFF/MP4)")
+    dur, w, h = meta
+    return dur, None, None, w, h
+
+
+def decode_av_metadata(media: DataFrame, real: bool = False) -> DataFrame:
+    """Modality-typed container metadata via mapInPandas: duration /
+    sample rate / channels for audio, duration / display dims for video,
+    dims for images — NULL where the modality has no such field.
+
+    ``real=True`` parses genuine container headers with pure struct reads
+    (PNG/JPEG/GIF via :func:`parse_image_dims`, RIFF/WAVE via
+    :func:`parse_wav_meta`, ISO-BMFF/MP4 via :func:`parse_mp4_meta`) — no
+    codec dependency, because *container metadata lives in headers*, not in
+    the encoded samples. ``real=False`` derives deterministic values from
+    the byte length so the DuckDB oracle can replay the whole stage.
+    Same Arrow-batched, shuffle-free plan shape as :func:`decode_metadata`.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = pdf["content"].map(len)
+            fn = _real_av_meta if real else _fake_av_meta
+            first = pdf["content"] if real else lens
+            metas = [fn(a, t) for a, t in zip(first, pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": lens,
+                    "duration_ms": [m[0] for m in metas],
+                    "sample_rate": [m[1] for m in metas],
+                    "channels": [m[2] for m in metas],
+                    "width": [m[3] for m in metas],
+                    "height": [m[4] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=AV_META_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> DataFrame:

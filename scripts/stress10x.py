@@ -90,6 +90,35 @@ QUERIES = [
     "docs_hybrid_rrf_topk",
     "llm_vector_index_upsert",
     "llm_dedup_method_agreement",
+    # round-6: the full driver-window rotation batch (never-stressed names)
+    "llm_pack_efficiency",
+    "streaming_session_window",
+    "events_type_trigrams_topk",
+    "events_ctr_wilson",
+    "events_value_histogram",
+    "events_value_trend_slope",
+    "events_chi2_cells",
+    "llm_quality_percentile",
+    "docs_inverted_index",
+    "events_cumulative_unique_users",
+    "events_value_variance_by_type",
+    "events_user_type_diversity",
+    "orders_interarrival_stats",
+    "events_bitemporal_state",
+    "events_sketch_intersection",
+    "streaming_trending_topk",
+    "docs_source_similarity",
+    "events_changepoint_cusum",
+    "llm_weighted_sample",
+    "dq_join_key_skew",
+    "events_position_attribution",
+    "dq_value_drift_cells",
+    "er_fuzzy_entities",
+    "events_ohlc_hourly",
+    "orders_abc_classification",
+    "events_stickiness_ratio",
+    "streaming_funnel_native",
+    "mm_av_metadata",
 ]
 
 

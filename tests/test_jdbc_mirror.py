@@ -114,7 +114,18 @@ def test_delta_mirror_sync_gated_or_equivalent(spark, tmp_path):
     if not delta_available():
         with pytest.raises(ImportError):
             delta_mirror_sync(spark, source, path, ["id"])
-        pytest.skip("delta-spark not installed in this environment")
+        pytest.skip(
+            "delta-spark not installed in this environment. To lift the "
+            "gate: `pip install delta-spark` (matching the pyspark 4.x "
+            "line), add "
+            "spark.jars.packages=io.delta:delta-spark_2.13:<version>, "
+            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension "
+            "and spark.sql.catalog.spark_catalog=org.apache.spark.sql."
+            "delta.catalog.DeltaCatalog to the session, then re-run THIS "
+            "test — it bootstraps a Delta table, MERGEs the source in, and "
+            "asserts post-state equality with the DataFrame-algebra "
+            "mirror_sync; no other change is needed."
+        )
     # bootstrap with the pre-state, then merge the source in
     delta_mirror_sync(spark, target, path, ["id"])
     delta_mirror_sync(spark, source, path, ["id"])

@@ -215,6 +215,108 @@ def test_real_decode_metadata_on_genuine_image_bytes(spark):
     }
 
 
+def _wav(sample_rate: int, channels: int, n_samples: int, bits: int = 16) -> bytes:
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _mp4(duration: int, timescale: int, w: int | None = None, h: int | None = None) -> bytes:
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,  # rate/volume/reserved/matrix/predefined/next_track
+    )
+    children = mvhd
+    if w is not None:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)  # times
+            + struct.pack(">I", 1)  # track id
+            + b"\x00" * 4
+            + struct.pack(">I", duration)
+            + b"\x00" * 8  # reserved
+            + b"\x00" * 8  # layer/alternate/volume/reserved
+            + b"\x00" * 36  # matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        children += box(b"trak", tkhd)
+    return ftyp + box(b"moov", children)
+
+
+def test_parse_wav_meta():
+    # 44100 Hz stereo 16-bit, 22050 samples = 500 ms
+    assert MM.parse_wav_meta(_wav(44100, 2, 22050)) == (500, 44100, 2)
+    # 8 kHz mono, 8000 samples = 1 s
+    assert MM.parse_wav_meta(_wav(8000, 1, 8000)) == (1000, 8000, 1)
+    assert MM.parse_wav_meta(b"RIFFxxxxNOPE") is None
+    assert MM.parse_wav_meta(b"\x00" * 40) is None
+    # fmt without data chunk → None
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    no_data = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    assert MM.parse_wav_meta(no_data) is None
+
+
+def test_parse_mp4_meta():
+    # duration 90000 at timescale 600 = 150000 ms, 1280x720 video track
+    assert MM.parse_mp4_meta(_mp4(90000, 600, 1280, 720)) == (150000, 1280, 720)
+    # audio-only MP4 (no tkhd dims)
+    assert MM.parse_mp4_meta(_mp4(44100, 44100)) == (1000, None, None)
+    assert MM.parse_mp4_meta(b"not a video") is None
+    assert MM.parse_mp4_meta(b"\x00" * 64) is None
+
+
+def test_decode_av_metadata_real_on_genuine_containers(spark):
+    payloads = [
+        (1, _png(640, 480), "image"),
+        (2, _wav(16000, 1, 16000), "audio"),
+        (3, _mp4(1200, 600, 320, 240), "video"),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(b), t) for i, b, t in payloads],
+        "doc_id long, content binary, media_type string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["duration_ms"], r["sample_rate"], r["channels"],
+            r["width"], r["height"],
+        )
+        for r in MM.decode_av_metadata(media, real=True).collect()
+    }
+    assert got == {
+        1: (None, None, None, 640, 480),
+        2: (1000, 16000, 1, None, None),
+        3: (2000, None, None, 320, 240),
+    }
+
+
+def test_decode_av_metadata_real_rejects_wrong_container(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"plain text, not audio"), "audio")],
+        "doc_id long, content binary, media_type string",
+    )
+    with pytest.raises(Exception) as exc_info:
+        MM.decode_av_metadata(media, real=True).collect()
+    assert "unrecognized audio container" in str(exc_info.value)
+
+
 def test_stream_into_mirror_foreachbatch(spark, tmp_path):
     """foreachBatch mirror load: streaming the events file into a parquet
     mirror equals the batch table; a second (re)run converges — upsert
@@ -342,6 +444,58 @@ def test_streaming_funnel_multi_batch_snapshots(spark, tmp_path):
     final = reconcile_funnel_snapshots(landed)
     from aci_export_spark.harness_llm import events_funnel_steps
 
+    want = events_funnel_steps(spark, SF_SMOKE)
+    cols = ["user_id", "t_signup", "t_view", "t_click", "t_purchase", "stage_reached"]
+    assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_funnel_foreach_batch_equals_batch(spark):
+    from aci_export_spark.harness_llm import events_funnel_steps
+    from aci_export_spark.harness_streaming import streaming_funnel_native
+
+    got = streaming_funnel_native(spark, SF_SMOKE)
+    want = events_funnel_steps(spark, SF_SMOKE)
+    cols = ["user_id", "t_signup", "t_view", "t_click", "t_purchase", "stage_reached"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_funnel_foreach_batch_multi_batch_merge(spark, tmp_path):
+    """One-file micro-batches over a time-ordered chunked feed: the
+    synthetic-event state merge must reproduce the single-batch (= batch
+    funnel) result across arbitrary batching."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aci_export_spark.harness_llm import events_funnel_steps
+    from aci_export_spark.streaming.core import FUNNEL_STEPS, funnel_foreach_batch
+
+    ev = read_table(spark, SF_SMOKE, "events").orderBy("ts", "event_id")
+    chunked_dir = str(tmp_path / "chunks")
+    os.makedirs(chunked_dir)
+    n = ev.count()
+    per = math.ceil(n / 4)
+    pdf = ev.toPandas()
+    for i in range(4):
+        part = pdf.iloc[i * per : (i + 1) * per]
+        if len(part):
+            spark.createDataFrame(part, schema=ev.schema).coalesce(1).write.parquet(
+                f"{chunked_dir}/c{i}", mode="overwrite"
+            )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunked_dir}/c*")
+    )
+    final = funnel_foreach_batch(stream, spark).select(
+        "user_id",
+        *[
+            F.date_format(f"t_{s}", "yyyy-MM-dd HH:mm:ss").alias(f"t_{s}")
+            for s in FUNNEL_STEPS
+        ],
+        "stage_reached",
+    )
     want = events_funnel_steps(spark, SF_SMOKE)
     cols = ["user_id", "t_signup", "t_view", "t_click", "t_purchase", "stage_reached"]
     assert _rows(final, cols) == _rows(want, cols)
