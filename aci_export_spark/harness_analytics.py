@@ -883,14 +883,14 @@ WITH pts AS (
     FROM pts GROUP BY 1
 )
 SELECT event_type, n,
-       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-            ELSE CAST(n * sxyc - sx * syc AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 END
+       CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN NULL
+            ELSE CAST(n::HUGEINT * sxyc - sx::HUGEINT * syc AS DOUBLE)
+                 / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE) / 100.0 END
            AS slope_per_day,
-       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN NULL
             ELSE (CAST(syc AS DOUBLE) / 100.0
-                  - (CAST(n * sxyc - sx * syc AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+                  - (CAST(n::HUGEINT * sxyc - sx::HUGEINT * syc AS DOUBLE)
+                     / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE) / 100.0)
                     * CAST(sx AS DOUBLE))
                  / CAST(n AS DOUBLE) END AS intercept
 FROM sums
@@ -919,8 +919,15 @@ def events_value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxyc"),
     )
-    num = (F.col("n") * F.col("sxyc") - F.col("sx") * F.col("syc")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # the per-group sums all fit comfortably in BIGINT, but the FINAL
+    # moment products do not: at 10× sf0.1 sx·syc ≈ 9·10^18 crosses the
+    # int64 line (caught by the 10× stress run as an ANSI overflow). The
+    # four products are per-group scalars, so exact DECIMAL(38,0)
+    # arithmetic costs nothing and holds to 10^38; the oracle mirrors with
+    # HUGEINT.
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d("n") * d("sxyc") - d("sx") * d("syc")).cast("double")
+    den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
     # zero x-variance (all points on one day) leaves the slope undefined:
     # explicit NULL mirrored in the oracle — Spark's ANSI divide would
     # otherwise throw where DuckDB's IEEE divide gives NaN/Inf (caught by
@@ -956,13 +963,13 @@ WITH cells AS (
     SELECT dow, SUM(observed)::BIGINT AS col_total FROM cells GROUP BY 1
 ), grand AS (SELECT SUM(observed)::BIGINT AS grand_total FROM cells)
 SELECT c.event_type, c.dow, c.observed,
-       CAST(r.row_total * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE)
+       CAST(r.row_total::HUGEINT * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE)
            AS expected,
        (CAST(c.observed AS DOUBLE)
-        - CAST(r.row_total * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE))
+        - CAST(r.row_total::HUGEINT * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE))
        * (CAST(c.observed AS DOUBLE)
-        - CAST(r.row_total * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE))
-       / (CAST(r.row_total * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE))
+        - CAST(r.row_total::HUGEINT * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE))
+       / (CAST(r.row_total::HUGEINT * t.col_total AS DOUBLE) / CAST(g.grand_total AS DOUBLE))
            AS contribution
 FROM cells c
 JOIN rowt r USING (event_type)
@@ -1003,9 +1010,13 @@ def events_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(colt), on="dow")
         .crossJoin(F.broadcast(grand))
     )
-    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col(
-        "grand_total"
-    ).cast("double")
+    # row·col in DECIMAL(38,0): two marginal totals multiply to ~(N/6)·(N/7),
+    # which crosses int64 around N ≈ 2·10¹¹ events — real corpus territory
+    # at 100 TB (same overflow class the 10× stress caught in trend_slope)
+    expected = (
+        F.col("row_total").cast("decimal(38,0)")
+        * F.col("col_total").cast("decimal(38,0)")
+    ).cast("double") / F.col("grand_total").cast("double")
     diff = F.col("observed").cast("double") - expected
     return joined.select(
         "event_type",
@@ -1378,9 +1389,9 @@ WITH pts AS (
     FROM pts GROUP BY 1
 )
 SELECT event_type, n,
-       CAST(n * syyc - syc * syc AS DOUBLE)
+       CAST(n::HUGEINT * syyc - syc::HUGEINT * syc AS DOUBLE)
            / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS variance,
-       sqrt(CAST(n * syyc - syc * syc AS DOUBLE)
+       sqrt(CAST(n::HUGEINT * syyc - syc::HUGEINT * syc AS DOUBLE)
             / CAST(n * (n - 1) AS DOUBLE) / 10000.0) AS stddev
 FROM sums WHERE n > 1
 """,
@@ -1402,7 +1413,11 @@ def events_value_variance_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("yc").cast("long").alias("syc"),
         F.sum(F.col("yc") * F.col("yc")).cast("long").alias("syyc"),
     ).filter(F.col("n") > 1)
-    num = (F.col("n") * F.col("syyc") - F.col("syc") * F.col("syc")).cast("double")
+    # final moment products in DECIMAL(38,0): n·Σy² has only ~3× int64
+    # headroom at 10× sf0.1 and would overflow at 100× (same class of bug
+    # the 10× stress caught in events_value_trend_slope)
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dd("n") * dd("syyc") - dd("syc") * dd("syc")).cast("double")
     den = (F.col("n") * (F.col("n") - 1)).cast("double")
     variance = num / den / F.lit(10000.0)
     return sums.select(

@@ -137,11 +137,17 @@ def jaccard_pairs(
     `bucket_col` bounds the comparison set (language, LSH band, IVF cell…);
     the self-join is an equi-join on the bucket so Spark shuffles each bucket
     once. Emits (id_a < id_b, jaccard) for pairs ≥ threshold.
+
+    Empty token sets are excluded up front (same contract as the prefix
+    plan): Jaccard of two empty sets is 0/0 — undefined, and a crash under
+    ANSI division — and an empty set can never reach a positive threshold
+    against anything else. (Caught by the prefix≡naive hypothesis
+    differential on a two-empty-doc corpus.)
     """
     sets = df.select(
         F.col(id_col), F.col(bucket_col).alias("__bucket"),
         F.array_distinct(F.col(token_col)).alias("__set"),
-    )
+    ).filter(F.size("__set") > 0)
     a = sets.select(
         F.col("__bucket"),
         F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"),

@@ -500,3 +500,160 @@ class TestBatch3Properties:
             n, s = expect.get(k, (0, 0))
             expect[k] = (n + 1, s + v)
         assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Container-parser round trips (no Spark session needed): synthesize genuine
+# WAV/MP4 byte layouts from random parameters — including junk sibling
+# chunks/boxes, odd-sized (padded) chunks, and 64-bit box sizes — and the
+# struct parsers must recover the exact metadata or reject cleanly.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    sample_rate=st.sampled_from([8000, 11025, 16000, 22050, 44100, 48000]),
+    channels=st.integers(min_value=1, max_value=8),
+    n_samples=st.integers(min_value=0, max_value=500_000),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    junk_len=st.integers(min_value=0, max_value=33),
+    junk_first=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_wav_parse_roundtrip(sample_rate, channels, n_samples, bits, junk_len, junk_first):
+    import struct
+
+    from aci_export_spark.multimodal import parse_wav_meta
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = b"\x7f" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    junk = b"LIST" + struct.pack("<I", junk_len) + b"j" * junk_len
+    if junk_len & 1:
+        junk += b"\x00"  # RIFF chunks are word-aligned
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    chunks = junk + chunks if junk_first else chunks + junk
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    got = parse_wav_meta(wav)
+    assert got == (n_samples * block_align * 1000 // byte_rate, sample_rate, channels)
+
+
+@given(
+    timescale=st.sampled_from([600, 1000, 90000, 44100]),
+    duration=st.integers(min_value=0, max_value=10**10),
+    w=st.one_of(st.none(), st.integers(min_value=1, max_value=8192)),
+    use64=st.booleans(),
+    junk_len=st.integers(min_value=0, max_value=40),
+)
+@settings(**SETTINGS)
+def test_mp4_parse_roundtrip(timescale, duration, w, use64, junk_len):
+    import struct
+
+    from aci_export_spark.multimodal import parse_mp4_meta
+
+    h = None if w is None else max(1, w // 2)
+
+    def box(btype, payload, force64=False):
+        if force64:
+            return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(payload)) + payload
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    if use64:
+        # version-1 mvhd: 64-bit times/duration
+        mvhd = box(
+            b"mvhd",
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", duration)
+            + b"\x00" * 80,
+        )
+    else:
+        duration &= 0xFFFFFFFF
+        mvhd = box(
+            b"mvhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80,
+        )
+    children = box(b"free", b"x" * junk_len) + mvhd
+    if w is not None:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1)
+            + b"\x00" * 4
+            + struct.pack(">I", duration & 0xFFFFFFFF)
+            + b"\x00" * 8
+            + b"\x00" * 8
+            + b"\x00" * 36
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        children += box(b"trak", tkhd)
+    mp4 = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", children, force64=use64)
+    )
+
+    got = parse_mp4_meta(mp4)
+    assert got == (duration * 1000 // timescale, w, h)
+
+
+@given(payload=st.binary(max_size=64))
+@settings(**SETTINGS)
+def test_container_parsers_never_crash_on_junk(payload):
+    from aci_export_spark.multimodal import (
+        parse_image_dims, parse_mp4_meta, parse_wav_meta,
+    )
+
+    # arbitrary bytes: parsers must return None or a well-formed tuple,
+    # never raise
+    for fn in (parse_wav_meta, parse_mp4_meta, parse_image_dims):
+        out = fn(payload)
+        assert out is None or isinstance(out, tuple)
+
+
+# ---------------------------------------------------------------------------
+# AllPairs/PPJoin prefix plan ≡ naive quadratic plan (exact-threshold
+# Jaccard): the prefix filter, PPJoin size/position pruning, and the exact
+# decimal ceil must never drop or invent a pair on ANY corpus/threshold —
+# including pairs sitting exactly on the threshold.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=14), min_size=0, max_size=8),
+        min_size=0,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.5000009, 2 / 3, 0.75, 0.9, 0.999999, 1.0]),
+)
+@settings(**SETTINGS)
+def test_prefix_jaccard_equals_naive(spark, docs, threshold):
+    from aci_export_spark.llm import dedup as D
+
+    rows = [(i, [f"t{t}" for t in toks], "b") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "toks", "lang"])
+        if rows
+        else pd.DataFrame([], columns=["doc_id", "toks", "lang"]),
+        schema="doc_id long, toks array<string>, lang string",
+    )
+    naive = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.jaccard_pairs(df, "doc_id", "toks", "lang", threshold).collect()
+    }
+    prefix = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.jaccard_pairs_prefix(
+            df, "doc_id", "toks", "lang", threshold
+        ).collect()
+    }
+    assert prefix == naive
