@@ -356,19 +356,47 @@ def decode_av_metadata(media: DataFrame, real: bool = False) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lens = pdf["content"].map(len)
-            fn = _real_av_meta if real else _fake_av_meta
-            first = pdf["content"] if real else lens
-            metas = [fn(a, t) for a, t in zip(first, pdf["media_type"])]
+            if real:
+                metas = [
+                    _real_av_meta(c, t)
+                    for c, t in zip(pdf["content"], pdf["media_type"])
+                ]
+                cols = {
+                    name: [m[i] for m in metas]
+                    for i, name in enumerate(
+                        ("duration_ms", "sample_rate", "channels", "width", "height")
+                    )
+                }
+            else:
+                # vectorized fake: column arithmetic, no per-row Python (the
+                # 10× stress measured the row loop at ~10× the whole rest of
+                # the stage)
+                ln = lens.astype("int64")
+                t = pdf["media_type"]
+                is_a, is_v, is_i = t == "audio", t == "video", t == "image"
+                # nullable Int64 so masked-out modalities surface as real
+                # NULLs through Arrow (float NaN would fail the long cast)
+                cols = {
+                    "duration_ms": (1000 + (ln * 13) % 59000)
+                    .astype("Int64")
+                    .where(is_a | is_v),
+                    "sample_rate": (8000 + (ln % 37) * 1000)
+                    .astype("Int64")
+                    .where(is_a),
+                    "channels": (1 + ln % 2).astype("Int64").where(is_a),
+                    "width": (_DIM_BASE + ln % _W_MOD)
+                    .astype("Int64")
+                    .where(is_v | is_i),
+                    "height": (_DIM_BASE + (ln * 7) % _H_MOD)
+                    .astype("Int64")
+                    .where(is_v | is_i),
+                }
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": lens,
-                    "duration_ms": [m[0] for m in metas],
-                    "sample_rate": [m[1] for m in metas],
-                    "channels": [m[2] for m in metas],
-                    "width": [m[3] for m in metas],
-                    "height": [m[4] for m in metas],
+                    **cols,
                 }
             )
 

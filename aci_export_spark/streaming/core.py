@@ -66,13 +66,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # streaming reads need an explicit schema: take it from a batch scan
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # the file-stream source wants a directory: stream the sf dir with a glob
-    # pinned to the events file (on a real deployment this is the landing dir)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # The events path comes in two layouts: a single FILE (the driver
+    # fixture) or a DIRECTORY of part files (any df.write.parquet output,
+    # e.g. the 10× stress corpus). FileStreamSource requires a directory
+    # basePath, so stream the directory itself when events.parquet is one,
+    # and fall back to parent-dir + pathGlobFilter for the single-file
+    # layout. Branching matters: the glob filter matches leaf FILE names,
+    # so on the directory layout it silently matches nothing and the stream
+    # runs "green" over an EMPTY feed — the 10× stress surfaced exactly
+    # that as impossible 0.1× growth rows.
+    import os
+
+    events_path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(events_path.removeprefix("file:")):
+        stream = spark.readStream.schema(static.schema).parquet(events_path)
+    else:
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(static.dtypes).get("ts") == "bigint":
         # TIMESTAMP (not NTZ): watermarks require it, and under the UTC
         # session timezone the wall-clock values are identical to the

@@ -449,6 +449,23 @@ def test_streaming_funnel_multi_batch_snapshots(spark, tmp_path):
     assert _rows(final, cols) == _rows(want, cols)
 
 
+def test_read_events_stream_directory_layout(spark, tmp_path):
+    """events.parquet as a DIRECTORY of part files (any df.write.parquet
+    output) must stream real rows: the old pathGlobFilter-on-parent read
+    matched zero leaf files on this layout and the stream ran 'green' over
+    an empty feed (caught by the 10× stress as impossible 0.1× growth)."""
+    from aci_export_spark.streaming.core import read_events_stream, run_stream_to_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    sf_dir = str(tmp_path)
+    ev.repartition(3).write.parquet(f"{sf_dir}/events.parquet")
+    stream = read_events_stream(spark, sf_dir)
+    landed = run_stream_to_table(
+        stream.select("event_id"), spark, output_mode="append"
+    )
+    assert landed.count() == ev.count()
+
+
 def test_funnel_foreach_batch_equals_batch(spark):
     from aci_export_spark.harness_llm import events_funnel_steps
     from aci_export_spark.harness_streaming import streaming_funnel_native
