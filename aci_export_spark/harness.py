@@ -340,6 +340,13 @@ def _ensure_all_registered() -> None:
 #: back-fill with long-untouched entries for re-verification.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
+    # artifact-producing pair queries first: the sweep builds each shared
+    # pair table inside the query that OWNS it, so the audits below are
+    # billed for their own joins, not their inputs' builds (the driver and
+    # bench both execute in this order; both names are already driver-green)
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_ngram_jaccard",
     # the final 39 never-driver-checked queries (registry minus all prior
     # CORRECTNESS rows), green under the local oracle gate
     "llm_dedup_lsh_recall_audit",

@@ -63,9 +63,18 @@ def main() -> None:
         harness_llm._KMEANS_MODEL_CACHE.clear()
         harness_llm._PQ_CODEBOOK_CACHE.clear()
         harness_llm._FIT_SAMPLE_CACHE.clear()
-        for name, spec in sorted(harness.REGISTRY.items()):
+        # driver-facing order (all_queries = DRIVER_WINDOW_PRIORITY first,
+        # then registration order), NOT alphabetical: the window places each
+        # shared artifact's PRODUCING query before its audit/consumer
+        # queries, so per-query numbers attribute artifact builds to their
+        # owners instead of whichever consumer sorts first (pipeline
+        # semantics: the pair join runs once per corpus snapshot, inside
+        # the query that publishes it)
+        for name in harness._ordered_names():
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            harness.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             samples[name].append(time.perf_counter() - t0)
 
     from statistics import median
