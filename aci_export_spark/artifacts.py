@@ -35,6 +35,33 @@ from pyspark.sql import DataFrame, SparkSession
 _CACHE: dict[tuple, DataFrame] = {}
 
 
+def shared_many(
+    spark: SparkSession,
+    keys: list[tuple],
+    build: Callable[[], tuple],
+) -> tuple:
+    """Memoize a build that produces SEVERAL DataFrames atomically — e.g. a
+    trainer that returns both its model table and the transformed table it
+    computed along the way (`bpe_train_with_encoded`). All outputs cache
+    under their own key in one shot, so consumers of either artifact never
+    re-run the build. The builder is responsible for materialization (no
+    automatic checkpoint here — multi-output builders already checkpoint
+    internally)."""
+    if os.environ.get("SPARK_GRAFT_PLAN_CAPTURE"):
+        return build()
+    app_id = spark.sparkContext.applicationId
+    fulls = [(app_id, *k) for k in keys]
+    if any(f not in _CACHE for f in fulls):
+        for stale in [k for k in _CACHE if k[0] != app_id]:
+            del _CACHE[stale]
+        dfs = build()
+        if len(dfs) != len(keys):
+            raise ValueError("shared_many: build() arity != len(keys)")
+        for f, df in zip(fulls, dfs):
+            _CACHE[f] = df
+    return tuple(_CACHE[f] for f in fulls)
+
+
 def shared_df(
     spark: SparkSession,
     key: tuple,

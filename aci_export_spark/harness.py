@@ -391,6 +391,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # round-6 additions (registered after the rotation was computed)
     "streaming_funnel_native",
     "mm_av_metadata",
+    "llm_bpe_encode_stats",
 ]
 
 

@@ -1227,6 +1227,25 @@ FROM (VALUES {values}) AS t(merge_rank, left_sym, right_sym, pair_count)
 """
 
 
+def _bpe_trained(spark: SparkSession, sf_dir: str, n_merges: int = 8):
+    """Shared artifacts: the BPE merge table AND the encoded word-type
+    table, trained once per corpus snapshot (the loop computes both; the
+    train query publishes the former, the encode-stats report reduces the
+    latter)."""
+    from aci_export_spark.artifacts import shared_many
+    from aci_export_spark.llm import bpe as B
+
+    def build():
+        docs = read_table(spark, sf_dir, "documents")
+        return B.bpe_train_with_encoded(docs, text_col="text", n_merges=n_merges)
+
+    return shared_many(
+        spark,
+        [("bpe_merges", sf_dir, n_merges), ("bpe_words", sf_dir, n_merges)],
+        build,
+    )
+
+
 @register(
     "llm_bpe_train",
     _bpe_golden_oracle,  # resolved lazily; reference-equivalence and greedy
@@ -1239,10 +1258,42 @@ FROM (VALUES {values}) AS t(merge_rank, left_sym, right_sym, pair_count)
     "size, the corpus itself scanned exactly once",
 )
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aci_export_spark.llm import bpe as B
+    merges, _ = _bpe_trained(spark, sf_dir, n_merges=8)
+    return merges
 
-    docs = read_table(spark, sf_dir, "documents")
-    return B.bpe_train(docs, n_merges=8)
+
+def _bpe_encode_stats_oracle() -> str:
+    """Golden-VALUES oracle for the encode-efficiency report: the training
+    loop is deterministic and the three outputs are exact integers, so the
+    single-process reference reproduces them bit-for-bit."""
+    from aci_export_spark.llm.bpe import bpe_reference_encode_stats
+
+    n_words, n_base, n_enc = bpe_reference_encode_stats(
+        "/root/testdata/sf0.01/documents.parquet", n_merges=8
+    )
+    return f"""
+SELECT CAST({n_words} AS BIGINT) AS n_words,
+       CAST({n_base} AS BIGINT) AS n_base_symbols,
+       CAST({n_enc} AS BIGINT) AS n_encoded_symbols
+"""
+
+
+@register(
+    "llm_bpe_encode_stats",
+    _bpe_encode_stats_oracle,  # resolved lazily; reference-equivalence
+    # pytest in tests/test_bpe.py
+    doc="tokenizer-efficiency report: train 8 BPE merges, encode the whole "
+    "corpus with them, reduce to one exact-integer row (word count, symbol "
+    "count before/after — the sequence-length budget a training pipeline "
+    "tracks). Encoding runs on the word-TYPE table the trainer already "
+    "folds (vocabulary-sized, wcount-weighted aggregate) — the corpus is "
+    "scanned exactly once, by the trainer's own word-count shuffle",
+)
+def llm_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.bpe import encoded_words_stats
+
+    _, words = _bpe_trained(spark, sf_dir, n_merges=8)
+    return encoded_words_stats(words)
 
 
 def _mmr_golden_oracle() -> str:

@@ -96,18 +96,25 @@ def _merge_fold_sql(left: str, right: str) -> str:
     )
 
 
-def bpe_train(
+def bpe_train_with_encoded(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
-) -> DataFrame:
-    """Train `n_merges` BPE merges over the corpus; returns the merge table
-    (merge_rank, left, right, pair_count) — tiny by construction (the merge
-    count is a hyperparameter), assembled on the driver like any fitted
-    model artifact (the kmeans-quantizer discipline). Stops early if the
-    corpus degenerates to single-symbol words."""
+) -> tuple[DataFrame, DataFrame]:
+    """Run the merge-training loop and return BOTH artifacts it produces:
+    the merge table (see :func:`bpe_train`) and the FINAL folded word-type
+    table — i.e. every distinct word already encoded with all learned
+    merges, with its original symbol length (`base_len`) and corpus
+    frequency (`wcount`). The trainer computes that table anyway (it is
+    round N's fold output); returning it makes corpus-wide encode
+    statistics a vocabulary-sized aggregation instead of a second
+    corpus-wide encode pass."""
     spark = docs.sparkSession
-    words = _word_type_table(docs, text_col).localCheckpoint(eager=True)
+    words = (
+        _word_type_table(docs, text_col)
+        .withColumn("base_len", F.size("symbols"))
+        .localCheckpoint(eager=True)
+    )
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
         top = (
@@ -123,11 +130,60 @@ def bpe_train(
         words = words.withColumn(
             "symbols", F.expr(_merge_fold_sql(left, right))
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    merge_df = spark.createDataFrame(
         merges,
         # left/right are SQL keywords — suffix them so the DuckDB oracle and
         # any SQL consumer can reference the columns unquoted
         schema="merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    return merge_df, words
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train `n_merges` BPE merges over the corpus; returns the merge table
+    (merge_rank, left, right, pair_count) — tiny by construction (the merge
+    count is a hyperparameter), assembled on the driver like any fitted
+    model artifact (the kmeans-quantizer discipline). Stops early if the
+    corpus degenerates to single-symbol words."""
+    merge_df, _ = bpe_train_with_encoded(docs, text_col, n_merges)
+    return merge_df
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Corpus-wide tokenizer-efficiency report: train `n_merges` merges,
+    encode the corpus with them, and reduce to ONE exact-integer row —
+    (n_words, n_base_symbols, n_encoded_symbols). The compression the
+    merge table buys, as the numbers a data-pipeline owner actually tracks
+    (symbols ≈ sequence length ≈ training cost).
+
+    Plan shape: the corpus reduces once to the word-TYPE table (the
+    trainer's own shuffle); encoding happens on word types (vocabulary-
+    sized), weighted by `wcount` in the final aggregate — no second
+    corpus pass, no per-token row ever materialized.
+    """
+    _, words = bpe_train_with_encoded(docs, text_col, n_merges)
+    return encoded_words_stats(words)
+
+
+def encoded_words_stats(words: DataFrame) -> DataFrame:
+    """Reduce an encoded word-type table (symbols, base_len, wcount) to the
+    one-row (n_words, n_base_symbols, n_encoded_symbols) report."""
+    return words.agg(
+        F.coalesce(F.sum("wcount"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.sum(F.col("base_len") * F.col("wcount")), F.lit(0))
+        .cast("long")
+        .alias("n_base_symbols"),
+        F.coalesce(F.sum(F.size("symbols") * F.col("wcount")), F.lit(0))
+        .cast("long")
+        .alias("n_encoded_symbols"),
     )
 
 
@@ -198,3 +254,54 @@ def bpe_reference_python(
             new_words[key] = new_words.get(key, 0) + c
         words = new_words
     return merges
+
+
+def bpe_reference_encode_stats(
+    parquet_path: str,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> tuple[int, int, int]:
+    """Single-process reference for :func:`bpe_encode_stats`: same
+    tokenization, same training loop, then (n_words, n_base_symbols,
+    n_encoded_symbols) from the final folded word-type dict. Backs the
+    golden-VALUES oracle."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(parquet_path, columns=[text_col])[text_col].to_pylist()
+    wcounts: Counter = Counter()
+    for t in texts:
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (t or "").lower()).strip()
+        for w in norm.split(" "):
+            if w:
+                wcounts[w] += 1
+    words: dict[tuple[str, ...], int] = {
+        tuple(list(w) + [EOW]): c for w, c in wcounts.items()
+    }
+    n_words = sum(wcounts.values())
+    n_base = sum((len(w) + 1) * c for w, c in wcounts.items())
+    for _ in range(n_merges):
+        stats: Counter = Counter()
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += c
+        if not stats:
+            break
+        (left, right), _cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+    n_encoded = sum(len(syms) * c for syms, c in words.items())
+    return n_words, n_base, n_encoded

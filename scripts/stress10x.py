@@ -119,6 +119,7 @@ QUERIES = [
     "events_stickiness_ratio",
     "streaming_funnel_native",
     "mm_av_metadata",
+    "llm_bpe_encode_stats",
 ]
 
 

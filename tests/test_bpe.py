@@ -111,3 +111,24 @@ def test_bpe_encode_expr_applies_merges_in_order(spark):
     # first two applied and the third blocked by the intervening "e"
     assert enc[0] == "low"
     assert "".join(enc) == "lower</w>"
+
+
+def test_bpe_encode_stats_matches_reference(spark):
+    from tests.conftest import SF_SMOKE
+
+    got = B.bpe_encode_stats(
+        read_table(spark, SF_SMOKE, "documents"), n_merges=8
+    ).collect()[0]
+    want = B.bpe_reference_encode_stats(
+        f"{SF_SMOKE}/documents.parquet", n_merges=8
+    )
+    assert (got["n_words"], got["n_base_symbols"], got["n_encoded_symbols"]) == want
+    # encoding can only shrink (merges concatenate adjacent symbols)
+    assert got["n_encoded_symbols"] <= got["n_base_symbols"]
+    assert got["n_words"] <= got["n_encoded_symbols"]  # >= 1 symbol per word
+
+
+def test_bpe_encode_stats_empty_corpus(spark):
+    docs = spark.createDataFrame([("   ",)], schema="text string")
+    row = B.bpe_encode_stats(docs, n_merges=3).collect()[0]
+    assert tuple(row) == (0, 0, 0)
