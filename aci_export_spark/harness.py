@@ -392,6 +392,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "streaming_funnel_native",
     "mm_av_metadata",
     "llm_bpe_encode_stats",
+    "llm_bpe_fertility_by_lang",
 ]
 
 

@@ -1296,6 +1296,56 @@ def llm_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded_words_stats(words)
 
 
+def _bpe_fertility_oracle() -> str:
+    """Golden-VALUES oracle: deterministic global training + per-language
+    exact-integer sums; the one fertility division is IEEE double on exact
+    integers, so both engines round identically."""
+    from aci_export_spark.llm.bpe import bpe_reference_fertility_by_lang
+
+    rows = bpe_reference_fertility_by_lang(
+        "/root/testdata/sf0.01/documents.parquet", n_merges=8
+    )
+    values = ",".join(
+        "('{}', {}, {}, {})".format(lang.replace("'", "''"), w, b, e)
+        for lang, w, b, e, _f in rows
+    )
+    return f"""
+SELECT CAST(lang AS VARCHAR) AS lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_base_symbols AS BIGINT) AS n_base_symbols,
+       CAST(n_encoded_symbols AS BIGINT) AS n_encoded_symbols,
+       CAST(n_encoded_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+FROM (VALUES {values}) AS t(lang, n_words, n_base_symbols, n_encoded_symbols)
+"""
+
+
+@register(
+    "llm_bpe_fertility_by_lang",
+    _bpe_fertility_oracle,  # resolved lazily; reference-equivalence pytest
+    # in tests/test_bpe.py
+    doc="per-language tokenizer fertility (subword symbols per word) under "
+    "the ONE global merge table — the multilingual-fairness audit: a "
+    "tokenizer trained on a language mix over-segments under-represented "
+    "languages, inflating their effective sequence length. One corpus scan "
+    "to the per-(lang, word)-type table, JVM fold encode over vocabulary-"
+    "sized data, exact-integer sums, one IEEE division at the edge; shares "
+    "the trained merge artifact with llm_bpe_train/encode_stats",
+)
+def llm_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.bpe import fertility_by_lang
+
+    merges_df, _ = _bpe_trained(spark, sf_dir, n_merges=8)
+    # the merge table is the fitted model artifact (8 rows, hyperparameter-
+    # sized): collecting it to drive expression generation is the same
+    # discipline as the kmeans-centroid literals
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    docs = read_table(spark, sf_dir, "documents")
+    return fertility_by_lang(docs, merges)
+
+
 def _mmr_golden_oracle() -> str:
     """Golden-VALUES oracle for brute-pool + MMR re-rank: every float fold
     in the pipeline is sequential in element order on both sides, so the

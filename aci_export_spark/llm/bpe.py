@@ -256,6 +256,116 @@ def bpe_reference_python(
     return merges
 
 
+def fertility_by_lang(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility for ONE (global) merge table: how
+    many subword symbols the tokenizer spends per word in each language —
+    the standard multilingual-fairness audit (a tokenizer trained on a
+    language mix systematically over-segments under-represented
+    languages, inflating their effective sequence length and training
+    cost).
+
+    Returns (lang, n_words, n_base_symbols, n_encoded_symbols, fertility)
+    with fertility = n_encoded_symbols / n_words as the one IEEE division
+    at the edge (exact-integer numerator/denominator, so both engines
+    round identically).
+
+    Plan shape: one corpus scan reduces to the per-(lang, word)-type
+    table; the merge fold (JVM expression, hyperparameter-bounded depth)
+    and the weighted sums run over vocabulary-sized data per language.
+    """
+    words = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(word_tokens(F.col(text_col))).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    chars = F.expr(
+        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), "
+        f"array('{EOW}'))"
+    )
+    typed = words.select(
+        "lang", chars.alias("symbols"), F.size(chars).alias("base_len"), "wcount"
+    )
+    encoded = typed.withColumn("enc", F.expr(bpe_encode_expr(merges)))
+    agg = encoded.groupBy("lang").agg(
+        F.sum("wcount").cast("long").alias("n_words"),
+        F.sum(F.col("base_len") * F.col("wcount")).cast("long").alias("n_base_symbols"),
+        F.sum(F.size("enc") * F.col("wcount")).cast("long").alias("n_encoded_symbols"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_base_symbols",
+        "n_encoded_symbols",
+        (
+            F.col("n_encoded_symbols").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("fertility"),
+    )
+
+
+def bpe_reference_fertility_by_lang(
+    parquet_path: str,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_merges: int = 8,
+) -> list[tuple[str, int, int, int, float]]:
+    """Single-process reference for :func:`fertility_by_lang`: global
+    training (same loop as :func:`bpe_reference_python`), per-language
+    encode + weighted stats. Backs the golden-VALUES oracle."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[text_col, lang_col])
+    texts = tbl[text_col].to_pylist()
+    langs = tbl[lang_col].to_pylist()
+
+    merges = [
+        (left, right)
+        for _, left, right, _ in bpe_reference_python(
+            parquet_path, text_col=text_col, n_merges=n_merges
+        )
+    ]
+
+    per_lang: dict[str, Counter] = {}
+    for t, lang in zip(texts, langs):
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (t or "").lower()).strip()
+        c = per_lang.setdefault(lang, Counter())
+        for w in norm.split(" "):
+            if w:
+                c[w] += 1
+
+    out: list[tuple[str, int, int, int, float]] = []
+    for lang in sorted(per_lang):
+        wc = per_lang[lang]
+        n_words = sum(wc.values())
+        n_base = sum((len(w) + 1) * c for w, c in wc.items())
+        n_enc = 0
+        for w, c in wc.items():
+            syms = list(w) + [EOW]
+            for left, right in merges:
+                folded: list[str] = []
+                for x in syms:
+                    if folded and folded[-1] == left and x == right:
+                        folded[-1] = left + right
+                    else:
+                        folded.append(x)
+                syms = folded
+            n_enc += len(syms) * c
+        out.append((lang, n_words, n_base, n_enc, n_enc / n_words))
+    return out
+
+
 def bpe_reference_encode_stats(
     parquet_path: str,
     text_col: str = "text",

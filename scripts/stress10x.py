@@ -120,6 +120,7 @@ QUERIES = [
     "streaming_funnel_native",
     "mm_av_metadata",
     "llm_bpe_encode_stats",
+    "llm_bpe_fertility_by_lang",
 ]
 
 

@@ -132,3 +132,25 @@ def test_bpe_encode_stats_empty_corpus(spark):
     docs = spark.createDataFrame([("   ",)], schema="text string")
     row = B.bpe_encode_stats(docs, n_merges=3).collect()[0]
     assert tuple(row) == (0, 0, 0)
+
+
+def test_bpe_fertility_by_lang_matches_reference(spark):
+    from aci_export_spark.harness_llm import llm_bpe_fertility_by_lang
+
+    got = {
+        r["lang"]: (
+            r["n_words"], r["n_base_symbols"], r["n_encoded_symbols"],
+            r["fertility"],
+        )
+        for r in llm_bpe_fertility_by_lang(spark, SF_SMOKE).collect()
+    }
+    want = {
+        lang: (w, b, e, f)
+        for lang, w, b, e, f in B.bpe_reference_fertility_by_lang(
+            f"{SF_SMOKE}/documents.parquet", n_merges=8
+        )
+    }
+    assert got == want
+    assert len(got) >= 2  # the fixture is multilingual
+    # fertility >= 1 always (a word encodes to >= 1 symbol)
+    assert all(f >= 1.0 for *_s, f in got.values())
