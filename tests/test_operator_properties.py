@@ -657,3 +657,48 @@ def test_prefix_jaccard_equals_naive(spark, docs, threshold):
         ).collect()
     }
     assert prefix == naive
+
+
+# ---------------------------------------------------------------------------
+# Pigeonhole-blocked Hamming pairs ≡ brute-force Hamming self-join, for
+# random hash tables, widths, radii, and block counts — the guaranteed-recall
+# claim behind SimHash near-dup and pHash image dedup, fuzzed.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.lists(
+        st.integers(min_value=0, max_value=(1 << 16) - 1), min_size=0, max_size=24
+    ),
+    bits=st.sampled_from([16, 24, 32, 60]),
+    max_hamming=st.integers(min_value=0, max_value=4),
+    extra_blocks=st.integers(min_value=0, max_value=2),
+)
+@settings(**SETTINGS)
+def test_hamming_blocked_equals_bruteforce(spark, data, bits, max_hamming, extra_blocks):
+    from aci_export_spark.llm import dedup as D
+
+    n_blocks = max_hamming + 1 + extra_blocks
+    if n_blocks > bits:
+        n_blocks = bits
+    if n_blocks <= max_hamming:
+        return  # invalid configuration, guarded by the operator itself
+    rows = [(i, h) for i, h in enumerate(data)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows or [(0, 0)], columns=["id", "h"])
+        if rows
+        else pd.DataFrame([(0, 0)], columns=["id", "h"]).iloc[:0],
+        schema="id long, h long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.hamming_pairs_blocked(
+            df, "id", "h", max_hamming=max_hamming, bits=bits, n_blocks=n_blocks
+        ).collect()
+    }
+    want = {}
+    for i, ha in rows:
+        for j, hb in rows:
+            if i < j and bin(ha ^ hb).count("1") <= max_hamming:
+                want[(i, j)] = bin(ha ^ hb).count("1")
+    assert got == want
