@@ -149,3 +149,27 @@ def test_rplsh_bucket_string_matches_banded_keys(spark):
         # band key b packs bits [4b, 4b+4) big-endian
         for b in (0, 1):
             assert keys[vid][b] == int(bucket[4 * b : 4 * b + 4], 2)
+
+
+def test_ivf_multiprobe_all_cells_equals_brute_force(spark):
+    """Probing EVERY cell is definitionally a full scan, so the multiprobe
+    result must equal brute force exactly — ranks included, not just
+    membership (same cosine, same (score desc, id asc) tie-break). This is
+    the exactness anchor behind the recall knob: nprobe interpolates
+    between the single-probe approximation and this identity."""
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    model = S.ivf_build_kmeans(emb, k_cells=8, seed=42)
+    assigned = S.ivf_assign(model, emb)
+    queries = emb.filter(F.col("vec_id") < 15)
+
+    multi = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_topk_multiprobe(
+            assigned, queries, model, nprobe=8, k=5
+        ).collect()
+    }
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    assert multi == brute
