@@ -1390,9 +1390,9 @@ WITH pts AS (
 )
 SELECT event_type, n,
        CAST(n::HUGEINT * syyc - syc::HUGEINT * syc AS DOUBLE)
-           / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS variance,
+           / CAST(n::HUGEINT * (n - 1) AS DOUBLE) / 10000.0 AS variance,
        sqrt(CAST(n::HUGEINT * syyc - syc::HUGEINT * syc AS DOUBLE)
-            / CAST(n * (n - 1) AS DOUBLE) / 10000.0) AS stddev
+            / CAST(n::HUGEINT * (n - 1) AS DOUBLE) / 10000.0) AS stddev
 FROM sums WHERE n > 1
 """,
     doc="exact sample variance/stddev per event type: the numerator "
@@ -1418,7 +1418,10 @@ def events_value_variance_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     # the 10× stress caught in events_value_trend_slope)
     dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (dd("n") * dd("syyc") - dd("syc") * dd("syc")).cast("double")
-    den = (F.col("n") * (F.col("n") - 1)).cast("double")
+    # denominator through the same decimal(38,0) path: n·(n−1) overflows
+    # BIGINT (ANSI error) once one event_type passes ~3e9 rows — the same
+    # scale class as the numerator fix above (round-6 ADVICE)
+    den = (dd("n") * (dd("n") - 1)).cast("double")
     variance = num / den / F.lit(10000.0)
     return sums.select(
         "event_type", "n", variance.alias("variance"), F.sqrt(variance).alias("stddev")

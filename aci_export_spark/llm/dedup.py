@@ -28,14 +28,26 @@ def word_tokens(text: Column) -> Column:
 
 
 _BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
-                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
 
 
 def _parse_bytes(v: str) -> int:
-    """Spark byte-size conf string ('134217728b', '128m', '1g') → bytes."""
+    """Spark byte-size conf string ('134217728b', '128m', '1g') → bytes.
+
+    Covers every suffix Spark's ByteUnit accepts (b/k/m/g/t/p, with or
+    without a trailing 'b') plus fractional magnitudes ('0.5g'). An
+    unparseable string returns a conservative 128 MiB default rather than
+    raising: the sole caller uses the value to decide whether a scan is
+    already wide, and raising here used to be swallowed by the caller's
+    blanket except — silently disabling the wide-scan guard entirely
+    (round-6 ADVICE)."""
     s = str(v).strip().lower()
-    digits = s.rstrip("kmgb")
-    return int(digits) * _BYTE_SUFFIX[s[len(digits):]]
+    digits = s.rstrip("kmgbtp")
+    try:
+        return int(float(digits) * _BYTE_SUFFIX[s[len(digits):]])
+    except (KeyError, ValueError):
+        return 128 << 20
 
 
 def spread_for_explode(df: DataFrame) -> DataFrame:

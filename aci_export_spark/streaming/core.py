@@ -578,28 +578,45 @@ def funnel_foreach_batch(
     The trick that makes the funnel a *batch-composable* aggregation: filled
     chain slots are equivalent to synthetic events. Each micro-batch unions
     the previous state's non-NULL slots — re-emitted as one event per slot —
-    with the batch's raw events and runs the ordinary batch
-    `funnel_steps` (type-filtered min-with-predicate chain, all JVM
-    aggregates/joins) over that union. Under the per-user watermark-ordered
-    arrival contract every stateful twin in this module documents, new
-    events never precede a filled slot, so the merged chain equals the chain
-    over all events seen so far; with a single AvailableNow batch it is
-    *definitionally* the batch funnel. State (one row per user that
-    signed up) is localCheckpointed between batches — the foreachBatch
-    delta-merge pattern, with executor block storage standing in for the
-    warehouse table a production deployment would MERGE into.
+    with the batch's raw events plus the retained *candidate* events (see
+    below) and runs the ordinary batch `funnel_steps` (type-filtered
+    min-with-predicate chain, all JVM aggregates/joins) over that union.
 
-    Scale: per micro-batch cost is `funnel_steps` over (batch ∪ one row per
-    filled slot) — K co-partitioned joins over per-user aggregates; state
-    never exceeds one row per converted user.
+    Exactness under out-of-order arrival: chain slots are monotone
+    non-increasing as events accumulate (t₁ is a plain min; inductively a
+    smaller t₍ₖ₋₁₎ only *grows* slot k's valid set, and the event behind the
+    current tₖ stays valid, so tₖ can only fall). Hence any step-k event
+    with ts ≥ current tₖ can never become the min later — safe to forget;
+    any event with ts < tₖ (it was invalid: ts < t₍ₖ₋₁₎) or belonging to a
+    user whose slot k is still NULL *can* be promoted when an earlier slot
+    falls, so it is retained as a pending candidate. Each batch therefore
+    merges (batch ∪ pending ∪ slot-synthetics), recomputes the chain, and
+    re-derives pending — giving exact batch-funnel semantics under ARBITRARY
+    per-user arrival order across micro-batches (round-6 ADVICE: the
+    previous cut silently dropped a view@8 that a late signup@5 should have
+    promoted). State (one chain row per signed-up user + the pending
+    candidates, which shrink as slots converge to their true minima) is
+    localCheckpointed between batches — the foreachBatch delta-merge
+    pattern, with executor block storage standing in for the warehouse
+    table a production deployment would MERGE into.
+
+    Scale: per micro-batch cost is `funnel_steps` over (batch ∪ pending ∪
+    one row per filled slot) — K co-partitioned joins over per-user
+    aggregates; pending holds only not-yet-promotable events (out-of-order
+    stragglers and pre-signup activity), the streaming-funnel analogue of a
+    watermark buffer.
     """
     from aci_export_spark.operators.funnel import funnel_steps
 
-    state: dict[str, DataFrame | None] = {"df": None}
+    state: dict[str, DataFrame | None] = {"df": None, "pending": None}
 
     def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        ev = batch_df.select("user_id", "ts", "event_type")
+        ev = batch_df.select("user_id", "ts", "event_type").filter(
+            F.col("event_type").isin(*steps)
+        )
         prev_state = state["df"]
+        if state["pending"] is not None:
+            ev = ev.unionByName(state["pending"])
         if prev_state is not None:
             for s in steps:
                 ev = ev.unionByName(
@@ -609,7 +626,28 @@ def funnel_foreach_batch(
                         F.lit(s).alias("event_type"),
                     )
                 )
-        state["df"] = funnel_steps(ev, steps).localCheckpoint(eager=True)
+        ev = ev.localCheckpoint(eager=True)  # scanned once per step + once for pending
+        chain = funnel_steps(ev, steps).localCheckpoint(eager=True)
+        # retain candidates: step-k events strictly below the user's slot k
+        # (or with slot k still NULL / user absent from the chain) — exactly
+        # the events a future earlier-slot decrease could promote
+        slot_of = F.create_map(
+            *[x for s in steps for x in (F.lit(s), F.col(f"t_{s}"))]
+        )
+        pending = (
+            ev.join(
+                chain.select("user_id", *[f"t_{s}" for s in steps]),
+                on="user_id",
+                how="left",
+            )
+            .filter(
+                slot_of[F.col("event_type")].isNull()
+                | (F.col("ts") < slot_of[F.col("event_type")])
+            )
+            .select("user_id", "ts", "event_type")
+        )
+        state["df"] = chain
+        state["pending"] = pending.localCheckpoint(eager=True)
 
     import tempfile
 
@@ -627,8 +665,15 @@ def funnel_foreach_batch(
             )
             q.awaitTermination()
     finally:
-        if shuffle_partitions is not None and prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if shuffle_partitions is not None:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            else:
+                # Session never set the conf explicitly: unset rather than
+                # skip, or the session stays pinned at the funnel's narrow
+                # setting for every subsequent query (same contract as
+                # run_stream_to_table's finally block).
+                spark.conf.unset("spark.sql.shuffle.partitions")
 
     if state["df"] is None:  # no batch ever fired (empty landing dir)
         schema = ", ".join(["user_id long"] + [f"t_{s} timestamp" for s in steps])
