@@ -36,7 +36,10 @@ server and should cut the machinery floor.
 One-command repro of the block (run in this container's python):
 ``python -c "import google.protobuf.descriptor"`` →
 ``ImportError: cannot import name 'descriptor' from 'google.protobuf'``
-(the installed google namespace package is broken/incomplete). To lift:
+(the installed google namespace package is broken/incomplete). Install
+re-attempted 2026-08-15: ``pip install 'protobuf>=4'`` fails with DNS
+resolution errors against every index — the sandbox has no network
+route, so the block stands. To lift:
 ``pip install 'protobuf>=4'``, then port `_sessionize_group` /
 `_funnel_group` onto ``df.groupBy(key).transformWithStateInPandas(
 StatefulProcessor, ...)`` — the handler keeps the same state tuples; only

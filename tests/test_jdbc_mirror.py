@@ -115,7 +115,10 @@ def test_delta_mirror_sync_gated_or_equivalent(spark, tmp_path):
         with pytest.raises(ImportError):
             delta_mirror_sync(spark, source, path, ["id"])
         pytest.skip(
-            "delta-spark not installed in this environment. To lift the "
+            "delta-spark not installed in this environment (install "
+            "re-attempted 2026-08-15: `pip install delta-spark` fails with "
+            "DNS resolution errors — the sandbox has no network route to "
+            "any index). To lift the "
             "gate: `pip install delta-spark` (matching the pyspark 4.x "
             "line), add "
             "spark.jars.packages=io.delta:delta-spark_2.13:<version>, "
