@@ -1346,6 +1346,64 @@ def llm_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fertility_by_lang(docs, merges)
 
 
+def _bpe_batched_oracle() -> str:
+    """Golden-VALUES oracle for the BATCHED trainer: the batched spec
+    (ranked scan_cap prefix → non-interacting greedy selection → in-rank
+    batch application) is deterministic end to end, and the pure-Python
+    reference implements the identical spec, so the full merge table
+    matches row for row."""
+    from aci_export_spark.llm.bpe import bpe_reference_python_batched
+
+    rows, _rounds = bpe_reference_python_batched(
+        "/root/testdata/sf0.01/documents.parquet", n_merges=256, batch_cap=32
+    )
+    values = ",".join(
+        "({}, '{}', '{}', {})".format(r, l.replace("'", "''"), ri.replace("'", "''"), c)
+        for r, l, ri, c in rows
+    )
+    return f"""
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+       CAST(left_sym AS VARCHAR) AS left_sym,
+       CAST(right_sym AS VARCHAR) AS right_sym,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES {values}) AS t(merge_rank, left_sym, right_sym, pair_count)
+"""
+
+
+@register(
+    "llm_bpe_train_batched",
+    _bpe_batched_oracle,  # resolved lazily; spec-equivalence and round-
+    # count pytests in tests/test_bpe.py
+    doc="batched BPE training at realistic merge counts (n_merges=256): "
+    "each round is ONE top-scan_cap collect + a greedy selection of up to "
+    "batch_cap mutually non-interacting pairs (non-interaction proves each "
+    "recorded count is still exact when its merge applies) + one data-"
+    "driven JVM fold applying the whole batch — driver round trips are "
+    "sublinear in merges (the sequential trainer's per-merge collect is "
+    "untenable at a 32k vocabulary). Frequencies are frozen within a "
+    "round: the standard parallel-BPE trade, matched exactly by the "
+    "pure-Python golden reference. Stops when the pair table runs dry "
+    "(the synthetic corpus' 31-word vocabulary saturates at 112 merges)",
+)
+def llm_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.artifacts import shared_many
+    from aci_export_spark.llm import bpe as B
+
+    def build():
+        docs = read_table(spark, sf_dir, "documents")
+        merges, words, _rounds = B.bpe_train_batched_with_encoded(
+            docs, text_col="text", n_merges=256, batch_cap=32
+        )
+        return merges, words
+
+    merges, _words = shared_many(
+        spark,
+        [("bpe_batched_merges", sf_dir, 256), ("bpe_batched_words", sf_dir, 256)],
+        build,
+    )
+    return merges
+
+
 def _mmr_golden_oracle() -> str:
     """Golden-VALUES oracle for brute-pool + MMR re-rank: every float fold
     in the pipeline is sequential in element order on both sides, so the

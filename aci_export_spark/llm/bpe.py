@@ -187,6 +187,190 @@ def encoded_words_stats(words: DataFrame) -> DataFrame:
     )
 
 
+def _select_compatible(
+    ranked: list[tuple[str, str, int]],
+    room: int,
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix selection of mutually NON-INTERACTING pairs from a
+    ranked pair list — the batching core shared (as a spec) with the pure-
+    Python reference.
+
+    Two pairs interact when applying one can change the other's occurrence
+    count: merging (a,b)→"ab" only destroys adjacencies touching `a` or `b`
+    and only creates adjacencies touching the new symbol "ab". So a later
+    pair is safe iff neither of its symbols is a symbol of ANY earlier
+    selected pair (`used`) nor the concatenation an earlier merge produces
+    (`produced`). For such a batch, every selected pair's round-start count
+    is provably still exact at the moment it applies — the recorded
+    pair_count column stays truthful."""
+    used: set[str] = set()
+    produced: set[str] = set()
+    selected: list[tuple[str, str, int]] = []
+    for left, right, cnt in ranked:
+        if len(selected) >= room:
+            break
+        if left in used or right in used or left in produced or right in produced:
+            continue
+        selected.append((left, right, cnt))
+        used.update((left, right))
+        produced.add(left + right)
+    return selected
+
+
+def _batch_fold_sql(selected: list[tuple[str, str, int]]) -> str:
+    """One JVM expression applying a whole merge batch in rank order: an
+    outer fold over the merge list (a LITERAL array of structs — expression
+    size is constant in batch size, unlike chaining one aggregate per
+    merge) whose accumulator is the symbols array, with the inner fold
+    doing the usual left-to-right greedy substitution."""
+    arr = "array(" + ", ".join(
+        f"named_struct('l', {_q(l)}, 'r', {_q(r)}, 'm', {_q(l + r)})"
+        for l, r, _ in selected
+    ) + ")"
+    return (
+        f"aggregate({arr}, symbols, (syms, mg) -> "
+        "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+        "if(size(acc) > 0 AND element_at(acc, -1) = mg.l AND x = mg.r, "
+        "concat(slice(acc, 1, size(acc) - 1), array(mg.m)), "
+        "concat(acc, array(x)))))"
+    )
+
+
+def bpe_train_batched_with_encoded(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 256,
+    batch_cap: int = 32,
+    scan_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Batched BPE training — the realistic-vocabulary variant of
+    :func:`bpe_train_with_encoded`, returning (merge table, final encoded
+    word-type table, n_rounds).
+
+    The sequential trainer does one 1-row driver collect PER MERGE — fine
+    at hyperparameter-toy n_merges=8, untenable at a 32k-entry production
+    vocabulary (32k sequential round trips). This variant is the standard
+    frequency-frozen parallel-BPE step: each round collects the top
+    `scan_cap` pairs ONCE, greedily selects up to `batch_cap` mutually
+    non-interacting pairs from that ranked prefix (see
+    :func:`_select_compatible` — non-interaction guarantees each selected
+    pair's recorded count is still exact when it applies), applies the
+    whole batch as ONE data-driven JVM fold, and checkpoints. Driver round
+    trips are therefore O(n_merges / batch-yield), sublinear in merges; the
+    per-round collect is `scan_cap` rows, not the pair table.
+
+    Equivalence contract: with batch_cap=1 this IS classic greedy BPE
+    (rank-1 pair per round). At batch_cap>1 the merge INVENTORY can differ
+    from strictly-sequential BPE — a merge's product pair (e.g. "t"+"h" →
+    "th", then ("th","e")) only becomes a candidate next round — which is
+    the documented, deterministic trade every parallel BPE trainer makes
+    (frequencies frozen within a round). The pure-Python golden reference
+    (:func:`bpe_reference_python_batched`) implements the identical spec,
+    so the oracle is exact, not approximate.
+
+    Early-stop: training ends when the pair table runs dry (every word
+    type fully merged) — on a bounded synthetic vocabulary that can happen
+    before `n_merges`, and the reference stops at the same point.
+    """
+    spark = docs.sparkSession
+    if scan_cap is None:
+        scan_cap = 4 * batch_cap
+    words = (
+        _word_type_table(docs, text_col)
+        .withColumn("base_len", F.size("symbols"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        ranked_rows = (
+            _pair_counts(words)
+            .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
+            .limit(scan_cap)
+            .collect()
+        )
+        if not ranked_rows:
+            break
+        ranked = [(r["left"], r["right"], int(r["pair_count"])) for r in ranked_rows]
+        selected = _select_compatible(ranked, min(batch_cap, n_merges - len(merges)))
+        if not selected:
+            break
+        rounds += 1
+        for left, right, cnt in selected:
+            merges.append((len(merges) + 1, left, right, cnt))
+        words = words.withColumn(
+            "symbols", F.expr(_batch_fold_sql(selected))
+        ).localCheckpoint(eager=True)
+    merge_df = spark.createDataFrame(
+        merges,
+        schema="merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    return merge_df, words, rounds
+
+
+def bpe_reference_python_batched(
+    parquet_path: str,
+    text_col: str = "text",
+    n_merges: int = 256,
+    batch_cap: int = 32,
+    scan_cap: int | None = None,
+) -> tuple[list[tuple[int, str, str, int]], int]:
+    """Single-process reference for :func:`bpe_train_batched_with_encoded`:
+    identical tokenization, ranking (count desc, left, right), `scan_cap`
+    prefix, compatibility selection, and in-rank-order batch application.
+    Returns (merge table rows, n_rounds). Backs the golden-VALUES oracle."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    if scan_cap is None:
+        scan_cap = 4 * batch_cap
+    texts = pq.read_table(parquet_path, columns=[text_col])[text_col].to_pylist()
+    wcounts: Counter = Counter()
+    for t in texts:
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (t or "").lower()).strip()
+        for w in norm.split(" "):
+            if w:
+                wcounts[w] += 1
+    words: dict[tuple[str, ...], int] = {
+        tuple(list(w) + [EOW]): c for w, c in wcounts.items()
+    }
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        stats: Counter = Counter()
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += c
+        if not stats:
+            break
+        ranked = [
+            (l, r, int(c))
+            for (l, r), c in sorted(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[:scan_cap]
+        ]
+        selected = _select_compatible(ranked, min(batch_cap, n_merges - len(merges)))
+        if not selected:
+            break
+        rounds += 1
+        for left, right, cnt in selected:
+            merges.append((len(merges) + 1, left, right, cnt))
+            new_words: dict[tuple[str, ...], int] = {}
+            for syms, c in words.items():
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                key = tuple(out)
+                new_words[key] = new_words.get(key, 0) + c
+            words = new_words
+    return merges, rounds
+
+
 def bpe_encode_expr(merges: list[tuple[str, str]], symbols_col: str = "symbols") -> str:
     """SQL applying a learned merge list in rank order to a symbol-array
     column — one chained fold per merge (merge lists are hyperparameter-

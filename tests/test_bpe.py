@@ -154,3 +154,81 @@ def test_bpe_fertility_by_lang_matches_reference(spark):
     assert len(got) >= 2  # the fixture is multilingual
     # fertility >= 1 always (a word encodes to >= 1 symbol)
     assert all(f >= 1.0 for *_s, f in got.values())
+
+
+# ---------------------------------------------------------------------------
+# batched trainer (round-7: realistic merge counts, sublinear round trips)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_batched_cap1_equals_sequential(spark):
+    """batch_cap=1 IS classic greedy BPE: the batched spec degenerates to
+    rank-1-per-round, so the merge tables must be identical."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    seq = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in B.bpe_train(docs, n_merges=12).collect()
+    ]
+    mdf, _words, rounds = B.bpe_train_batched_with_encoded(
+        docs, n_merges=12, batch_cap=1
+    )
+    bat = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in mdf.collect()
+    ]
+    assert bat == seq
+    assert rounds == len(seq)
+
+
+def test_bpe_batched_matches_reference_and_rounds_sublinear(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    mdf, words, rounds = B.bpe_train_batched_with_encoded(
+        docs, n_merges=256, batch_cap=32
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in mdf.collect()
+    ]
+    want, ref_rounds = B.bpe_reference_python_batched(
+        f"{SF_SMOKE}/documents.parquet", n_merges=256, batch_cap=32
+    )
+    assert got == want
+    assert rounds == ref_rounds
+    # the whole point: driver round trips sublinear in merges (the
+    # sequential trainer would have done len(got) collects)
+    assert len(got) > 0
+    assert rounds <= max(1, len(got) // 2)
+    # the encoded word table reflects all merges: no adjacent pair that was
+    # merged can survive in any word's symbol sequence... spot-check via
+    # stats instead (full-merge saturation on the bounded vocabulary)
+    stats = B.encoded_words_stats(words).collect()[0]
+    assert stats["n_encoded_symbols"] <= stats["n_base_symbols"]
+
+
+def test_bpe_batched_selection_is_non_interacting():
+    ranked = [
+        ("a", "b", 100),  # selected
+        ("b", "c", 90),   # shares b -> skipped
+        ("c", "d", 80),   # selected
+        ("ab", "x", 70),  # consumes the mid-batch product "ab" -> skipped
+        ("e", "f", 60),   # selected
+        ("e", "e", 50),   # shares e -> skipped
+        ("g", "g", 40),   # selected (self-pair, interacts with nothing)
+    ]
+    sel = B._select_compatible(ranked, 10)
+    assert sel == [("a", "b", 100), ("c", "d", 80), ("e", "f", 60), ("g", "g", 40)]
+    # room cap respected
+    assert B._select_compatible(ranked, 2) == [("a", "b", 100), ("c", "d", 80)]
+
+
+def test_bpe_batched_fold_applies_batch_in_rank_order(spark):
+    """The data-driven fold applies merges sequentially in rank order
+    within one expression: (a,b) then (x,y) over 'a b x y' leaves
+    ['ab','xy'] and over 'b a b' only the second (a,b) site merges."""
+    df = spark.createDataFrame(
+        [(["a", "b", "x", "y"],), (["b", "a", "b", "x"],)],
+        schema="symbols array<string>",
+    )
+    sql = B._batch_fold_sql([("a", "b", 0), ("x", "y", 0)])
+    out = [r["s"] for r in df.select(F.expr(sql).alias("s")).collect()]
+    assert out == [["ab", "xy"], ["b", "ab", "x"]]
