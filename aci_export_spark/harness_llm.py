@@ -2245,6 +2245,36 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fastss_customer_pairs(spark, sf_dir)
 
 
+@register(
+    "er_fuzzy_name_pairs_k2",
+    """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE a.c_nationkey = 7 AND b.c_nationkey = 7
+  AND levenshtein(a.c_name, b.c_name) <= 2
+""",
+    doc="edit-distance-2 fuzzy match via the 2-deletion FastSS neighborhood "
+    "(any ed<=2 pair provably shares a <=2-deletion variant; exact "
+    "threshold-levenshtein verify), scoped the way production ER is — a "
+    "business blocking key (nation) before the fuzzy stage. The scope is "
+    "a COST choice, not a capability limit: the full-corpus k=2 run is "
+    "proven against DuckDB brute force in pytest (204k pairs at sf0.01 — "
+    "the synthetic digit-suffix names put ~27% of ALL name pairs within "
+    "2 edits, so the unscoped output is quadratic-dense by construction; "
+    "see SCALE.md). PassJoin partition blocking (VLDB'12) is the shipped "
+    "alternative for long diverse strings (operators/fuzzy.py:passjoin_"
+    "pairs, differential-tested) — on THESE names its prefix-covering "
+    "segments degenerate to corpus-wide blocks, measured ~1B candidates "
+    "at sf0.1 vs FastSS2's 32M",
+)
+def er_fuzzy_name_pairs_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.fuzzy import edit_distance_pairs
+
+    customer = read_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 7)
+    return edit_distance_pairs(customer, "c_custkey", "c_name", max_distance=2)
+
+
 def fastss_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared artifact: customer-name pairs within edit distance 1 (FastSS
     blocking + exact levenshtein verify). Emitted directly by

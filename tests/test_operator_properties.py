@@ -338,14 +338,139 @@ class TestFuzzyPairs:
         assert (1, 2, 1) in got and (3, 4, 1) in got and (4, 5, 1) in got
         assert all(p[:2] != (6, 7) for p in got)
 
-    def test_k2_not_implemented(self, spark):
-        import pytest as _pytest
+    def _brute(self, spark, df, k):
+        from pyspark.sql import functions as F
 
+        a = df.select(F.col("uid").alias("id_a"), F.col("name").alias("na"))
+        b = df.select(F.col("uid").alias("id_b"), F.col("name").alias("nb"))
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("distance", F.levenshtein("na", "nb"))
+            .filter(F.col("distance") <= k)
+        )
+        return sorted((r.id_a, r.id_b, r.distance) for r in brute.collect())
+
+    def test_k2_blocked_equals_bruteforce_both_strategies(self, spark):
+        """k=2 recall guarantee for BOTH blockings (2-deletion FastSS and
+        PassJoin): insert/delete/substitute x2 and mixed cases, including
+        short strings below the PassJoin segment floor."""
+        from aci_export_spark.operators.fuzzy import (
+            edit_distance_pairs,
+            passjoin_pairs,
+        )
+
+        names = [
+            (1, "smith"), (2, "smyth"),        # 1 substitution
+            (3, "smythe"), (4, "smith"),       # sub + insert = 2
+            (5, "smt"),                        # 2 deletions from smith
+            (6, "jones"), (7, "jonse"),        # transposition = 2 subs
+            (8, "jnoes"),                      # another transposition
+            (9, "aa"), (10, "ab"), (11, "b"),  # short strings (< k+1 chars)
+            (12, ""), (13, "xy"),              # empty string edge
+            (14, "washington"), (15, "washingtno"),   # tail transposition
+            (16, "wshingtonx"),                # del + insert
+        ]
+        df = spark.createDataFrame(names, ["uid", "name"])
+        want = self._brute(spark, df, 2)
+        got_fastss = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in edit_distance_pairs(df, "uid", "name", max_distance=2).collect()
+        )
+        got_passjoin = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in passjoin_pairs(df, "uid", "name", k=2).collect()
+        )
+        assert got_fastss == want
+        assert got_passjoin == want
+        assert (6, 7, 2) in want  # k=2 genuinely exercised
+
+    def test_k2_seeded_fuzz_both_strategies(self, spark):
+        """Seeded random corpora (mutations = substitute/insert/delete x1-3
+        off shared ancestors) must match brute force exactly for both k=2
+        blockings."""
+        import random
+
+        from aci_export_spark.operators.fuzzy import (
+            edit_distance_pairs,
+            passjoin_pairs,
+        )
+
+        rng = random.Random(77)
+        strings = []
+        for _ in range(40):
+            if strings and rng.random() < 0.6:
+                s = list(rng.choice(strings))
+                for _ in range(rng.randint(1, 3)):
+                    op = rng.choice("sid")
+                    if op == "s" and s:
+                        s[rng.randrange(len(s))] = rng.choice("abcd")
+                    elif op == "i":
+                        s.insert(rng.randint(0, len(s)), rng.choice("abcd"))
+                    elif op == "d" and s:
+                        del s[rng.randrange(len(s))]
+                strings.append("".join(s))
+            else:
+                strings.append(
+                    "".join(rng.choice("abcd") for _ in range(rng.randint(0, 9)))
+                )
+        df = spark.createDataFrame(list(enumerate(strings)), ["uid", "name"])
+        want = self._brute(spark, df, 2)
+        got_fastss = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in edit_distance_pairs(df, "uid", "name", max_distance=2).collect()
+        )
+        got_passjoin = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in passjoin_pairs(df, "uid", "name", k=2).collect()
+        )
+        assert got_fastss == want
+        assert got_passjoin == want
+
+    def test_k2_full_corpus_matches_duckdb_brute(self, spark, duck):
+        """Full sf0.001 customer table: FastSS-k2 pairs == DuckDB brute-force
+        levenshtein <= 2 (the correctness anchor behind the nation-scoped
+        registered query)."""
+        from aci_export_spark.operators.fuzzy import edit_distance_pairs
+        from aci_export_spark.sources import read_table
+        from tests.conftest import SF_SMOKE
+
+        cust = read_table(spark, SF_SMOKE, "customer")
+        got = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in edit_distance_pairs(
+                cust, "c_custkey", "c_name", max_distance=2
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in duck(SF_SMOKE).execute(
+                f"""
+                SELECT a.c_custkey, b.c_custkey, levenshtein(a.c_name, b.c_name)
+                FROM read_parquet('{SF_SMOKE}/customer.parquet') a
+                JOIN read_parquet('{SF_SMOKE}/customer.parquet') b
+                  ON a.c_custkey < b.c_custkey
+                WHERE levenshtein(a.c_name, b.c_name) <= 2
+                """
+            ).fetchall()
+        )
+        assert got == want
+        assert len(got) > 0
+
+    def test_k3_dispatches_to_passjoin(self, spark):
+        """k>=3 routes to PassJoin (deletion neighborhoods grow as L^k) and
+        still matches brute force."""
         from aci_export_spark.operators.fuzzy import edit_distance_pairs
 
-        df = spark.createDataFrame([(1, "x")], ["uid", "name"])
-        with _pytest.raises(NotImplementedError):
-            edit_distance_pairs(df, "uid", "name", max_distance=2)
+        names = [(1, "abcdef"), (2, "abxdyz"), (3, "qqqqqq"), (4, "abcde")]
+        df = spark.createDataFrame(names, ["uid", "name"])
+        want = self._brute(spark, df, 3)
+        got = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in edit_distance_pairs(df, "uid", "name", max_distance=3).collect()
+        )
+        assert got == want
+        assert (1, 2, 3) in got
 
 
 class TestDqChecks:
