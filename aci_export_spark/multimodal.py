@@ -8,9 +8,12 @@ codec libraries (Pillow, torchaudio, pyav) are not in this container, so the
 - ``real=True`` → for IMAGES, container-header parsing implemented here
   directly (PNG IHDR / JPEG SOFn / GIF logical-screen descriptor — pure
   struct reads over the binary column, no codec dependency), so metadata
-  extraction works on genuine image bytes; pixel-touching kernels (resize,
-  frame decode, perceptual hash) and audio/video decode still raise
-  ``NotImplementedError`` until a codec library is present;
+  extraction works on genuine image bytes. PNG goes further: full PIXEL
+  decode with zlib inflate + numpy scanline unfiltering
+  (:func:`decode_png_luma`), so resize and perceptual hash run on genuine
+  luma grids for PNG payloads; JPEG/GIF pixel kernels and audio/video
+  sample decode still raise ``NotImplementedError`` (entropy decoding
+  needs a codec library);
 - ``real=False`` (default) → a deterministic fake that derives metadata from
   the bytes themselves (length / md5 / arithmetic), so the Spark-side
   plumbing — schema, mapInPandas signature, Arrow batch shape, partitioning,
@@ -234,6 +237,162 @@ def parse_mp4_meta(data: bytes) -> tuple[int, int | None, int | None] | None:
     return duration_ms, width, height
 
 
+def decode_png_luma(data: bytes) -> "object":
+    """Decode a PNG payload to its luma grid (numpy uint8, height×width)
+    with NO codec library: chunk walk + zlib inflate (zlib is already a
+    repo dependency) + per-scanline unfiltering per the PNG spec.
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), non-interlaced — the shapes an in-pipeline thumbnailer
+    actually meets. 16-bit, palette (PLTE indexing), and Adam7 interlace
+    raise NotImplementedError naming the missing piece; corrupt or
+    truncated IDAT raises ValueError (zlib errors are wrapped). RGB luma is
+    the deterministic integer BT.601 approximation (77R+150G+29B)>>8.
+
+    Unfilter vectorization: None/Up are whole-row numpy ops (uint8 wraps
+    mod 256 natively); Sub is a per-channel cumsum mod 256 (its recurrence
+    is a prefix sum); Average/Paeth carry a true serial dependence along x,
+    so they loop within the scanline — the documented cost of those two
+    filter types, bounded by row width.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated IHDR")
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk[:13])
+            )
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or height is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if bit_depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {bit_depth} gated: only 8-bit channels are "
+            "decoded (16-bit needs big-endian sample pairing; 1/2/4-bit "
+            "need bit unpacking)"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(
+            f"PNG color type {color_type} gated: palette images need PLTE "
+            "chunk indexing"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG gated")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG IDAT payload is {len(raw)} bytes, expected "
+            f"{(stride + 1) * height} for {width}x{height}x{channels}"
+        )
+    if width == 0 or height == 0:
+        raise ValueError("empty PNG raster")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = arr[:, 0]
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        f = int(filters[y])
+        row = arr[y, 1:]
+        if f == 0:  # None
+            cur = row.copy()
+        elif f == 1:  # Sub: prefix sum per channel, mod 256
+            cur = (
+                row.reshape(width, bpp).astype(np.uint32).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: whole-row wrapping add
+            cur = row + prev
+        elif f == 3:  # Average: serial along x
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: serial along x
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    px = recon.reshape(height, width, channels)
+    if channels in (1, 2):  # gray / gray+alpha: the gray channel IS luma
+        return px[:, :, 0].copy()
+    r = px[:, :, 0].astype(np.uint32)
+    g = px[:, :, 1].astype(np.uint32)
+    b = px[:, :, 2].astype(np.uint32)
+    return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
+
+
+def downscale_luma(luma: "object", nh: int, nw: int) -> "object":
+    """Deterministic integer downscale of a luma grid to (nh, nw): exact
+    box mean (2-D summed-area table, floor division) when the source
+    covers the target in both axes, nearest-neighbor sampling otherwise —
+    both engine-replayable integer arithmetic, no float resampling."""
+    import numpy as np
+
+    h, w = luma.shape
+    if h >= nh and w >= nw:
+        sat = np.zeros((h + 1, w + 1), dtype=np.uint64)
+        sat[1:, 1:] = luma.astype(np.uint64).cumsum(axis=0).cumsum(axis=1)
+        ys = (np.arange(nh + 1, dtype=np.int64) * h) // nh
+        xs = (np.arange(nw + 1, dtype=np.int64) * w) // nw
+        s = sat[ys][:, xs]
+        block = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+        areas = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+        return (block // areas.astype(np.uint64)).astype(np.uint8)
+    ys = (np.arange(nh, dtype=np.int64) * h) // nh
+    xs = (np.arange(nw, dtype=np.int64) * w) // nw
+    return luma[ys][:, xs].copy()
+
+
+def _png_phash(data: bytes) -> int:
+    """Real dHash for a PNG payload: decode luma, box-downscale to the
+    PHASH_ROWS x (PHASH_COLS+1) grid, hash horizontal gradients — the same
+    bit layout as the fake path, over genuine pixels."""
+    luma = decode_png_luma(data)
+    grid = downscale_luma(luma, PHASH_ROWS, PHASH_COLS + 1)
+    h = 0
+    for r in range(PHASH_ROWS):
+        for c in range(PHASH_COLS):
+            if int(grid[r, c]) < int(grid[r, c + 1]):
+                h |= 1 << (r * PHASH_COLS + c)
+    return h
+
+
 def _decode_real(content: bytes, media_type: str) -> tuple[int, int]:
     """The real decode hook. Image METADATA needs only the container header
     — parsed here with no codec dependency. Audio/video decode (and any
@@ -408,13 +567,15 @@ def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> Dat
 
     Integer arithmetic throughout (``a * max_dim // big_side``) so the fake
     is bit-identical across engines. The fake "resized payload" is the
-    proportional byte prefix; a real kernel re-encodes pixels instead.
+    proportional byte prefix. ``real=True`` decodes PNG payloads to their
+    genuine luma grid (:func:`decode_png_luma` — zlib + numpy, no codec),
+    reports true dimensions, and ``new_byte_len`` is the resized luma's
+    pixel count (the buffer a downstream feature extractor holds); JPEG and
+    GIF pixel decode stays codec-gated via ``_decode_real``'s contract.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real:
-                _decode_real(b"", "")
             lens = pdf["content"].map(len)
             out = {
                 "doc_id": pdf["doc_id"],
@@ -422,14 +583,35 @@ def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> Dat
                 "width": [], "height": [], "new_width": [],
                 "new_height": [], "new_byte_len": [],
             }
-            for n in lens:
-                w, h = _fake_dims(int(n))
-                big = max(w, h)
-                if big <= max_dim:
-                    nw, nh, nb = w, h, int(n)
+            for n, content in zip(lens, pdf["content"]):
+                if real:
+                    data = bytes(content)
+                    if data[:8] == b"\x89PNG\r\n\x1a\n":
+                        luma = decode_png_luma(data)
+                        h, w = luma.shape
+                    else:
+                        # JPEG/GIF pixel kernels stay codec-gated; raises
+                        # with the named missing capability
+                        _decode_real(data, "image")
+                        raise NotImplementedError(
+                            "real resize decodes pixels: PNG is supported "
+                            "natively (zlib inflate + numpy unfilter); JPEG/"
+                            "GIF entropy decoding needs a codec library"
+                        )
+                    big = max(w, h)
+                    if big <= max_dim:
+                        nw, nh = w, h
+                    else:
+                        nw, nh = max(1, w * max_dim // big), max(1, h * max_dim // big)
+                    nb = nw * nh
                 else:
-                    nw, nh = w * max_dim // big, h * max_dim // big
-                    nb = int(n) * max_dim // big
+                    w, h = _fake_dims(int(n))
+                    big = max(w, h)
+                    if big <= max_dim:
+                        nw, nh, nb = w, h, int(n)
+                    else:
+                        nw, nh = w * max_dim // big, h * max_dim // big
+                        nb = int(n) * max_dim // big
                 out["width"].append(w)
                 out["height"].append(h)
                 out["new_width"].append(nw)
@@ -496,16 +678,25 @@ def phash_table(media: DataFrame, real: bool = False) -> DataFrame:
     Fake decode: the "luma grid" samples the payload bytes at stride
     `PHASH_STRIDE` modulo the length — deterministic and replayed exactly
     by the DuckDB oracle over the text column (the payload is its utf-8
-    bytes). The real kernel (grayscale → 8x9 downscale) goes where
-    `_decode_real` is called, same mapInPandas shape."""
+    bytes). ``real=True``: PNG payloads decode to their genuine luma grid
+    (zlib + numpy, :func:`decode_png_luma`), box-downscale to 7x9, same
+    gradient bit layout; JPEG/GIF stay codec-gated."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real:
-                _decode_real(b"", "")
             hashes = []
             for content in pdf["content"]:
                 data = bytes(content)
+                if real:
+                    if data[:8] != b"\x89PNG\r\n\x1a\n":
+                        _decode_real(data, "image")
+                        raise NotImplementedError(
+                            "real pHash decodes pixels: PNG is supported "
+                            "natively; JPEG/GIF entropy decoding needs a "
+                            "codec library"
+                        )
+                    hashes.append(_png_phash(data))
+                    continue
                 n = max(len(data), 1)
                 h = 0
                 for r in range(PHASH_ROWS):

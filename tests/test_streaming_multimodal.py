@@ -381,8 +381,16 @@ def test_phash_real_mode_gated(spark):
     from aci_export_spark.sources import read_table
 
     media = MM.attach_media(read_table(spark, SF_SMOKE, "documents"))
-    with _pytest.raises(Exception, match="codec"):
+    # text payloads aren't an image container at all; JPEG/GIF payloads are
+    # recognized but pixel decode stays codec-gated (PNG now decodes for real)
+    with _pytest.raises(Exception, match="unrecognized image container"):
         MM.phash_table(media, real=True).collect()
+    jpeg_hdr = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x10\x00\x20" + b"\x00" * 8 + b"\xff\xd9"), "image")],
+        "doc_id long, content binary, media_type string",
+    )
+    with _pytest.raises(Exception, match="codec"):
+        MM.phash_table(jpeg_hdr, real=True).collect()
 
 
 def test_streaming_funnel_equals_batch(spark):
@@ -570,3 +578,238 @@ def test_stream_into_mirror_resumes_from_checkpoint(spark, tmp_path):
     stream_into_mirror(stream(), target, ckpt, keys=["event_id"])
     got3 = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
     assert got3 == got2
+
+
+# ---------------------------------------------------------------------------
+# real PNG pixel decode (round 7: zlib inflate + numpy unfilter, no codec)
+# ---------------------------------------------------------------------------
+
+
+def _png_encode(px, color_type, filters):
+    """Minimal PNG writer for tests: 8-bit, chosen color type, one filter
+    byte per scanline (0-4, ENCODED per spec so decoding must invert it)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = flat[y]
+        enc = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (int(row[x]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _expected_luma(px, color_type):
+    import numpy as np
+
+    if color_type in (0, 4):
+        return px if px.ndim == 2 else px[:, :, 0]
+    r = px[:, :, 0].astype(np.uint32)
+    g = px[:, :, 1].astype(np.uint32)
+    b = px[:, :, 2].astype(np.uint32)
+    return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
+
+
+def test_png_decode_round_trip_all_filters_and_color_types():
+    import numpy as np
+
+    from aci_export_spark.multimodal import decode_png_luma
+
+    rng = np.random.RandomState(42)
+    for color_type, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            h, w = int(rng.randint(1, 12)), int(rng.randint(1, 12))
+            px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+            if ch == 1:
+                data = _png_encode(px[:, :, 0], color_type, filters)
+                want = _expected_luma(px[:, :, 0], color_type)
+            else:
+                data = _png_encode(px, color_type, filters)
+                want = _expected_luma(px, color_type)
+            got = decode_png_luma(data)
+            assert got.shape == (h, w), (color_type, filters)
+            assert (got == want).all(), (color_type, filters)
+
+
+def test_png_decode_gates():
+    import numpy as np
+    import pytest
+
+    from aci_export_spark.multimodal import decode_png_luma
+
+    px = np.zeros((4, 4), dtype=np.uint8)
+    good = _png_encode(px, 0, [0])
+    # corrupt the IDAT payload bytes (zlib stream) -> ValueError, not garbage
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png_luma(bytes(bad))
+    # truncated file
+    with pytest.raises(ValueError):
+        decode_png_luma(good[: len(good) // 2])
+    # not a PNG at all
+    with pytest.raises(ValueError):
+        decode_png_luma(b"plain text payload")
+    # 16-bit and palette and interlace are named gates
+    import struct
+
+    def rewrite_ihdr(depth=8, ctype=0, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
+        out = bytearray(good)
+        at = good.index(b"IHDR") + 4
+        out[at : at + 13] = ihdr
+        return bytes(out)
+
+    with pytest.raises(NotImplementedError):
+        decode_png_luma(rewrite_ihdr(depth=16))
+    with pytest.raises(NotImplementedError):
+        decode_png_luma(rewrite_ihdr(ctype=3))
+    with pytest.raises(NotImplementedError):
+        decode_png_luma(rewrite_ihdr(interlace=1))
+
+
+def test_downscale_luma_box_mean_and_nearest():
+    import numpy as np
+
+    from aci_export_spark.multimodal import downscale_luma
+
+    # 4x4 -> 2x2 exact box means
+    src = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    got = downscale_luma(src, 2, 2)
+    want = np.array(
+        [[(0 + 1 + 4 + 5) // 4, (2 + 3 + 6 + 7) // 4],
+         [(8 + 9 + 12 + 13) // 4, (10 + 11 + 14 + 15) // 4]],
+        dtype=np.uint8,
+    )
+    assert (got == want).all()
+    # upscale path: nearest-neighbor, deterministic
+    tiny = np.array([[10, 200]], dtype=np.uint8)
+    up = downscale_luma(tiny, 2, 4)
+    assert up.shape == (2, 4)
+    assert set(np.unique(up)) <= {10, 200}
+
+
+def test_phash_real_png_through_spark(spark):
+    """mm pHash with real=True over synthetic PNGs: gradient bits computed
+    from genuine decoded luma, verified against a direct numpy replica;
+    near-identical images land within small Hamming distance."""
+    import numpy as np
+
+    from aci_export_spark.multimodal import (
+        PHASH_COLS,
+        PHASH_ROWS,
+        decode_png_luma,
+        downscale_luma,
+        phash_table,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 40, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = [0, 0, 0]  # one-pixel change
+    far = rng.randint(0, 256, size=(32, 40, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(_png_encode(base, 2, [0, 1, 2, 3, 4])), "image"),
+        (2, bytearray(_png_encode(near, 2, [4, 3, 2, 1, 0])), "image"),
+        (3, bytearray(_png_encode(far, 2, [2])), "image"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_type string"
+    )
+    got = {r["doc_id"]: r["phash"] for r in phash_table(media, real=True).collect()}
+
+    def expect(px):
+        grid = downscale_luma(
+            decode_png_luma(_png_encode(px, 2, [0])), PHASH_ROWS, PHASH_COLS + 1
+        )
+        h = 0
+        for r in range(PHASH_ROWS):
+            for c in range(PHASH_COLS):
+                if int(grid[r, c]) < int(grid[r, c + 1]):
+                    h |= 1 << (r * PHASH_COLS + c)
+        return h
+
+    assert got[1] == expect(base)
+    assert got[2] == expect(near)
+    assert got[3] == expect(far)
+    # dHash locality: 1-pixel edit flips at most a couple gradient bits
+    assert bin(got[1] ^ got[2]).count("1") <= 4
+    # filters don't matter: same pixels -> same hash regardless of encoding
+    refilter = spark.createDataFrame(
+        [(9, bytearray(_png_encode(base, 2, [3])), "image")],
+        "doc_id long, content binary, media_type string",
+    )
+    assert phash_table(refilter, real=True).collect()[0]["phash"] == got[1]
+
+
+def test_resize_plan_real_png_through_spark(spark):
+    import numpy as np
+    import pytest
+
+    from aci_export_spark.multimodal import resize_plan
+
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, size=(64, 256), dtype=np.uint8)  # 256x64 image
+    small = rng.randint(0, 256, size=(8, 10), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_png_encode(big, 0, [0, 2])), "image"),
+            (2, bytearray(_png_encode(small, 0, [1])), "image"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    rows = {r["doc_id"]: r for r in resize_plan(media, max_dim=128, real=True).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (256, 64)
+    assert (rows[1]["new_width"], rows[1]["new_height"]) == (128, 32)
+    assert rows[1]["new_byte_len"] == 128 * 32
+    assert (rows[2]["new_width"], rows[2]["new_height"]) == (10, 8)  # under cap
+    # non-PNG payload under real=True raises through the gate
+    gif = spark.createDataFrame(
+        [(3, bytearray(b"GIF89a" + b"\x05\x00\x04\x00" + b"\x00" * 20), "image")],
+        "doc_id long, content binary, media_type string",
+    )
+    with pytest.raises(Exception):
+        resize_plan(gif, real=True).collect()
