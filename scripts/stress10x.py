@@ -11,6 +11,27 @@ instead of exploding quadratically across copies (which would measure dup
 density, not scale).
 
 Run: python scripts/stress10x.py      (env STRESS_COPIES to override)
+
+CONSTANT-DENSITY mode (``python scripts/stress10x.py cd``): the classic
+mode duplicates everything verbatim, so dedup-family growth is dominated
+by quadratic duplicate mass (round-6 measured ×910 true pairs at 10×) and
+every >3× wall row needs a density decomposition. This mode holds
+duplicate DENSITY constant while volume grows 10×, using per-copy
+transforms that preserve intra-copy similarity structure EXACTLY while
+decorrelating copies:
+
+- documents: every token gets an injective per-copy prefix — within-copy
+  token/shingle Jaccard is exactly the base corpus' (injective renaming),
+  cross-copy token sets are disjoint (similarity 0);
+- embeddings: a per-copy seeded ORTHOGONAL rotation — within-copy cosines
+  are exactly preserved (rotation invariance), cross-copy cosines collapse
+  to ~N(0, 1/dim) noise;
+- customer names: a per-copy 3-char suffix — within-copy edit distances
+  unchanged, cross-copy distance ≥ 3 > k.
+
+So true pairs grow exactly 10× (linear in corpus) and the wall-clock table
+demonstrates plan-bound linearity directly instead of via a density
+argument. Pair counts are printed beside timings as the density check.
 """
 
 from __future__ import annotations
@@ -124,6 +145,152 @@ QUERIES = [
 ]
 
 
+#: constant-density sweep: the dedup/ER family whose classic-mode growth was
+#: density-dominated (VERDICT r6 #5), plus the shared-pair-artifact producers
+#: the agreement audit consumes
+CD_QUERIES = [
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash_pairs",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_clusters",
+    "llm_dedup_cluster_canonical",
+    "llm_dedup_method_agreement",
+    "llm_dedup_semantic",
+    "llm_dedup_embedding_cosine",
+    "er_fuzzy_name_pairs",
+    "er_fuzzy_name_pairs_k2",
+    "er_fuzzy_entities",
+]
+
+OUT_CD = os.environ.get("STRESS_CD_OUT", "/tmp/stress10x_cd")
+
+
+def synthesize_cd(spark) -> None:
+    """Constant-density 10× corpus: only the tables the CD queries read
+    (documents, embeddings, customer + the fixed dimensions)."""
+    from pyspark.sql import functions as F
+
+    from aci_export_spark.sources import read_table
+
+    for t in ["region", "nation"]:
+        read_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
+            f"{OUT_CD}/{t}.parquet"
+        )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    doc_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(COPIES):
+        tag = f"q{i}"
+        tagged = F.array_join(
+            F.transform(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""),
+                lambda x: F.concat(F.lit(tag), x),
+            ),
+            " ",
+        )
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_stride))
+            .withColumn("text", tagged)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{OUT_CD}/documents.parquet")
+
+    cust = read_table(spark, SF_DIR, "customer")
+    cust_stride = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * cust_stride))
+            .withColumn("c_name", F.concat(F.col("c_name"), F.lit(str(i) * 3)))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{OUT_CD}/customer.parquet")
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    vec_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    label_stride = emb.agg(F.max("label")).collect()[0][0] + 1
+
+    def rotator(copy: int):
+        import numpy as np
+
+        def fn(batches):
+            q = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                if q is None:
+                    rng = np.random.RandomState(10_000 + copy)
+                    q, _ = np.linalg.qr(rng.standard_normal((vecs.shape[1],) * 2))
+                rot = (vecs @ q.T).astype(np.float32)
+                pdf = pdf.copy()
+                pdf["embedding"] = [row for row in rot]
+                yield pdf
+
+        return fn
+
+    parts = []
+    for i in range(COPIES):
+        shifted = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * vec_stride)
+        ).withColumn("label", (F.col("label") + F.lit(i * label_stride)).cast("int"))
+        parts.append(shifted.mapInPandas(rotator(i), schema=shifted.schema))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{OUT_CD}/embeddings.parquet")
+    print(f"synthesized constant-density {COPIES}x corpus at {OUT_CD}")
+
+
+def run_counting(spark, sf_dir: str, names: list[str]) -> dict[str, tuple[float, int]]:
+    """Like run(), but the action is count() so the density check (rows ≈
+    10× base) prints beside every timing."""
+    from aci_export_spark import artifacts, harness, harness_llm
+
+    harness._ensure_all_registered()
+    out: dict[str, tuple[float, int]] = {}
+    for name in names:
+        artifacts._CACHE.clear()
+        harness_llm._KMEANS_MODEL_CACHE.clear()
+        harness_llm._PQ_CODEBOOK_CACHE.clear()
+        harness_llm._FIT_SAMPLE_CACHE.clear()
+        t0 = time.perf_counter()
+        n = harness.REGISTRY[name].fn(spark, sf_dir).count()
+        out[name] = (time.perf_counter() - t0, n)
+    return out
+
+
+def main_cd() -> None:
+    from aci_export_spark.session import get_spark
+
+    spark = get_spark("stress10x-cd")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_cd(spark)
+    spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(1).toPandas()
+    base = run_counting(spark, SF_DIR, CD_QUERIES)
+    big = run_counting(spark, OUT_CD, CD_QUERIES)
+    print(f"\n| query | sf0.1 | rows | {COPIES}× CD | rows | wall growth | row growth |")
+    print("|---|---|---|---|---|---|---|")
+    for name in CD_QUERIES:
+        bt, bn = base[name]
+        gt, gn = big[name]
+        wg = gt / bt if bt else float("nan")
+        rg = gn / bn if bn else float("nan")
+        print(
+            f"| {name} | {bt:.1f} s | {bn} | {gt:.1f} s | {gn} | {wg:.1f}× | {rg:.1f}× |"
+        )
+    spark.stop()
+
+
 def synthesize(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -233,4 +400,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "cd":
+        main_cd()
+    else:
+        main()
