@@ -370,6 +370,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_sessionization",
     # round-7 additions (registered this round)
     "llm_bpe_train_batched",
+    "llm_bpe_encode_stats_batched",
     "er_fuzzy_name_pairs_k2",
     # remaining r3-era rows (newest driver row = r3), oldest-first backfill
     "a4_priority_dedup",

@@ -1404,6 +1404,54 @@ def llm_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges
 
 
+def _bpe_batched_stats_oracle() -> str:
+    """Golden-VALUES oracle: encode stats under the BATCHED merge table —
+    the reference replays the identical batched spec then reduces the
+    folded word-type dict to the same three exact integers."""
+    from aci_export_spark.llm.bpe import bpe_reference_batched_encode_stats
+
+    n_words, n_base, n_enc = bpe_reference_batched_encode_stats(
+        "/root/testdata/sf0.01/documents.parquet", n_merges=256, batch_cap=32
+    )
+    return f"""
+SELECT CAST({n_words} AS BIGINT) AS n_words,
+       CAST({n_base} AS BIGINT) AS n_base_symbols,
+       CAST({n_enc} AS BIGINT) AS n_encoded_symbols
+"""
+
+
+@register(
+    "llm_bpe_encode_stats_batched",
+    _bpe_batched_stats_oracle,  # resolved lazily; reference-equivalence
+    # pytest in tests/test_bpe.py
+    doc="corpus encode-efficiency under the REALISTIC-vocabulary merge "
+    "table (the 256-target batched trainer, 112 merges at corpus "
+    "saturation): reduces the batched trainer's own folded word-type "
+    "table via the shared artifact — train + report still cost one "
+    "training run and one corpus scan; the compression the full vocabulary "
+    "buys vs the toy 8-merge table (llm_bpe_encode_stats) is the "
+    "tokenizer-sizing signal a pipeline owner tracks",
+)
+def llm_bpe_encode_stats_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.artifacts import shared_many
+    from aci_export_spark.llm import bpe as B
+    from aci_export_spark.llm.bpe import encoded_words_stats
+
+    def build():
+        docs = read_table(spark, sf_dir, "documents")
+        merges, words, _rounds = B.bpe_train_batched_with_encoded(
+            docs, text_col="text", n_merges=256, batch_cap=32
+        )
+        return merges, words
+
+    _merges, words = shared_many(
+        spark,
+        [("bpe_batched_merges", sf_dir, 256), ("bpe_batched_words", sf_dir, 256)],
+        build,
+    )
+    return encoded_words_stats(words)
+
+
 def _mmr_golden_oracle() -> str:
     """Golden-VALUES oracle for brute-pool + MMR re-rank: every float fold
     in the pipeline is sequential in element order on both sides, so the

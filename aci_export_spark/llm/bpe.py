@@ -371,6 +371,52 @@ def bpe_reference_python_batched(
     return merges, rounds
 
 
+def bpe_reference_batched_encode_stats(
+    parquet_path: str,
+    text_col: str = "text",
+    n_merges: int = 256,
+    batch_cap: int = 32,
+) -> tuple[int, int, int]:
+    """Single-process reference: replay the batched training spec, then
+    reduce the final folded word-type dict to (n_words, n_base_symbols,
+    n_encoded_symbols). Backs the golden-VALUES oracle of
+    ``llm_bpe_encode_stats_batched``."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(parquet_path, columns=[text_col])[text_col].to_pylist()
+    wcounts: Counter = Counter()
+    for t in texts:
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (t or "").lower()).strip()
+        for w in norm.split(" "):
+            if w:
+                wcounts[w] += 1
+    n_words = sum(wcounts.values())
+    n_base = sum((len(w) + 1) * c for w, c in wcounts.items())
+    merges, _rounds = bpe_reference_python_batched(
+        parquet_path, text_col=text_col, n_merges=n_merges, batch_cap=batch_cap
+    )
+    words: dict[tuple[str, ...], int] = {
+        tuple(list(w) + [EOW]): c for w, c in wcounts.items()
+    }
+    for _, left, right, _cnt in merges:
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+    n_encoded = sum(len(syms) * c for syms, c in words.items())
+    return n_words, n_base, n_encoded
+
+
 def bpe_encode_expr(merges: list[tuple[str, str]], symbols_col: str = "symbols") -> str:
     """SQL applying a learned merge list in rank order to a symbol-array
     column — one chained fold per merge (merge lists are hyperparameter-

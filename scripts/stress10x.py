@@ -20,9 +20,14 @@ duplicate DENSITY constant while volume grows 10×, using per-copy
 transforms that preserve intra-copy similarity structure EXACTLY while
 decorrelating copies:
 
-- documents: every token gets an injective per-copy prefix — within-copy
-  token/shingle Jaccard is exactly the base corpus' (injective renaming),
-  cross-copy token sets are disjoint (similarity 0);
+- documents: a per-copy PERMUTATION OF THE ALPHABET (`translate`) — the
+  dedup features are character n-gram shingles, and a bijection on chars
+  is a bijection on shingles, so within-copy shingle-set Jaccard is
+  EXACTLY the base corpus' while cross-copy shingles collide only by
+  26^-n chance. (A first cut used per-token tag prefixes: injective on
+  TOKENS but not shingle-preserving — the constant tag concentrated
+  char-5-gram mass and inflated within-copy similarity past the 0.9
+  threshold, 254 → 2.28M pairs per copy. Feature-space matters.);
 - embeddings: a per-copy seeded ORTHOGONAL rotation — within-copy cosines
   are exactly preserved (rotation invariance), cross-copy cosines collapse
   to ~N(0, 1/dim) noise;
@@ -142,6 +147,10 @@ QUERIES = [
     "mm_av_metadata",
     "llm_bpe_encode_stats",
     "llm_bpe_fertility_by_lang",
+    # round-7 additions
+    "llm_bpe_train_batched",
+    "llm_bpe_encode_stats_batched",
+    "er_fuzzy_name_pairs_k2",
 ]
 
 
@@ -177,21 +186,25 @@ def synthesize_cd(spark) -> None:
             f"{OUT_CD}/{t}.parquet"
         )
 
+    import random as _random
+
     docs = read_table(spark, SF_DIR, "documents")
     doc_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    perms = []
+    for i in range(COPIES):
+        if i == 0:
+            perms.append(alphabet)
+            continue
+        p = list(alphabet)
+        _random.Random(123 + i).shuffle(p)
+        perms.append("".join(p))
+    assert len(set(perms)) == COPIES
     parts = []
     for i in range(COPIES):
-        tag = f"q{i}"
-        tagged = F.array_join(
-            F.transform(
-                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""),
-                lambda x: F.concat(F.lit(tag), x),
-            ),
-            " ",
-        )
         parts.append(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_stride))
-            .withColumn("text", tagged)
+            .withColumn("text", F.translate(F.col("text"), alphabet, perms[i]))
         )
     out = parts[0]
     for p in parts[1:]:

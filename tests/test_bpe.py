@@ -232,3 +232,19 @@ def test_bpe_batched_fold_applies_batch_in_rank_order(spark):
     sql = B._batch_fold_sql([("a", "b", 0), ("x", "y", 0)])
     out = [r["s"] for r in df.select(F.expr(sql).alias("s")).collect()]
     assert out == [["ab", "xy"], ["b", "ab", "x"]]
+
+
+def test_bpe_batched_encode_stats_matches_reference(spark):
+    docs = read_table(spark, SF_SMOKE, "documents")
+    _mdf, words, _rounds = B.bpe_train_batched_with_encoded(
+        docs, n_merges=256, batch_cap=32
+    )
+    got = B.encoded_words_stats(words).collect()[0]
+    n_words, n_base, n_enc = B.bpe_reference_batched_encode_stats(
+        f"{SF_SMOKE}/documents.parquet", n_merges=256, batch_cap=32
+    )
+    assert (got["n_words"], got["n_base_symbols"], got["n_encoded_symbols"]) == (
+        n_words, n_base, n_enc,
+    )
+    # the full vocabulary compresses strictly better than no merges
+    assert n_enc < n_base
