@@ -357,6 +357,180 @@ def decode_png_luma(data: bytes) -> "object":
     return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW decode to palette indices — pure Python, no codec.
+
+    Codes start at ``min_code_size+1`` bits (LSB-first packing), the
+    dictionary grows by one entry per code up to 12 bits, CLEAR resets it,
+    END terminates. Raises ValueError on malformed streams (bad first
+    code, out-of-range code, truncation before ``n_pixels``)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    # bit reader, LSB first
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int | None:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return None
+        v = 0
+        for k in range(width):
+            byte = data[(bitpos + k) >> 3]
+            if (byte >> ((bitpos + k) & 7)) & 1:
+                v |= 1 << k
+        bitpos += width
+        return v
+
+    table: list[list[int]] = []
+
+    def reset_table() -> None:
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        prev = None
+
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    reset_table()
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code is None:
+            raise ValueError("GIF LZW stream truncated before raster complete")
+        if code == clear:
+            reset_table()
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF raster short: {len(out)} of {n_pixels} pixels decoded"
+        )
+    return out[:n_pixels]
+
+
+def decode_gif_luma(data: bytes) -> "object":
+    """Decode the FIRST frame of a GIF payload to its luma grid (numpy
+    uint8, height×width) with NO codec library: header + color-table
+    parsing and a pure-Python GIF-LZW inflater (:func:`_gif_lzw_decode`).
+
+    Supported: GIF87a/89a, global or local color table, interlaced or
+    non-interlaced first image; extension blocks are skipped (so animated
+    GIFs decode their first frame; transparency is ignored — the palette
+    color shows, which is the deterministic choice a luma pipeline wants).
+    Malformed streams raise ValueError. Palette RGB collapses to the same
+    integer BT.601 luma as the PNG path."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated GIF image descriptor")
+            _left, _top, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+                if len(pal) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                pal = pal.reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            if w == 0 or h == 0:
+                raise ValueError("empty GIF raster")
+            if pos >= len(data):
+                raise ValueError("truncated GIF before LZW data")
+            min_code_size = data[pos]
+            pos += 1
+            if not (2 <= min_code_size <= 11):
+                raise ValueError(f"invalid GIF LZW min code size {min_code_size}")
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                chunk = data[pos + 1 : pos + 1 + ln]
+                if len(chunk) < ln:
+                    raise ValueError("truncated GIF LZW sub-block")
+                chunks.append(chunk)
+                pos += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+            indices = np.asarray(idx, dtype=np.int32)
+            if indices.max(initial=0) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            grid = indices.reshape(h, w)
+            if iflags & 0x40:  # Adam-less GIF interlace: 4 row passes
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                deinter = np.empty_like(grid)
+                deinter[order] = grid
+                grid = deinter
+            rgb = pal[grid]
+            r = rgb[:, :, 0].astype(np.uint32)
+            g = rgb[:, :, 1].astype(np.uint32)
+            b = rgb[:, :, 2].astype(np.uint32)
+            return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def decode_image_luma(data: bytes) -> "object":
+    """Dispatch real pixel decode by container signature: PNG and GIF are
+    decoded natively (zlib / pure-Python LZW); JPEG raises the codec gate
+    (baseline JPEG needs Huffman entropy decoding + IDCT)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_luma(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_luma(data)
+    if data[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG pixel decode gated: baseline JPEG needs Huffman entropy "
+            "decoding + dequant + IDCT (a codec); PNG and GIF decode "
+            "natively here"
+        )
+    raise ValueError("unrecognized image container: not PNG, GIF, or JPEG")
+
+
 def downscale_luma(luma: "object", nh: int, nw: int) -> "object":
     """Deterministic integer downscale of a luma grid to (nh, nw): exact
     box mean (2-D summed-area table, floor division) when the source
@@ -379,11 +553,11 @@ def downscale_luma(luma: "object", nh: int, nw: int) -> "object":
     return luma[ys][:, xs].copy()
 
 
-def _png_phash(data: bytes) -> int:
-    """Real dHash for a PNG payload: decode luma, box-downscale to the
+def _image_phash(data: bytes) -> int:
+    """Real dHash for a PNG/GIF payload: decode luma, box-downscale to the
     PHASH_ROWS x (PHASH_COLS+1) grid, hash horizontal gradients — the same
     bit layout as the fake path, over genuine pixels."""
-    luma = decode_png_luma(data)
+    luma = decode_image_luma(data)
     grid = downscale_luma(luma, PHASH_ROWS, PHASH_COLS + 1)
     h = 0
     for r in range(PHASH_ROWS):
@@ -586,18 +760,10 @@ def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> Dat
             for n, content in zip(lens, pdf["content"]):
                 if real:
                     data = bytes(content)
-                    if data[:8] == b"\x89PNG\r\n\x1a\n":
-                        luma = decode_png_luma(data)
-                        h, w = luma.shape
-                    else:
-                        # JPEG/GIF pixel kernels stay codec-gated; raises
-                        # with the named missing capability
-                        _decode_real(data, "image")
-                        raise NotImplementedError(
-                            "real resize decodes pixels: PNG is supported "
-                            "natively (zlib inflate + numpy unfilter); JPEG/"
-                            "GIF entropy decoding needs a codec library"
-                        )
+                    # PNG and GIF decode natively; JPEG raises its codec
+                    # gate from decode_image_luma
+                    luma = decode_image_luma(data)
+                    h, w = luma.shape
                     big = max(w, h)
                     if big <= max_dim:
                         nw, nh = w, h
@@ -688,14 +854,9 @@ def phash_table(media: DataFrame, real: bool = False) -> DataFrame:
             for content in pdf["content"]:
                 data = bytes(content)
                 if real:
-                    if data[:8] != b"\x89PNG\r\n\x1a\n":
-                        _decode_real(data, "image")
-                        raise NotImplementedError(
-                            "real pHash decodes pixels: PNG is supported "
-                            "natively; JPEG/GIF entropy decoding needs a "
-                            "codec library"
-                        )
-                    hashes.append(_png_phash(data))
+                    # PNG and GIF decode natively; JPEG raises its codec
+                    # gate from decode_image_luma
+                    hashes.append(_image_phash(data))
                     continue
                 n = max(len(data), 1)
                 h = 0
