@@ -8,12 +8,13 @@ codec libraries (Pillow, torchaudio, pyav) are not in this container, so the
 - ``real=True`` → for IMAGES, container-header parsing implemented here
   directly (PNG IHDR / JPEG SOFn / GIF logical-screen descriptor — pure
   struct reads over the binary column, no codec dependency), so metadata
-  extraction works on genuine image bytes. PNG goes further: full PIXEL
-  decode with zlib inflate + numpy scanline unfiltering
-  (:func:`decode_png_luma`), so resize and perceptual hash run on genuine
-  luma grids for PNG payloads; JPEG/GIF pixel kernels and audio/video
-  sample decode still raise ``NotImplementedError`` (entropy decoding
-  needs a codec library);
+  extraction works on genuine image bytes. PNG and GIF go further: full
+  PIXEL decode — zlib inflate + numpy scanline unfiltering for PNG
+  (:func:`decode_png_luma`), a pure-Python GIF-LZW inflater for GIF
+  (:func:`decode_gif_luma`) — so resize and perceptual hash run on genuine
+  luma grids for PNG and GIF payloads; only JPEG pixel decode and
+  compressed audio/video sample decode still raise ``NotImplementedError``
+  (JPEG entropy decoding needs Huffman + IDCT);
 - ``real=False`` (default) → a deterministic fake that derives metadata from
   the bytes themselves (length / md5 / arithmetic), so the Spark-side
   plumbing — schema, mapInPandas signature, Arrow batch shape, partitioning,
@@ -741,11 +742,12 @@ def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> Dat
 
     Integer arithmetic throughout (``a * max_dim // big_side``) so the fake
     is bit-identical across engines. The fake "resized payload" is the
-    proportional byte prefix. ``real=True`` decodes PNG payloads to their
-    genuine luma grid (:func:`decode_png_luma` — zlib + numpy, no codec),
-    reports true dimensions, and ``new_byte_len`` is the resized luma's
-    pixel count (the buffer a downstream feature extractor holds); JPEG and
-    GIF pixel decode stays codec-gated via ``_decode_real``'s contract.
+    proportional byte prefix. ``real=True`` decodes PNG and GIF payloads to
+    their genuine luma grid (:func:`decode_image_luma` — zlib + numpy for
+    PNG, pure-Python LZW for GIF, no codec), reports true dimensions, and
+    ``new_byte_len`` is the resized luma's pixel count (the buffer a
+    downstream feature extractor holds); only JPEG pixel decode stays
+    codec-gated via ``decode_image_luma``'s contract.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -844,9 +846,10 @@ def phash_table(media: DataFrame, real: bool = False) -> DataFrame:
     Fake decode: the "luma grid" samples the payload bytes at stride
     `PHASH_STRIDE` modulo the length — deterministic and replayed exactly
     by the DuckDB oracle over the text column (the payload is its utf-8
-    bytes). ``real=True``: PNG payloads decode to their genuine luma grid
-    (zlib + numpy, :func:`decode_png_luma`), box-downscale to 7x9, same
-    gradient bit layout; JPEG/GIF stay codec-gated."""
+    bytes). ``real=True``: PNG and GIF payloads decode to their genuine
+    luma grid (:func:`decode_image_luma` — zlib + numpy for PNG,
+    pure-Python LZW for GIF), box-downscale to 7x9, same gradient bit
+    layout; only JPEG stays codec-gated."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -237,7 +237,16 @@ def edit_distance_pairs(
     don't degenerate) with ``strategy='passjoin'`` selecting PassJoin
     partition blocking (linear neighborhood, right for long strings with
     diverse content). k≥3 is PassJoin-only (the deletion neighborhood
-    grows as L^k)."""
+    grows as L^k).
+
+    ``strategy`` must be one of ``'auto' | 'fastss' | 'passjoin'`` — a typo
+    must fail loudly rather than silently fall through to the PassJoin
+    branch (which is quadratic-degenerate on constant-prefix keys)."""
+    if strategy not in ("auto", "fastss", "passjoin"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: expected 'auto', 'fastss', or "
+            "'passjoin'"
+        )
     if max_distance == 1:
         variants = deletion_variants(name_col)
     elif max_distance == 2 and strategy in ("auto", "fastss"):
