@@ -346,16 +346,28 @@ def _ensure_all_registered() -> None:
 #: driver's entry() smoke check) and the three shared-pair-artifact
 #: producers stay directly behind it so audits are billed for their own
 #: joins, not their inputs' builds.
-#: ROUND-8 NOTE: recompute freshness from the CORRECTNESS-file union (do not
-#: trust hand-maintained lists); front-load newly registered queries and any
-#: query whose implementing module changed after its newest driver row, then
-#: back-fill with the oldest rows (after this round the oldest will be r4).
-DRIVER_WINDOW_PRIORITY: list[str] = [
+#: ROUND-8 ROTATION: CORRECTNESS_r07 landed 50/50 green — cumulative driver
+#: coverage is 190/190 with zero failures ever. This round SPLITS the two
+#: jobs the single list was doing: BENCH_BILLING_ORDER (below) freezes the
+#: r7 execution order for attribution-stable bench numbers, and
+#: DRIVER_WINDOW_PRIORITY (further below) rotates freshness mechanically
+#: from the CORRECTNESS-file union, with the invariant asserted by
+#: tests/test_rotation.py instead of a hand-maintained comment.
+#: Frozen bench execution order (head; rest follows registration order).
+#: This is the round-7 driver/bench order, kept byte-identical so BENCH
+#: per-query numbers stay attribution-stable round over round: each shared
+#: pair/BPE artifact is billed to the SAME producing query as in BENCH_r07,
+#: making r7→r8 diffs engine-change-only. The driver correctness window
+#: (DRIVER_WINDOW_PRIORITY below) now rotates independently — correctness
+#: freshness and bench attribution no longer fight over one list.
+#: Registration order alone would NOT preserve billing:
+#: llm_dedup_clusters registers before llm_dedup_minhash_lsh /
+#: llm_dedup_simhash_pairs and would silently absorb their pair builds.
+BENCH_BILLING_ORDER: list[str] = [
     "flagship_scoped_members",
     # artifact-producing pair queries first: the sweep builds each shared
     # pair table inside the query that OWNS it, so the audits below are
-    # billed for their own joins, not their inputs' builds (the driver and
-    # bench both execute in this order; all three are driver-green, r6)
+    # billed for their own joins, not their inputs' builds
     "llm_dedup_minhash_lsh",
     "llm_dedup_simhash_pairs",
     "llm_dedup_ngram_jaccard",
@@ -408,10 +420,103 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "u3_retain_delete_set",
 ]
 
+#: ROUND-8 DRIVER WINDOW (the driver checks the FIRST 50 of queries()).
+#: Recomputed mechanically from the union of CORRECTNESS_r01..r07 keys
+#: (newest-round histogram {4:48, 5:49, 6:43, 7:50}; asserted by
+#: tests/test_rotation.py, per the r7 verdict's ask to stop hand-maintaining
+#: this): flagship (entry() smoke) + this round's new registration
+#: (mm_audio_stats) + the one query whose implementing module changes this
+#: round after its newest row (streaming_funnel_native — watermark eviction
+#: in streaming/core.py's foreachBatch funnel) + 47 of the 48 r4-era rows.
+#: Window arithmetic forces ONE r4 deferral (1+1+1+48 = 51 > 50):
+#: a10_set_difference_count is deferred to the r9 head — chosen because it
+#: is a harness-inline set-op untouched since r1 and re-proven every round
+#: by the local oracle replica (tests/test_oracle_queries.py).
+#: ROUND-9 NOTE: recompute from the CORRECTNESS-file union again; start
+#: with a10_set_difference_count, then new registrations and
+#: module-changed-after-row queries, then back-fill oldest-first (after
+#: this round the oldest cohort is r5, 49 rows, minus any checked here).
+#: The newest CORRECTNESS_r{N} round the window above was computed from —
+#: tests/test_rotation.py recomputes the freshness cohorts from the files
+#: and asserts the window covers them. Bump this when rebuilding the window.
+WINDOW_BUILT_FROM_ROUND = 7
+#: Oldest-cohort queries consciously deferred to the NEXT round's window
+#: head because the window arithmetic overflowed 50 (documented above).
+WINDOW_DEFERRED: frozenset[str] = frozenset({"a10_set_difference_count"})
+
+DRIVER_WINDOW_PRIORITY: list[str] = [
+    "flagship_scoped_members",
+    # new registration this round (never driver-checked) + module-changed
+    "mm_audio_stats",
+    "streaming_funnel_native",
+    # r4-era rows, oldest-first backfill. llm_sim_ivf_kmeans_topk is placed
+    # before llm_dedup_semantic so the kmeans-model fit is billed/cached in
+    # its producing query within the driver sweep.
+    "er_fuzzy_name_pairs",
+    "llm_sim_ivf_kmeans_topk",
+    "llm_dedup_semantic",
+    "a9_sync_stats",
+    "asof_click_to_view",
+    "events_pivot_type_counts",
+    "events_rollup_totals",
+    "events_sketch_distinct",
+    "events_sketch_quantiles",
+    "events_unpivot_metrics",
+    "f11_f12_merge_field_render",
+    "j12_referential_integrity",
+    "j14_entity_resolution_coalesce",
+    "j3_self_join_partner",
+    "j4_coalesce_key_join",
+    "j7_existence_flags",
+    "llm_boilerplate_spans",
+    "llm_decontaminate_overlap",
+    "llm_epoch_mix",
+    "llm_pack_sequences",
+    "llm_pii_scrub",
+    "llm_quality_gopher",
+    "llm_repetition_signals",
+    "llm_split_train_val",
+    "llm_stratified_sample",
+    "mm_decode_metadata",
+    "mm_frame_sample",
+    "mm_resize_plan",
+    "p9_email_validity",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
+    "q22_global_balance_anti",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_global_incidents",
+    "range_user_error_windows",
+    "s13_merge_field_schema_diff",
+    "streaming_distinct_users",
+    "streaming_hourly_agg",
+    "streaming_interval_join",
+    "streaming_sessionization",
+    "streaming_stream_static_join",
+]
+
 
 def _ordered_names() -> list[str]:
+    """Driver-facing order: the correctness window first (the driver checks
+    the first 50), then registration order."""
     _ensure_all_registered()
     head = [n for n in DRIVER_WINDOW_PRIORITY if n in REGISTRY]
+    head_set = set(head)
+    return head + [n for n in REGISTRY if n not in head_set]
+
+
+def _bench_ordered_names() -> list[str]:
+    """Bench-facing order: the frozen r7 billing head first (shared-artifact
+    producers before their consumers, byte-identical to BENCH_r07's order so
+    per-query numbers stay attribution-stable), then registration order."""
+    _ensure_all_registered()
+    head = [n for n in BENCH_BILLING_ORDER if n in REGISTRY]
     head_set = set(head)
     return head + [n for n in REGISTRY if n not in head_set]
 

@@ -151,3 +151,42 @@ FROM documents
 def mm_av_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_media(read_table(spark, sf_dir, "documents"))
     return MM.decode_av_metadata(media)
+
+
+@register(
+    "mm_audio_stats",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+s AS (
+    SELECT d.doc_id, d.byte_len,
+           ((d.doc_id * 2654435761 + i.i * 40503) % 65536) - 32768 AS smp
+    FROM d, LATERAL (
+        SELECT unnest(range(0, 64 + d.byte_len % 193)) AS i
+    ) i
+)
+SELECT doc_id,
+       64 + byte_len % 193 AS n_samples,
+       8000 + (byte_len % 37) * 1000 AS sample_rate,
+       CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+       CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN ABS(smp) < 512 THEN 1 ELSE 0 END) AS BIGINT)
+           AS silent_samples,
+       CAST(SUM(CASE WHEN smp IN (-32768, 32767) THEN 1 ELSE 0 END) AS BIGINT)
+           AS clipped_samples
+FROM s
+GROUP BY doc_id, byte_len
+""",
+    doc="audio amplitude stats over DECODED PCM samples: synthesize a real "
+    "RIFF/WAVE container per document (16-bit PCM, samples from integer "
+    "arithmetic over (doc_id, i)), then decode it back with the pure "
+    "struct+numpy WAV decoder (multimodal.decode_wav_samples — chunk walk "
+    "honoring word alignment, frombuffer int16) and compute peak / exact "
+    "integer sum(|s|), sum(s^2) / silence / clipping counts. The oracle "
+    "replays the sample formula arithmetically — so a decode bug (wrong "
+    "chunk offset, endianness, sign) breaks the hash match. Two "
+    "mapInPandas stages, no shuffle; samples never leave the executor",
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_audio(read_table(spark, sf_dir, "documents"))
+    return MM.audio_stats(media)

@@ -890,3 +890,164 @@ def phash_pairs(
     return hamming_pairs_blocked(
         ph, "doc_id", "phash", max_hamming=max_hamming, bits=PHASH_BITS
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM sample decode (r8): the audio counterpart of decode_png_luma —
+# pure struct/numpy, no codec. Narrows the audio gate to COMPRESSED formats.
+# ---------------------------------------------------------------------------
+
+#: synthetic-WAV parameters (mirrored exactly in the DuckDB oracle):
+#: n_samples = _WAV_N_BASE + byte_len % _WAV_N_MOD, and sample i of doc d is
+#: ((d * _WAV_A + i * _WAV_B) % 65536) - 32768 — Knuth's multiplicative-hash
+#: constant spreads values across the full int16 range so peak/clip/silence
+#: stats are non-degenerate.
+_WAV_N_BASE, _WAV_N_MOD = 64, 193
+_WAV_A, _WAV_B = 2654435761, 40503
+#: |sample| below this counts as silence (about -36 dBFS)
+WAV_SILENCE_THRESHOLD = 512
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, peak_abs long, "
+    "sum_abs long, sum_sq long, silent_samples long, clipped_samples long"
+)
+
+
+def synth_wav(doc_id: int, byte_len: int) -> bytes:
+    """A genuine RIFF/WAVE container (16-bit PCM mono) whose samples derive
+    deterministically from (doc_id, byte_len) — so the decode path below is
+    exercised on real container bytes while the stats stay SQL-replayable.
+    Includes a non-audio ``cue `` chunk with an ODD payload size before
+    ``data`` so decoders must honor RIFF word alignment to find the PCM."""
+    import struct
+
+    import numpy as np
+
+    n = _WAV_N_BASE + byte_len % _WAV_N_MOD
+    sr = 8000 + (byte_len % 37) * 1000
+    i = np.arange(n, dtype=np.int64)
+    smp = ((doc_id * _WAV_A + i * _WAV_B) % 65536 - 32768).astype("<i2")
+    pcm = smp.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    cue = b"\x07"  # odd-size payload: exercises the pad-byte skip
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"cue " + struct.pack("<I", len(cue)) + cue + b"\x00"
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def attach_audio(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with content = a synthesized REAL WAV
+    payload per document. In production the binary column comes straight
+    from the lake; this builder stands in for ingestion so the decode stage
+    downstream runs on genuine RIFF bytes. mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_wav(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(build, schema="doc_id long, byte_len long, content binary")
+
+
+def decode_wav_samples(data: bytes) -> tuple["object", int, int]:
+    """Decode a RIFF/WAVE payload's PCM samples — pure struct walk + one
+    ``np.frombuffer``, no codec. Returns (samples, sample_rate, channels)
+    where samples is an int32 numpy array of interleaved frames scaled to
+    the 16-bit range (8-bit unsigned PCM is centered and shifted << 8, the
+    usual lossless embedding).
+
+    Supported: PCM (format tag 1), 8- or 16-bit, any channel count; chunk
+    walk honors RIFF word alignment (odd chunk sizes carry a pad byte).
+    Compressed formats (IMA ADPCM, MP3-in-WAV, float tags...) raise
+    NotImplementedError — entropy/lossy decode needs a codec; extending to
+    float32 PCM (tag 3) would be one more frombuffer branch if ever needed.
+    Malformed containers raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_tag = channels = sample_rate = bits = None
+    pcm = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (csize,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body = data[i + 8 : i + 8 + csize]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt_tag, channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif cid == b"data":
+            if len(body) < csize:
+                raise ValueError("truncated WAV data chunk")
+            pcm = body
+        i += 8 + csize + (csize & 1)
+    if fmt_tag is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt_tag != 1:
+        raise NotImplementedError(
+            f"WAV format tag {fmt_tag} gated: only integer PCM (tag 1) "
+            "decodes here; compressed/float WAV needs a codec branch"
+        )
+    if bits == 16:
+        smp = np.frombuffer(pcm[: len(pcm) & ~1], dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        smp = (np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128) << 8
+    else:
+        raise NotImplementedError(
+            f"{bits}-bit WAV PCM gated: 8/16-bit decode here; 24/32-bit "
+            "would need frombuffer-with-stride assembly"
+        )
+    return smp, int(sample_rate), int(channels)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-asset amplitude statistics over DECODED PCM samples: peak,
+    exact integer sum(|s|) and sum(s^2) (for mean/RMS downstream at any
+    aggregation level without re-decoding), silence ratio inputs, and
+    clipping count (samples pinned to the int16 rails). mapInPandas over
+    the binary column — embarrassingly parallel, samples never leave the
+    executor, output is one fixed-width row per asset."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "sample_rate", "peak_abs", "sum_abs",
+                "sum_sq", "silent_samples", "clipped_samples",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                smp, sr, _ch = decode_wav_samples(bytes(content))
+                a = np.abs(smp.astype(np.int64))
+                out["doc_id"].append(int(d))
+                out["n_samples"].append(len(smp))
+                out["sample_rate"].append(sr)
+                out["peak_abs"].append(int(a.max()) if len(a) else 0)
+                out["sum_abs"].append(int(a.sum()))
+                out["sum_sq"].append(int((a * a).sum()))
+                out["silent_samples"].append(int((a < WAV_SILENCE_THRESHOLD).sum()))
+                out["clipped_samples"].append(
+                    int(((smp == -32768) | (smp == 32767)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)

@@ -63,14 +63,15 @@ def main() -> None:
         harness_llm._KMEANS_MODEL_CACHE.clear()
         harness_llm._PQ_CODEBOOK_CACHE.clear()
         harness_llm._FIT_SAMPLE_CACHE.clear()
-        # driver-facing order (all_queries = DRIVER_WINDOW_PRIORITY first,
-        # then registration order), NOT alphabetical: the window places each
-        # shared artifact's PRODUCING query before its audit/consumer
-        # queries, so per-query numbers attribute artifact builds to their
-        # owners instead of whichever consumer sorts first (pipeline
-        # semantics: the pair join runs once per corpus snapshot, inside
-        # the query that publishes it)
-        for name in harness._ordered_names():
+        # billing order (BENCH_BILLING_ORDER head, then registration order),
+        # NOT the driver correctness window and NOT alphabetical: the head
+        # places each shared artifact's PRODUCING query before its
+        # audit/consumer queries, so per-query numbers attribute artifact
+        # builds to their owners instead of whichever consumer sorts first
+        # (pipeline semantics: the pair join runs once per corpus snapshot,
+        # inside the query that publishes it). Frozen at the r7 order so
+        # round-over-round diffs are attribution-stable.
+        for name in harness._bench_ordered_names():
             t0 = time.perf_counter()
             harness.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"

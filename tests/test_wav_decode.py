@@ -1,0 +1,104 @@
+"""WAV PCM sample decode (multimodal.decode_wav_samples): round-trips on
+synthesized real RIFF containers, 8-bit/stereo variants, alignment, and the
+gate/error paths. The registered query mm_audio_stats carries the driver
+oracle; these tests cover the decoder surface the query doesn't reach."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from aci_export_spark.multimodal import (
+    attach_audio,
+    audio_stats,
+    decode_wav_samples,
+    parse_wav_meta,
+    synth_wav,
+    _WAV_A,
+    _WAV_B,
+    _WAV_N_BASE,
+    _WAV_N_MOD,
+)
+
+
+def _wav(pcm: bytes, channels=1, sr=8000, bits=16, fmt_tag=1, extra=b""):
+    block = max(1, channels * bits // 8)
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, sr, sr * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + extra
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_synth_wav_decodes_to_formula_samples():
+    for doc_id, byte_len in ((0, 0), (7, 123), (99991, 5000)):
+        data = synth_wav(doc_id, byte_len)
+        smp, sr, ch = decode_wav_samples(data)
+        n = _WAV_N_BASE + byte_len % _WAV_N_MOD
+        i = np.arange(n, dtype=np.int64)
+        expect = (doc_id * _WAV_A + i * _WAV_B) % 65536 - 32768
+        np.testing.assert_array_equal(smp, expect)
+        assert sr == 8000 + (byte_len % 37) * 1000
+        assert ch == 1
+        # and the metadata-only parser agrees on the same container
+        dur_ms, sr2, ch2 = parse_wav_meta(data)
+        assert (sr2, ch2) == (sr, 1)
+        assert dur_ms == 2 * n * 1000 // (sr * 2)
+
+
+def test_16bit_stereo_interleaved():
+    frames = np.array([[-32768, 32767], [100, -100], [0, 512]], dtype="<i2")
+    smp, sr, ch = decode_wav_samples(_wav(frames.tobytes(), channels=2, sr=44100))
+    assert (sr, ch) == (44100, 2)
+    np.testing.assert_array_equal(smp, frames.reshape(-1).astype(np.int32))
+
+
+def test_8bit_unsigned_centered_and_shifted():
+    raw = bytes([0, 128, 255, 64])
+    smp, _, _ = decode_wav_samples(_wav(raw, bits=8))
+    np.testing.assert_array_equal(smp, [(-128) << 8, 0, 127 << 8, (-64) << 8])
+
+
+def test_odd_size_chunk_alignment_before_data():
+    # an odd-size junk chunk must not derail the walk to `data`
+    junk = b"cue " + struct.pack("<I", 3) + b"abc" + b"\x00"
+    pcm = np.array([1, -2, 3], dtype="<i2").tobytes()
+    smp, _, _ = decode_wav_samples(_wav(pcm, extra=junk))
+    np.testing.assert_array_equal(smp, [1, -2, 3])
+
+
+def test_gates_and_errors():
+    pcm = np.array([1], dtype="<i2").tobytes()
+    with pytest.raises(NotImplementedError, match="format tag 3"):
+        decode_wav_samples(_wav(pcm, fmt_tag=3))  # IEEE float stays gated
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_wav_samples(_wav(b"\x00" * 6, bits=24))
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_samples(b"OggS" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_wav_samples(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # data chunk declaring more bytes than present
+    good = _wav(pcm)
+    with pytest.raises(ValueError, match="truncated WAV data"):
+        decode_wav_samples(good[:-1])
+
+
+def test_audio_stats_spark_stage(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "x" * 300)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in audio_stats(attach_audio(docs)).collect()}
+    assert set(rows) == {1, 2, 3}
+    for doc_id, text in ((1, "hello world"), (2, ""), (3, "x" * 300)):
+        b = len(text.encode())
+        n = _WAV_N_BASE + b % _WAV_N_MOD
+        i = np.arange(n, dtype=np.int64)
+        smp = (doc_id * _WAV_A + i * _WAV_B) % 65536 - 32768
+        r = rows[doc_id]
+        assert r["n_samples"] == n
+        assert r["peak_abs"] == int(np.abs(smp).max())
+        assert r["sum_abs"] == int(np.abs(smp).sum())
+        assert r["sum_sq"] == int((smp * smp).sum())
+        assert r["silent_samples"] == int((np.abs(smp) < 512).sum())
+        assert r["clipped_samples"] == int(((smp == -32768) | (smp == 32767)).sum())
