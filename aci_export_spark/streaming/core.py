@@ -573,6 +573,8 @@ def funnel_foreach_batch(
     spark: SparkSession,
     steps: tuple[str, ...] = FUNNEL_STEPS,
     shuffle_partitions: int | None = 4,
+    allowed_lateness_s: float | None = None,
+    state_out: dict | None = None,
 ) -> DataFrame:
     """JVM-native streaming funnel: ``foreachBatch`` incremental chain merge
     — no Python in the per-event loop, unlike the `applyInPandasWithState`
@@ -609,10 +611,24 @@ def funnel_foreach_batch(
     aggregates; pending holds only not-yet-promotable events (out-of-order
     stragglers and pre-signup activity), the streaming-funnel analogue of a
     watermark buffer.
+
+    Bounded state on unbounded streams: with ``allowed_lateness_s`` set,
+    pending candidates older than ``max(event ts seen) - lateness`` are
+    EVICTED each batch (r7 verdict #7 — without this, pre-signup events of
+    users who never sign up accumulate forever). Safe under the lateness
+    contract: promoting a candidate c at step k requires slot k-1 to drop
+    to ≤ c.ts, and any such drop — even through a cascade of other pending
+    promotions — bottoms out at a newly ARRIVING event with ts ≤ c.ts; once
+    c.ts < horizon, that arrival would violate the contract. So when no
+    event arrives later than the horizon, the evicting funnel is
+    row-identical to the exact one (asserted in
+    tests/test_funnel_eviction.py); true contract violators may then land
+    in a lower slot than an offline recompute — the standard watermark
+    trade, stated rather than hidden.
     """
     from aci_export_spark.operators.funnel import funnel_steps
 
-    state: dict[str, DataFrame | None] = {"df": None, "pending": None}
+    state: dict = {"df": None, "pending": None, "max_ts": None}
 
     def merge(batch_df: DataFrame, _batch_id: int) -> None:
         ev = batch_df.select("user_id", "ts", "event_type").filter(
@@ -650,6 +666,24 @@ def funnel_foreach_batch(
             )
             .select("user_id", "ts", "event_type")
         )
+        if allowed_lateness_s is not None:
+            # advance the high-water mark from RAW batch arrivals (not the
+            # union — re-emitted state must not move the clock), then evict
+            # candidates the lateness contract makes unpromotable. Bounded
+            # 1-row scalar fetch per micro-batch, the watermark-tracking
+            # shape — not a data collect.
+            batch_max = batch_df.agg(F.max("ts")).first()[0]
+            if batch_max is not None and (
+                state["max_ts"] is None or batch_max > state["max_ts"]
+            ):
+                state["max_ts"] = batch_max
+            if state["max_ts"] is not None:
+                import datetime
+
+                horizon = state["max_ts"] - datetime.timedelta(
+                    seconds=allowed_lateness_s
+                )
+                pending = pending.filter(F.col("ts") >= F.lit(horizon))
         state["df"] = chain
         state["pending"] = pending.localCheckpoint(eager=True)
 
@@ -679,6 +713,11 @@ def funnel_foreach_batch(
                 # run_stream_to_table's finally block).
                 spark.conf.unset("spark.sql.shuffle.partitions")
 
+    if state_out is not None:
+        # observability hook (used by the bounded-state tests): final
+        # retained-candidate set and event-time high-water mark
+        state_out["pending"] = state["pending"]
+        state_out["max_ts"] = state["max_ts"]
     if state["df"] is None:  # no batch ever fired (empty landing dir)
         schema = ", ".join(["user_id long"] + [f"t_{s} timestamp" for s in steps])
         return spark.createDataFrame([], schema + ", stage_reached int")

@@ -17,6 +17,47 @@ import sys
 import time
 
 
+def _tree_cpu_seconds() -> float:
+    """Total CPU-seconds consumed so far by this process TREE: the driver
+    python, the JVM it spawned, and every pyspark daemon/worker under it —
+    summed from /proc/<pid>/stat (utime+stime of live tree members plus
+    cutime+cstime so reaped children keep counting).
+
+    Why this and not the Spark status API: executorCpuTime only meters JVM
+    task threads, so Python-heavy stages (mapInPandas, pandas UDFs) would
+    under-report; the /proc tree catches both sides. And unlike wall time,
+    CPU time does not inflate when sandbox neighbors steal the cores — two
+    of the last three rounds' wall totals were contention-polluted (r7
+    verdict #1), so per-query CPU is the number regressions are judged on.
+    """
+    tick = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    ticks: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                s = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced a process exit
+        # comm may contain spaces/parens: fields resume after the last ')'
+        rest = s[s.rindex(")") + 2 :].split()
+        pid = int(d)
+        ppid[pid] = int(rest[1])
+        ticks[pid] = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+    total = 0
+    for pid, t in ticks.items():
+        p = pid
+        while p > 1:
+            if p == me:
+                total += t
+                break
+            p = ppid.get(p, 0)
+    return total / tick
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -49,6 +90,7 @@ def main() -> None:
     # stall decorrelates from any single query.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in harness.REGISTRY}
+    cpu_samples: dict[str, list[float]] = {name: [] for name in harness.REGISTRY}
     from aci_export_spark import harness_llm
 
     from aci_export_spark import artifacts
@@ -72,16 +114,20 @@ def main() -> None:
         # inside the query that publishes it). Frozen at the r7 order so
         # round-over-round diffs are attribution-stable.
         for name in harness._bench_ordered_names():
+            c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             harness.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             samples[name].append(time.perf_counter() - t0)
+            cpu_samples[name].append(_tree_cpu_seconds() - c0)
 
     from statistics import median
 
     timings = {name: round(median(v), 3) for name, v in samples.items()}
     best = {name: round(min(v), 3) for name, v in samples.items()}
+    cpu = {name: round(median(v), 3) for name, v in cpu_samples.items()}
+    cpu_best = {name: round(min(v), 3) for name, v in cpu_samples.items()}
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -97,6 +143,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_best": best,
+        # contention-immune companion metric (r7 verdict #1): process-tree
+        # CPU-seconds per query (JVM + python workers). Wall >> cpu/cores on
+        # a quiet box is scheduler wait, not engine work — compare cpu
+        # round-over-round to separate machine noise from engine change.
+        "queries_cpu": cpu,
+        "queries_cpu_best": cpu_best,
+        "value_cpu": round(sum(cpu.values()), 3),
         "reps": reps,
         "n_queries": len(timings),
         "sf": sf,
@@ -120,7 +173,9 @@ def main() -> None:
     ]
     compact = dict(full)
     compact["queries"] = {k: timings[k] for k in headline if k in timings}
+    compact["queries_cpu"] = {k: cpu[k] for k in headline if k in cpu}
     del compact["queries_best"]
+    del compact["queries_cpu_best"]
     compact["queries_full"] = "BENCH_FULL.json"
     print(json.dumps(compact))
     spark.stop()
