@@ -120,7 +120,11 @@ def main() -> None:
                 "overwrite"
             ).save()
             samples[name].append(time.perf_counter() - t0)
-            cpu_samples[name].append(_tree_cpu_seconds() - c0)
+            # clamp at 0: a pyspark worker orphaned between snapshots
+            # (reparented to init) leaves the tree with its lifetime CPU,
+            # which can push a raw delta slightly negative; the median
+            # across reps absorbs the corresponding under-count
+            cpu_samples[name].append(max(0.0, _tree_cpu_seconds() - c0))
 
     from statistics import median
 
