@@ -1051,3 +1051,299 @@ def audio_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline-JPEG luma decode (r8): closes the last image-pixel gate. Pure
+# Python/numpy implementation of the PUBLIC ITU-T T.81 baseline-sequential
+# process: marker walk, canonical Huffman entropy decode, dequantize,
+# de-zigzag, 8x8 IDCT, level shift. No codec library.
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order (T.81 figure A.6): index k in the entropy stream maps
+#: to _ZIGZAG[k] in row-major 8x8 order
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _build_huffman(counts, symbols):
+    """(length, code) -> symbol from a DHT segment's BITS/HUFFVAL lists —
+    the canonical-code construction of T.81 annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read_bit(self) -> int:
+        if self.pos >= self.nbits:
+            raise ValueError("JPEG entropy stream truncated")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    a = np.cos((2 * x[:, None] + 1) * x[None, :] * math.pi / 16) / 2.0
+    a[:, 0] /= math.sqrt(2)
+    return a  # f = A @ F @ A.T
+
+
+def _decode_block(reader, dc_tab, ac_tab, q, pred: int):
+    """One 8x8 block: Huffman-decode the DC diff + AC run-lengths into
+    zigzag order, dequantize. Returns (zigzag coefficient vector, new DC
+    predictor)."""
+    import numpy as np
+
+    zz = np.zeros(64, dtype=np.int64)
+    t = reader.read_huff(dc_tab)
+    if t > 11:
+        raise ValueError(f"invalid JPEG DC category {t}")
+    pred += _extend(reader.read_bits(t), t)
+    zz[0] = pred * q[0]
+    k = 1
+    while k < 64:
+        rs = reader.read_huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        zz[k] = _extend(reader.read_bits(s), s) * q[k]
+        k += 1
+    return zz, pred
+
+
+def decode_jpeg_luma(data: bytes) -> "object":
+    """Decode a BASELINE-SEQUENTIAL JPEG payload's LUMA plane to a numpy
+    uint8 grid (height x width) with no codec library: marker walk, DHT
+    canonical Huffman decode, DQT dequantization, de-zigzag, matrix 8x8
+    IDCT, +128 level shift. Chroma blocks in interleaved MCUs are entropy-
+    decoded (the bitstream demands it) but skip the IDCT — a luma pipeline
+    never pays for pixels it doesn't use.
+
+    Supported: SOF0/SOF1 (baseline / extended-sequential Huffman), 8-bit,
+    grayscale or single-scan interleaved YCbCr with any (h,v) sampling
+    where luma carries the max factors (4:4:4, 4:2:2, 4:2:0), restart
+    intervals, 0xFF00 byte stuffing. Gated with NotImplementedError:
+    progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
+    multi-scan baseline. Malformed streams raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    qtabs: dict[int, "object"] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    q = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    j += 64
+                else:
+                    q = np.frombuffer(body[j : j + 128], dtype=">u2").astype(
+                        np.int64
+                    )
+                    j += 128
+                if len(q) < 64:
+                    raise ValueError("truncated JPEG DQT")
+                qtabs[tq] = q  # kept in zigzag order, like the stream
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                counts = list(body[j + 1 : j + 17])
+                n = sum(counts)
+                symbols = list(body[j + 17 : j + 17 + n])
+                if len(symbols) < n:
+                    raise ValueError("truncated JPEG DHT")
+                hufftabs[(tc, th)] = _build_huffman(counts, symbols)
+                j += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: Huffman sequential
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG gated: baseline decode here is 8-bit"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) gated: spectral-selection / "
+                "successive-approximation scans need multi-pass state; "
+                "baseline-sequential decodes here"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} gated: lossless/differential/"
+                "arithmetic processes; baseline-sequential decodes here"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS: scan header, then entropy data
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cs, tables >> 4, tables & 0x0F))
+            scan = scan_comps
+            i = i + 2 + seg_len
+            break
+        # APPn/COM/unknown: skip
+        i += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "multi-scan baseline JPEG gated: one interleaved scan decodes"
+        )
+    if h == 0 or w == 0:
+        raise ValueError("empty JPEG frame")
+
+    # de-stuff the entropy segment, splitting at restart markers
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = i
+    while j < len(data):
+        b = data[j]
+        if b != 0xFF:
+            cur.append(b)
+            j += 1
+            continue
+        nxt = data[j + 1] if j + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            j += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            j += 2
+        else:  # EOI or next marker: end of entropy data
+            break
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    luma = comps[0]
+    if luma[1] != hmax or luma[2] != vmax:
+        raise NotImplementedError(
+            "JPEG with subsampled LUMA gated: component 1 must carry the "
+            "max sampling factors (every 4:4:4/4:2:2/4:2:0 file does)"
+        )
+    # per-scan-component decode setup, frame order
+    setup = []
+    for (cid, ch, cv, tq) in comps:
+        match = [s for s in scan if s[0] == cid]
+        if not match:
+            raise ValueError(f"JPEG scan missing component {cid}")
+        _, td, ta = match[0]
+        if tq not in qtabs:
+            raise ValueError(f"JPEG missing quant table {tq}")
+        if (0, td) not in hufftabs or (1, ta) not in hufftabs:
+            raise ValueError("JPEG missing Huffman table")
+        setup.append((ch, cv, qtabs[tq], hufftabs[(0, td)], hufftabs[(1, ta)]))
+
+    A = _idct_matrix()
+    plane = np.zeros((mcus_y * vmax * 8, mcus_x * hmax * 8), dtype=np.uint8)
+    inv_zig = np.argsort(np.asarray(_ZIGZAG))  # row-major index -> zigzag pos
+    preds = [0] * len(comps)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG entropy stream truncated at restart")
+                reader = _BitReader(segments[seg_idx])
+                preds = [0] * len(comps)
+            for ci, (ch, cv, q, dct, act) in enumerate(setup):
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz, preds[ci] = _decode_block(
+                            reader, dct, act, q, preds[ci]
+                        )
+                        if ci != 0:
+                            continue  # chroma: bitstream consumed, no IDCT
+                        coef = zz[inv_zig].reshape(8, 8).astype(np.float64)
+                        px = A @ coef @ A.T
+                        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+                        y0 = (my * vmax + by) * 8
+                        x0 = (mx * hmax + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    return plane[:h, :w]

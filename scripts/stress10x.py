@@ -279,12 +279,45 @@ def run_counting(spark, sf_dir: str, names: list[str]) -> dict[str, tuple[float,
     return out
 
 
-def main_cd() -> None:
+def bpe_round_check(spark) -> None:
+    """The batched-BPE scale demonstration (r7 verdict #8): train at base
+    and 10×-CD scale and print wall + DRIVER ROUND TRIPS. The claim under
+    test: rounds depend on n_merges / batch-yield (merge-compatibility
+    structure), NOT corpus size — so 10× data must leave the round count
+    ~flat while wall grows ≤ ~2× (the pair-count scans are map-combined
+    aggregations over 10× word-type rows; everything else is per-round
+    fixed cost)."""
+    import time as _time
+
+    from aci_export_spark.llm.bpe import bpe_train_batched_with_encoded
+    from aci_export_spark.sources import read_table
+
+    print("\n| corpus | wall | merges | driver rounds |")
+    print("|---|---|---|---|")
+    for label, d in (("sf0.1", SF_DIR), (f"{COPIES}x CD", OUT_CD)):
+        docs = read_table(spark, d, "documents")
+        t0 = _time.perf_counter()
+        merge_df, _words, rounds = bpe_train_batched_with_encoded(
+            docs, n_merges=256, batch_cap=32
+        )
+        n = merge_df.count()
+        print(
+            f"| {label} | {_time.perf_counter() - t0:.1f} s | {n} | {rounds} |",
+            flush=True,
+        )
+
+
+def main_cd(bpe_only: bool = False) -> None:
     from aci_export_spark.session import get_spark
 
     spark = get_spark("stress10x-cd")
     spark.sparkContext.setLogLevel("ERROR")
     synthesize_cd(spark)
+    if bpe_only:
+        spark.range(1).toPandas()
+        bpe_round_check(spark)
+        spark.stop()
+        return
     spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, schema="id long").write.format(
         "noop"
     ).mode("overwrite").save()
@@ -415,5 +448,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "cd":
         main_cd()
+    elif len(sys.argv) > 1 and sys.argv[1] == "cd-bpe":
+        main_cd(bpe_only=True)
     else:
         main()
