@@ -8,13 +8,15 @@ codec libraries (Pillow, torchaudio, pyav) are not in this container, so the
 - ``real=True`` → for IMAGES, container-header parsing implemented here
   directly (PNG IHDR / JPEG SOFn / GIF logical-screen descriptor — pure
   struct reads over the binary column, no codec dependency), so metadata
-  extraction works on genuine image bytes. PNG and GIF go further: full
-  PIXEL decode — zlib inflate + numpy scanline unfiltering for PNG
-  (:func:`decode_png_luma`), a pure-Python GIF-LZW inflater for GIF
-  (:func:`decode_gif_luma`) — so resize and perceptual hash run on genuine
-  luma grids for PNG and GIF payloads; only JPEG pixel decode and
-  compressed audio/video sample decode still raise ``NotImplementedError``
-  (JPEG entropy decoding needs Huffman + IDCT);
+  extraction works on genuine image bytes. All three image formats go
+  further: full PIXEL decode — zlib inflate + numpy scanline unfiltering
+  for PNG (:func:`decode_png_luma`), a pure-Python GIF-LZW inflater
+  (:func:`decode_gif_luma`), and a T.81 baseline-sequential JPEG decoder
+  (Huffman + dequant + IDCT, :func:`decode_jpeg_luma`) — so resize and
+  perceptual hash run on genuine luma grids for PNG, GIF, and baseline
+  JPEG payloads. Only progressive/arithmetic JPEG and compressed
+  audio/video sample decode still raise ``NotImplementedError`` (WAV PCM
+  samples decode natively via :func:`decode_wav_samples`);
 - ``real=False`` (default) → a deterministic fake that derives metadata from
   the bytes themselves (length / md5 / arithmetic), so the Spark-side
   plumbing — schema, mapInPandas signature, Arrow batch shape, partitioning,
@@ -516,19 +518,17 @@ def decode_gif_luma(data: bytes) -> "object":
 
 
 def decode_image_luma(data: bytes) -> "object":
-    """Dispatch real pixel decode by container signature: PNG and GIF are
-    decoded natively (zlib / pure-Python LZW); JPEG raises the codec gate
-    (baseline JPEG needs Huffman entropy decoding + IDCT)."""
+    """Dispatch real pixel decode by container signature: PNG (zlib +
+    numpy unfiltering), GIF (pure-Python LZW), and baseline-sequential
+    JPEG (Huffman + dequant + IDCT, :func:`decode_jpeg_luma`) all decode
+    natively; only progressive/arithmetic JPEG remains gated (inside the
+    JPEG decoder, with a NotImplementedError naming the missing pass)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_luma(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_luma(data)
     if data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG pixel decode gated: baseline JPEG needs Huffman entropy "
-            "decoding + dequant + IDCT (a codec); PNG and GIF decode "
-            "natively here"
-        )
+        return decode_jpeg_luma(data)
     raise ValueError("unrecognized image container: not PNG, GIF, or JPEG")
 
 
@@ -742,12 +742,13 @@ def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> Dat
 
     Integer arithmetic throughout (``a * max_dim // big_side``) so the fake
     is bit-identical across engines. The fake "resized payload" is the
-    proportional byte prefix. ``real=True`` decodes PNG and GIF payloads to
-    their genuine luma grid (:func:`decode_image_luma` — zlib + numpy for
-    PNG, pure-Python LZW for GIF, no codec), reports true dimensions, and
-    ``new_byte_len`` is the resized luma's pixel count (the buffer a
-    downstream feature extractor holds); only JPEG pixel decode stays
-    codec-gated via ``decode_image_luma``'s contract.
+    proportional byte prefix. ``real=True`` decodes PNG, GIF, and baseline
+    JPEG payloads to their genuine luma grid (:func:`decode_image_luma` —
+    zlib + numpy / pure-Python LZW / Huffman + IDCT, no codec), reports
+    true dimensions, and ``new_byte_len`` is the resized luma's pixel
+    count (the buffer a downstream feature extractor holds); only
+    progressive/arithmetic JPEG stays gated via ``decode_image_luma``'s
+    contract.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -762,8 +763,8 @@ def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> Dat
             for n, content in zip(lens, pdf["content"]):
                 if real:
                     data = bytes(content)
-                    # PNG and GIF decode natively; JPEG raises its codec
-                    # gate from decode_image_luma
+                    # PNG/GIF/baseline-JPEG decode natively; progressive
+                    # JPEG raises its gate from decode_image_luma
                     luma = decode_image_luma(data)
                     h, w = luma.shape
                     big = max(w, h)
@@ -846,10 +847,10 @@ def phash_table(media: DataFrame, real: bool = False) -> DataFrame:
     Fake decode: the "luma grid" samples the payload bytes at stride
     `PHASH_STRIDE` modulo the length — deterministic and replayed exactly
     by the DuckDB oracle over the text column (the payload is its utf-8
-    bytes). ``real=True``: PNG and GIF payloads decode to their genuine
-    luma grid (:func:`decode_image_luma` — zlib + numpy for PNG,
-    pure-Python LZW for GIF), box-downscale to 7x9, same gradient bit
-    layout; only JPEG stays codec-gated."""
+    bytes). ``real=True``: PNG, GIF, and baseline-JPEG payloads decode to
+    their genuine luma grid (:func:`decode_image_luma`), box-downscale to
+    7x9, same gradient bit layout; only progressive/arithmetic JPEG stays
+    gated."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -857,8 +858,8 @@ def phash_table(media: DataFrame, real: bool = False) -> DataFrame:
             for content in pdf["content"]:
                 data = bytes(content)
                 if real:
-                    # PNG and GIF decode natively; JPEG raises its codec
-                    # gate from decode_image_luma
+                    # PNG/GIF/baseline-JPEG decode natively; progressive
+                    # JPEG raises its gate from decode_image_luma
                     hashes.append(_image_phash(data))
                     continue
                 n = max(len(data), 1)
