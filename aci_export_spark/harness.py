@@ -441,13 +441,22 @@ BENCH_BILLING_ORDER: list[str] = [
 #: and asserts the window covers them. Bump this when rebuilding the window.
 WINDOW_BUILT_FROM_ROUND = 7
 #: Oldest-cohort queries consciously deferred to the NEXT round's window
-#: head because the window arithmetic overflowed 50 (documented above).
-WINDOW_DEFERRED: frozenset[str] = frozenset({"a10_set_difference_count"})
+#: head because the window arithmetic overflowed 50: this round registers
+#: THREE new queries (mm_audio_stats, llm_dedup_exact_ngrams,
+#: llm_dedup_span_exposure) and front-loads one module-changed query, so
+#: 1+3+1+48 = 53 > 50. Deferred (all harness-inline shapes untouched since
+#: r1, re-proven every round by the local oracle replica): start the r9
+#: window with these three.
+WINDOW_DEFERRED: frozenset[str] = frozenset(
+    {"a10_set_difference_count", "j3_self_join_partner", "a9_sync_stats"}
+)
 
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
-    # new registration this round (never driver-checked) + module-changed
+    # new registrations this round (never driver-checked) + module-changed
     "mm_audio_stats",
+    "llm_dedup_exact_ngrams",
+    "llm_dedup_span_exposure",
     "streaming_funnel_native",
     # r4-era rows, oldest-first backfill. llm_sim_ivf_kmeans_topk is placed
     # before llm_dedup_semantic so the kmeans-model fit is billed/cached in
@@ -455,7 +464,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "er_fuzzy_name_pairs",
     "llm_sim_ivf_kmeans_topk",
     "llm_dedup_semantic",
-    "a9_sync_stats",
     "asof_click_to_view",
     "events_pivot_type_counts",
     "events_rollup_totals",
@@ -465,7 +473,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "f11_f12_merge_field_render",
     "j12_referential_integrity",
     "j14_entity_resolution_coalesce",
-    "j3_self_join_partner",
     "j4_coalesce_key_join",
     "j7_existence_flags",
     "llm_boilerplate_spans",

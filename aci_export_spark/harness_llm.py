@@ -4044,3 +4044,63 @@ FROM documents d LEFT JOIN per USING (doc_id)
 def llm_substring_anchor_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.anchor_dup_stats(docs, "doc_id", "text", anchor_len=32, stride=16)
+
+
+@register(
+    "llm_dedup_exact_ngrams",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+)
+SELECT gram,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occurrences
+FROM grams
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    doc="exact duplicated-substring table (Lee et al. ACL'22, the verbatim "
+    "signal the rare-anchor query approximates): every word-8-gram "
+    "occurring in >= 2 distinct docs, with exact doc and occurrence "
+    "counts. Candidate pass groups on the gram's xxhash64 (8-byte shuffle "
+    "keys, map-side combine); only the duplicated tail carries strings "
+    "into the collision-removing verify group-by; corpus scanned once "
+    "(checkpointed gram explode)",
+)
+def llm_dedup_exact_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.duplicated_gram_table(docs, "doc_id", "text", n=8, min_docs=2)
+
+
+@register(
+    "llm_dedup_span_exposure",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+), dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT d.doc_id,
+       COUNT(g.gram)::BIGINT AS n_grams,
+       COALESCE(SUM(CASE WHEN g.gram IN (SELECT gram FROM dup)
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_dup_grams
+FROM documents d LEFT JOIN grams g USING (doc_id)
+GROUP BY d.doc_id
+""",
+    doc="per-document duplicated-span exposure: how many of the doc's "
+    "word-8-gram positions lie inside an exactly-duplicated gram — the "
+    "Lee-et-al curation ratio kept as exact integers (caller divides). "
+    "Semi-join against the verified dup-gram table, two per-doc "
+    "aggregations on the same key, total assignment incl. short docs",
+)
+def llm_dedup_span_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.dup_gram_position_stats(docs, "doc_id", "text", n=8, min_docs=2)

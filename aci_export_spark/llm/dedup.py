@@ -872,3 +872,93 @@ def hamming_pairs_blocked(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring detection (r8) — the "deduplicating training
+# data makes language models better" primitive (Lee et al., ACL 2022):
+# find exact word n-grams shared across documents and score each document's
+# duplicated-span exposure. Cross-document near-dup (MinHash above) misses
+# templated spans inside otherwise-distinct documents; this catches them.
+# ---------------------------------------------------------------------------
+
+
+def duplicated_gram_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(gram, n_docs, n_occurrences) for every exact word n-gram appearing
+    in ≥ ``min_docs`` distinct documents — every occurrence counted, not
+    per-doc distinct (frequency is the curation signal).
+
+    100 TB shape: the candidate pass groups on the n-gram's 64-bit hash
+    (fixed 8-byte shuffle keys, map-side combine absorbs the per-doc
+    repetition executor-side); only CANDIDATE rows — the duplicated tail,
+    a small fraction of any real corpus — carry the gram STRING into the
+    verify group-by, which removes hash collisions by grouping on the
+    actual text. The gram explode is localCheckpointed so the corpus is
+    scanned once, matching the MinHash pipeline's discipline."""
+    from aci_export_spark.llm.text import word_ngram_rows
+
+    g = (
+        word_ngram_rows(df, id_col, text_col, n=n, distinct=False)
+        .withColumn("__h", F.xxhash64("gram"))
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        g.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    return (
+        g.join(cand, on="__h")
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)  # verify: collisions drop here
+        .select("gram", "n_docs", "n_occurrences")
+    )
+
+
+def dup_gram_position_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span exposure: (id, n_grams, n_dup_grams)
+    where n_dup_grams counts the document's n-gram positions whose exact
+    gram also appears in ≥ ``min_docs`` documents. n_dup_grams / n_grams is
+    the Lee-et-al-style "fraction of the document inside a duplicated
+    span" curation signal, kept as exact integers (the division belongs to
+    the caller; overlapping spans are counted per position, which is the
+    deterministic choice an exact oracle can replay). Documents shorter
+    than n words come back with (0, 0) — a total assignment."""
+    from aci_export_spark.llm.text import word_ngram_rows
+
+    g = word_ngram_rows(df, id_col, text_col, n=n, distinct=False)
+    dup = duplicated_gram_table(df, id_col, text_col, n=n, min_docs=min_docs)
+    flagged = (
+        g.join(dup.select("gram"), on="gram", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(totals, on=id_col, how="left")
+        .join(flagged, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        )
+    )

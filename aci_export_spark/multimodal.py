@@ -584,9 +584,11 @@ def _decode_real(content: bytes, media_type: str) -> tuple[int, int]:
         "decode_metadata's (width, height) contract is image-shaped; for "
         "audio/video container metadata (duration, sample rate, channels, "
         "display dims) use decode_av_metadata(real=True), which parses WAV "
-        "and MP4 headers directly. Pixel/sample-touching decode still "
-        "requires codec libraries this environment does not ship "
-        "(torchaudio/pyav); run with real=False for the deterministic fake"
+        "and MP4 headers directly, and for uncompressed audio samples use "
+        "decode_wav_samples (native PCM decode). Only COMPRESSED "
+        "audio/video sample decode still requires codec libraries this "
+        "environment does not ship (torchaudio/pyav); run with real=False "
+        "for the deterministic fake"
     )
 
 
