@@ -442,13 +442,18 @@ BENCH_BILLING_ORDER: list[str] = [
 WINDOW_BUILT_FROM_ROUND = 7
 #: Oldest-cohort queries consciously deferred to the NEXT round's window
 #: head because the window arithmetic overflowed 50: this round registers
-#: THREE new queries (mm_audio_stats, llm_dedup_exact_ngrams,
-#: llm_dedup_span_exposure) and front-loads one module-changed query, so
-#: 1+3+1+48 = 53 > 50. Deferred (all harness-inline shapes untouched since
-#: r1, re-proven every round by the local oracle replica): start the r9
-#: window with these three.
+#: FOUR new queries (mm_audio_stats, llm_dedup_exact_ngrams,
+#: llm_dedup_span_exposure, llm_dsir_affinity) and front-loads one
+#: module-changed query, so 1+4+1+48 = 54 > 50. Deferred (all stable
+#: operator shapes untouched since r1/r2, re-proven every round by the
+#: local oracle replica): START THE R9 WINDOW WITH THESE FOUR.
 WINDOW_DEFERRED: frozenset[str] = frozenset(
-    {"a10_set_difference_count", "j3_self_join_partner", "a9_sync_stats"}
+    {
+        "a10_set_difference_count",
+        "j3_self_join_partner",
+        "a9_sync_stats",
+        "j7_existence_flags",
+    }
 )
 
 DRIVER_WINDOW_PRIORITY: list[str] = [
@@ -457,6 +462,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "mm_audio_stats",
     "llm_dedup_exact_ngrams",
     "llm_dedup_span_exposure",
+    "llm_dsir_affinity",
     "streaming_funnel_native",
     # r4-era rows, oldest-first backfill. llm_sim_ivf_kmeans_topk is placed
     # before llm_dedup_semantic so the kmeans-model fit is billed/cached in
@@ -474,7 +480,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "j12_referential_integrity",
     "j14_entity_resolution_coalesce",
     "j4_coalesce_key_join",
-    "j7_existence_flags",
     "llm_boilerplate_spans",
     "llm_decontaminate_overlap",
     "llm_epoch_mix",

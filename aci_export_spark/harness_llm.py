@@ -4104,3 +4104,55 @@ GROUP BY d.doc_id
 def llm_dedup_span_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return D.dup_gram_position_stats(docs, "doc_id", "text", n=8, min_docs=2)
+
+
+@register(
+    "llm_dsir_affinity",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+), feats AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('dsir:v1:' || gram), 1, 15))::BIGINT % 4096
+               AS bucket
+    FROM grams
+), tgt AS (
+    SELECT bucket, COUNT(*) AS c_t FROM feats WHERE doc_id < 100 GROUP BY bucket
+), rawf AS (
+    SELECT * FROM feats WHERE doc_id >= 100
+), craw AS (
+    SELECT bucket, COUNT(*) AS c_r FROM rawf GROUP BY bucket
+), per AS (
+    SELECT r.doc_id,
+           COUNT(*) AS n_features,
+           SUM(COALESCE(t.c_t, 0)) AS affinity_target,
+           SUM(c.c_r) AS affinity_raw
+    FROM rawf r
+    LEFT JOIN tgt t USING (bucket)
+    JOIN craw c USING (bucket)
+    GROUP BY r.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_features, 0)::BIGINT AS n_features,
+       COALESCE(per.affinity_target, 0)::BIGINT AS affinity_target,
+       COALESCE(per.affinity_raw, 0)::BIGINT AS affinity_raw
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id >= 100
+""",
+    doc="DSIR-style domain-affinity scores (Xie et al. NeurIPS'23): hashed "
+    "word-bigram features (md5 mod 4096, engine-replayable) scored against "
+    "the fixed benchmark set (doc_id < 100) as exact integer sufficient "
+    "statistics of the importance weight; the target bucket table is "
+    "constant-size (benchmark contract) and the raw bucket table is at "
+    "most 4096 rows — both broadcast, so the corpus shuffles only on its "
+    "own doc key",
+)
+def llm_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") >= 100)
+    target = docs.filter(F.col("doc_id") < 100)
+    return T.dsir_affinity(raw, target, "doc_id", "text", n=2, buckets=4096)

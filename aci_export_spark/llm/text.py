@@ -916,3 +916,75 @@ def anchor_dup_stats(
             .alias("dup_char_estimate"),
         )
     )
+
+
+def dsir_affinity(
+    raw,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    salt: str = "dsir:v1",
+):
+    """DSIR-style domain-affinity sufficient statistics (Xie et al.,
+    NeurIPS 2023 "Data Selection for Language Models via Importance
+    Resampling"): hash each document's word n-grams into ``buckets``
+    md5-buckets and score every RAW document against a fixed TARGET
+    domain's hashed-feature distribution.
+
+    Output (id, n_features, affinity_target, affinity_raw) where
+    affinity_target = Σ_positions c_target(bucket) and affinity_raw =
+    Σ_positions c_raw(bucket) — the exact INTEGER sufficient statistics of
+    the importance weight (DSIR's log p_target(f) − log p_raw(f) fold is
+    one float pass over these at the caller, where smoothing/temperature
+    choices belong; keeping logs out preserves the exact-oracle
+    discipline). Documents shorter than n words come back zeroed — a
+    total assignment.
+
+    100 TB shape: the target side is a BENCHMARK set — constant-size by
+    contract — so its bucket table broadcasts at any corpus scale; the raw
+    bucket table aggregates to at most ``buckets`` rows (map-side combine
+    over uniform md5 keys) and broadcasts too. The per-document score is
+    then one explode + two broadcast joins + one doc-key aggregation: the
+    corpus is never shuffled on anything wider than its own doc key."""
+    from pyspark.sql import functions as F
+
+    def feats(df):
+        g = word_ngram_rows(df, id_col, text_col, n=n, distinct=False)
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + ":"), F.col("gram"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        )
+        return g.select(F.col(id_col), bucket.alias("bucket"))
+
+    tgt = feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    rawf = feats(raw)
+    craw = rawf.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    per = (
+        rawf.join(F.broadcast(tgt), on="bucket", how="left")
+        .join(F.broadcast(craw), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce(F.col("c_t"), F.lit(0))).alias("affinity_target"),
+            F.sum("c_r").alias("affinity_raw"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .distinct()
+        .join(per, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            F.coalesce("affinity_target", F.lit(0)).alias("affinity_target"),
+            F.coalesce("affinity_raw", F.lit(0)).alias("affinity_raw"),
+        )
+    )
