@@ -932,6 +932,7 @@ def dup_gram_position_stats(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    dup_table: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span exposure: (id, n_grams, n_dup_grams)
     where n_dup_grams counts the document's n-gram positions whose exact
@@ -940,11 +941,20 @@ def dup_gram_position_stats(
     span" curation signal, kept as exact integers (the division belongs to
     the caller; overlapping spans are counted per position, which is the
     deterministic choice an exact oracle can replay). Documents shorter
-    than n words come back with (0, 0) — a total assignment."""
+    than n words come back with (0, 0) — a total assignment.
+
+    ``dup_table`` lets a pipeline reuse an already-built
+    :func:`duplicated_gram_table` (built once per corpus snapshot) instead
+    of re-deriving it — it must have been built with the same (n,
+    min_docs) over the same corpus."""
     from aci_export_spark.llm.text import word_ngram_rows
 
     g = word_ngram_rows(df, id_col, text_col, n=n, distinct=False)
-    dup = duplicated_gram_table(df, id_col, text_col, n=n, min_docs=min_docs)
+    dup = (
+        dup_table
+        if dup_table is not None
+        else duplicated_gram_table(df, id_col, text_col, n=n, min_docs=min_docs)
+    )
     flagged = (
         g.join(dup.select("gram"), on="gram", how="left_semi")
         .groupBy(id_col)

@@ -124,6 +124,8 @@ def test_bench_order_bills_artifact_producers_first():
         "llm_bpe_train_batched": ["llm_bpe_encode_stats_batched"],
         # FastSS deletion-neighborhood pair table
         "er_fuzzy_name_pairs": ["er_fuzzy_entities"],
+        # verified duplicated word-8-gram table
+        "llm_dedup_exact_ngrams": ["llm_dedup_span_exposure"],
         # kmeans model fit (per-process cache)
         "llm_sim_ivf_kmeans_topk": ["llm_dedup_semantic"],
     }
