@@ -240,96 +240,31 @@ def parse_mp4_meta(data: bytes) -> tuple[int, int | None, int | None] | None:
     return duration_ms, width, height
 
 
-def decode_png_luma(data: bytes) -> "object":
-    """Decode a PNG payload to its luma grid (numpy uint8, height×width)
-    with NO codec library: chunk walk + zlib inflate (zlib is already a
-    repo dependency) + per-scanline unfiltering per the PNG spec.
+def _png_unfilter(arr, height, stride, bpp):
+    """Reverse PNG scanline filtering over raw filter-prefixed rows.
 
-    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-    6 (RGBA), non-interlaced — the shapes an in-pipeline thumbnailer
-    actually meets. 16-bit, palette (PLTE indexing), and Adam7 interlace
-    raise NotImplementedError naming the missing piece; corrupt or
-    truncated IDAT raises ValueError (zlib errors are wrapped). RGB luma is
-    the deterministic integer BT.601 approximation (77R+150G+29B)>>8.
-
-    Unfilter vectorization: None/Up are whole-row numpy ops (uint8 wraps
-    mod 256 natively); Sub is a per-channel cumsum mod 256 (its recurrence
-    is a prefix sum); Average/Paeth carry a true serial dependence along x,
-    so they loop within the scanline — the documented cost of those two
-    filter types, bounded by row width.
-    """
-    import struct
-    import zlib
-
+    None/Up are whole-row numpy ops (uint8 wraps mod 256 natively); Sub is
+    a per-channel cumsum mod 256 (its recurrence is a prefix sum);
+    Average/Paeth carry a true serial dependence along x, so they loop
+    within the scanline — the documented cost of those two filter types,
+    bounded by row width."""
     import numpy as np
 
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos = 8
-    width = height = None
-    bit_depth = color_type = interlace = None
-    idat: list[bytes] = []
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        if len(chunk) < length:
-            raise ValueError("truncated PNG chunk")
-        if ctype == b"IHDR":
-            if length < 13:
-                raise ValueError("truncated IHDR")
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", chunk[:13])
-            )
-        elif ctype == b"IDAT":
-            idat.append(chunk)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if width is None or height is None:
-        raise ValueError("PNG missing IHDR")
-    if not idat:
-        raise ValueError("PNG missing IDAT")
-    if bit_depth != 8:
-        raise NotImplementedError(
-            f"PNG bit depth {bit_depth} gated: only 8-bit channels are "
-            "decoded (16-bit needs big-endian sample pairing; 1/2/4-bit "
-            "need bit unpacking)"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise NotImplementedError(
-            f"PNG color type {color_type} gated: palette images need PLTE "
-            "chunk indexing"
-        )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG gated")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"PNG IDAT payload is {len(raw)} bytes, expected "
-            f"{(stride + 1) * height} for {width}x{height}x{channels}"
-        )
-    if width == 0 or height == 0:
-        raise ValueError("empty PNG raster")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = arr[:, 0]
     recon = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
+    n_groups = stride // bpp + (1 if stride % bpp else 0)
     for y in range(height):
         f = int(filters[y])
         row = arr[y, 1:]
         if f == 0:  # None
             cur = row.copy()
         elif f == 1:  # Sub: prefix sum per channel, mod 256
+            padded = np.zeros(n_groups * bpp, dtype=np.uint32)
+            padded[:stride] = row
             cur = (
-                row.reshape(width, bpp).astype(np.uint32).cumsum(axis=0) % 256
-            ).astype(np.uint8).reshape(stride)
+                padded.reshape(n_groups, bpp).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(-1)[:stride]
         elif f == 2:  # Up: whole-row wrapping add
             cur = row + prev
         elif f == 3:  # Average: serial along x
@@ -351,9 +286,163 @@ def decode_png_luma(data: bytes) -> "object":
             raise ValueError(f"invalid PNG filter type {f}")
         recon[y] = cur
         prev = cur
-    px = recon.reshape(height, width, channels)
+    return recon
+
+
+def _png_pass_samples(raw, off, pw, ph, channels, bit_depth):
+    """Decode one PNG (sub)image from the concatenated IDAT plaintext:
+    unfilter, then expand bytes to per-pixel channel SAMPLES — 16-bit
+    reduced to its high byte (the standard 16→8 projection), sub-byte
+    depths bit-unpacked MSB-first and left UNSCALED (palette indices must
+    stay raw; grayscale scaling happens at the caller). Returns
+    (samples[ph, pw, channels] uint8, new offset)."""
+    import numpy as np
+
+    stride = (pw * channels * bit_depth + 7) // 8
+    bpp = max(1, channels * bit_depth // 8)
+    need = (stride + 1) * ph
+    if len(raw) - off < need:
+        raise ValueError(
+            f"PNG IDAT payload short: need {need} bytes for a "
+            f"{pw}x{ph}x{channels}@{bit_depth} pass, have {len(raw) - off}"
+        )
+    arr = np.frombuffer(raw[off : off + need], dtype=np.uint8).reshape(
+        ph, stride + 1
+    )
+    recon = _png_unfilter(arr, ph, stride, bpp)
+    if bit_depth == 8:
+        px = recon.reshape(ph, pw, channels)
+    elif bit_depth == 16:
+        px = recon.reshape(ph, pw, channels, 2)[:, :, :, 0].copy()
+    else:  # 1/2/4-bit, single channel (gray or palette indices)
+        bits = np.unpackbits(recon, axis=1)[:, : pw * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1, dtype=np.uint8)
+        px = (
+            (bits.reshape(ph, pw, bit_depth) * weights).sum(axis=2)
+            .astype(np.uint8)
+            .reshape(ph, pw, 1)
+        )
+    return px, off + need
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec section 4.5.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def decode_png_luma(data: bytes) -> "object":
+    """Decode a PNG payload to its luma grid (numpy uint8, height×width)
+    with NO codec library: chunk walk + zlib inflate (zlib is already a
+    repo dependency) + per-scanline unfiltering per the PNG spec.
+
+    Supported: every legal bit depth (1/2/4/8/16 — 16-bit reduces to the
+    high byte, sub-byte grays rescale by 255/(2^d−1)), color types 0
+    (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA), both
+    non-interlaced and Adam7-interlaced (7 independently-filtered
+    sub-images reassembled onto the pass grid). tRNS transparency is
+    ignored — the palette/sample color shows, the deterministic choice a
+    luma pipeline wants. Corrupt or truncated IDAT raises ValueError (zlib
+    errors are wrapped). RGB luma is the deterministic integer BT.601
+    approximation (77R+150G+29B)>>8.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated IHDR")
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk[:13])
+            )
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or height is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if width == 0 or height == 0:
+        raise ValueError("empty PNG raster")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}[color_type]
+    if bit_depth not in legal:
+        raise ValueError(
+            f"illegal PNG bit depth {bit_depth} for color type {color_type}"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+
+    if interlace == 0:
+        px, off = _png_pass_samples(raw, 0, width, height, channels, bit_depth)
+        if off != len(raw):
+            raise ValueError(
+                f"PNG IDAT payload is {len(raw)} bytes, expected {off} for "
+                f"{width}x{height}x{channels}@{bit_depth}"
+            )
+    elif interlace == 1:  # Adam7: 7 sub-images on the pass grid
+        px = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass emits no scanlines at all
+            sub, off = _png_pass_samples(raw, off, pw, ph, channels, bit_depth)
+            px[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError(
+                f"PNG IDAT payload is {len(raw)} bytes, expected {off} "
+                "across the 7 Adam7 passes"
+            )
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+
+    if color_type == 3:  # palette: index -> RGB -> luma
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index outside PLTE")
+        rgb = plte[idx]
+        r = rgb[:, :, 0].astype(np.uint32)
+        g = rgb[:, :, 1].astype(np.uint32)
+        b = rgb[:, :, 2].astype(np.uint32)
+        return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
     if channels in (1, 2):  # gray / gray+alpha: the gray channel IS luma
-        return px[:, :, 0].copy()
+        gray = px[:, :, 0]
+        if bit_depth < 8:  # rescale d-bit gray to full 8-bit range
+            gray = (
+                gray.astype(np.uint32) * 255 // ((1 << bit_depth) - 1)
+            ).astype(np.uint8)
+        return gray.copy()
     r = px[:, :, 0].astype(np.uint32)
     g = px[:, :, 1].astype(np.uint32)
     b = px[:, :, 2].astype(np.uint32)

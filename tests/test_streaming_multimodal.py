@@ -701,7 +701,9 @@ def test_png_decode_gates():
     # not a PNG at all
     with pytest.raises(ValueError):
         decode_png_luma(b"plain text payload")
-    # 16-bit and palette and interlace are named gates
+    # 16-bit/palette/interlace now DECODE (r8, test_png_extended.py); an
+    # IHDR rewritten to claim them over an 8-bit payload is malformed and
+    # must fail loudly, not silently mis-decode
     import struct
 
     def rewrite_ihdr(depth=8, ctype=0, interlace=0):
@@ -711,12 +713,14 @@ def test_png_decode_gates():
         out[at : at + 13] = ihdr
         return bytes(out)
 
-    with pytest.raises(NotImplementedError):
-        decode_png_luma(rewrite_ihdr(depth=16))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="short|expected"):
+        decode_png_luma(rewrite_ihdr(depth=16))  # payload half the claim
+    with pytest.raises(ValueError, match="missing PLTE"):
         decode_png_luma(rewrite_ihdr(ctype=3))
-    with pytest.raises(NotImplementedError):
-        decode_png_luma(rewrite_ihdr(interlace=1))
+    with pytest.raises(ValueError, match="expected|short"):
+        decode_png_luma(rewrite_ihdr(interlace=1))  # pass sizes disagree
+    with pytest.raises(ValueError, match="illegal PNG bit depth"):
+        decode_png_luma(rewrite_ihdr(depth=4, ctype=2))  # 4-bit RGB illegal
 
 
 def test_downscale_luma_box_mean_and_nearest():
