@@ -1062,12 +1062,15 @@ def decode_wav_samples(data: bytes) -> tuple["object", int, int]:
     the 16-bit range (8-bit unsigned PCM is centered and shifted << 8, the
     usual lossless embedding).
 
-    Supported: PCM (format tag 1), 8- or 16-bit, any channel count; chunk
-    walk honors RIFF word alignment (odd chunk sizes carry a pad byte).
-    Compressed formats (IMA ADPCM, MP3-in-WAV, float tags...) raise
-    NotImplementedError — entropy/lossy decode needs a codec; extending to
-    float32 PCM (tag 3) would be one more frombuffer branch if ever needed.
-    Malformed containers raise ValueError."""
+    Supported: integer PCM (format tag 1) at 8/16/24/32-bit and IEEE
+    float32/float64 (tag 3, clamped to [-1, 1] and scaled to the int16
+    range — the standard lossy projection, noted in the returned values'
+    contract), any channel count; 24/32-bit integer samples reduce to
+    their top 16 bits (the same high-byte projection the PNG 16-bit path
+    uses). Chunk walk honors RIFF word alignment (odd chunk sizes carry a
+    pad byte). Compressed formats (IMA ADPCM, MP3-in-WAV, ...) raise
+    NotImplementedError — entropy/lossy decode needs a codec. Malformed
+    containers raise ValueError."""
     import struct
 
     import numpy as np
@@ -1094,19 +1097,38 @@ def decode_wav_samples(data: bytes) -> tuple["object", int, int]:
         i += 8 + csize + (csize & 1)
     if fmt_tag is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
-    if fmt_tag != 1:
+    if fmt_tag == 3:  # IEEE float PCM: clamp and project to int16 range
+        if bits == 32:
+            f = np.frombuffer(pcm[: len(pcm) & ~3], dtype="<f4")
+        elif bits == 64:
+            f = np.frombuffer(pcm[: len(pcm) & ~7], dtype="<f8")
+        else:
+            raise ValueError(f"IEEE-float WAV with {bits}-bit samples")
+        smp = np.clip(
+            np.round(np.clip(f, -1.0, 1.0) * 32767.0), -32768, 32767
+        ).astype(np.int32)
+    elif fmt_tag != 1:
         raise NotImplementedError(
-            f"WAV format tag {fmt_tag} gated: only integer PCM (tag 1) "
-            "decodes here; compressed/float WAV needs a codec branch"
+            f"WAV format tag {fmt_tag} gated: integer PCM (tag 1) and IEEE "
+            "float (tag 3) decode here; compressed WAV (ADPCM, MP3-in-WAV) "
+            "needs a codec"
         )
-    if bits == 16:
+    elif bits == 16:
         smp = np.frombuffer(pcm[: len(pcm) & ~1], dtype="<i2").astype(np.int32)
     elif bits == 8:
         smp = (np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128) << 8
+    elif bits == 24:
+        # little-endian 3-byte frames: assemble top 16 bits (b2<<8 | b1),
+        # sign from the high byte — the high-bits projection
+        b = np.frombuffer(pcm[: len(pcm) - len(pcm) % 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int32)
+        smp = (b[:, 2].astype(np.int8).astype(np.int32) << 8) | b[:, 1]
+    elif bits == 32:
+        smp = np.frombuffer(pcm[: len(pcm) & ~3], dtype="<i4") >> 16
+        smp = smp.astype(np.int32)
     else:
         raise NotImplementedError(
-            f"{bits}-bit WAV PCM gated: 8/16-bit decode here; 24/32-bit "
-            "would need frombuffer-with-stride assembly"
+            f"{bits}-bit integer WAV PCM gated: 8/16/24/32-bit decode here"
         )
     return smp, int(sample_rate), int(channels)
 

@@ -68,12 +68,35 @@ def test_odd_size_chunk_alignment_before_data():
     np.testing.assert_array_equal(smp, [1, -2, 3])
 
 
+def test_float32_pcm_projects_to_int16_range():
+    f = np.array([0.0, 1.0, -1.0, 0.5, 2.5, -2.5, 1e-4], dtype="<f4")
+    smp, _, _ = decode_wav_samples(_wav(f.tobytes(), bits=32, fmt_tag=3))
+    np.testing.assert_array_equal(
+        smp, [0, 32767, -32767, 16384, 32767, -32767, 3]
+    )
+    f64 = np.array([0.25, -0.75], dtype="<f8")
+    smp, _, _ = decode_wav_samples(_wav(f64.tobytes(), bits=64, fmt_tag=3))
+    np.testing.assert_array_equal(smp, [8192, -24575])
+
+
+def test_24_and_32_bit_pcm_high_bits_projection():
+    # 24-bit LE frames: 0x123456 -> top 16 bits 0x1234; negative sign kept
+    raw24 = bytes([0x56, 0x34, 0x12, 0x00, 0x00, 0x80, 0xFF, 0xFF, 0x7F])
+    smp, _, _ = decode_wav_samples(_wav(raw24, bits=24))
+    np.testing.assert_array_equal(smp, [0x1234, -32768, 32767])
+    raw32 = np.array([0x12345678, -(1 << 31), (1 << 31) - 1], dtype="<i4")
+    smp, _, _ = decode_wav_samples(_wav(raw32.tobytes(), bits=32))
+    np.testing.assert_array_equal(smp, [0x1234, -32768, 32767])
+
+
 def test_gates_and_errors():
     pcm = np.array([1], dtype="<i2").tobytes()
-    with pytest.raises(NotImplementedError, match="format tag 3"):
-        decode_wav_samples(_wav(pcm, fmt_tag=3))  # IEEE float stays gated
-    with pytest.raises(NotImplementedError, match="24-bit"):
-        decode_wav_samples(_wav(b"\x00" * 6, bits=24))
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav_samples(_wav(pcm, fmt_tag=2))  # ADPCM stays gated
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_wav_samples(_wav(b"\x00" * 6, bits=12))
+    with pytest.raises(ValueError, match="float WAV with 16-bit"):
+        decode_wav_samples(_wav(pcm, bits=16, fmt_tag=3))
     with pytest.raises(ValueError, match="not a RIFF"):
         decode_wav_samples(b"OggS" + b"\x00" * 20)
     with pytest.raises(ValueError, match="missing fmt or data"):
