@@ -13,10 +13,11 @@ codec libraries (Pillow, torchaudio, pyav) are not in this container, so the
   for PNG (:func:`decode_png_luma`), a pure-Python GIF-LZW inflater
   (:func:`decode_gif_luma`), and a T.81 baseline-sequential JPEG decoder
   (Huffman + dequant + IDCT, :func:`decode_jpeg_luma`) — so resize and
-  perceptual hash run on genuine luma grids for PNG, GIF, and baseline
-  JPEG payloads. Only progressive/arithmetic JPEG and compressed
-  audio/video sample decode still raise ``NotImplementedError`` (WAV PCM
-  samples decode natively via :func:`decode_wav_samples`);
+  perceptual hash run on genuine luma grids for PNG, GIF, and JPEG
+  payloads (sequential AND progressive). Only arithmetic-coded/lossless
+  JPEG and compressed audio/video sample decode still raise
+  ``NotImplementedError`` (WAV PCM samples decode natively via
+  :func:`decode_wav_samples`);
 - ``real=False`` (default) → a deterministic fake that derives metadata from
   the bytes themselves (length / md5 / arithmetic), so the Spark-side
   plumbing — schema, mapInPandas signature, Arrow batch shape, partitioning,
@@ -608,10 +609,11 @@ def decode_gif_luma(data: bytes) -> "object":
 
 def decode_image_luma(data: bytes) -> "object":
     """Dispatch real pixel decode by container signature: PNG (zlib +
-    numpy unfiltering), GIF (pure-Python LZW), and baseline-sequential
-    JPEG (Huffman + dequant + IDCT, :func:`decode_jpeg_luma`) all decode
-    natively; only progressive/arithmetic JPEG remains gated (inside the
-    JPEG decoder, with a NotImplementedError naming the missing pass)."""
+    numpy unfiltering, every legal depth/color/interlace), GIF
+    (pure-Python LZW), and JPEG — sequential AND progressive Huffman
+    (:func:`decode_jpeg_luma`) — all decode natively; only
+    arithmetic-coded/lossless JPEG remains gated (inside the JPEG
+    decoder, with a NotImplementedError naming the missing process)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_luma(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -833,13 +835,13 @@ def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> Dat
 
     Integer arithmetic throughout (``a * max_dim // big_side``) so the fake
     is bit-identical across engines. The fake "resized payload" is the
-    proportional byte prefix. ``real=True`` decodes PNG, GIF, and baseline
-    JPEG payloads to their genuine luma grid (:func:`decode_image_luma` —
-    zlib + numpy / pure-Python LZW / Huffman + IDCT, no codec), reports
-    true dimensions, and ``new_byte_len`` is the resized luma's pixel
-    count (the buffer a downstream feature extractor holds); only
-    progressive/arithmetic JPEG stays gated via ``decode_image_luma``'s
-    contract.
+    proportional byte prefix. ``real=True`` decodes PNG, GIF, and JPEG
+    (sequential + progressive) payloads to their genuine luma grid
+    (:func:`decode_image_luma` — zlib + numpy / pure-Python LZW / Huffman
+    + IDCT, no codec), reports true dimensions, and ``new_byte_len`` is
+    the resized luma's pixel count (the buffer a downstream feature
+    extractor holds); only arithmetic-coded/lossless JPEG stays gated via
+    ``decode_image_luma``'s contract.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -854,8 +856,8 @@ def resize_plan(media: DataFrame, max_dim: int = 128, real: bool = False) -> Dat
             for n, content in zip(lens, pdf["content"]):
                 if real:
                     data = bytes(content)
-                    # PNG/GIF/baseline-JPEG decode natively; progressive
-                    # JPEG raises its gate from decode_image_luma
+                    # PNG/GIF/JPEG (incl. progressive) decode natively;
+                    # arithmetic JPEG raises its gate from decode_image_luma
                     luma = decode_image_luma(data)
                     h, w = luma.shape
                     big = max(w, h)
@@ -938,10 +940,10 @@ def phash_table(media: DataFrame, real: bool = False) -> DataFrame:
     Fake decode: the "luma grid" samples the payload bytes at stride
     `PHASH_STRIDE` modulo the length — deterministic and replayed exactly
     by the DuckDB oracle over the text column (the payload is its utf-8
-    bytes). ``real=True``: PNG, GIF, and baseline-JPEG payloads decode to
-    their genuine luma grid (:func:`decode_image_luma`), box-downscale to
-    7x9, same gradient bit layout; only progressive/arithmetic JPEG stays
-    gated."""
+    bytes). ``real=True``: PNG, GIF, and JPEG (sequential + progressive)
+    payloads decode to their genuine luma grid
+    (:func:`decode_image_luma`), box-downscale to 7x9, same gradient bit
+    layout; only arithmetic-coded/lossless JPEG stays gated."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -949,8 +951,8 @@ def phash_table(media: DataFrame, real: bool = False) -> DataFrame:
             for content in pdf["content"]:
                 data = bytes(content)
                 if real:
-                    # PNG/GIF/baseline-JPEG decode natively; progressive
-                    # JPEG raises its gate from decode_image_luma
+                    # PNG/GIF/JPEG (incl. progressive) decode natively;
+                    # arithmetic JPEG raises its gate from decode_image_luma
                     hashes.append(_image_phash(data))
                     continue
                 n = max(len(data), 1)
@@ -1277,115 +1279,10 @@ def _decode_block(reader, dc_tab, ac_tab, q, pred: int):
     return zz, pred
 
 
-def decode_jpeg_luma(data: bytes) -> "object":
-    """Decode a BASELINE-SEQUENTIAL JPEG payload's LUMA plane to a numpy
-    uint8 grid (height x width) with no codec library: marker walk, DHT
-    canonical Huffman decode, DQT dequantization, de-zigzag, matrix 8x8
-    IDCT, +128 level shift. Chroma blocks in interleaved MCUs are entropy-
-    decoded (the bitstream demands it) but skip the IDCT — a luma pipeline
-    never pays for pixels it doesn't use.
-
-    Supported: SOF0/SOF1 (baseline / extended-sequential Huffman), 8-bit,
-    grayscale or single-scan interleaved YCbCr with any (h,v) sampling
-    where luma carries the max factors (4:4:4, 4:2:2, 4:2:0), restart
-    intervals, 0xFF00 byte stuffing. Gated with NotImplementedError:
-    progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
-    multi-scan baseline. Malformed streams raise ValueError."""
-    import struct
-
-    import numpy as np
-
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (no SOI)")
-    qtabs: dict[int, "object"] = {}
-    hufftabs: dict[tuple[int, int], dict] = {}
-    frame = None
-    restart_interval = 0
-    scan = None
-    i = 2
-    while i + 4 <= len(data):
-        if data[i] != 0xFF:
-            raise ValueError("JPEG marker expected")
-        marker = data[i + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
-        body = data[i + 4 : i + 2 + seg_len]
-        if marker == 0xDB:  # DQT: one or more tables
-            j = 0
-            while j < len(body):
-                pq, tq = body[j] >> 4, body[j] & 0x0F
-                j += 1
-                if pq == 0:
-                    q = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(
-                        np.int64
-                    )
-                    j += 64
-                else:
-                    q = np.frombuffer(body[j : j + 128], dtype=">u2").astype(
-                        np.int64
-                    )
-                    j += 128
-                if len(q) < 64:
-                    raise ValueError("truncated JPEG DQT")
-                qtabs[tq] = q  # kept in zigzag order, like the stream
-        elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(body):
-                tc, th = body[j] >> 4, body[j] & 0x0F
-                counts = list(body[j + 1 : j + 17])
-                n = sum(counts)
-                symbols = list(body[j + 17 : j + 17 + n])
-                if len(symbols) < n:
-                    raise ValueError("truncated JPEG DHT")
-                hufftabs[(tc, th)] = _build_huffman(counts, symbols)
-                j += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: Huffman sequential
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError(
-                    f"{prec}-bit JPEG gated: baseline decode here is 8-bit"
-                )
-            comps = []
-            for c in range(nc):
-                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) gated: spectral-selection / "
-                "successive-approximation scans need multi-pass state; "
-                "baseline-sequential decodes here"
-            )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} gated: lossless/differential/"
-                "arithmetic processes; baseline-sequential decodes here"
-            )
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS: scan header, then entropy data
-            ns = body[0]
-            scan_comps = []
-            for c in range(ns):
-                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
-                scan_comps.append((cs, tables >> 4, tables & 0x0F))
-            scan = scan_comps
-            i = i + 2 + seg_len
-            break
-        # APPn/COM/unknown: skip
-        i += 2 + seg_len
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF or SOS")
-    h, w, comps = frame
-    if len(scan) != len(comps):
-        raise NotImplementedError(
-            "multi-scan baseline JPEG gated: one interleaved scan decodes"
-        )
-    if h == 0 or w == 0:
-        raise ValueError("empty JPEG frame")
-
-    # de-stuff the entropy segment, splitting at restart markers
+def _jpeg_entropy(data: bytes, i: int):
+    """De-stuff an entropy-coded segment starting at ``i``: 0xFF00 unstuffs
+    to 0xFF, RSTn markers split segments (restart boundaries), any other
+    marker terminates. Returns (segments, position of the terminator)."""
     segments: list[bytes] = []
     cur = bytearray()
     j = i
@@ -1403,53 +1300,396 @@ def decode_jpeg_luma(data: bytes) -> "object":
             segments.append(bytes(cur))
             cur = bytearray()
             j += 2
-        else:  # EOI or next marker: end of entropy data
+        else:
             break
     segments.append(bytes(cur))
+    return segments, j
 
+
+def _jpeg_idct_plane(coeffs, q, n_by, n_bx, h, w):
+    """Dequantize + IDCT a component's zigzag coefficient grid into a
+    cropped uint8 plane."""
+    import numpy as np
+
+    A = _idct_matrix()
+    inv_zig = np.argsort(np.asarray(_ZIGZAG))
+    plane = np.zeros((n_by * 8, n_bx * 8), dtype=np.uint8)
+    for by in range(n_by):
+        for bx in range(n_bx):
+            zz = coeffs[by, bx] * q
+            coef = zz[inv_zig].reshape(8, 8).astype(np.float64)
+            px = np.clip(np.round(A @ coef @ A.T) + 128, 0, 255).astype(np.uint8)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return plane[:h, :w]
+
+
+class _ScanReader:
+    """Bit reader over a scan's restart-delimited segments: `restart()`
+    advances to the next RST segment and the caller resets its predictors."""
+
+    def __init__(self, segments):
+        self.segments = segments
+        self.idx = 0
+        self.reader = _BitReader(segments[0])
+
+    def restart(self):
+        self.idx += 1
+        if self.idx >= len(self.segments):
+            raise ValueError("JPEG entropy stream truncated at restart")
+        self.reader = _BitReader(self.segments[self.idx])
+
+
+def _jpeg_decode_dc_scan(scan, frame_comps, coeffs, hmax, vmax, mcus_x,
+                         mcus_y, comp_blocks, dri):
+    """A DC scan (Ss=0): first pass (Ah=0) Huffman-decodes predictions into
+    bit position Al and up; refinement (Ah>0) appends one raw bit at Al per
+    block. Interleaved (multi-component MCU traversal) or single-component."""
+    comps_in_scan, _ss, _se, ah, al, segments, tables = scan
+    sr = _ScanReader(segments)
+    preds = {ci: 0 for ci, _dc, _ac in comps_in_scan}
+    unit = 0
+    interleaved = len(comps_in_scan) > 1
+
+    def decode_block(ci, dc_tab, by, bx):
+        r = sr.reader
+        if ah == 0:
+            t = r.read_huff(dc_tab)
+            if t > 11:
+                raise ValueError(f"invalid JPEG DC category {t}")
+            preds[ci] += _extend(r.read_bits(t), t)
+            coeffs[ci][by, bx, 0] = preds[ci] << al
+        else:
+            coeffs[ci][by, bx, 0] |= r.read_bits(1) << al
+
+    if interleaved:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and unit and unit % dri == 0:
+                    sr.restart()
+                    preds = {ci: 0 for ci, _dc, _ac in comps_in_scan}
+                for ci, dc_tab, _ac_tab in comps_in_scan:
+                    _cid, ch, cv, _tq = frame_comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            decode_block(ci, dc_tab, my * cv + by, mx * ch + bx)
+                unit += 1
+    else:
+        ci, dc_tab, _ac_tab = comps_in_scan[0]
+        n_by, n_bx = comp_blocks[ci]
+        for by in range(n_by):
+            for bx in range(n_bx):
+                if dri and unit and unit % dri == 0:
+                    sr.restart()
+                    preds = {ci: 0}
+                decode_block(ci, dc_tab, by, bx)
+                unit += 1
+
+
+def _jpeg_decode_ac_scan(scan, coeffs_c, n_by, n_bx, dri):
+    """An AC scan (always single-component, spectral band Ss..Se).
+
+    First pass (Ah=0): run-length/size symbols with EOB-run extension
+    (EOBn: 2^r + r extra bits blocks end-of-band at once), values scaled
+    << Al. Refinement (Ah>0, T.81 G.1.2.3): each symbol inserts at most
+    one newly-significant ±1<<Al coefficient after skipping r zero-HISTORY
+    positions, emitting one correction bit for every already-nonzero
+    coefficient passed (or remaining, when an EOB run covers the block)."""
+    comps_in_scan, ss, se, ah, al, segments, _dri = scan
+    _ci, _dc_tab, ac_tab = comps_in_scan[0]
+    sr = _ScanReader(segments)
+    eobrun = 0
+    unit = 0
+
+    def refine_nonzero(zz, k):
+        # correction bit for a coefficient that is already nonzero
+        if sr.reader.read_bits(1) and not (abs(int(zz[k])) & (1 << al)):
+            zz[k] += (1 << al) if zz[k] > 0 else -(1 << al)
+
+    for by in range(n_by):
+        for bx in range(n_bx):
+            if dri and unit and unit % dri == 0:
+                sr.restart()
+                eobrun = 0
+            unit += 1
+            zz = coeffs_c[by, bx]
+            if eobrun > 0:
+                eobrun -= 1
+                if ah != 0:  # EOB-covered blocks still carry correction bits
+                    for k in range(ss, se + 1):
+                        if zz[k]:
+                            refine_nonzero(zz, k)
+                continue
+            r = sr.reader
+            if ah == 0:  # first pass for this band
+                k = ss
+                while k <= se:
+                    rs = r.read_huff(ac_tab)
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += r.read_bits(rr)
+                        break
+                    k += rr
+                    if k > se:
+                        raise ValueError("JPEG AC run past end of band")
+                    zz[k] = _extend(r.read_bits(s), s) << al
+                    k += 1
+            else:  # refinement pass
+                k = ss
+                while k <= se:
+                    rs = r.read_huff(ac_tab)
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr < 15:  # EOBn: refine the rest, then run
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.read_bits(rr)
+                            while k <= se:
+                                if zz[k]:
+                                    refine_nonzero(zz, k)
+                                k += 1
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history slots
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "JPEG AC refinement size must be 1"
+                            )
+                        newval = (1 << al) if r.read_bits(1) else -(1 << al)
+                    # advance over the band: correction bits for nonzeros,
+                    # count down rr zero-history positions
+                    while k <= se:
+                        if zz[k]:
+                            refine_nonzero(zz, k)
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if s:
+                        if k > se:
+                            raise ValueError(
+                                "JPEG AC refinement ran past the band"
+                            )
+                        zz[k] = newval
+                    k += 1
+
+
+def decode_jpeg_luma(data: bytes) -> "object":
+    """Decode a JPEG payload's LUMA plane to a numpy uint8 grid (height x
+    width) with no codec library: marker walk, canonical DHT Huffman
+    decode, DQT dequantization, de-zigzag, matrix 8x8 IDCT, +128 level
+    shift.
+
+    Supported processes: BASELINE/extended sequential (SOF0/SOF1, one
+    interleaved scan) and PROGRESSIVE Huffman (SOF2) with both spectral
+    selection and successive approximation — interleaved or single-
+    component DC scans, per-band AC scans with EOB runs, DC/AC refinement
+    passes, restart intervals, tables redefined between scans. 8-bit,
+    grayscale or YCbCr with any sampling where luma carries the max
+    factors. Luma-only economics: in sequential scans, chroma blocks are
+    entropy-decoded (the interleaved bitstream demands it) but skip the
+    IDCT; in progressive scans, CHROMA AC SCANS ARE SKIPPED WHOLESALE —
+    their extent is marker-delimited, so a luma pipeline pays zero decode
+    work for them. Gated with NotImplementedError: arithmetic coding
+    (SOF9+), lossless/differential/hierarchical, 12-bit precision,
+    multi-scan sequential. Malformed streams raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    qtabs: dict[int, "object"] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    progressive = False
+    restart_interval = 0
+    scans = []  # (comps_in_scan, Ss, Se, Ah, Al, segments, dri)
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    q = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    j += 64
+                else:
+                    q = np.frombuffer(body[j : j + 128], dtype=">u2").astype(
+                        np.int64
+                    )
+                    j += 128
+                if len(q) < 64:
+                    raise ValueError("truncated JPEG DQT")
+                qtabs[tq] = q  # zigzag order, like the stream
+        elif marker == 0xC4:  # DHT (may redefine tables between scans)
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                counts = list(body[j + 1 : j + 17])
+                n = sum(counts)
+                symbols = list(body[j + 17 : j + 17 + n])
+                if len(symbols) < n:
+                    raise ValueError("truncated JPEG DHT")
+                hufftabs[(tc, th)] = _build_huffman(counts, symbols)
+                j += 17 + n
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG gated: 8-bit decodes here"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} gated: lossless/differential/"
+                "arithmetic processes; sequential and progressive Huffman "
+                "decode here"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            frame_ids = [c[0] for c in frame[2]]
+            comps_in_scan = []
+            for c in range(ns):
+                cs, tsel = body[1 + 2 * c], body[2 + 2 * c]
+                if cs not in frame_ids:
+                    raise ValueError(f"JPEG scan names unknown component {cs}")
+                ci = frame_ids.index(cs)
+                comps_in_scan.append((ci, tsel >> 4, tsel & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            segments, i = _jpeg_entropy(data, i + 2 + seg_len)
+            # snapshot the table objects this scan needs NOW: later DHTs
+            # may redefine the slots
+            resolved = []
+            for ci, td, ta in comps_in_scan:
+                resolved.append((ci, hufftabs.get((0, td)), hufftabs.get((1, ta))))
+            scans.append(
+                (resolved, ss, se, ahal >> 4, ahal & 0x0F, segments,
+                 restart_interval)
+            )
+            continue  # i already advanced past the entropy data
+        # APPn/COM/unknown: skip
+        i += 2 + seg_len
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF or SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("empty JPEG frame")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    luma = comps[0]
-    if luma[1] != hmax or luma[2] != vmax:
+    if comps[0][1] != hmax or comps[0][2] != vmax:
         raise NotImplementedError(
             "JPEG with subsampled LUMA gated: component 1 must carry the "
             "max sampling factors (every 4:4:4/4:2:2/4:2:0 file does)"
         )
-    # per-scan-component decode setup, frame order
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    if comps[0][3] not in qtabs:
+        raise ValueError(f"JPEG missing quant table {comps[0][3]}")
+    q_luma = qtabs[comps[0][3]]
+    # luma's true block dims (luma carries max factors, so its pixel dims
+    # are the frame's)
+    luma_by, luma_bx = -(-h // 8), -(-w // 8)
+
+    if not progressive:
+        if len(scans) != 1 or len(scans[0][0]) != len(comps):
+            raise NotImplementedError(
+                "multi-scan sequential JPEG gated: one interleaved scan "
+                "decodes (progressive multi-scan is supported via SOF2)"
+            )
+        return _jpeg_decode_sequential(
+            frame, scans[0], qtabs, hmax, vmax, mcus_x, mcus_y, np
+        )
+
+    # progressive: accumulate quantized coefficients across scans
+    coeffs = [
+        np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+        for (_cid, ch, cv, _tq) in comps
+    ]
+    comp_blocks = []
+    for (_cid, ch, cv, _tq) in comps:
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        comp_blocks.append((-(-chh // 8), -(-cw // 8)))
+    for scan in scans:
+        comps_in_scan, ss, se, ah, al, segments, dri = scan
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("JPEG DC scan with Se != 0")
+            if ah == 0 and any(
+                dc is None for _ci, dc, _ac in comps_in_scan
+            ):
+                raise ValueError("JPEG missing Huffman table")
+            _jpeg_decode_dc_scan(
+                scan, comps, coeffs, hmax, vmax, mcus_x, mcus_y,
+                comp_blocks, dri,
+            )
+        else:  # AC scan: single component by spec
+            if len(comps_in_scan) != 1:
+                raise ValueError("JPEG AC scan must be single-component")
+            ci = comps_in_scan[0][0]
+            if ci != 0:
+                continue  # chroma AC scan: marker-delimited, zero decode work
+            if comps_in_scan[0][2] is None:
+                raise ValueError("JPEG missing Huffman table")
+            n_by, n_bx = comp_blocks[ci]
+            _jpeg_decode_ac_scan(scan, coeffs[ci], n_by, n_bx, dri)
+    return _jpeg_idct_plane(coeffs[0], q_luma, luma_by, luma_bx, h, w)
+
+
+def _jpeg_decode_sequential(frame, scan, qtabs, hmax, vmax, mcus_x, mcus_y, np):
+    """The baseline path: one interleaved scan, DC+AC per block; chroma
+    blocks entropy-decoded (the bitstream demands it) but never IDCTed."""
+    h, w, comps = frame
+    comps_in_scan, _ss, _se, _ah, _al, segments, dri = scan
     setup = []
-    for (cid, ch, cv, tq) in comps:
-        match = [s for s in scan if s[0] == cid]
-        if not match:
-            raise ValueError(f"JPEG scan missing component {cid}")
-        _, td, ta = match[0]
+    for (ci, dc_tab, ac_tab) in comps_in_scan:
+        _cid, ch, cv, tq = comps[ci]
         if tq not in qtabs:
             raise ValueError(f"JPEG missing quant table {tq}")
-        if (0, td) not in hufftabs or (1, ta) not in hufftabs:
+        if dc_tab is None or ac_tab is None:
             raise ValueError("JPEG missing Huffman table")
-        setup.append((ch, cv, qtabs[tq], hufftabs[(0, td)], hufftabs[(1, ta)]))
-
-    A = _idct_matrix()
+        setup.append((ci, ch, cv, qtabs[tq], dc_tab, ac_tab))
     plane = np.zeros((mcus_y * vmax * 8, mcus_x * hmax * 8), dtype=np.uint8)
-    inv_zig = np.argsort(np.asarray(_ZIGZAG))  # row-major index -> zigzag pos
+    A = _idct_matrix()
+    inv_zig = np.argsort(np.asarray(_ZIGZAG))
     preds = [0] * len(comps)
-    seg_idx = 0
-    reader = _BitReader(segments[0])
+    sr = _ScanReader(segments)
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("JPEG entropy stream truncated at restart")
-                reader = _BitReader(segments[seg_idx])
+            if dri and mcu_count and mcu_count % dri == 0:
+                sr.restart()
                 preds = [0] * len(comps)
-            for ci, (ch, cv, q, dct, act) in enumerate(setup):
+            for (ci, ch, cv, q, dct, act) in setup:
                 for by in range(cv):
                     for bx in range(ch):
                         zz, preds[ci] = _decode_block(
-                            reader, dct, act, q, preds[ci]
+                            sr.reader, dct, act, q, preds[ci]
                         )
                         if ci != 0:
                             continue  # chroma: bitstream consumed, no IDCT

@@ -37,8 +37,9 @@ _ZIG = (
 #: DC categories 0..11, all at code length 4 (12 of 16 slots: valid canonical)
 _DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 _DC_SYMBOLS = list(range(12))
-#: AC symbols at code length 8: EOB, ZRL, and every (run 0-15, size 1-10)
-_AC_SYMBOLS = [0x00, 0xF0] + [
+#: AC symbols at code length 8: EOBn (n 0-14, incl. plain EOB), ZRL, and
+#: every (run 0-15, size 1-10) — the full progressive symbol space
+_AC_SYMBOLS = [r << 4 for r in range(15)] + [0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
 _AC_COUNTS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
@@ -307,10 +308,13 @@ def test_extended_sequential_sof1_decodes():
     assert int(decode_jpeg_luma(data)[0, 0]) == 77
 
 
-def test_gates_progressive_arithmetic_and_errors():
+def test_gates_arithmetic_and_errors():
     blocks = _dc_only_blocks([90])
+    # a SOF2 frame whose single scan claims the full 0..63 band is
+    # malformed progressive (a DC scan must have Se=0) — progressive
+    # itself now DECODES (test_jpeg_progressive.py)
     prog = _jpeg_encode(8, 8, [(1, 1, 1, 0)], [blocks], {0: _Q_ONES}, sof=0xC2)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan with Se"):
         decode_jpeg_luma(prog)
     arith = _jpeg_encode(8, 8, [(1, 1, 1, 0)], [blocks], {0: _Q_ONES}, sof=0xC9)
     with pytest.raises(NotImplementedError, match="SOF9"):

@@ -383,7 +383,7 @@ def test_phash_real_mode_gated(spark):
     media = MM.attach_media(read_table(spark, SF_SMOKE, "documents"))
     # text payloads aren't an image container at all; PNG/GIF/baseline-JPEG
     # payloads now decode for real, so the remaining failure modes are
-    # malformed containers and the progressive-JPEG gate
+    # malformed containers and the arithmetic-coding gate
     with _pytest.raises(Exception, match="unrecognized image container"):
         MM.phash_table(media, real=True).collect()
     jpeg_hdr = spark.createDataFrame(
@@ -393,12 +393,12 @@ def test_phash_real_mode_gated(spark):
     # an SOF with no scan is malformed, not gated
     with _pytest.raises(Exception, match="missing SOF or SOS"):
         MM.phash_table(jpeg_hdr, real=True).collect()
-    prog_hdr = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xc2\x00\x11\x08\x00\x10\x00\x20" + b"\x00" * 8 + b"\xff\xd9"), "image")],
+    arith_hdr = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xc9\x00\x11\x08\x00\x10\x00\x20" + b"\x00" * 8 + b"\xff\xd9"), "image")],
         "doc_id long, content binary, media_type string",
     )
-    with _pytest.raises(Exception, match="progressive"):
-        MM.phash_table(prog_hdr, real=True).collect()
+    with _pytest.raises(Exception, match="SOF9"):
+        MM.phash_table(arith_hdr, real=True).collect()
 
 
 def test_streaming_funnel_equals_batch(spark):
