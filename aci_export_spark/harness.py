@@ -442,17 +442,19 @@ BENCH_BILLING_ORDER: list[str] = [
 WINDOW_BUILT_FROM_ROUND = 7
 #: Oldest-cohort queries consciously deferred to the NEXT round's window
 #: head because the window arithmetic overflowed 50: this round registers
-#: FOUR new queries (mm_audio_stats, llm_dedup_exact_ngrams,
-#: llm_dedup_span_exposure, llm_dsir_affinity) and front-loads one
-#: module-changed query, so 1+4+1+48 = 54 > 50. Deferred (all stable
-#: operator shapes untouched since r1/r2, re-proven every round by the
-#: local oracle replica): START THE R9 WINDOW WITH THESE FOUR.
+#: FIVE new queries (mm_audio_stats, llm_dedup_exact_ngrams,
+#: llm_dedup_span_exposure, llm_dsir_affinity,
+#: llm_dedup_exact_ngrams_incremental) and front-loads one module-changed
+#: query, so 1+5+1+48 = 55 > 50. Deferred (all stable operator shapes
+#: untouched since r1/r2, re-proven every round by the local oracle
+#: replica): START THE R9 WINDOW WITH THESE FIVE.
 WINDOW_DEFERRED: frozenset[str] = frozenset(
     {
         "a10_set_difference_count",
         "j3_self_join_partner",
         "a9_sync_stats",
         "j7_existence_flags",
+        "j4_coalesce_key_join",
     }
 )
 
@@ -463,6 +465,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_dedup_exact_ngrams",
     "llm_dedup_span_exposure",
     "llm_dsir_affinity",
+    "llm_dedup_exact_ngrams_incremental",
     "streaming_funnel_native",
     # r4-era rows, oldest-first backfill. llm_sim_ivf_kmeans_topk is placed
     # before llm_dedup_semantic so the kmeans-model fit is billed/cached in
@@ -479,7 +482,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "f11_f12_merge_field_render",
     "j12_referential_integrity",
     "j14_entity_resolution_coalesce",
-    "j4_coalesce_key_join",
     "llm_boilerplate_spans",
     "llm_decontaminate_overlap",
     "llm_epoch_mix",

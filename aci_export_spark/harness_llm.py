@@ -4171,3 +4171,45 @@ def llm_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.filter(F.col("doc_id") >= 100)
     target = docs.filter(F.col("doc_id") < 100)
     return T.dsir_affinity(raw, target, "doc_id", "text", n=2, buckets=4096)
+
+
+@register(
+    "llm_dedup_exact_ngrams_incremental",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+)
+SELECT gram,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occurrences
+FROM grams
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    doc="incremental exact-substring dedup (the daily-ingest shape of "
+    "llm_dedup_exact_ngrams): the corpus side (md5 bucket < 90, ~90%) is "
+    "the MAINTAINED gram-stats index, the delta side (~10% new docs) "
+    "builds its own stats, and a disjoint-doc-set merge (counts add "
+    "exactly — delta ids are new) filtered to n_docs >= 2 must equal the "
+    "full rebuild — which is exactly what the oracle computes over the "
+    "union. Bucket-store the index on the gram key and the merge is "
+    "exchange-free and delta-proportional",
+)
+def llm_dedup_exact_ngrams_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    split = T.stable_split(docs, "doc_id", val_percent=90)
+    base = D.gram_stats_table(
+        split.filter(F.col("split_bucket") < 90), "doc_id", "text", n=8
+    )
+    delta = D.gram_stats_table(
+        split.filter(F.col("split_bucket") >= 90), "doc_id", "text", n=8
+    )
+    return (
+        D.merge_gram_stats(base, delta)
+        .filter(F.col("n_docs") >= 2)
+        .select("gram", "n_docs", "n_occurrences")
+    )

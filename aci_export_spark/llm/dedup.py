@@ -972,3 +972,41 @@ def dup_gram_position_stats(
             F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
         )
     )
+
+
+def gram_stats_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Full per-gram statistics (gram, n_docs, n_occurrences) over EVERY
+    word n-gram — the maintained INDEX for incremental exact-substring
+    dedup (the duplicated-gram table is this filtered to n_docs ≥ 2, but
+    singleton grams must be kept: a singleton plus one delta occurrence
+    becomes a duplicate). Production keeps this table bucketed by gram
+    (or its hash), so the incremental merge below is a co-partitioned
+    sum with no corpus-wide exchange."""
+    from aci_export_spark.llm.text import word_ngram_rows
+
+    g = word_ngram_rows(df, id_col, text_col, n=n, distinct=False)
+    return g.groupBy("gram").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+def merge_gram_stats(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two gram-stats tables whose underlying DOC SETS ARE DISJOINT
+    (the ingest contract: delta documents are new ids), so distinct-doc
+    counts add exactly. One union + sum aggregation; with both sides
+    bucket-stored on the gram key this is exchange-free and
+    delta-proportional."""
+    return (
+        base.unionByName(delta)
+        .groupBy("gram")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+        )
+    )
