@@ -442,12 +442,12 @@ BENCH_BILLING_ORDER: list[str] = [
 WINDOW_BUILT_FROM_ROUND = 7
 #: Oldest-cohort queries consciously deferred to the NEXT round's window
 #: head because the window arithmetic overflowed 50: this round registers
-#: FIVE new queries (mm_audio_stats, llm_dedup_exact_ngrams,
+#: SIX new queries (mm_audio_stats, llm_dedup_exact_ngrams,
 #: llm_dedup_span_exposure, llm_dsir_affinity,
-#: llm_dedup_exact_ngrams_incremental) and front-loads one module-changed
-#: query, so 1+5+1+48 = 55 > 50. Deferred (all stable operator shapes
-#: untouched since r1/r2, re-proven every round by the local oracle
-#: replica): START THE R9 WINDOW WITH THESE FIVE.
+#: llm_dedup_exact_ngrams_incremental, docs_ranker_agreement) and
+#: front-loads one module-changed query, so 1+6+1+48 = 56 > 50. Deferred
+#: (all stable operator shapes untouched since r1/r2, re-proven every
+#: round by the local oracle replica): START THE R9 WINDOW WITH THESE SIX.
 WINDOW_DEFERRED: frozenset[str] = frozenset(
     {
         "a10_set_difference_count",
@@ -455,6 +455,7 @@ WINDOW_DEFERRED: frozenset[str] = frozenset(
         "a9_sync_stats",
         "j7_existence_flags",
         "j4_coalesce_key_join",
+        "llm_stratified_sample",
     }
 )
 
@@ -466,6 +467,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_dedup_span_exposure",
     "llm_dsir_affinity",
     "llm_dedup_exact_ngrams_incremental",
+    "docs_ranker_agreement",
     "streaming_funnel_native",
     # r4-era rows, oldest-first backfill. llm_sim_ivf_kmeans_topk is placed
     # before llm_dedup_semantic so the kmeans-model fit is billed/cached in
@@ -490,7 +492,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_quality_gopher",
     "llm_repetition_signals",
     "llm_split_train_val",
-    "llm_stratified_sample",
     "mm_decode_metadata",
     "mm_frame_sample",
     "mm_resize_plan",

@@ -2542,3 +2542,58 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+#: reuse the hybrid oracle's sparse/dense ranking construction verbatim —
+#: the agreement audit is defined over exactly those two rankings
+_RANKER_AGREEMENT_ORACLE = _HYBRID_RRF_ORACLE.split(", fused AS")[0] + """
+, shared AS (
+    SELECT s.query_id, s.doc_id, s.rank AS rs, d.rank AS rd
+    FROM sparse s JOIN dense d USING (query_id, doc_id)
+), kpairs AS (
+    SELECT a.query_id,
+           COUNT(*)::BIGINT AS n_pairs,
+           SUM(CASE WHEN (a.rs < b.rs) = (a.rd < b.rd)
+                    THEN 1 ELSE 0 END)::BIGINT AS concordant
+    FROM shared a JOIN shared b
+      ON a.query_id = b.query_id AND a.doc_id < b.doc_id
+    GROUP BY 1
+), nsh AS (
+    SELECT query_id, COUNT(*)::BIGINT AS n_shared FROM shared GROUP BY 1
+), qs AS (
+    SELECT DISTINCT query_id FROM sparse
+)
+SELECT qs.query_id,
+       COALESCE(nsh.n_shared, 0)::BIGINT AS n_shared,
+       COALESCE(k.n_pairs, 0)::BIGINT AS n_pairs,
+       COALESCE(k.concordant, 0)::BIGINT AS concordant,
+       (COALESCE(k.n_pairs, 0) - COALESCE(k.concordant, 0))::BIGINT AS discordant
+FROM qs LEFT JOIN nsh USING (query_id) LEFT JOIN kpairs k USING (query_id)
+"""
+
+
+@register(
+    "docs_ranker_agreement",
+    _RANKER_AGREEMENT_ORACLE,
+    doc="retrieval-eval rank agreement: per query, the shared-item overlap "
+    "between the BM25 and dense top-20 rankings and the exact Kendall "
+    "concordant/discordant pair counts over it (tau is one caller-side "
+    "division; no ties — within-ranking ranks are distinct). Pool-bounded "
+    "self-join (<= k(k-1)/2 pairs per query), never corpus-bounded; both "
+    "rankers reuse the shared bm25_tf artifact and the same constructions "
+    "the hybrid-RRF query verifies",
+)
+def docs_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.retrieval import mlt_bm25_topk, ranker_agreement
+    from aci_export_spark.llm.similarity import brute_force_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    sparse = mlt_bm25_topk(
+        docs, "doc_id", "text", n_queries=10, n_terms=3, pool=20,
+        artifact_key=("bm25_tf", sf_dir),
+    )
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=20
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    return ranker_agreement(sparse, dense)

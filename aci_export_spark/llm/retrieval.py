@@ -258,3 +258,61 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= k)
         .select("query_id", "doc_id", "fused_rank", "in_sparse", "in_dense")
     )
+
+
+def ranker_agreement(sparse: DataFrame, dense: DataFrame) -> DataFrame:
+    """Exact rank-agreement diagnostics between two pool-bounded rankings
+    (the retrieval-eval primitive behind "do my sparse and dense rankers
+    see the same corpus?"): per query, the SHARED-item overlap and the
+    Kendall concordant/discordant pair counts over it — all exact BIGINTs
+    (tau-a = (concordant − discordant) / n_pairs is one caller-side
+    division; ranks within a ranking are distinct, so there are no ties).
+
+    Inputs are (query_id, doc_id, rank) tables. Scale shape: both inputs
+    are top-k pools (≤ k rows per query by construction), so the
+    within-query pair self-join is bounded at k·(k−1)/2 rows per query —
+    pool-bounded like rrf_fuse, never corpus-bounded. Queries whose
+    rankings share < 2 items report zero pairs (total assignment over the
+    sparse ranking's query set)."""
+    s = sparse.select("query_id", "doc_id", F.col("rank").alias("__rs"))
+    d = dense.select("query_id", "doc_id", F.col("rank").alias("__rd"))
+    shared = s.join(d, on=["query_id", "doc_id"])
+    a = shared.select(
+        "query_id",
+        F.col("doc_id").alias("__ida"),
+        F.col("__rs").alias("__rsa"),
+        F.col("__rd").alias("__rda"),
+    )
+    b = shared.select(
+        "query_id",
+        F.col("doc_id").alias("__idb"),
+        F.col("__rs").alias("__rsb"),
+        F.col("__rd").alias("__rdb"),
+    )
+    pairs = a.join(b, on="query_id").filter(F.col("__ida") < F.col("__idb"))
+    conc = (
+        (F.col("__rsa") < F.col("__rsb")) == (F.col("__rda") < F.col("__rdb"))
+    ).cast("long")
+    agg = pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(conc).alias("concordant"),
+    )
+    n_shared = shared.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        s.select("query_id")
+        .distinct()
+        .join(n_shared, on="query_id", how="left")
+        .join(agg, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("concordant", F.lit(0)).alias("concordant"),
+            (
+                F.coalesce("n_pairs", F.lit(0))
+                - F.coalesce("concordant", F.lit(0))
+            ).alias("discordant"),
+        )
+    )
