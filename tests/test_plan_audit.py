@@ -50,6 +50,9 @@ BNLJ_ALLOWED = {
     "docs_bm25_topk",  # 1-row (n_docs, total_tokens) corpus-stats broadcast
     "docs_hybrid_rrf_topk",  # composes the bm25 1-row stats cross AND the
     # brute-force dense ranker (all-pairs by definition on the tiny query set)
+    "docs_ranker_agreement",  # same composition as docs_hybrid_rrf_topk:
+    # bm25 1-row stats cross + the brute-force dense ranker; the agreement
+    # fold itself is a pool-bounded equi-join
     "events_value_histogram",  # 1-row global min/max broadcast
     "events_zorder_pruning_stats",  # 1-row rows-matching aggregate crossed in
     "llm_lsh_index_upsert",  # cross of two single-row invariant aggregates
