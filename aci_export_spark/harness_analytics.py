@@ -2545,7 +2545,13 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: reuse the hybrid oracle's sparse/dense ranking construction verbatim —
-#: the agreement audit is defined over exactly those two rankings
+#: the agreement audit is defined over exactly those two rankings. The
+#: split marker must exist: a silent whole-string "split" would produce
+#: SQL that only fails at oracle runtime (ADVICE r8).
+assert ", fused AS" in _HYBRID_RRF_ORACLE, (
+    "_HYBRID_RRF_ORACLE reworded: ranker-agreement oracle splits on "
+    "', fused AS' to reuse its sparse/dense CTE prefix"
+)
 _RANKER_AGREEMENT_ORACLE = _HYBRID_RRF_ORACLE.split(", fused AS")[0] + """
 , shared AS (
     SELECT s.query_id, s.doc_id, s.rank AS rs, d.rank AS rd

@@ -903,11 +903,20 @@ def duplicated_gram_table(
     scanned once, matching the MinHash pipeline's discipline."""
     from aci_export_spark.llm.text import word_ngram_rows
 
-    g = (
-        word_ngram_rows(df, id_col, text_col, n=n, distinct=False)
-        .withColumn("__h", F.xxhash64("gram"))
-        .localCheckpoint(eager=True)
-    )
+    g = word_ngram_rows(
+        df, id_col, text_col, n=n, distinct=False
+    ).localCheckpoint(eager=True)
+    return _dup_grams_from_exploded(g, id_col, min_docs)
+
+
+def _dup_grams_from_exploded(
+    g: DataFrame, id_col: str, min_docs: int
+) -> DataFrame:
+    """The candidate→verify passes of :func:`duplicated_gram_table` over an
+    already-exploded (and checkpointed) (id, gram) frame — factored out so
+    :func:`dup_gram_position_stats` can share ONE corpus explode between
+    the dup-table construction and its per-doc aggregations."""
+    g = g.withColumn("__h", F.xxhash64("gram"))
     cand = (
         g.groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
@@ -946,15 +955,18 @@ def dup_gram_position_stats(
     ``dup_table`` lets a pipeline reuse an already-built
     :func:`duplicated_gram_table` (built once per corpus snapshot) instead
     of re-deriving it — it must have been built with the same (n,
-    min_docs) over the same corpus."""
+    min_docs) over the same corpus. Without one, the corpus is exploded
+    ONCE (localCheckpoint) and that frame feeds both the dup-table
+    construction and the per-doc aggregations — the module's scan-once
+    discipline holds for direct callers too (ADVICE r8)."""
     from aci_export_spark.llm.text import word_ngram_rows
 
     g = word_ngram_rows(df, id_col, text_col, n=n, distinct=False)
-    dup = (
-        dup_table
-        if dup_table is not None
-        else duplicated_gram_table(df, id_col, text_col, n=n, min_docs=min_docs)
-    )
+    if dup_table is not None:
+        dup = dup_table
+    else:
+        g = g.localCheckpoint(eager=True)
+        dup = _dup_grams_from_exploded(g, id_col, min_docs)
     flagged = (
         g.join(dup.select("gram"), on="gram", how="left_semi")
         .groupBy(id_col)

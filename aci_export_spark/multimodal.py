@@ -1344,7 +1344,7 @@ def _jpeg_decode_dc_scan(scan, frame_comps, coeffs, hmax, vmax, mcus_x,
     """A DC scan (Ss=0): first pass (Ah=0) Huffman-decodes predictions into
     bit position Al and up; refinement (Ah>0) appends one raw bit at Al per
     block. Interleaved (multi-component MCU traversal) or single-component."""
-    comps_in_scan, _ss, _se, ah, al, segments, tables = scan
+    comps_in_scan, _ss, _se, ah, al, segments, _dri = scan
     sr = _ScanReader(segments)
     preds = {ci: 0 for ci, _dc, _ac in comps_in_scan}
     unit = 0
@@ -1511,12 +1511,24 @@ def decode_jpeg_luma(data: bytes) -> "object":
     restart_interval = 0
     scans = []  # (comps_in_scan, Ss, Se, Ah, Al, segments, dri)
     i = 2
-    while i + 4 <= len(data):
+    while i + 2 <= len(data):
         if data[i] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any marker may be preceded by a run of 0xFF fill
+        # bytes — skip them (the GIF walker tolerates fill the same way).
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(data):
+            raise ValueError("truncated JPEG marker")
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RST outside a scan: standalone, no length field
+            i += 2
+            continue
+        if i + 4 > len(data):
+            raise ValueError("truncated JPEG marker segment")
         (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
         body = data[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT

@@ -124,7 +124,7 @@ def write_bucketed_mirror(
 def delta_available() -> bool:
     """True when the delta-spark package is importable. The sandbox does not
     ship it (``pip install delta-spark`` re-attempted 2026-08-15 in rounds
-    7 and 8: DNS resolution fails against every index — no network route),
+    7, 8 and 9: DNS resolution fails against every index — no network route),
     so the Delta paths are gated rather than assumed."""
     try:
         import delta  # noqa: F401
