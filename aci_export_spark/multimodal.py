@@ -1170,6 +1170,376 @@ def audio_stats(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MP4 sample tables (r9): extends the moov walk from mvhd/tkhd display
+# metadata to the full per-track sample tables (ISO/IEC 14496-12 §8.6/8.7:
+# stts sample deltas, stsz sizes, stsc sample-to-chunk runs, stco/co64
+# chunk offsets) — frame counts, exact durations, and average bitrate are
+# pure struct reads; no codec touches the mdat payload. Mirrors the
+# reference's export-side metadata discipline (ref db/src/lib.rs reads
+# container-level fields, never media samples).
+# ---------------------------------------------------------------------------
+
+MP4_TRACKS_SCHEMA = (
+    "doc_id long, track_id long, handler string, timescale long, "
+    "n_samples long, duration_ticks long, duration_ms long, "
+    "total_bytes long, avg_bitrate_bps long, n_chunks long"
+)
+
+
+def _mp4_full_box(data: bytes, start: int, end: int, name: str):
+    """(version, body_start) of a full box; raises on a truncated header."""
+    if end - start < 4:
+        raise ValueError(f"truncated MP4 {name} box")
+    return data[start], start + 4
+
+
+def parse_mp4_tracks(data: bytes) -> list[dict]:
+    """Per-track sample-table statistics from an ISO-BMFF (MP4) container:
+    one dict per ``trak`` with track_id (tkhd), handler + timescale (hdlr /
+    mdhd), n_samples and total_bytes (stsz), duration_ticks = Σ count·delta
+    over the stts runs (the EXACT media duration, not the rounded mvhd
+    one), duration_ms, average bitrate (total_bytes·8·timescale //
+    duration_ticks, exact integer), and n_chunks (stco/co64 entry count).
+
+    Pure struct reads over the box tree — ``mdat`` is never touched.
+    Cross-table consistency is verified: the stts run counts must sum to
+    the stsz sample count, and the stsc run expansion over the stco chunk
+    list must cover exactly the sample count; wrong or truncated boxes
+    raise ValueError (a silent partial read would poison downstream
+    aggregate stats)."""
+    import struct
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    tracks: list[dict] = []
+    for btype, ps, pe in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(data, ps, pe):
+            if ctype != b"trak":
+                continue
+            track_id = handler = timescale = media_duration = None
+            stts = stsz = stsc = chunk_offsets = None
+            for ttype, ts, te in _mp4_boxes(data, cs, ce):
+                if ttype == b"tkhd":
+                    version, b = _mp4_full_box(data, ts, te, "tkhd")
+                    off = b + (16 if version == 1 else 8)
+                    if off + 4 > te:
+                        raise ValueError("truncated MP4 tkhd box")
+                    (track_id,) = struct.unpack(">I", data[off : off + 4])
+                elif ttype == b"mdia":
+                    for mtype, ms, me in _mp4_boxes(data, ts, te):
+                        if mtype == b"mdhd":
+                            version, b = _mp4_full_box(data, ms, me, "mdhd")
+                            if version == 1:
+                                if b + 28 > me:
+                                    raise ValueError("truncated MP4 mdhd box")
+                                (timescale,) = struct.unpack(
+                                    ">I", data[b + 16 : b + 20]
+                                )
+                                (media_duration,) = struct.unpack(
+                                    ">Q", data[b + 20 : b + 28]
+                                )
+                            else:
+                                if b + 16 > me:
+                                    raise ValueError("truncated MP4 mdhd box")
+                                timescale, media_duration = struct.unpack(
+                                    ">II", data[b + 8 : b + 16]
+                                )
+                        elif mtype == b"hdlr":
+                            _v, b = _mp4_full_box(data, ms, me, "hdlr")
+                            if b + 8 > me:
+                                raise ValueError("truncated MP4 hdlr box")
+                            handler = data[b + 4 : b + 8].decode(
+                                "ascii", "replace"
+                            )
+                        elif mtype == b"minf":
+                            for ntype, ns, ne in _mp4_boxes(data, ms, me):
+                                if ntype != b"stbl":
+                                    continue
+                                stts, stsz, stsc, chunk_offsets = (
+                                    _mp4_sample_tables(data, ns, ne)
+                                )
+            if stts is None or stsz is None:
+                raise ValueError("MP4 trak missing stts or stsz")
+            if stsc is None or chunk_offsets is None:
+                raise ValueError("MP4 trak missing stsc or chunk offsets")
+            n_samples, total_bytes = stsz
+            stts_samples = sum(c for c, _d in stts)
+            if stts_samples != n_samples:
+                raise ValueError(
+                    f"MP4 stts/stsz disagree: {stts_samples} deltas vs "
+                    f"{n_samples} sizes"
+                )
+            n_chunks = len(chunk_offsets)
+            covered = _mp4_stsc_coverage(stsc, n_chunks)
+            if covered != n_samples:
+                raise ValueError(
+                    f"MP4 stsc covers {covered} samples over {n_chunks} "
+                    f"chunks, stsz has {n_samples}"
+                )
+            duration_ticks = sum(c * d for c, d in stts)
+            if media_duration is not None and media_duration != duration_ticks:
+                raise ValueError(
+                    f"MP4 mdhd duration {media_duration} != stts total "
+                    f"{duration_ticks}"
+                )
+            if timescale in (None, 0):
+                raise ValueError("MP4 trak missing mdhd timescale")
+            tracks.append(
+                {
+                    "track_id": int(track_id) if track_id is not None else None,
+                    "handler": handler,
+                    "timescale": int(timescale),
+                    "n_samples": int(n_samples),
+                    "duration_ticks": int(duration_ticks),
+                    "duration_ms": int(duration_ticks * 1000 // timescale),
+                    "total_bytes": int(total_bytes),
+                    "avg_bitrate_bps": (
+                        int(total_bytes * 8 * timescale // duration_ticks)
+                        if duration_ticks
+                        else None
+                    ),
+                    "n_chunks": int(n_chunks),
+                }
+            )
+    if not tracks:
+        raise ValueError("MP4 has no trak with sample tables")
+    return tracks
+
+
+def _mp4_sample_tables(data: bytes, start: int, end: int):
+    """Decode the four sample-table boxes inside an ``stbl`` scope:
+    stts → [(count, delta)], stsz → (n_samples, total_bytes),
+    stsc → [(first_chunk, samples_per_chunk)], stco/co64 → [offsets].
+    Every entry count is bounds-checked against the box payload."""
+    import struct
+
+    stts = stsz = stsc = offsets = None
+    for btype, bs, be in _mp4_boxes(data, start, end):
+        if btype == b"stts":
+            _v, b = _mp4_full_box(data, bs, be, "stts")
+            (n,) = struct.unpack(">I", data[b : b + 4])
+            if b + 4 + 8 * n > be:
+                raise ValueError("truncated MP4 stts box")
+            stts = [
+                struct.unpack(">II", data[b + 4 + 8 * k : b + 12 + 8 * k])
+                for k in range(n)
+            ]
+        elif btype == b"stsz":
+            _v, b = _mp4_full_box(data, bs, be, "stsz")
+            if b + 8 > be:
+                raise ValueError("truncated MP4 stsz box")
+            uniform, count = struct.unpack(">II", data[b : b + 8])
+            if uniform:
+                stsz = (count, uniform * count)
+            else:
+                if b + 8 + 4 * count > be:
+                    raise ValueError("truncated MP4 stsz box")
+                sizes = struct.unpack(
+                    f">{count}I", data[b + 8 : b + 8 + 4 * count]
+                )
+                stsz = (count, sum(sizes))
+        elif btype == b"stsc":
+            _v, b = _mp4_full_box(data, bs, be, "stsc")
+            (n,) = struct.unpack(">I", data[b : b + 4])
+            if b + 4 + 12 * n > be:
+                raise ValueError("truncated MP4 stsc box")
+            stsc = [
+                struct.unpack(
+                    ">II", data[b + 4 + 12 * k : b + 12 + 12 * k]
+                )
+                for k in range(n)
+            ]
+        elif btype in (b"stco", b"co64"):
+            _v, b = _mp4_full_box(data, bs, be, btype.decode())
+            (n,) = struct.unpack(">I", data[b : b + 4])
+            width = 4 if btype == b"stco" else 8
+            if b + 4 + width * n > be:
+                raise ValueError(f"truncated MP4 {btype.decode()} box")
+            fmt = ">I" if btype == b"stco" else ">Q"
+            offsets = [
+                struct.unpack(
+                    fmt, data[b + 4 + width * k : b + 4 + width * (k + 1)]
+                )[0]
+                for k in range(n)
+            ]
+    return stts, stsz, stsc, offsets
+
+
+def _mp4_stsc_coverage(stsc, n_chunks: int) -> int:
+    """Total samples the stsc runs assign across ``n_chunks`` chunks —
+    each entry (first_chunk, samples_per_chunk) applies from its
+    first_chunk (1-based) until the next entry's. Out-of-order or
+    out-of-range first_chunk values raise."""
+    total = 0
+    for k, (first, per) in enumerate(stsc):
+        if first < 1 or first > n_chunks:
+            raise ValueError(f"MP4 stsc first_chunk {first} out of range")
+        nxt = stsc[k + 1][0] if k + 1 < len(stsc) else n_chunks + 1
+        if nxt <= first:
+            raise ValueError("MP4 stsc entries not strictly increasing")
+        total += (nxt - first) * per
+    return total
+
+
+#: synthesized-MP4 arithmetic (shared with the oracle): track t of doc d
+#: with byte_len L has timescale 600t + (L%5)·120, n = 16 + (L+31t) % 97
+#: samples, stts runs (n//2 at delta 100+L%11, rest at delta+50), sample i
+#: sized 200 + (d + i·t) % 800, chunks of 10 samples (last partial).
+_MP4_SAMPLES_PER_CHUNK = 10
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def synth_mp4(doc_id: int, byte_len: int) -> bytes:
+    """A genuine ISO-BMFF container whose sample tables derive
+    deterministically from (doc_id, byte_len): always a 'vide' track 1;
+    odd doc_ids add a 'soun' track 2 whose chunk offsets use co64 (the
+    64-bit variant, so both offset widths are exercised). The mdat is a
+    stub — sample-table parsing must never need it."""
+    import struct
+
+    traks = []
+    track_ids = (1, 2) if doc_id % 2 else (1,)
+    for t in track_ids:
+        timescale = 600 * t + (byte_len % 5) * 120
+        n = 16 + (byte_len + 31 * t) % 97
+        d1 = 100 + byte_len % 11
+        n1 = n // 2
+        stts_entries = [(n1, d1), (n - n1, d1 + 50)]
+        duration = n1 * d1 + (n - n1) * (d1 + 50)
+        sizes = [200 + (doc_id + i * t) % 800 for i in range(n)]
+        n_chunks = -(-n // _MP4_SAMPLES_PER_CHUNK)
+        rem = n % _MP4_SAMPLES_PER_CHUNK
+        stsc_entries = [(1, _MP4_SAMPLES_PER_CHUNK, 1)]
+        if rem and n_chunks > 1:
+            stsc_entries.append((n_chunks, rem, 1))
+        elif n_chunks == 1:
+            stsc_entries = [(1, n, 1)]
+        offsets, pos, k = [], 4096 * t, 0
+        for c in range(n_chunks):
+            offsets.append(pos)
+            per = (
+                rem
+                if (rem and c == n_chunks - 1)
+                else min(_MP4_SAMPLES_PER_CHUNK, n)
+            )
+            pos += sum(sizes[k : k + per])
+            k += per
+        tkhd = (
+            struct.pack(">I", 0)  # version/flags
+            + struct.pack(">IIII", 0, 0, t, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + b"\x00" * 36
+            + struct.pack(">II", 0, 0)
+        )
+        mdhd = struct.pack(">IIIIIHH", 0, 0, 0, timescale, duration, 0x55C4, 0)
+        handler = b"vide" if t == 1 else b"soun"
+        hdlr = (
+            struct.pack(">II", 0, 0) + handler + b"\x00" * 12 + b"trk\x00"
+        )
+        stts = struct.pack(">II", 0, len(stts_entries)) + b"".join(
+            struct.pack(">II", c, d) for c, d in stts_entries
+        )
+        stsz = struct.pack(">III", 0, 0, n) + struct.pack(f">{n}I", *sizes)
+        stsc = struct.pack(">II", 0, len(stsc_entries)) + b"".join(
+            struct.pack(">III", f, s, i) for f, s, i in stsc_entries
+        )
+        if t == 1:
+            co = _mp4_box(
+                b"stco",
+                struct.pack(">II", 0, n_chunks)
+                + struct.pack(f">{n_chunks}I", *offsets),
+            )
+        else:
+            co = _mp4_box(
+                b"co64",
+                struct.pack(">II", 0, n_chunks)
+                + struct.pack(f">{n_chunks}Q", *offsets),
+            )
+        stbl = (
+            _mp4_box(b"stts", stts)
+            + _mp4_box(b"stsz", stsz)
+            + _mp4_box(b"stsc", stsc)
+            + co
+        )
+        minf = _mp4_box(b"stbl", stbl)
+        mdia = (
+            _mp4_box(b"mdhd", mdhd)
+            + _mp4_box(b"hdlr", hdlr)
+            + _mp4_box(b"minf", minf)
+        )
+        traks.append(
+            _mp4_box(
+                b"trak", _mp4_box(b"tkhd", tkhd) + _mp4_box(b"mdia", mdia)
+            )
+        )
+    mvhd = struct.pack(">IIIII", 0, 0, 0, 1000, 0) + b"\x00" * 80
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + b"".join(traks))
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    return ftyp + moov + _mp4_box(b"mdat", b"\x00" * 16)
+
+
+def attach_mp4(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with content = a synthesized REAL MP4
+    container per document (the ingestion stand-in, like
+    :func:`attach_audio`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_mp4(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+def mp4_track_stats(media: DataFrame) -> DataFrame:
+    """One row per (asset, track) with the sample-table statistics of
+    :func:`parse_mp4_tracks` — per-track frame count, exact tick duration,
+    total sample bytes, average bitrate, chunk count. mapInPandas over the
+    binary column: embarrassingly parallel, bounded fan-out (tracks per
+    asset), the mdat payload is never decoded."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for trk in parse_mp4_tracks(bytes(content)):
+                    rows.append({"doc_id": int(d), **trk})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "track_id", "handler", "timescale",
+                    "n_samples", "duration_ticks", "duration_ms",
+                    "total_bytes", "avg_bitrate_bps", "n_chunks",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema=MP4_TRACKS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Baseline-JPEG luma decode (r8): closes the last image-pixel gate. Pure
 # Python/numpy implementation of the PUBLIC ITU-T T.81 baseline-sequential
 # process: marker walk, canonical Huffman entropy decode, dequantize,
