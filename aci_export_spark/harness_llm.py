@@ -4213,3 +4213,98 @@ def llm_dedup_exact_ngrams_incremental(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("n_docs") >= 2)
         .select("gram", "n_docs", "n_occurrences")
     )
+
+
+@register(
+    "llm_dedup_span_exposure_incremental",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+), dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT d.doc_id,
+       COUNT(g.gram)::BIGINT AS n_grams,
+       COALESCE(SUM(CASE WHEN g.gram IN (SELECT gram FROM dup)
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_dup_grams
+FROM documents d LEFT JOIN grams g USING (doc_id)
+WHERE ('0x' || substr(md5('split:v1:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 100 >= 90
+GROUP BY d.doc_id
+""",
+    doc="incremental duplicated-span exposure (the daily-ingest consumer "
+    "of the maintained gram index): delta docs (md5 bucket >= 90, ~10%) "
+    "get their Lee-et-al exposure against the POST-INGEST corpus from the "
+    "maintained (gram, n_docs) index + the delta text alone — base text "
+    "is never re-shingled (the index is localCheckpointed, severing any "
+    "lineage back to base text; tests/test_text_curation.py proves the "
+    "result is identical when the index arrives as literal rows with no "
+    "base corpus in the session at all). The oracle recomputes exposure "
+    "over the FULL corpus and restricts to delta ids — the check IS the "
+    "incremental-equals-rebuild equivalence. Delta-proportional: one "
+    "delta shingle, one gram-keyed index join, two per-doc aggs",
+)
+def llm_dedup_span_exposure_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    split = T.stable_split(docs, "doc_id", val_percent=90)
+    base = split.filter(F.col("split_bucket") < 90).select("doc_id", "text")
+    delta = split.filter(F.col("split_bucket") >= 90).select("doc_id", "text")
+    # the maintained index: checkpoint stands in for reading the
+    # bucket-stored stats table — downstream never sees base text
+    base_index = D.gram_stats_table(base, "doc_id", "text", n=8).localCheckpoint(
+        eager=True
+    )
+    return D.incremental_span_exposure(
+        delta, base_index, "doc_id", "text", n=8, min_docs=2
+    )
+
+
+def _curation_v3_oracle() -> str:
+    """v2's verified conjunction plus the Lee-et-al exact-substring signal,
+    composed the same way — each constituent oracle reused verbatim as a
+    CTE, so v3 cannot drift from the signals it claims to apply."""
+    from aci_export_spark.harness import REGISTRY
+
+    def sql_of(name: str) -> str:
+        o = REGISTRY[name].oracle
+        return o() if callable(o) else o
+
+    return f"""
+WITH v2 AS ({sql_of("llm_curation_kept_corpus_v2")}),
+se AS ({sql_of("llm_dedup_span_exposure")})
+SELECT v2.doc_id, v2.lang, v2.n_chars, se.n_grams, se.n_dup_grams
+FROM v2 JOIN se USING (doc_id)
+WHERE se.n_dup_grams * 10 <= se.n_grams * 3
+"""
+
+
+@register(
+    "llm_curation_kept_corpus_v3",
+    _curation_v3_oracle,  # composes v2's oracle with the verified span signal
+    doc="round-9 curation keep-list: the v2 conjunction (Gopher ∧ "
+    "unigram-LM ∧ not-compression-repetitive ∧ domain quota) further "
+    "gated on exact duplicated-SPAN exposure (Lee et al. ACL'22): drop "
+    "docs whose word-8-gram positions are >30% inside exactly-duplicated "
+    "grams, as the exact-integer comparison n_dup_grams·10 ≤ n_grams·3 "
+    "(no float ratio; gram-less short docs trivially pass). The span "
+    "stats reuse the shared dup-gram artifact, so the extra signal costs "
+    "one semi-join + two per-doc aggregations, not a corpus re-shingle",
+)
+def llm_curation_kept_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    v2 = llm_curation_kept_corpus_v2(spark, sf_dir)
+    se = D.dup_gram_position_stats(
+        docs, "doc_id", "text", n=8, min_docs=2,
+        dup_table=_dup_grams8(spark, sf_dir),
+    )
+    return (
+        v2.join(se, on="doc_id")
+        .filter(F.col("n_dup_grams") * 10 <= F.col("n_grams") * 3)
+        .select("doc_id", "lang", "n_chars", "n_grams", "n_dup_grams")
+    )

@@ -1008,6 +1008,65 @@ def gram_stats_table(
     )
 
 
+def incremental_span_exposure(
+    delta: DataFrame,
+    base_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicated-span exposure for DELTA documents against the
+    POST-INGEST corpus (base ∪ delta), computed from the maintained
+    gram-stats index plus the delta text only — base-corpus text is never
+    re-shingled. A delta position's gram is duplicated after ingest when
+    index.n_docs + delta-distinct-docs ≥ ``min_docs`` (doc sets are
+    disjoint by the ingest contract, so the counts add exactly; the
+    full-corpus recompute is the oracle). Output matches
+    :func:`dup_gram_position_stats` restricted to the delta ids.
+
+    100 TB shape: one delta shingle (checkpointed), a delta-proportional
+    join of the delta's distinct grams against the index (bucket-stored on
+    the gram key → exchange-free on the big side), and two per-doc
+    aggregations over the checkpointed delta grams. Cost scales with the
+    delta, not the corpus."""
+    from aci_export_spark.llm.text import word_ngram_rows
+
+    g = word_ngram_rows(
+        delta, id_col, text_col, n=n, distinct=False
+    ).localCheckpoint(eager=True)
+    delta_stats = g.groupBy("gram").agg(
+        F.count_distinct(F.col(id_col)).alias("__delta_docs")
+    )
+    dup = (
+        delta_stats.join(
+            base_index.select("gram", "n_docs"), on="gram", how="left"
+        )
+        .filter(
+            F.coalesce(F.col("n_docs"), F.lit(0)) + F.col("__delta_docs")
+            >= min_docs
+        )
+        .select("gram")
+    )
+    flagged = (
+        g.join(dup, on="gram", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        delta.select(id_col)
+        .distinct()
+        .join(totals, on=id_col, how="left")
+        .join(flagged, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        )
+    )
+
+
 def merge_gram_stats(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge two gram-stats tables whose underlying DOC SETS ARE DISJOINT
     (the ingest contract: delta documents are new ids), so distinct-doc

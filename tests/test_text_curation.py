@@ -235,3 +235,60 @@ def test_hard_negative_topk_excludes_same_label_and_self(spark):
     ]
     # id 2 (same label) and id 1 (self) excluded; hardest negative is id 3
     assert got == [(3, 1), (4, 2), (5, 3)]
+
+
+def test_incremental_span_exposure_never_needs_base_text(spark):
+    """The incremental path's input contract is (delta text, maintained
+    index). Prove independence from base text the strong way: hand the
+    operator an index of LITERAL rows — the base corpus does not exist in
+    this session — and require the result to equal the full-corpus
+    recompute's restriction to the delta ids."""
+    from aci_export_spark.llm.dedup import (
+        dup_gram_position_stats,
+        gram_stats_table,
+        incremental_span_exposure,
+    )
+
+    base_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta different end"),
+        (3, "unrelated base words that no delta document ever repeats here"),
+    ]
+    delta_rows = [
+        # repeats base doc 1/2's shared 8-gram prefix → dup via the index
+        (10, "alpha beta gamma delta epsilon zeta eta theta closing words"),
+        # duplicated only WITHIN the delta (index contributes nothing)
+        (11, "mu nu xi omicron pi rho sigma tau upsilon phi"),
+        (12, "mu nu xi omicron pi rho sigma tau final words"),
+        # clean document: no exposure
+        (13, "entirely novel text with eight plus unique tokens in sequence"),
+        # short document: fewer than n words → (0, 0)
+        (14, "too short"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    # materialize the index to literal rows: lineage to base text is GONE
+    index_rows = gram_stats_table(base, "doc_id", "text", n=8).collect()
+    index = spark.createDataFrame(
+        index_rows, "gram string, n_docs long, n_occurrences long"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in incremental_span_exposure(
+            delta, index, "doc_id", "text", n=8, min_docs=2
+        ).collect()
+    }
+    full = dup_gram_position_stats(
+        base.unionByName(delta), "doc_id", "text", n=8, min_docs=2
+    )
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in full.collect()
+        if r["doc_id"] >= 10
+    }
+    assert got == want
+    # sanity on the scenario itself: index-driven dup, delta-only dup,
+    # clean, and short docs all behave
+    assert got[10][1] > 0 and got[11][1] > 0 and got[12][1] > 0
+    assert got[13] == (got[13][0], 0) and got[13][0] > 0
+    assert got[14] == (0, 0)
