@@ -439,81 +439,91 @@ BENCH_BILLING_ORDER: list[str] = [
 #: The newest CORRECTNESS_r{N} round the window above was computed from —
 #: tests/test_rotation.py recomputes the freshness cohorts from the files
 #: and asserts the window covers them. Bump this when rebuilding the window.
-WINDOW_BUILT_FROM_ROUND = 7
+WINDOW_BUILT_FROM_ROUND = 8
 #: Oldest-cohort queries consciously deferred to the NEXT round's window
-#: head because the window arithmetic overflowed 50: this round registers
-#: SIX new queries (mm_audio_stats, llm_dedup_exact_ngrams,
-#: llm_dedup_span_exposure, llm_dsir_affinity,
-#: llm_dedup_exact_ngrams_incremental, docs_ranker_agreement) and
-#: front-loads one module-changed query, so 1+6+1+48 = 56 > 50. Deferred
-#: (all stable operator shapes untouched since r1/r2, re-proven every
-#: round by the local oracle replica): START THE R9 WINDOW WITH THESE SIX.
-WINDOW_DEFERRED: frozenset[str] = frozenset(
-    {
-        "a10_set_difference_count",
-        "j3_self_join_partner",
-        "a9_sync_stats",
-        "j7_existence_flags",
-        "j4_coalesce_key_join",
-        "llm_stratified_sample",
-    }
-)
+#: head because the window arithmetic overflowed 50. EMPTY this round: the
+#: r9 window heads with all six r4-era deferrals (the mandated overflow
+#: repayment), so the oldest cohort (r4) is fully covered. The overflow
+#: lands on the r5 cohort instead — 37 of its 49 rows fit after
+#: 1 flagship + 6 r4 + 4 new registrations + 3 module-changed, leaving 13
+#: r5 rows for the r10 head (all stable shapes, re-proven every round by
+#: the local oracle replica): docs_cube_stats, dq_check_report,
+#: dq_profile_customer, events_anomalous_days, events_value_deciles,
+#: events_zorder_keys, events_zorder_pruning_stats, orders_benford_digits,
+#: orders_value_gini, parts_price_band_pairs, q12_late_shipment_modes,
+#: q14_promo_revenue, q15_top_supplier. (They are not listed in
+#: WINDOW_DEFERRED because that set is asserted ⊆ the OLDEST cohort, which
+#: this round is r4 — after CORRECTNESS_r09 lands they become the oldest
+#: cohort themselves and the r10 rebuild starts with them.)
+WINDOW_DEFERRED: frozenset[str] = frozenset()
 
+#: ROUND-9 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r08 union
+#: (newest-round histogram {4:6, 5:49, 6:42, 7:49, 8:50}). Head = flagship
+#: (the driver's entry() smoke) + the SIX r4-era rows the r8 window
+#: deferred (VERDICT r8 #1) + this round's new registrations + the queries
+#: whose implementing code changed after their newest row
+#: (llm/dedup.py's duplicated-gram refactor behind exact_ngrams /
+#: span_exposure; harness_analytics' ranker-agreement oracle guard), then
+#: the r5 cohort oldest-first backfill (36 of 49; the 13 leftovers are
+#: documented above for the r10 head). llm_dedup_exact_ngrams stays
+#: directly before its dup-gram artifact consumers so the build is billed
+#: to its producer within the driver sweep.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
-    # new registrations this round (never driver-checked) + module-changed
-    "mm_audio_stats",
+    # the six r4-era deferrals — mandated window head (VERDICT r8 #1)
+    "a10_set_difference_count",
+    "j3_self_join_partner",
+    "a9_sync_stats",
+    "j7_existence_flags",
+    "j4_coalesce_key_join",
+    "llm_stratified_sample",
+    # new registrations this round (never driver-checked);
+    # span_coverage consumes the dup-gram artifact exact_ngrams owns
+    "mm_mp4_tracks",
+    "llm_dedup_span_exposure_incremental",
+    "llm_curation_kept_corpus_v3",
+    "llm_dedup_span_coverage",
+    # module-changed after their newest (r8) row
     "llm_dedup_exact_ngrams",
     "llm_dedup_span_exposure",
-    "llm_dsir_affinity",
-    "llm_dedup_exact_ngrams_incremental",
     "docs_ranker_agreement",
-    "streaming_funnel_native",
-    # r4-era rows, oldest-first backfill. llm_sim_ivf_kmeans_topk is placed
-    # before llm_dedup_semantic so the kmeans-model fit is billed/cached in
-    # its producing query within the driver sweep.
-    "er_fuzzy_name_pairs",
-    "llm_sim_ivf_kmeans_topk",
-    "llm_dedup_semantic",
-    "asof_click_to_view",
-    "events_pivot_type_counts",
-    "events_rollup_totals",
-    "events_sketch_distinct",
-    "events_sketch_quantiles",
-    "events_unpivot_metrics",
-    "f11_f12_merge_field_render",
-    "j12_referential_integrity",
-    "j14_entity_resolution_coalesce",
-    "llm_boilerplate_spans",
-    "llm_decontaminate_overlap",
-    "llm_epoch_mix",
-    "llm_pack_sequences",
-    "llm_pii_scrub",
-    "llm_quality_gopher",
-    "llm_repetition_signals",
-    "llm_split_train_val",
-    "mm_decode_metadata",
-    "mm_frame_sample",
-    "mm_resize_plan",
-    "p9_email_validity",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q21_waiting_suppliers",
-    "q22_global_balance_anti",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_global_incidents",
-    "range_user_error_windows",
-    "s13_merge_field_schema_diff",
-    "streaming_distinct_users",
-    "streaming_hourly_agg",
-    "streaming_interval_join",
-    "streaming_sessionization",
-    "streaming_stream_static_join",
+    # r5 cohort backfill (alphabetical; 36 of 49)
+    "basket_brand_pairs",
+    "basket_brand_triples",
+    "docs_bm25_topk",
+    "events_activity_streaks",
+    "events_countmin_user_counts",
+    "events_funnel_steps",
+    "events_funnel_summary",
+    "events_peak_concurrency",
+    "events_pit_state_enrichment",
+    "events_retention_cohorts",
+    "events_rolling_active_users",
+    "events_scd2_history",
+    "events_sessionization_native",
+    "events_time_to_convert",
+    "events_transition_matrix",
+    "events_trending_topk",
+    "graph_brand_pagerank",
+    "graph_brand_triangles",
+    "ivm_orders_maintained_agg",
+    "j_salted_join_equivalence",
+    "llm_bloom_membership",
+    "llm_compression_ratio",
+    "llm_curation_kept_corpus",
+    "llm_curation_kept_corpus_v2",
+    "llm_doc_keywords",
+    "llm_domain_quota",
+    "llm_lsh_index_upsert",
+    "llm_quality_unigram_lm",
+    "llm_sim_rplsh_topk",
+    "llm_split_leakage",
+    "llm_vocab_stats",
+    "mm_phash_pairs",
+    "orders_pareto_frontier",
+    "rec_item_item_cosine",
+    "streaming_dq_monitor",
+    "streaming_funnel",
 ]
 
 

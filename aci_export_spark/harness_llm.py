@@ -4216,6 +4216,64 @@ def llm_dedup_exact_ngrams_incremental(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "llm_dedup_span_coverage",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+), dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+    SELECT doc_id, pos, pos + 7 AS e FROM grams
+    WHERE gram IN (SELECT gram FROM dup)
+), isl AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_isl
+    FROM hits
+), isl2 AS (
+    SELECT doc_id, pos, e,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e2
+    FROM isl2 GROUP BY 1, 2
+), per AS (
+    SELECT doc_id, SUM(e2 - s + 1)::BIGINT AS covered_tokens,
+           COUNT(*)::BIGINT AS n_spans
+    FROM spans GROUP BY 1
+)
+SELECT t.doc_id,
+       len(t.t)::BIGINT AS n_tokens,
+       COALESCE(per.covered_tokens, 0)::BIGINT AS covered_tokens,
+       COALESCE(per.n_spans, 0)::BIGINT AS n_spans
+FROM toks t LEFT JOIN per USING (doc_id)
+""",
+    doc="maximal duplicated spans per document (the actual Lee-et-al "
+    "duplicated-TEXT mass): duplicated word-8-gram start positions "
+    "collapse into their interval union — k consecutive duplicated grams "
+    "are one span of n+k-1 tokens, where the gram-count signal "
+    "(llm_dedup_span_exposure) would read k — plus the span count a "
+    "removal pass would cut. Gaps-and-islands window on the doc key (one "
+    "shuffle, no self-join), flagged positions via semi-join against the "
+    "shared verified dup-gram artifact; exact integers end to end",
+)
+def llm_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.dup_span_coverage(
+        docs, "doc_id", "text", n=8, min_docs=2,
+        dup_table=_dup_grams8(spark, sf_dir),
+    )
+
+
+@register(
     "llm_dedup_span_exposure_incremental",
     f"""
 WITH toks AS (

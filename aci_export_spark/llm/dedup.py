@@ -1008,6 +1008,75 @@ def gram_stats_table(
     )
 
 
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    dup_table: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal duplicated SPANS per document: collapse the duplicated
+    n-gram START positions of :func:`dup_gram_position_stats` into their
+    interval union — each flagged position covers tokens [pos, pos+n-1],
+    overlapping/adjacent intervals merge — and report
+    (id, n_tokens, covered_tokens, n_spans) as exact integers.
+    covered_tokens / n_tokens is the true Lee-et-al duplicated-text mass
+    (gram COUNTS over-weight long runs: k consecutive duplicated grams are
+    k counts but only n+k−1 tokens); n_spans is the cut count a span
+    REMOVAL pass would make. Total assignment — clean and sub-n-token
+    docs come back (n_tokens, 0, 0).
+
+    100 TB shape: the interval union is the classic gaps-and-islands
+    window — one shuffle on the doc key, per-partition state bounded by a
+    document's flagged positions; no self-join, no explode beyond the
+    shared gram pass. ``dup_table`` reuses an already-built
+    :func:`duplicated_gram_table` (same (n, min_docs), same corpus)."""
+    from pyspark.sql import Window
+
+    from aci_export_spark.llm.text import n_tokens, word_ngram_pos_rows
+
+    g = word_ngram_pos_rows(df, id_col, text_col, n=n)
+    if dup_table is not None:
+        dup = dup_table
+    else:
+        g = g.localCheckpoint(eager=True)
+        dup = _dup_grams_from_exploded(g, id_col, min_docs)
+    hits = g.join(dup.select("gram"), on="gram", how="left_semi").select(
+        id_col, "pos", (F.col("pos") + (n - 1)).alias("end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("__s"), F.max("end").alias("__e")
+    )
+    per = spans.groupBy(id_col).agg(
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("covered_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        df.select(F.col(id_col), n_tokens(F.col(text_col)).alias("n_tokens"))
+        .join(per, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )
+
+
 def incremental_span_exposure(
     delta: DataFrame,
     base_index: DataFrame,

@@ -32,6 +32,28 @@ def n_tokens(text: Column) -> Column:
     return F.size(word_tokens(text))
 
 
+def word_ngram_pos_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Like :func:`word_ngram_rows` (every occurrence), but each row also
+    carries the 1-based TOKEN POSITION the gram starts at — the input for
+    span arithmetic (interval union, span removal), where gram identity
+    alone is not enough. Same single-expression build, posexplode'd once."""
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.posexplode(grams).alias("__p0", "gram")).select(
+        F.col(id_col), (F.col("__p0") + 1).alias("pos"), "gram"
+    )
+
+
 def stopword_hits(tokens: Column, stopwords: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
 

@@ -58,6 +58,53 @@ def _tree_cpu_seconds() -> float:
     return total / tick
 
 
+def _system_busy_seconds() -> float:
+    """CPU-seconds consumed so far by EVERYTHING on the box (all cores,
+    all processes): /proc/stat's aggregate line minus idle+iowait. The
+    delta over the bench run, minus our own tree's delta, is CPU burned
+    by sandbox neighbors — the contention the wall numbers keep
+    inheriting (r7/r8 verdicts)."""
+    tick = os.sysconf("SC_CLK_TCK")
+    with open("/proc/stat", "rb") as f:
+        fields = f.readline().split()[1:]
+    vals = [int(x) for x in fields]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return (sum(vals) - idle) / tick
+
+
+def classify_quiet(
+    foreign_cpu_sec: float, wall_sec: float, n_cpus: int,
+    threshold: float = 0.15,
+) -> tuple[float, bool]:
+    """(foreign_cpu_fraction, quiet): the fraction of the box's total
+    CPU capacity that OTHER processes consumed during the sweep. Above
+    ``threshold`` the run is contended — wall totals are not
+    engine-representative and regressions must be judged on the CPU
+    column. Machine-checkable replacement for the r8 prose convention."""
+    capacity = max(wall_sec, 1e-9) * max(n_cpus, 1)
+    frac = max(0.0, foreign_cpu_sec) / capacity
+    return round(frac, 4), frac < threshold
+
+
+def classify_cpu_regressions(
+    prev_cpu: dict, now_cpu: dict, ratio: float = 1.5, floor: float = 0.2,
+) -> dict:
+    """Per-query CPU-seconds moves > ``ratio``× vs the prior committed
+    run — the contention-immune regression gate (r8 verdict #2). Queries
+    under ``floor`` CPU-seconds in BOTH runs are skipped (scheduler
+    jitter dominates sub-200ms samples); queries new this round have no
+    baseline and are skipped. Returns {name: {prev, now, ratio}}."""
+    flagged = {}
+    for name, now in now_cpu.items():
+        prev = prev_cpu.get(name)
+        if prev is None or (prev < floor and now < floor):
+            continue
+        r = now / max(prev, 1e-9)
+        if r > ratio:
+            flagged[name] = {"prev": prev, "now": now, "ratio": round(r, 3)}
+    return flagged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -95,7 +142,32 @@ def main() -> None:
 
     from aci_export_spark import artifacts
 
+    # prior committed run's CPU column, read BEFORE this run overwrites the
+    # file: the baseline for the machine regression check below
+    bench_full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    prev_cpu: dict = {}
+    try:
+        with open(bench_full_path) as f:
+            prev_full = json.load(f)
+        # cross-scale comparisons are meaningless: only baseline against a
+        # run at the SAME sf (and same reps — a reps=1 run has no median
+        # to absorb first-run classloading)
+        if str(prev_full.get("sf")) == str(
+            float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        ) and prev_full.get("reps") == reps:
+            prev_cpu = prev_full.get("queries_cpu", {})
+    except (OSError, ValueError):
+        pass
+
+    rep_totals: list[dict] = []
+    sweep_busy0 = _system_busy_seconds()
+    sweep_tree0 = _tree_cpu_seconds()
+    sweep_t0 = time.perf_counter()
     for _ in range(reps):
+        rep_busy0, rep_tree0 = _system_busy_seconds(), _tree_cpu_seconds()
+        rep_t0 = time.perf_counter()
         # reset cross-call artifact caches (near-dup pairs, CC components,
         # kmeans centroids) so every sweep pays the full build cost — within
         # a sweep the FIRST consumer pays it (pipeline semantics: artifacts
@@ -125,6 +197,34 @@ def main() -> None:
             # which can push a raw delta slightly negative; the median
             # across reps absorbs the corresponding under-count
             cpu_samples[name].append(max(0.0, _tree_cpu_seconds() - c0))
+        # per-rep paired totals: wall, our tree's CPU, and CPU burned by
+        # sandbox neighbors in the same interval — each rep carries its own
+        # quiet/contended verdict, so the JSON self-classifies without the
+        # prose convention (r8 verdict #2)
+        rep_wall = time.perf_counter() - rep_t0
+        rep_tree = max(0.0, _tree_cpu_seconds() - rep_tree0)
+        rep_busy = max(0.0, _system_busy_seconds() - rep_busy0)
+        foreign = max(0.0, rep_busy - rep_tree)
+        frac, quiet = classify_quiet(foreign, rep_wall, os.cpu_count() or 1)
+        rep_totals.append(
+            {
+                "wall": round(rep_wall, 3),
+                "tree_cpu": round(rep_tree, 3),
+                "foreign_cpu": round(foreign, 3),
+                "foreign_cpu_fraction": frac,
+                "quiet": quiet,
+            }
+        )
+
+    sweep_wall = time.perf_counter() - sweep_t0
+    sweep_foreign = max(
+        0.0,
+        (_system_busy_seconds() - sweep_busy0)
+        - (_tree_cpu_seconds() - sweep_tree0),
+    )
+    sweep_frac, sweep_quiet = classify_quiet(
+        sweep_foreign, sweep_wall, os.cpu_count() or 1
+    )
 
     from statistics import median
 
@@ -157,6 +257,16 @@ def main() -> None:
         "reps": reps,
         "n_queries": len(timings),
         "sf": sf,
+        # machine-checkable contention classification (r8 verdict #2):
+        # per-rep paired totals + a sweep-level quiet flag. quiet=false ⇒
+        # wall totals are contention-polluted; judge on queries_cpu.
+        "rep_totals": rep_totals,
+        "foreign_cpu_fraction": sweep_frac,
+        "quiet": sweep_quiet,
+        # per-query CPU-second moves >1.5× vs the PRIOR committed run —
+        # genuine engine regressions (CPU is contention-immune); empty
+        # means no regression regardless of what wall did
+        "cpu_regressions": classify_cpu_regressions(prev_cpu, cpu),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

@@ -261,21 +261,33 @@ def synthesize_cd(spark) -> None:
     print(f"synthesized constant-density {COPIES}x corpus at {OUT_CD}")
 
 
-def run_counting(spark, sf_dir: str, names: list[str]) -> dict[str, tuple[float, int]]:
+def run_counting(
+    spark, sf_dir: str, names: list[str]
+) -> dict[str, tuple[float, float, int]]:
     """Like run(), but the action is count() so the density check (rows ≈
-    10× base) prints beside every timing."""
+    10× base) prints beside every timing. Records process-tree CPU-seconds
+    beside wall (r8 verdict #7): the CD linearity rows were wall-only and
+    inherited the contention exposure the bench escaped — CPU growth is
+    the number the scale claim rests on."""
+    from bench import _tree_cpu_seconds
+
     from aci_export_spark import artifacts, harness, harness_llm
 
     harness._ensure_all_registered()
-    out: dict[str, tuple[float, int]] = {}
+    out: dict[str, tuple[float, float, int]] = {}
     for name in names:
         artifacts._CACHE.clear()
         harness_llm._KMEANS_MODEL_CACHE.clear()
         harness_llm._PQ_CODEBOOK_CACHE.clear()
         harness_llm._FIT_SAMPLE_CACHE.clear()
+        c0 = _tree_cpu_seconds()
         t0 = time.perf_counter()
         n = harness.REGISTRY[name].fn(spark, sf_dir).count()
-        out[name] = (time.perf_counter() - t0, n)
+        out[name] = (
+            time.perf_counter() - t0,
+            max(0.0, _tree_cpu_seconds() - c0),
+            n,
+        )
     return out
 
 
@@ -289,20 +301,24 @@ def bpe_round_check(spark) -> None:
     fixed cost)."""
     import time as _time
 
+    from bench import _tree_cpu_seconds
+
     from aci_export_spark.llm.bpe import bpe_train_batched_with_encoded
     from aci_export_spark.sources import read_table
 
-    print("\n| corpus | wall | merges | driver rounds |")
-    print("|---|---|---|---|")
+    print("\n| corpus | wall | cpu | merges | driver rounds |")
+    print("|---|---|---|---|---|")
     for label, d in (("sf0.1", SF_DIR), (f"{COPIES}x CD", OUT_CD)):
         docs = read_table(spark, d, "documents")
+        c0 = _tree_cpu_seconds()
         t0 = _time.perf_counter()
         merge_df, _words, rounds = bpe_train_batched_with_encoded(
             docs, n_merges=256, batch_cap=32
         )
         n = merge_df.count()
         print(
-            f"| {label} | {_time.perf_counter() - t0:.1f} s | {n} | {rounds} |",
+            f"| {label} | {_time.perf_counter() - t0:.1f} s "
+            f"| {max(0.0, _tree_cpu_seconds() - c0):.0f} | {n} | {rounds} |",
             flush=True,
         )
 
@@ -324,15 +340,20 @@ def main_cd(bpe_only: bool = False) -> None:
     spark.range(1).toPandas()
     base = run_counting(spark, SF_DIR, CD_QUERIES)
     big = run_counting(spark, OUT_CD, CD_QUERIES)
-    print(f"\n| query | sf0.1 | rows | {COPIES}× CD | rows | wall growth | row growth |")
-    print("|---|---|---|---|---|---|---|")
+    print(
+        f"\n| query | sf0.1 wall | cpu | rows | {COPIES}× CD wall | cpu | rows "
+        "| wall growth | cpu growth | row growth |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for name in CD_QUERIES:
-        bt, bn = base[name]
-        gt, gn = big[name]
+        bt, bc, bn = base[name]
+        gt, gc, gn = big[name]
         wg = gt / bt if bt else float("nan")
+        cg = gc / bc if bc else float("nan")
         rg = gn / bn if bn else float("nan")
         print(
-            f"| {name} | {bt:.1f} s | {bn} | {gt:.1f} s | {gn} | {wg:.1f}× | {rg:.1f}× |"
+            f"| {name} | {bt:.1f} s | {bc:.0f} | {bn} | {gt:.1f} s | {gc:.0f} "
+            f"| {gn} | {wg:.1f}× | {cg:.1f}× | {rg:.1f}× |"
         )
     spark.stop()
 

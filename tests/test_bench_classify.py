@@ -1,0 +1,47 @@
+"""Machine-checkable bench conventions (r8 verdict #2): the quiet-box
+classifier (foreign-CPU fraction of box capacity) and the CPU-seconds
+regression gate (>1.5x vs the prior committed run, jitter floor, new
+queries skipped). Pure functions in bench.py — no Spark session."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_classify_quiet_thresholds():
+    # 10 foreign core-seconds over 100 s on 32 cores: 0.3% — quiet
+    frac, quiet = bench.classify_quiet(10.0, 100.0, 32)
+    assert quiet and frac == 0.0031
+    # a neighbor burning 10 cores for the whole run: 31% — contended
+    frac, quiet = bench.classify_quiet(1000.0, 100.0, 32)
+    assert not quiet and frac == 0.3125
+    # boundary: exactly the threshold is NOT quiet (strict <)
+    frac, quiet = bench.classify_quiet(0.15 * 3200, 100.0, 32)
+    assert not quiet
+    # negative deltas (orphan-reparenting artifacts) clamp to quiet-zero
+    frac, quiet = bench.classify_quiet(-5.0, 100.0, 32)
+    assert quiet and frac == 0.0
+
+
+def test_classify_cpu_regressions_gate():
+    prev = {"a": 1.0, "b": 0.05, "c": 2.0, "gone": 4.0}
+    now = {"a": 1.7, "b": 0.12, "c": 2.9, "new": 9.9}
+    out = bench.classify_cpu_regressions(prev, now)
+    # a: 1.7x > 1.5 — flagged; b: both under the 0.2s jitter floor —
+    # skipped even though the ratio is 2.4x; c: 1.45x — under the gate;
+    # new: no baseline — skipped
+    assert set(out) == {"a"}
+    assert out["a"] == {"prev": 1.0, "now": 1.7, "ratio": 1.7}
+    # floor applies only when BOTH are small: 0.1 -> 0.9 is a real move
+    out = bench.classify_cpu_regressions({"d": 0.1}, {"d": 0.9})
+    assert out["d"]["ratio"] == 9.0
+
+
+def test_classify_cpu_regressions_empty_baseline():
+    assert bench.classify_cpu_regressions({}, {"a": 5.0}) == {}
+
+
+def test_system_busy_seconds_monotonic():
+    a = bench._system_busy_seconds()
+    b = bench._system_busy_seconds()
+    assert b >= a >= 0.0

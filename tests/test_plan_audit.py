@@ -47,6 +47,8 @@ BNLJ_ALLOWED = {
     # single-task iteration keeps the co-occurrence lineage in the audited
     # plan (the old distributed loop's count() action hid it)
     "llm_curation_kept_corpus_v2",  # composes the unigram 1-row broadcast
+    "llm_curation_kept_corpus_v3",  # composes v2 (same unigram 1-row
+    # broadcast cross); the added span-exposure gate is pure equi-joins
     "docs_bm25_topk",  # 1-row (n_docs, total_tokens) corpus-stats broadcast
     "docs_hybrid_rrf_topk",  # composes the bm25 1-row stats cross AND the
     # brute-force dense ranker (all-pairs by definition on the tiny query set)

@@ -125,7 +125,10 @@ def test_bench_order_bills_artifact_producers_first():
         # FastSS deletion-neighborhood pair table
         "er_fuzzy_name_pairs": ["er_fuzzy_entities"],
         # verified duplicated word-8-gram table
-        "llm_dedup_exact_ngrams": ["llm_dedup_span_exposure"],
+        "llm_dedup_exact_ngrams": [
+            "llm_dedup_span_exposure", "llm_curation_kept_corpus_v3",
+            "llm_dedup_span_coverage",
+        ],
         # kmeans model fit (per-process cache)
         "llm_sim_ivf_kmeans_topk": ["llm_dedup_semantic"],
     }

@@ -292,3 +292,56 @@ def test_incremental_span_exposure_never_needs_base_text(spark):
     assert got[10][1] > 0 and got[11][1] > 0 and got[12][1] > 0
     assert got[13] == (got[13][0], 0) and got[13][0] > 0
     assert got[14] == (0, 0)
+
+
+def test_dup_span_coverage_merges_runs_into_maximal_spans(spark):
+    """k consecutive duplicated grams are ONE span of n+k-1 tokens (the
+    gram-count signal reads k); disjoint duplicated regions count as
+    separate spans; clean and short docs get a total (n_tokens, 0, 0)."""
+    from aci_export_spark.llm.dedup import (
+        dup_gram_position_stats,
+        dup_span_coverage,
+    )
+
+    shared12 = "a b c d e f g h i j k l"  # 12 tokens → grams at pos 1..5
+    mid8 = "m n o p q r s t"  # one shared 8-gram
+    rows = [
+        (1, f"{shared12} unique-one tail-one ender-one"),
+        (2, f"{shared12} unique-two tail-two ender-two"),
+        # doc 3: shared prefix AND a disjoint shared middle with doc 4,
+        # separated by >n unique tokens so the islands cannot merge
+        (3, f"{shared12} u3a u3b u3c u3d u3e u3f u3g u3h u3i {mid8} z3"),
+        (4, f"v4a v4b v4c v4d v4e v4f v4g v4h v4i {mid8} w4 x4"),
+        (5, "entirely unique words never repeated anywhere in this corpus at all"),
+        (6, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cov = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["n_spans"])
+        for r in dup_span_coverage(docs, n=8, min_docs=2).collect()
+    }
+    grams = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in dup_gram_position_stats(docs, n=8, min_docs=2).collect()
+    }
+    # doc 1: grams 1..5 duplicated → one span covering tokens 1..12
+    assert cov[1] == (15, 12, 1)
+    assert grams[1][1] == 5  # the count signal reads 5, the mass is 12
+    assert cov[2] == (15, 12, 1)
+    # doc 3: prefix span (12 tokens) + the mid-8 span, 2 islands
+    n3 = cov[3][0]
+    assert cov[3][1:] == (12 + 8, 2)
+    assert n3 == 30
+    # doc 4 shares only the mid8 run with doc 3 → one 8-token span
+    assert cov[4][1:] == (8, 1)
+    # clean + short docs: total assignment, zero coverage
+    assert cov[5] == (11, 0, 0)
+    assert cov[6] == (2, 0, 0)
+    # global sanity vs the gram counts: per doc, coverage is bounded by
+    # n_dup_grams + 7 per island and by the doc length
+    for d, (nt, ct, ns) in cov.items():
+        ng, nd = grams[d]
+        assert ct <= nt and ct <= nd * 8
+        if nd:
+            assert ct >= nd  # k gram starts cover at least k tokens
+            assert ct <= nd + ns * 7  # each island adds at most n-1 tail
