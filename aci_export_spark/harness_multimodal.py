@@ -250,3 +250,48 @@ FROM dur b JOIN sz USING (doc_id, track_id)
 def mm_mp4_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_mp4(read_table(spark, sf_dir, "documents"))
     return MM.mp4_track_stats(media)
+
+
+@register(
+    "mm_mp4_sample_ranges",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+tr AS (
+    SELECT d.doc_id, d.byte_len, t.t AS track_id
+    FROM d, LATERAL (
+        SELECT unnest(CASE WHEN d.doc_id % 2 = 1 THEN [1, 2] ELSE [1] END) AS t
+    ) t
+),
+samp AS (
+    SELECT tr.doc_id, tr.track_id, i.i AS idx,
+           200 + (tr.doc_id + i.i * tr.track_id) % 800 AS size
+    FROM tr, LATERAL (
+        SELECT unnest(range(0, 16 + (tr.byte_len + 31 * tr.track_id) % 97)) AS i
+    ) i
+)
+SELECT doc_id,
+       CAST(track_id AS BIGINT) AS track_id,
+       CAST(idx + 1 AS BIGINT) AS sample_no,
+       CAST(idx // 10 + 1 AS BIGINT) AS chunk_no,
+       CAST(4096 * track_id
+            + COALESCE(SUM(size) OVER (
+                  PARTITION BY doc_id, track_id ORDER BY idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS offset,
+       CAST(size AS BIGINT) AS size
+FROM samp
+""",
+    doc="per-sample byte-range fetch plan from REAL MP4 sample tables: "
+    "stsc run expansion assigns samples to chunks, stco/co64 anchors each "
+    "chunk, the within-chunk stsz prefix sum positions each sample — the "
+    "random-access read plan a frame-extraction stage needs to fetch "
+    "samples without scanning mdat (linear fan-out, one row per sample). "
+    "The synthesized containers lay chunks contiguously, so the oracle "
+    "replays offsets as a plain cumulative sum — but the Spark side walks "
+    "the REAL chunk indirection, so a wrong stsc/stco expansion (the "
+    "classic off-by-one-chunk bug) breaks the hash even though the "
+    "arithmetic LOOKS like a cumsum",
+)
+def mm_mp4_sample_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_mp4(read_table(spark, sf_dir, "documents"))
+    return MM.mp4_sample_table(media)

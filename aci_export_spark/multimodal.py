@@ -1367,6 +1367,144 @@ def _mp4_sample_tables(data: bytes, start: int, end: int):
     return stts, stsz, stsc, offsets
 
 
+MP4_SAMPLES_SCHEMA = (
+    "doc_id long, track_id long, sample_no long, chunk_no long, "
+    "offset long, size long"
+)
+
+
+def mp4_sample_offsets(data: bytes) -> list[dict]:
+    """Per-sample byte ranges from an ISO-BMFF container: one dict per
+    (track, sample) with its 1-based sample_no, owning chunk, absolute
+    file offset, and byte size — the random-access READ PLAN a
+    frame-extraction stage needs to fetch samples without scanning mdat.
+    Offsets come the real way: stsc run expansion assigns samples to
+    chunks, the chunk's stco/co64 entry anchors it, and the within-chunk
+    prefix sum of stsz sizes positions the sample. Same validation and
+    raise-on-malformed contract as :func:`parse_mp4_tracks`."""
+    import struct
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    out: list[dict] = []
+    for btype, ps, pe in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(data, ps, pe):
+            if ctype != b"trak":
+                continue
+            track_id = None
+            tables = None
+            for ttype, ts, te in _mp4_boxes(data, cs, ce):
+                if ttype == b"tkhd":
+                    version, b = _mp4_full_box(data, ts, te, "tkhd")
+                    off = b + (16 if version == 1 else 8)
+                    if off + 4 > te:
+                        raise ValueError("truncated MP4 tkhd box")
+                    (track_id,) = struct.unpack(">I", data[off : off + 4])
+                elif ttype == b"mdia":
+                    for mtype, ms, me in _mp4_boxes(data, ts, te):
+                        if mtype != b"minf":
+                            continue
+                        for ntype, ns, ne in _mp4_boxes(data, ms, me):
+                            if ntype == b"stbl":
+                                tables = _mp4_sample_tables(data, ns, ne)
+            if tables is None:
+                raise ValueError("MP4 trak missing sample tables")
+            stts, stsz_pair, stsc, chunk_offsets = tables
+            if stts is None or stsz_pair is None:
+                raise ValueError("MP4 trak missing stts or stsz")
+            if stsc is None or chunk_offsets is None:
+                raise ValueError("MP4 trak missing stsc or chunk offsets")
+            # re-read per-sample sizes (the stats parser only keeps the sum)
+            sizes = _mp4_sample_sizes(data, cs, ce)
+            n_samples = len(sizes)
+            if n_samples != stsz_pair[0]:
+                raise ValueError("MP4 stsz count disagrees with its sizes")
+            n_chunks = len(chunk_offsets)
+            if _mp4_stsc_coverage(stsc, n_chunks) != n_samples:
+                raise ValueError("MP4 stsc does not cover the sample count")
+            sample_no = 0
+            for k, (first, per) in enumerate(stsc):
+                nxt = stsc[k + 1][0] if k + 1 < len(stsc) else n_chunks + 1
+                for chunk in range(first, nxt):
+                    base = chunk_offsets[chunk - 1]
+                    within = 0
+                    for _j in range(per):
+                        size = sizes[sample_no]
+                        out.append(
+                            {
+                                "track_id": int(track_id),
+                                "sample_no": sample_no + 1,
+                                "chunk_no": chunk,
+                                "offset": int(base + within),
+                                "size": int(size),
+                            }
+                        )
+                        within += size
+                        sample_no += 1
+    if not out:
+        raise ValueError("MP4 has no samples")
+    return out
+
+
+def _mp4_sample_sizes(data: bytes, trak_start: int, trak_end: int) -> list[int]:
+    """The per-sample stsz size list for one trak (uniform-size tables
+    expand to their repeated value)."""
+    import struct
+
+    for ttype, ts, te in _mp4_boxes(data, trak_start, trak_end):
+        if ttype != b"mdia":
+            continue
+        for mtype, ms, me in _mp4_boxes(data, ts, te):
+            if mtype != b"minf":
+                continue
+            for ntype, ns, ne in _mp4_boxes(data, ms, me):
+                if ntype != b"stbl":
+                    continue
+                for btype, bs, be in _mp4_boxes(data, ns, ne):
+                    if btype != b"stsz":
+                        continue
+                    _v, b = _mp4_full_box(data, bs, be, "stsz")
+                    if b + 8 > be:
+                        raise ValueError("truncated MP4 stsz box")
+                    uniform, count = struct.unpack(">II", data[b : b + 8])
+                    if uniform:
+                        return [uniform] * count
+                    if b + 8 + 4 * count > be:
+                        raise ValueError("truncated MP4 stsz box")
+                    return list(
+                        struct.unpack(
+                            f">{count}I", data[b + 8 : b + 8 + 4 * count]
+                        )
+                    )
+    raise ValueError("MP4 trak missing stsz")
+
+
+def mp4_sample_table(media: DataFrame) -> DataFrame:
+    """One row per (asset, track, sample) with the byte range of
+    :func:`mp4_sample_offsets` — the fetch plan for sample-level media
+    processing (frame decode, packet analysis) that reads only the bytes
+    it needs. mapInPandas; fan-out is the sample count, linear in media
+    duration, never quadratic."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for s in mp4_sample_offsets(bytes(content)):
+                    rows.append({"doc_id": int(d), **s})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "track_id", "sample_no", "chunk_no",
+                    "offset", "size",
+                ],
+            )
+
+    return media.mapInPandas(expand, schema=MP4_SAMPLES_SCHEMA)
+
+
 def _mp4_stsc_coverage(stsc, n_chunks: int) -> int:
     """Total samples the stsc runs assign across ``n_chunks`` chunks —
     each entry (first_chunk, samples_per_chunk) applies from its

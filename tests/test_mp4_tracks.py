@@ -165,3 +165,40 @@ def test_missing_tables_and_non_mp4_raise():
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
     with pytest.raises(ValueError, match="missing stts"):
         parse_mp4_tracks(ftyp + moov)
+
+
+def test_sample_offsets_anchor_to_scattered_chunks():
+    """Chunk offsets that are NOT contiguous (mdat interleaved with other
+    data) must anchor each chunk's samples at its stco entry — a cumsum
+    over sizes would get every post-gap offset wrong."""
+    from aci_export_spark.multimodal import mp4_sample_offsets
+
+    # 5 samples of 100 bytes in chunks of 2 (last chunk 1): offsets leave
+    # large gaps between chunks
+    data = _minimal_trak(
+        [(5, 25)], (100, 5), [(1, 2), (3, 1)], [1000, 5000, 9000]
+    )
+    rows = mp4_sample_offsets(data)
+    got = [(r["sample_no"], r["chunk_no"], r["offset"], r["size"]) for r in rows]
+    assert got == [
+        (1, 1, 1000, 100),
+        (2, 1, 1100, 100),
+        (3, 2, 5000, 100),
+        (4, 2, 5100, 100),
+        (5, 3, 9000, 100),
+    ]
+
+
+def test_sample_offsets_roundtrip_synth():
+    from aci_export_spark.multimodal import mp4_sample_offsets
+
+    all_rows = mp4_sample_offsets(synth_mp4(13, 97))
+    for t in (1, 2):  # odd doc_id → video + audio tracks
+        rows = [r for r in all_rows if r["track_id"] == t]
+        n = 16 + (97 + 31 * t) % 97
+        assert [r["sample_no"] for r in rows] == list(range(1, n + 1))
+        pos = 4096 * t
+        for i, r in enumerate(rows):
+            assert r["size"] == 200 + (13 + i * t) % 800
+            assert r["offset"] == pos
+            pos += r["size"]
