@@ -445,14 +445,14 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: r9 window heads with all six r4-era deferrals (the mandated overflow
 #: repayment), so the oldest cohort (r4) is fully covered. The overflow
 #: lands on the r5 cohort instead — 37 of its 49 rows fit after
-#: 1 flagship + 6 r4 + 5 new registrations + 3 module-changed, leaving 14
+#: 1 flagship + 6 r4 + 6 new registrations + 3 module-changed, leaving 15
 #: r5 rows for the r10 head (all stable shapes, re-proven every round by
 #: the local oracle replica): docs_cube_stats, dq_check_report,
 #: dq_profile_customer, events_anomalous_days, events_value_deciles,
 #: events_zorder_keys, events_zorder_pruning_stats, orders_benford_digits,
 #: orders_pareto_frontier, orders_value_gini, parts_price_band_pairs,
-#: q12_late_shipment_modes, q14_promo_revenue, q15_top_supplier. (They
-#: are not listed in
+#: j_salted_join_equivalence, q12_late_shipment_modes, q14_promo_revenue,
+#: q15_top_supplier. (They are not listed in
 #: WINDOW_DEFERRED because that set is asserted ⊆ the OLDEST cohort, which
 #: this round is r4 — after CORRECTNESS_r09 lands they become the oldest
 #: cohort themselves and the r10 rebuild starts with them.)
@@ -465,7 +465,7 @@ WINDOW_DEFERRED: frozenset[str] = frozenset()
 #: whose implementing code changed after their newest row
 #: (llm/dedup.py's duplicated-gram refactor behind exact_ngrams /
 #: span_exposure; harness_analytics' ranker-agreement oracle guard), then
-#: the r5 cohort oldest-first backfill (35 of 49; the 14 leftovers are
+#: the r5 cohort oldest-first backfill (34 of 49; the 15 leftovers are
 #: documented above for the r10 head). llm_dedup_exact_ngrams stays
 #: directly before its dup-gram artifact consumers so the build is billed
 #: to its producer within the driver sweep.
@@ -485,11 +485,12 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_curation_kept_corpus_v3",
     "llm_dedup_span_coverage",
     "mm_mp4_sample_ranges",
+    "llm_dedup_span_removal",
     # module-changed after their newest (r8) row
     "llm_dedup_exact_ngrams",
     "llm_dedup_span_exposure",
     "docs_ranker_agreement",
-    # r5 cohort backfill (alphabetical; 35 of 49)
+    # r5 cohort backfill (alphabetical; 34 of 49)
     "basket_brand_pairs",
     "basket_brand_triples",
     "docs_bm25_topk",
@@ -509,7 +510,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "graph_brand_pagerank",
     "graph_brand_triangles",
     "ivm_orders_maintained_agg",
-    "j_salted_join_equivalence",
     "llm_bloom_membership",
     "llm_compression_ratio",
     "llm_curation_kept_corpus",

@@ -4274,6 +4274,74 @@ def llm_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_span_removal",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), grams AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+), dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+    SELECT doc_id, pos, pos + 7 AS e FROM grams
+    WHERE gram IN (SELECT gram FROM dup)
+), isl AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_isl
+    FROM hits
+), isl2 AS (
+    SELECT doc_id, pos, e,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e2
+    FROM isl2 GROUP BY 1, 2
+), cover AS (
+    SELECT doc_id, s + j.j AS pos
+    FROM spans, LATERAL (SELECT unnest(range(0, e2 - s + 1)) AS j) j
+), tokrows AS (
+    SELECT doc_id, i.i AS pos, t[i.i] AS tok
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i
+), kept AS (
+    SELECT tk.doc_id, COUNT(*)::BIGINT AS n_kept,
+           string_agg(tk.tok, ' ' ORDER BY tk.pos) AS txt
+    FROM tokrows tk LEFT JOIN cover c
+      ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+    WHERE c.pos IS NULL
+    GROUP BY 1
+)
+SELECT t.doc_id,
+       len(t.t)::BIGINT AS n_tokens,
+       COALESCE(k.n_kept, 0)::BIGINT AS n_kept_tokens,
+       COALESCE(k.txt, '') AS cleaned_text
+FROM toks t LEFT JOIN kept k USING (doc_id)
+""",
+    doc="APPLY the exact-substring dedup (the removal step of Lee et al. "
+    "ACL'22): every token position inside a maximal duplicated span is "
+    "deleted and the survivors reassemble in order — the query that "
+    "actually produces the deduplicated training text, not just the "
+    "measurement. Spans explode to covered positions (bounded by doc "
+    "length), one anti-join on the (doc, position) key, per-doc ordered "
+    "reassembly; cleaned_text is hash-compared against the oracle's "
+    "string_agg replay, so a one-token off-by-one anywhere in the span "
+    "pipeline breaks the match",
+)
+def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.remove_dup_spans(
+        docs, "doc_id", "text", n=8, min_docs=2,
+        dup_table=_dup_grams8(spark, sf_dir),
+    )
+
+
+@register(
     "llm_dedup_span_exposure_incremental",
     f"""
 WITH toks AS (

@@ -1077,6 +1077,95 @@ def dup_span_coverage(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    dup_table: DataFrame | None = None,
+) -> DataFrame:
+    """APPLY the exact-substring dedup (the removal step of Lee et al.
+    ACL'22): delete every token position covered by a duplicated-span
+    interval of :func:`dup_span_coverage` and reassemble the survivors in
+    order. Returns (id, n_tokens, n_kept_tokens, cleaned_text) — cleaned
+    text is over the NORMALIZED token stream (lowercased, whitespace
+    collapsed), the same space the grams were detected in; a fully
+    duplicated document comes back with an empty string, and clean docs
+    round-trip their normalized text unchanged (total assignment).
+
+    100 TB shape: spans explode to their covered positions (bounded by
+    document length — linear, never quadratic), one anti-join on the
+    (doc, position) key, and a per-doc ordered reassembly whose state is
+    one document's tokens. Everything shuffles on the doc key only."""
+    from pyspark.sql import Window
+
+    from aci_export_spark.llm.text import word_ngram_pos_rows, word_tokens
+
+    g = word_ngram_pos_rows(df, id_col, text_col, n=n)
+    if dup_table is not None:
+        dup = dup_table
+    else:
+        g = g.localCheckpoint(eager=True)
+        dup = _dup_grams_from_exploded(g, id_col, min_docs)
+    hits = g.join(dup.select("gram"), on="gram", how="left_semi").select(
+        id_col, "pos", (F.col("pos") + (n - 1)).alias("end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "__new",
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__island")
+        .agg(F.min("pos").alias("__s"), F.max("end").alias("__e"))
+    )
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("__s"), F.col("__e"))).alias("pos"),
+    )
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(word_tokens(F.col(text_col))).alias(
+            "__p0", "tok"
+        )
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "tok")
+    kept = (
+        tok_rows.join(covered, on=[id_col, "pos"], how="left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    from aci_export_spark.llm.text import n_tokens
+
+    return (
+        df.select(F.col(id_col), n_tokens(F.col(text_col)).alias("n_tokens"))
+        .join(kept, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def incremental_span_exposure(
     delta: DataFrame,
     base_index: DataFrame,

@@ -127,7 +127,7 @@ def test_bench_order_bills_artifact_producers_first():
         # verified duplicated word-8-gram table
         "llm_dedup_exact_ngrams": [
             "llm_dedup_span_exposure", "llm_curation_kept_corpus_v3",
-            "llm_dedup_span_coverage",
+            "llm_dedup_span_coverage", "llm_dedup_span_removal",
         ],
         # kmeans model fit (per-process cache)
         "llm_sim_ivf_kmeans_topk": ["llm_dedup_semantic"],

@@ -345,3 +345,39 @@ def test_dup_span_coverage_merges_runs_into_maximal_spans(spark):
         if nd:
             assert ct >= nd  # k gram starts cover at least k tokens
             assert ct <= nd + ns * 7  # each island adds at most n-1 tail
+
+
+def test_remove_dup_spans_is_coverage_complement(spark):
+    """Removal must delete EXACTLY the covered positions: per doc,
+    n_tokens - n_kept_tokens == covered_tokens from dup_span_coverage;
+    clean docs round-trip their normalized text; identical docs (fully
+    covered) come back empty."""
+    from aci_export_spark.llm.dedup import dup_span_coverage, remove_dup_spans
+
+    shared12 = "a b c d e f g h i j k l"
+    rows = [
+        (1, f"{shared12} keep-one keep-two keep-three"),
+        (2, f"{shared12} other-one other-two other-three"),
+        (3, "Fully  Duplicated Document here with EIGHT tokens exactly"),
+        (4, "fully duplicated document here with eight tokens exactly"),
+        (5, "a clean document with no duplicated grams anywhere at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept_tokens"], r["cleaned_text"])
+        for r in remove_dup_spans(docs, n=8, min_docs=2).collect()
+    }
+    cov = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in dup_span_coverage(docs, n=8, min_docs=2).collect()
+    }
+    for d in cleaned:
+        nt, nk, _txt = cleaned[d]
+        assert nt - nk == cov[d], (d, cleaned[d], cov[d])
+    # doc 1: the 12-token shared prefix goes, the private tail stays
+    assert cleaned[1][2] == "keep-one keep-two keep-three"
+    # docs 3/4 normalize to identical 8-token texts → fully removed
+    assert cleaned[3] == (8, 0, "")
+    assert cleaned[4] == (8, 0, "")
+    # clean doc: normalized round-trip
+    assert cleaned[5][2] == rows[4][1]
