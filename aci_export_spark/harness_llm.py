@@ -4173,6 +4173,69 @@ def llm_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.dsir_affinity(raw, target, "doc_id", "text", n=2, buckets=4096)
 
 
+def _dsir_select_oracle() -> str:
+    """Compose the verified llm_dsir_affinity oracle: the selection is
+    defined over exactly those integer sufficient statistics."""
+    from aci_export_spark.harness import REGISTRY
+
+    o = REGISTRY["llm_dsir_affinity"].oracle
+    aff = o() if callable(o) else o
+    return f"""
+WITH aff AS ({aff}),
+ranked AS (
+    SELECT doc_id, n_features, affinity_target, affinity_raw,
+           ROW_NUMBER() OVER (
+               ORDER BY CASE WHEN affinity_raw > 0
+                             THEN CAST(affinity_target AS DOUBLE) / affinity_raw
+                             ELSE 0 END DESC,
+                        doc_id) AS rnk
+    FROM aff
+    WHERE n_features > 0
+)
+SELECT doc_id, n_features, affinity_target, affinity_raw,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 50
+"""
+
+
+@register(
+    "llm_dsir_select_topk",
+    _dsir_select_oracle,  # composes the verified affinity oracle
+    doc="the DSIR SELECTION step (Xie et al. NeurIPS'23) on top of the "
+    "verified affinity statistics: rank raw-corpus documents by their "
+    "target-vs-raw affinity ratio (one IEEE division of exact integers — "
+    "bit-identical across engines) with a doc_id tie-break, keep the top "
+    "50. The deterministic engine-side stand-in for importance "
+    "RESAMPLING: same score, top-k instead of a draw, so an exact oracle "
+    "can replay it. The affinity table is corpus-sized (one row per doc), "
+    "so the cut is a distributed sort-limit (TakeOrderedAndProject — "
+    "per-partition top-50, driver merge of 50-row heads), NEVER a global "
+    "window; the rank window runs over the 50 survivors only",
+)
+def llm_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("doc_id") >= 100)
+    target = docs.filter(F.col("doc_id") < 100)
+    aff = T.dsir_affinity(raw, target, "doc_id", "text", n=2, buckets=4096)
+    score = F.when(
+        F.col("affinity_raw") > 0,
+        F.col("affinity_target").cast("double") / F.col("affinity_raw"),
+    ).otherwise(F.lit(0.0)).alias("__score")
+    top = (
+        aff.filter(F.col("n_features") > 0)
+        .select("doc_id", "n_features", "affinity_target", "affinity_raw",
+                score)
+        .orderBy(F.col("__score").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("__score").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "doc_id", "n_features", "affinity_target", "affinity_raw", "rnk"
+    )
+
+
 @register(
     "llm_dedup_exact_ngrams_incremental",
     f"""

@@ -193,6 +193,55 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_silence_segments",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+s AS (
+    SELECT d.doc_id, d.byte_len, i.i,
+           CASE WHEN (i.i // 32) % 2 = 0 THEN 0
+                ELSE ((d.doc_id * 2654435761 + i.i * 40503) % 65536) - 32768
+           END AS smp
+    FROM d, LATERAL (
+        SELECT unnest(range(0, 64 + d.byte_len % 193)) AS i
+    ) i
+),
+sil AS (
+    SELECT doc_id, i,
+           i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM s WHERE ABS(smp) < 512
+),
+runs AS (
+    SELECT doc_id, grp, COUNT(*) AS len FROM sil GROUP BY 1, 2
+),
+q AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_runs,
+           SUM(len)::BIGINT AS silent_in_runs,
+           MAX(len)::BIGINT AS longest_run
+    FROM runs WHERE len >= 8 GROUP BY 1
+)
+SELECT d.doc_id,
+       (64 + d.byte_len % 193)::BIGINT AS n_samples,
+       COALESCE(q.n_runs, 0)::BIGINT AS n_runs,
+       COALESCE(q.silent_in_runs, 0)::BIGINT AS silent_in_runs,
+       COALESCE(q.longest_run, 0)::BIGINT AS longest_run
+FROM d LEFT JOIN q USING (doc_id)
+""",
+    doc="silence-run segmentation over DECODED PCM (the trim/split "
+    "primitive of audio curation): synthesize gated-envelope WAVs (even "
+    "32-sample blocks silenced — genuine multi-sample silent runs), "
+    "decode with the real RIFF walker, then find maximal |s|<512 runs of "
+    ">=8 samples via one vectorized boundary diff per asset. The oracle "
+    "replays the gated sample formula and the run structure with a "
+    "gaps-and-islands window — a decode offset/endianness bug or an "
+    "off-by-one in run boundaries breaks the hash. mapInPandas, no "
+    "shuffle, samples never leave the executor",
+)
+def mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_audio_gated(read_table(spark, sf_dir, "documents"))
+    return MM.audio_silence_segments(media, threshold=512, min_run=8)
+
+
+@register(
     "mm_mp4_tracks",
     f"""
 WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),

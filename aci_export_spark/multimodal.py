@@ -1032,6 +1032,98 @@ def synth_wav(doc_id: int, byte_len: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def synth_wav_gated(doc_id: int, byte_len: int) -> bytes:
+    """Like :func:`synth_wav` but with a 32-sample on/off amplitude gate
+    (even 32-sample blocks are silenced to 0) — the waveform a silence-
+    SEGMENTATION stage needs: genuine multi-sample silent runs, not just
+    pointwise near-zeros. Same container layout, same replayable sample
+    arithmetic with the gate applied on top."""
+    import struct
+
+    import numpy as np
+
+    n = _WAV_N_BASE + byte_len % _WAV_N_MOD
+    sr = 8000 + (byte_len % 37) * 1000
+    i = np.arange(n, dtype=np.int64)
+    smp = (doc_id * _WAV_A + i * _WAV_B) % 65536 - 32768
+    smp = (smp * ((i // 32) % 2)).astype("<i2")
+    pcm = smp.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def attach_audio_gated(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with gated-envelope WAV payloads
+    (:func:`synth_wav_gated`) — the ingestion stand-in for silence
+    segmentation. mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_wav_gated(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+AUDIO_SILENCE_SCHEMA = (
+    "doc_id long, n_samples long, n_runs long, silent_in_runs long, "
+    "longest_run long"
+)
+
+
+def audio_silence_segments(
+    media: DataFrame, threshold: int = WAV_SILENCE_THRESHOLD, min_run: int = 8
+) -> DataFrame:
+    """Silence-RUN segmentation over decoded PCM: maximal runs of
+    consecutive samples with |s| < ``threshold``, keeping runs of at
+    least ``min_run`` samples — per asset the qualifying run count, the
+    samples inside them, and the longest run. The trim/split primitive of
+    audio curation (voice-activity gating, segment extraction), exact
+    integers end to end. One vectorized boundary diff per asset inside
+    mapInPandas — no shuffle, samples never leave the executor."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "n_runs", "silent_in_runs",
+                "longest_run",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                smp, _sr, _ch = decode_wav_samples(bytes(content))
+                m = (np.abs(smp.astype(np.int64)) < threshold).astype(np.int8)
+                edges = np.diff(np.concatenate(([0], m, [0])))
+                lens = np.where(edges == -1)[0] - np.where(edges == 1)[0]
+                runs = lens[lens >= min_run]
+                out["doc_id"].append(int(d))
+                out["n_samples"].append(len(smp))
+                out["n_runs"].append(int(len(runs)))
+                out["silent_in_runs"].append(int(runs.sum()))
+                out["longest_run"].append(int(runs.max()) if len(runs) else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=AUDIO_SILENCE_SCHEMA)
+
+
 def attach_audio(docs: DataFrame) -> DataFrame:
     """(doc_id, byte_len, content) with content = a synthesized REAL WAV
     payload per document. In production the binary column comes straight

@@ -125,3 +125,39 @@ def test_audio_stats_spark_stage(spark):
         assert r["sum_sq"] == int((smp * smp).sum())
         assert r["silent_samples"] == int((np.abs(smp) < 512).sum())
         assert r["clipped_samples"] == int(((smp == -32768) | (smp == 32767)).sum())
+
+
+def test_gated_synth_silence_runs_exact():
+    """The gated envelope silences even 32-sample blocks; run detection
+    must recover them exactly (plus any random |raw|<512 extensions,
+    verified against a pure-python replay)."""
+    import numpy as np
+
+    from aci_export_spark.multimodal import (
+        decode_wav_samples,
+        synth_wav_gated,
+    )
+
+    for doc_id, byte_len in [(0, 50), (7, 123), (42, 9999)]:
+        smp, sr, ch = decode_wav_samples(synth_wav_gated(doc_id, byte_len))
+        n = 64 + byte_len % 193
+        assert len(smp) == n and ch == 1
+        i = np.arange(n, dtype=np.int64)
+        want = ((doc_id * 2654435761 + i * 40503) % 65536 - 32768) * (
+            (i // 32) % 2
+        )
+        assert np.array_equal(smp.astype(np.int64), want)
+        # replay the run structure in pure python
+        m = np.abs(want) < 512
+        runs, cur = [], 0
+        for v in m:
+            if v:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        q = [r for r in runs if r >= 8]
+        assert q, "every gated asset has at least one 32-sample block"
+        assert max(q) >= 32
