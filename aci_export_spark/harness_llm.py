@@ -619,6 +619,43 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_filtered_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, label AS cell, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+     c AS (SELECT vec_id AS neighbor_id, label AS cell, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id % 3 = 0)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC
+           ) AS rank
+    FROM q JOIN c USING (cell)
+    WHERE neighbor_id <> query_id
+) WHERE rank <= 5
+""",
+    doc="FILTERED ANN (the RAG search shape: top-k under a metadata "
+    "predicate): the filter applies BEFORE the cell-pruned scan — "
+    "pre-filtering guarantees k qualifying results where post-filtering "
+    "a top-k would silently return fewer; Catalyst pushes the predicate "
+    "below the cell join so non-qualifying vectors never enter the "
+    "distance computation. Same IVF cell-equi-join prune as "
+    "llm_sim_ivf_topk; at 100 TB the predicate column lives beside the "
+    "vector in the cell-partitioned layout, so the filter prunes row "
+    "groups before any arithmetic",
+)
+def llm_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    filtered = emb.filter(F.col("vec_id") % 3 == 0)
+    return S.ivf_topk(
+        filtered, queries, cell_col="label", id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+
+
+@register(
     "llm_dedup_embedding_cosine",
     """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -173,3 +173,58 @@ def test_ivf_multiprobe_all_cells_equals_brute_force(spark):
         for r in S.brute_force_topk(emb, queries, k=5).collect()
     }
     assert multi == brute
+
+
+def test_filtered_ann_prefilter_vs_postfilter(spark):
+    """Pre-filtering the corpus guarantees k qualifying neighbors;
+    post-filtering a top-k can return fewer. Also: filtered brute force
+    is the exactness anchor for the filtered IVF path when queries probe
+    their own cell."""
+    from pyspark.sql import functions as F
+
+    from aci_export_spark.llm.similarity import brute_force_topk, ivf_topk
+    from aci_export_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    pred = F.col("vec_id") % 3 == 0
+    k = 5
+
+    pre_brute = brute_force_topk(
+        emb.filter(pred), queries, "vec_id", "embedding", k=k
+    )
+    # every query gets exactly k qualifying neighbors, all passing the filter
+    per_q = {r["query_id"]: r["n"] for r in pre_brute.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per_q.values()) == {k}
+    assert pre_brute.filter(F.col("neighbor_id") % 3 != 0).count() == 0
+
+    # post-filter starves: unfiltered top-k then filter keeps < k for at
+    # least one query (only ~1/3 of vectors qualify)
+    post = brute_force_topk(emb, queries, "vec_id", "embedding", k=k).filter(
+        F.col("neighbor_id") % 3 == 0
+    )
+    post_per_q = {r["query_id"]: r["n"] for r in post.groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert min(post_per_q.values(), default=0) < k
+
+    # filtered IVF restricted to the query's own cell == filtered brute
+    # restricted to that cell (the within-cell exactness anchor)
+    same_cell_brute = (
+        pre_brute.join(
+            emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("qcell")), on="query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("label").alias("ncell")), on="neighbor_id")
+        .filter(F.col("qcell") == F.col("ncell"))
+        .select("query_id", "neighbor_id").collect()
+    )
+    ivf = ivf_topk(
+        emb.filter(pred), queries, cell_col="label", id_col="vec_id",
+        vec_col="embedding", k=k,
+    ).select("query_id", "neighbor_id").collect()
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    # IVF's per-cell top-k is a superset-restriction relationship: every
+    # same-cell pair the global filtered top-k found must appear in the
+    # cell-pruned result
+    assert {(r["query_id"], r["neighbor_id"]) for r in same_cell_brute} <= ivf_set
