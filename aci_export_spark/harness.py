@@ -445,14 +445,14 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: r9 window heads with all six r4-era deferrals (the mandated overflow
 #: repayment), so the oldest cohort (r4) is fully covered. The overflow
 #: lands on the r5 cohort instead — 37 of its 49 rows fit after
-#: 1 flagship + 6 r4 + 9 new registrations + 3 module-changed, leaving 18
+#: 1 flagship + 6 r4 + 10 new registrations + 3 module-changed, leaving 19
 #: r5 rows for the r10 head (all stable shapes, re-proven every round by
 #: the local oracle replica): basket_brand_pairs, basket_brand_triples,
 #: docs_cube_stats, dq_check_report,
 #: dq_profile_customer, events_anomalous_days, events_value_deciles,
 #: events_zorder_keys, events_zorder_pruning_stats, orders_benford_digits,
 #: orders_pareto_frontier, orders_value_gini, parts_price_band_pairs,
-#: rec_item_item_cosine,
+#: llm_vocab_stats, rec_item_item_cosine,
 #: j_salted_join_equivalence, q12_late_shipment_modes, q14_promo_revenue,
 #: q15_top_supplier. (They are not listed in
 #: WINDOW_DEFERRED because that set is asserted ⊆ the OLDEST cohort, which
@@ -467,7 +467,7 @@ WINDOW_DEFERRED: frozenset[str] = frozenset()
 #: whose implementing code changed after their newest row
 #: (llm/dedup.py's duplicated-gram refactor behind exact_ngrams /
 #: span_exposure; harness_analytics' ranker-agreement oracle guard), then
-#: the r5 cohort oldest-first backfill (31 of 49; the 18 leftovers are
+#: the r5 cohort oldest-first backfill (30 of 49; the 19 leftovers are
 #: documented above for the r10 head). llm_dedup_exact_ngrams stays
 #: directly before its dup-gram artifact consumers so the build is billed
 #: to its producer within the driver sweep.
@@ -491,11 +491,12 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_dsir_select_topk",
     "mm_audio_silence_segments",
     "llm_sim_filtered_topk",
+    "streaming_gram_index",
     # module-changed after their newest (r8) row
     "llm_dedup_exact_ngrams",
     "llm_dedup_span_exposure",
     "docs_ranker_agreement",
-    # r5 cohort backfill (alphabetical; 31 of 49)
+    # r5 cohort backfill (alphabetical; 30 of 49)
     "docs_bm25_topk",
     "events_activity_streaks",
     "events_countmin_user_counts",
@@ -523,7 +524,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_quality_unigram_lm",
     "llm_sim_rplsh_topk",
     "llm_split_leakage",
-    "llm_vocab_stats",
     "mm_phash_pairs",
     "streaming_dq_monitor",
     "streaming_funnel",

@@ -312,3 +312,36 @@ def streaming_funnel_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "stage_reached",
     )
+
+
+@register(
+    "streaming_gram_index",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+)
+SELECT gram,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occurrences
+FROM grams
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    doc="streaming twin of the exact-substring dedup INDEX: the corpus "
+    "arrives as a multi-file drop stream (maxFilesPerTrigger=1, disjoint "
+    "doc_id ranges) and every foreachBatch merges the batch's gram stats "
+    "into the maintained index (merge_gram_stats — the same "
+    "delta-proportional merge the incremental batch query proves); the "
+    "final index filtered to n_docs >= 2 must equal the batch rebuild "
+    "over the full corpus, which is the oracle. Raises if the ingest "
+    "collapsed to one micro-batch (a single-batch run would not exercise "
+    "the merge). State = the index itself, bounded by distinct grams",
+)
+def streaming_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.gram_index_stream(spark, sf_dir, n=8, min_docs=2, n_files=5)

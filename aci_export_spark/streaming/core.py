@@ -735,3 +735,79 @@ def reconcile_funnel_snapshots(snapshots: DataFrame) -> DataFrame:
         F.max("t_purchase").alias("t_purchase"),
         F.max("stage_reached").alias("stage_reached"),
     )
+
+
+def gram_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    min_docs: int = 2,
+    n_files: int = 5,
+    batch_counter: dict | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the exact-substring gram-stats INDEX: the
+    documents corpus arrives as a file-drop stream (``maxFilesPerTrigger=1``
+    over a range-partitioned landing dir, so the ingest really spans
+    multiple micro-batches) and every ``foreachBatch`` merges the batch's
+    gram stats into the maintained index via
+    :func:`~aci_export_spark.llm.dedup.merge_gram_stats` — the disjoint-doc
+    contract holds by construction (doc_id range partitioning). The final
+    index filtered to ``n_docs >= min_docs`` must equal the batch rebuild
+    over the whole corpus, which is exactly what the driver oracle checks.
+
+    State is the index itself (bounded by distinct grams, not stream
+    length), checkpointed per batch so each merge reads compact stats, not
+    a growing lineage. Raises if the stream collapsed to a single
+    micro-batch — a silent one-batch run would "verify" nothing but the
+    batch path (the events-glob lesson, SCALE.md)."""
+    import os
+
+    from aci_export_spark.llm.dedup import gram_stats_table, merge_gram_stats
+    from aci_export_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = f"/tmp/spark_graft_gram_stream_{abs(hash((sf_dir, n_files)))}"
+    # deterministic multi-file landing dir: doc_id ranges are disjoint, so
+    # every micro-batch is a disjoint doc set regardless of arrival order
+    docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(
+        stage
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    state: dict = {"index": None, "batches": 0}
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = gram_stats_table(batch_df, "doc_id", "text", n=n)
+        if state["index"] is None:
+            merged = delta
+        else:
+            merged = merge_gram_stats(state["index"], delta)
+        state["index"] = merged.localCheckpoint(eager=True)
+        state["batches"] += 1
+
+    ckpt = f"{stage}_ckpt_{uuid.uuid4().hex}"
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if batch_counter is not None:
+        batch_counter["batches"] = state["batches"]
+    if state["batches"] < 2:
+        raise RuntimeError(
+            f"gram index stream ran in {state['batches']} micro-batch(es) — "
+            "the incremental merge path was not exercised; check the "
+            "landing dir produced multiple files"
+        )
+    return (
+        state["index"]
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram", "n_docs", "n_occurrences")
+    )

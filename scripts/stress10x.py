@@ -266,29 +266,44 @@ def run_counting(
 ) -> dict[str, tuple[float, float, int]]:
     """Like run(), but the action is count() so the density check (rows ≈
     10× base) prints beside every timing. Records process-tree CPU-seconds
-    beside wall (r8 verdict #7): the CD linearity rows were wall-only and
-    inherited the contention exposure the bench escaped — CPU growth is
-    the number the scale claim rests on."""
+    beside wall (r8 verdict #7), and — the r9 lesson — takes the MEDIAN of
+    interleaved repetitions: the single-sample CD rows printed a 16.3×
+    CPU reading for er_fuzzy_entities that three-rep medians corrected to
+    7.2× (rep 1 pays JVM/codegen warmup for that query shape; one
+    inflated sample becomes the row when each cell runs once)."""
+    from statistics import median
+
     from bench import _tree_cpu_seconds
 
     from aci_export_spark import artifacts, harness, harness_llm
 
     harness._ensure_all_registered()
-    out: dict[str, tuple[float, float, int]] = {}
-    for name in names:
-        artifacts._CACHE.clear()
-        harness_llm._KMEANS_MODEL_CACHE.clear()
-        harness_llm._PQ_CODEBOOK_CACHE.clear()
-        harness_llm._FIT_SAMPLE_CACHE.clear()
-        c0 = _tree_cpu_seconds()
-        t0 = time.perf_counter()
-        n = harness.REGISTRY[name].fn(spark, sf_dir).count()
-        out[name] = (
-            time.perf_counter() - t0,
-            max(0.0, _tree_cpu_seconds() - c0),
-            n,
+    reps = max(1, int(os.environ.get("STRESS_REPS", "3")))
+    samples: dict[str, list[tuple[float, float, int]]] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
+            artifacts._CACHE.clear()
+            harness_llm._KMEANS_MODEL_CACHE.clear()
+            harness_llm._PQ_CODEBOOK_CACHE.clear()
+            harness_llm._FIT_SAMPLE_CACHE.clear()
+            c0 = _tree_cpu_seconds()
+            t0 = time.perf_counter()
+            n = harness.REGISTRY[name].fn(spark, sf_dir).count()
+            samples[name].append(
+                (
+                    time.perf_counter() - t0,
+                    max(0.0, _tree_cpu_seconds() - c0),
+                    n,
+                )
+            )
+    return {
+        name: (
+            median(s[0] for s in v),
+            median(s[1] for s in v),
+            v[0][2],
         )
-    return out
+        for name, v in samples.items()
+    }
 
 
 def bpe_round_check(spark) -> None:
