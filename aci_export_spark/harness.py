@@ -444,33 +444,35 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: head because the window arithmetic overflowed 50. EMPTY this round: the
 #: r9 window heads with all six r4-era deferrals (the mandated overflow
 #: repayment), so the oldest cohort (r4) is fully covered. The overflow
-#: lands on the r5 cohort instead — 37 of its 49 rows fit after
-#: 1 flagship + 6 r4 + 10 new registrations + 3 module-changed, leaving 19
-#: r5 rows for the r10 head (all stable shapes, re-proven every round by
-#: the local oracle replica): basket_brand_pairs, basket_brand_triples,
-#: docs_cube_stats, dq_check_report,
-#: dq_profile_customer, events_anomalous_days, events_value_deciles,
-#: events_zorder_keys, events_zorder_pruning_stats, orders_benford_digits,
+#: lands on the r5 cohort instead — the window arithmetic is
+#: 1 flagship + 6 r4 + 3 module-changed + 10 new registrations = 20, so
+#: 30 of the 49 r5 rows fit and 19 wait for the r10 head (all stable
+#: shapes, re-proven every round by the local oracle replica):
+#: basket_brand_pairs, basket_brand_triples, docs_cube_stats,
+#: dq_check_report, dq_profile_customer, events_anomalous_days,
+#: events_value_deciles, events_zorder_keys, events_zorder_pruning_stats,
+#: j_salted_join_equivalence, llm_vocab_stats, orders_benford_digits,
 #: orders_pareto_frontier, orders_value_gini, parts_price_band_pairs,
-#: llm_vocab_stats, rec_item_item_cosine,
-#: j_salted_join_equivalence, q12_late_shipment_modes, q14_promo_revenue,
-#: q15_top_supplier. (They are not listed in
-#: WINDOW_DEFERRED because that set is asserted ⊆ the OLDEST cohort, which
-#: this round is r4 — after CORRECTNESS_r09 lands they become the oldest
-#: cohort themselves and the r10 rebuild starts with them.)
+#: q12_late_shipment_modes, q14_promo_revenue, q15_top_supplier,
+#: rec_item_item_cosine. (They are not listed in WINDOW_DEFERRED because
+#: that set is asserted ⊆ the OLDEST cohort, which this round is r4 —
+#: after CORRECTNESS_r09 lands they become the oldest cohort themselves
+#: and the r10 rebuild starts with them.)
 WINDOW_DEFERRED: frozenset[str] = frozenset()
 
 #: ROUND-9 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r08 union
 #: (newest-round histogram {4:6, 5:49, 6:42, 7:49, 8:50}). Head = flagship
 #: (the driver's entry() smoke) + the SIX r4-era rows the r8 window
-#: deferred (VERDICT r8 #1) + this round's new registrations + the queries
-#: whose implementing code changed after their newest row
-#: (llm/dedup.py's duplicated-gram refactor behind exact_ngrams /
-#: span_exposure; harness_analytics' ranker-agreement oracle guard), then
-#: the r5 cohort oldest-first backfill (30 of 49; the 19 leftovers are
-#: documented above for the r10 head). llm_dedup_exact_ngrams stays
-#: directly before its dup-gram artifact consumers so the build is billed
-#: to its producer within the driver sweep.
+#: deferred (VERDICT r8 #1) + the queries whose implementing code changed
+#: after their newest row (llm/dedup.py's duplicated-gram refactor behind
+#: exact_ngrams / span_exposure; harness_analytics' ranker-agreement
+#: oracle guard) + this round's new registrations, then the r5 cohort
+#: oldest-first backfill (30 of 49; the 19 leftovers are documented above
+#: for the r10 head). Producer-before-consumer holds WITHIN the sweep
+#: order too: llm_dedup_exact_ngrams runs before every dup-gram-artifact
+#: consumer (span_exposure, span_coverage, span_removal, kept_corpus_v3)
+#: so the shared build is billed to its producer — asserted for this list
+#: by tests/test_rotation.py alongside the bench order.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
     # the six r4-era deferrals — mandated window head (VERDICT r8 #1)
@@ -480,22 +482,22 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "j7_existence_flags",
     "j4_coalesce_key_join",
     "llm_stratified_sample",
-    # new registrations this round (never driver-checked);
-    # span_coverage consumes the dup-gram artifact exact_ngrams owns
-    "mm_mp4_tracks",
-    "llm_dedup_span_exposure_incremental",
-    "llm_curation_kept_corpus_v3",
-    "llm_dedup_span_coverage",
-    "mm_mp4_sample_ranges",
-    "llm_dedup_span_removal",
-    "llm_dsir_select_topk",
-    "mm_audio_silence_segments",
-    "llm_sim_filtered_topk",
-    "streaming_gram_index",
-    # module-changed after their newest (r8) row
+    # module-changed after their newest (r8) row; exact_ngrams FIRST —
+    # it owns the dup-gram artifact its consumers below reuse
     "llm_dedup_exact_ngrams",
     "llm_dedup_span_exposure",
     "docs_ranker_agreement",
+    # new registrations this round (never driver-checked)
+    "mm_mp4_tracks",
+    "mm_mp4_sample_ranges",
+    "mm_audio_silence_segments",
+    "llm_dedup_span_coverage",
+    "llm_dedup_span_removal",
+    "llm_curation_kept_corpus_v3",
+    "llm_dedup_span_exposure_incremental",
+    "llm_dsir_select_topk",
+    "llm_sim_filtered_topk",
+    "streaming_gram_index",
     # r5 cohort backfill (alphabetical; 30 of 49)
     "docs_bm25_topk",
     "events_activity_streaks",

@@ -903,9 +903,11 @@ def duplicated_gram_table(
     scanned once, matching the MinHash pipeline's discipline."""
     from aci_export_spark.llm.text import word_ngram_rows
 
-    g = word_ngram_rows(
-        df, id_col, text_col, n=n, distinct=False
-    ).localCheckpoint(eager=True)
+    g = (
+        word_ngram_rows(df, id_col, text_col, n=n, distinct=False)
+        .withColumn("__h", F.xxhash64("gram"))
+        .localCheckpoint(eager=True)
+    )
     return _dup_grams_from_exploded(g, id_col, min_docs)
 
 
@@ -915,8 +917,12 @@ def _dup_grams_from_exploded(
     """The candidate→verify passes of :func:`duplicated_gram_table` over an
     already-exploded (and checkpointed) (id, gram) frame — factored out so
     :func:`dup_gram_position_stats` can share ONE corpus explode between
-    the dup-table construction and its per-doc aggregations."""
-    g = g.withColumn("__h", F.xxhash64("gram"))
+    the dup-table construction and its per-doc aggregations. Checkpoint
+    the frame WITH ``__h`` already attached: computing it after the
+    checkpoint would re-run xxhash64 over the corpus-sized explode in
+    both the candidate group-by and the verify join (r9 review)."""
+    if "__h" not in g.columns:
+        g = g.withColumn("__h", F.xxhash64("gram"))
     cand = (
         g.groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
@@ -965,7 +971,9 @@ def dup_gram_position_stats(
     if dup_table is not None:
         dup = dup_table
     else:
-        g = g.localCheckpoint(eager=True)
+        g = g.withColumn("__h", F.xxhash64("gram")).localCheckpoint(
+            eager=True
+        )
         dup = _dup_grams_from_exploded(g, id_col, min_docs)
     flagged = (
         g.join(dup.select("gram"), on="gram", how="left_semi")
@@ -1008,6 +1016,34 @@ def gram_stats_table(
     )
 
 
+def _dup_span_table(hits: DataFrame, id_col: str) -> DataFrame:
+    """Collapse flagged [pos, end] intervals into maximal spans
+    (id, __s, __e) — the gaps-and-islands window shared by
+    :func:`dup_span_coverage` (measures the union) and
+    :func:`remove_dup_spans` (deletes it): one doc-key shuffle, island
+    boundaries from the running max of interval ends."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        hits.withColumn(
+            "__new",
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__island")
+        .agg(F.min("pos").alias("__s"), F.max("end").alias("__e"))
+    )
+
+
 def dup_span_coverage(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1032,35 +1068,20 @@ def dup_span_coverage(
     document's flagged positions; no self-join, no explode beyond the
     shared gram pass. ``dup_table`` reuses an already-built
     :func:`duplicated_gram_table` (same (n, min_docs), same corpus)."""
-    from pyspark.sql import Window
-
     from aci_export_spark.llm.text import n_tokens, word_ngram_pos_rows
 
     g = word_ngram_pos_rows(df, id_col, text_col, n=n)
     if dup_table is not None:
         dup = dup_table
     else:
-        g = g.localCheckpoint(eager=True)
+        g = g.withColumn("__h", F.xxhash64("gram")).localCheckpoint(
+            eager=True
+        )
         dup = _dup_grams_from_exploded(g, id_col, min_docs)
     hits = g.join(dup.select("gram"), on="gram", how="left_semi").select(
         id_col, "pos", (F.col("pos") + (n - 1)).alias("end")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev_max_end = F.max("end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = hits.withColumn(
-        "__new",
-        F.when(
-            prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
-        ).otherwise(0),
-    ).withColumn(
-        "__island",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = islands.groupBy(id_col, "__island").agg(
-        F.min("pos").alias("__s"), F.max("end").alias("__e")
-    )
+    spans = _dup_span_table(hits, id_col)
     per = spans.groupBy(id_col).agg(
         F.sum(F.col("__e") - F.col("__s") + 1).alias("covered_tokens"),
         F.count(F.lit(1)).alias("n_spans"),
@@ -1098,38 +1119,20 @@ def remove_dup_spans(
     document length — linear, never quadratic), one anti-join on the
     (doc, position) key, and a per-doc ordered reassembly whose state is
     one document's tokens. Everything shuffles on the doc key only."""
-    from pyspark.sql import Window
-
     from aci_export_spark.llm.text import word_ngram_pos_rows, word_tokens
 
     g = word_ngram_pos_rows(df, id_col, text_col, n=n)
     if dup_table is not None:
         dup = dup_table
     else:
-        g = g.localCheckpoint(eager=True)
+        g = g.withColumn("__h", F.xxhash64("gram")).localCheckpoint(
+            eager=True
+        )
         dup = _dup_grams_from_exploded(g, id_col, min_docs)
     hits = g.join(dup.select("gram"), on="gram", how="left_semi").select(
         id_col, "pos", (F.col("pos") + (n - 1)).alias("end")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev_max_end = F.max("end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    spans = (
-        hits.withColumn(
-            "__new",
-            F.when(
-                prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
-            ).otherwise(0),
-        )
-        .withColumn(
-            "__island",
-            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy(id_col, "__island")
-        .agg(F.min("pos").alias("__s"), F.max("end").alias("__e"))
-    )
-    covered = spans.select(
+    covered = _dup_span_table(hits, id_col).select(
         F.col(id_col),
         F.explode(F.sequence(F.col("__s"), F.col("__e"))).alias("pos"),
     )

@@ -1352,11 +1352,13 @@ def parse_mp4_tracks(data: bytes) -> list[dict]:
                                 stts, stsz, stsc, chunk_offsets = (
                                     _mp4_sample_tables(data, ns, ne)
                                 )
+            if track_id is None:
+                raise ValueError("MP4 trak missing tkhd")
             if stts is None or stsz is None:
                 raise ValueError("MP4 trak missing stts or stsz")
             if stsc is None or chunk_offsets is None:
                 raise ValueError("MP4 trak missing stsc or chunk offsets")
-            n_samples, total_bytes = stsz
+            n_samples, total_bytes, _sizes = stsz
             stts_samples = sum(c for c, _d in stts)
             if stts_samples != n_samples:
                 raise ValueError(
@@ -1380,7 +1382,7 @@ def parse_mp4_tracks(data: bytes) -> list[dict]:
                 raise ValueError("MP4 trak missing mdhd timescale")
             tracks.append(
                 {
-                    "track_id": int(track_id) if track_id is not None else None,
+                    "track_id": int(track_id),
                     "handler": handler,
                     "timescale": int(timescale),
                     "n_samples": int(n_samples),
@@ -1402,9 +1404,10 @@ def parse_mp4_tracks(data: bytes) -> list[dict]:
 
 def _mp4_sample_tables(data: bytes, start: int, end: int):
     """Decode the four sample-table boxes inside an ``stbl`` scope:
-    stts → [(count, delta)], stsz → (n_samples, total_bytes),
-    stsc → [(first_chunk, samples_per_chunk)], stco/co64 → [offsets].
-    Every entry count is bounds-checked against the box payload."""
+    stts → [(count, delta)], stsz → (n_samples, total_bytes, sizes) with
+    uniform-size tables expanded, stsc → [(first_chunk,
+    samples_per_chunk)], stco/co64 → [offsets]. Every entry count is
+    bounds-checked against the box payload."""
     import struct
 
     stts = stsz = stsc = offsets = None
@@ -1424,14 +1427,14 @@ def _mp4_sample_tables(data: bytes, start: int, end: int):
                 raise ValueError("truncated MP4 stsz box")
             uniform, count = struct.unpack(">II", data[b : b + 8])
             if uniform:
-                stsz = (count, uniform * count)
+                sizes = [uniform] * count
             else:
                 if b + 8 + 4 * count > be:
                     raise ValueError("truncated MP4 stsz box")
-                sizes = struct.unpack(
-                    f">{count}I", data[b + 8 : b + 8 + 4 * count]
+                sizes = list(
+                    struct.unpack(f">{count}I", data[b + 8 : b + 8 + 4 * count])
                 )
-                stsz = (count, sum(sizes))
+            stsz = (count, sum(sizes), sizes)
         elif btype == b"stsc":
             _v, b = _mp4_full_box(data, bs, be, "stsc")
             (n,) = struct.unpack(">I", data[b : b + 4])
@@ -1501,18 +1504,16 @@ def mp4_sample_offsets(data: bytes) -> list[dict]:
                         for ntype, ns, ne in _mp4_boxes(data, ms, me):
                             if ntype == b"stbl":
                                 tables = _mp4_sample_tables(data, ns, ne)
+            if track_id is None:
+                raise ValueError("MP4 trak missing tkhd")
             if tables is None:
                 raise ValueError("MP4 trak missing sample tables")
-            stts, stsz_pair, stsc, chunk_offsets = tables
-            if stts is None or stsz_pair is None:
+            stts, stsz_triple, stsc, chunk_offsets = tables
+            if stts is None or stsz_triple is None:
                 raise ValueError("MP4 trak missing stts or stsz")
             if stsc is None or chunk_offsets is None:
                 raise ValueError("MP4 trak missing stsc or chunk offsets")
-            # re-read per-sample sizes (the stats parser only keeps the sum)
-            sizes = _mp4_sample_sizes(data, cs, ce)
-            n_samples = len(sizes)
-            if n_samples != stsz_pair[0]:
-                raise ValueError("MP4 stsz count disagrees with its sizes")
+            n_samples, _total, sizes = stsz_triple
             n_chunks = len(chunk_offsets)
             if _mp4_stsc_coverage(stsc, n_chunks) != n_samples:
                 raise ValueError("MP4 stsc does not cover the sample count")
@@ -1538,39 +1539,6 @@ def mp4_sample_offsets(data: bytes) -> list[dict]:
     if not out:
         raise ValueError("MP4 has no samples")
     return out
-
-
-def _mp4_sample_sizes(data: bytes, trak_start: int, trak_end: int) -> list[int]:
-    """The per-sample stsz size list for one trak (uniform-size tables
-    expand to their repeated value)."""
-    import struct
-
-    for ttype, ts, te in _mp4_boxes(data, trak_start, trak_end):
-        if ttype != b"mdia":
-            continue
-        for mtype, ms, me in _mp4_boxes(data, ts, te):
-            if mtype != b"minf":
-                continue
-            for ntype, ns, ne in _mp4_boxes(data, ms, me):
-                if ntype != b"stbl":
-                    continue
-                for btype, bs, be in _mp4_boxes(data, ns, ne):
-                    if btype != b"stsz":
-                        continue
-                    _v, b = _mp4_full_box(data, bs, be, "stsz")
-                    if b + 8 > be:
-                        raise ValueError("truncated MP4 stsz box")
-                    uniform, count = struct.unpack(">II", data[b : b + 8])
-                    if uniform:
-                        return [uniform] * count
-                    if b + 8 + 4 * count > be:
-                        raise ValueError("truncated MP4 stsz box")
-                    return list(
-                        struct.unpack(
-                            f">{count}I", data[b + 8 : b + 8 + 4 * count]
-                        )
-                    )
-    raise ValueError("MP4 trak missing stsz")
 
 
 def mp4_sample_table(media: DataFrame) -> DataFrame:

@@ -760,15 +760,20 @@ def gram_index_stream(
     a growing lineage. Raises if the stream collapsed to a single
     micro-batch — a silent one-batch run would "verify" nothing but the
     batch path (the events-glob lesson, SCALE.md)."""
-    import os
+    import hashlib
+    import shutil
 
     from aci_export_spark.llm.dedup import gram_stats_table, merge_gram_stats
     from aci_export_spark.sources import read_table
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    stage = f"/tmp/spark_graft_gram_stream_{abs(hash((sf_dir, n_files)))}"
-    # deterministic multi-file landing dir: doc_id ranges are disjoint, so
-    # every micro-batch is a disjoint doc set regardless of arrival order
+    # md5 keying, not Python hash(): hash() is PYTHONHASHSEED-salted, so
+    # every interpreter would mint a fresh landing dir (and the old copies
+    # would pile up in /tmp); both dirs are removed in the finally below
+    key = hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:16]
+    stage = f"/tmp/spark_graft_gram_stream_{key}"
+    # multi-file landing dir: doc_id ranges are disjoint, so every
+    # micro-batch is a disjoint doc set regardless of arrival order
     docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(
         stage
     )
@@ -791,13 +796,19 @@ def gram_index_stream(
         state["batches"] += 1
 
     ckpt = f"{stage}_ckpt_{uuid.uuid4().hex}"
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the index is localCheckpointed (independent of these files); the
+        # staged corpus copy and the one-shot stream checkpoint are scratch
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     if batch_counter is not None:
         batch_counter["batches"] = state["batches"]
     if state["batches"] < 2:

@@ -202,3 +202,27 @@ def test_sample_offsets_roundtrip_synth():
             assert r["size"] == 200 + (13 + i * t) % 800
             assert r["offset"] == pos
             pos += r["size"]
+
+
+def test_missing_tkhd_raises_in_both_parsers():
+    """A trak with sample tables but no tkhd must raise ValueError from
+    BOTH parsers (silent track_id=None rows / TypeError were the r9
+    review finding)."""
+    from aci_export_spark.multimodal import mp4_sample_offsets
+
+    full = _minimal_trak([(4, 25)], (300, 4), [(1, 2)], [64, 664])
+    # strip the tkhd box out of the trak
+    i = full.index(b"tkhd") - 4
+    size = struct.unpack(">I", full[i : i + 4])[0]
+    stripped = full[:i] + full[i + size :]
+    # fix up the enclosing trak and moov box sizes
+    out = bytearray(stripped)
+    for btype in (b"moov", b"trak"):
+        j = out.index(btype) - 4
+        old = struct.unpack(">I", out[j : j + 4])[0]
+        out[j : j + 4] = struct.pack(">I", old - size)
+    data = bytes(out)
+    with pytest.raises(ValueError, match="missing tkhd"):
+        parse_mp4_tracks(data)
+    with pytest.raises(ValueError, match="missing tkhd"):
+        mp4_sample_offsets(data)

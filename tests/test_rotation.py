@@ -139,3 +139,31 @@ def test_bench_order_bills_artifact_producers_first():
         if p in pos and c in pos and pos[p] > pos[c]
     ]
     assert not bad, f"consumers billed before their producers: {bad}"
+
+
+def test_driver_window_bills_artifact_producers_first():
+    """The driver correctness sweep executes in window order, so shared-
+    artifact producers must precede their consumers THERE too — otherwise
+    per-query driver timings bill a build to whichever consumer runs
+    first (r9 review finding: three dup-gram consumers sat ahead of
+    llm_dedup_exact_ngrams)."""
+    pos = {n: i for i, n in enumerate(harness.DRIVER_WINDOW_PRIORITY)}
+    producer_consumers = {
+        "llm_dedup_exact_ngrams": [
+            "llm_dedup_span_exposure", "llm_dedup_span_coverage",
+            "llm_dedup_span_removal", "llm_curation_kept_corpus_v3",
+        ],
+        "llm_sim_ivf_kmeans_topk": ["llm_dedup_semantic"],
+        "er_fuzzy_name_pairs": ["er_fuzzy_entities"],
+        "llm_dedup_minhash_lsh": [
+            "llm_dedup_clusters", "llm_dedup_cluster_canonical",
+            "llm_dedup_method_agreement", "llm_dedup_lsh_recall_audit",
+        ],
+    }
+    bad = [
+        (p, c)
+        for p, cs in producer_consumers.items()
+        for c in cs
+        if p in pos and c in pos and pos[p] > pos[c]
+    ]
+    assert not bad, f"window bills consumers before producers: {bad}"
