@@ -88,18 +88,23 @@ def classify_quiet(
 
 def classify_cpu_regressions(
     prev_cpu: dict, now_cpu: dict, ratio: float = 1.5, floor: float = 0.2,
+    min_delta: float = 0.5,
 ) -> dict:
     """Per-query CPU-seconds moves > ``ratio``× vs the prior committed
-    run — the contention-immune regression gate (r8 verdict #2). Queries
-    under ``floor`` CPU-seconds in BOTH runs are skipped (scheduler
-    jitter dominates sub-200ms samples); queries new this round have no
-    baseline and are skipped. Returns {name: {prev, now, ratio}}."""
+    run — the contention-immune regression gate (r8 verdict #2). Skipped:
+    queries new this round (no baseline); baselines under ``floor``
+    CPU-seconds (a clamped/near-zero prev cannot support a ratio — r8's
+    committed file carries a 0.0 for streaming_hourly_agg from the
+    orphan-clamp, which read as a 3e9× "regression"); and moves under
+    ``min_delta`` absolute core-seconds (sub-half-second deltas on cheap
+    queries are rep jitter, not engine work — the first r9 run flagged
+    three +0.2-0.4s moves). Returns {name: {prev, now, ratio}}."""
     flagged = {}
     for name, now in now_cpu.items():
         prev = prev_cpu.get(name)
-        if prev is None or (prev < floor and now < floor):
+        if prev is None or prev < floor or (now - prev) < min_delta:
             continue
-        r = now / max(prev, 1e-9)
+        r = now / prev
         if r > ratio:
             flagged[name] = {"prev": prev, "now": now, "ratio": round(r, 3)}
     return flagged

@@ -24,17 +24,21 @@ def test_classify_quiet_thresholds():
 
 
 def test_classify_cpu_regressions_gate():
-    prev = {"a": 1.0, "b": 0.05, "c": 2.0, "gone": 4.0}
-    now = {"a": 1.7, "b": 0.12, "c": 2.9, "new": 9.9}
+    prev = {"a": 1.0, "b": 0.05, "c": 2.0, "gone": 4.0, "z": 0.0}
+    now = {"a": 1.7, "b": 0.12, "c": 2.9, "new": 9.9, "z": 3.0}
     out = bench.classify_cpu_regressions(prev, now)
-    # a: 1.7x > 1.5 — flagged; b: both under the 0.2s jitter floor —
-    # skipped even though the ratio is 2.4x; c: 1.45x — under the gate;
-    # new: no baseline — skipped
+    # a: 1.7x and +0.7s — flagged; b: baseline under the 0.2s floor —
+    # skipped; c: 1.45x — under the ratio gate; new: no baseline —
+    # skipped; z: prev=0.0 is a clamp artifact, not a baseline — skipped
+    # (the first r9 run printed ratio 3e9 for exactly this case)
     assert set(out) == {"a"}
     assert out["a"] == {"prev": 1.0, "now": 1.7, "ratio": 1.7}
-    # floor applies only when BOTH are small: 0.1 -> 0.9 is a real move
-    out = bench.classify_cpu_regressions({"d": 0.1}, {"d": 0.9})
-    assert out["d"]["ratio"] == 9.0
+    # sub-min_delta absolute moves are jitter even at ratio > 1.5
+    out = bench.classify_cpu_regressions({"d": 0.57}, {"d": 1.01})
+    assert out == {}
+    # a real move on a cheap query still flags once it clears both gates
+    out = bench.classify_cpu_regressions({"d": 0.4}, {"d": 1.2})
+    assert out["d"]["ratio"] == 3.0
 
 
 def test_classify_cpu_regressions_empty_baseline():
