@@ -445,8 +445,8 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: r9 window heads with all six r4-era deferrals (the mandated overflow
 #: repayment), so the oldest cohort (r4) is fully covered. The overflow
 #: lands on the r5 cohort instead — the window arithmetic is
-#: 1 flagship + 6 r4 + 3 module-changed + 10 new registrations = 20, so
-#: 30 of the 49 r5 rows fit and 19 wait for the r10 head (all stable
+#: 1 flagship + 6 r4 + 3 module-changed + 11 new registrations = 21, so
+#: 29 of the 49 r5 rows fit and 20 wait for the r10 head (all stable
 #: shapes, re-proven every round by the local oracle replica):
 #: basket_brand_pairs, basket_brand_triples, docs_cube_stats,
 #: dq_check_report, dq_profile_customer, events_anomalous_days,
@@ -454,7 +454,7 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: j_salted_join_equivalence, llm_vocab_stats, orders_benford_digits,
 #: orders_pareto_frontier, orders_value_gini, parts_price_band_pairs,
 #: q12_late_shipment_modes, q14_promo_revenue, q15_top_supplier,
-#: rec_item_item_cosine. (They are not listed in WINDOW_DEFERRED because
+#: rec_item_item_cosine, streaming_dq_monitor. (They are not listed in WINDOW_DEFERRED because
 #: that set is asserted ⊆ the OLDEST cohort, which this round is r4 —
 #: after CORRECTNESS_r09 lands they become the oldest cohort themselves
 #: and the r10 rebuild starts with them.)
@@ -498,7 +498,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_dsir_select_topk",
     "llm_sim_filtered_topk",
     "streaming_gram_index",
-    # r5 cohort backfill (alphabetical; 30 of 49)
+    "llm_sim_ivf_recall_audit",
+    # r5 cohort backfill (alphabetical; 29 of 49)
     "docs_bm25_topk",
     "events_activity_streaks",
     "events_countmin_user_counts",
@@ -527,7 +528,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_sim_rplsh_topk",
     "llm_split_leakage",
     "mm_phash_pairs",
-    "streaming_dq_monitor",
     "streaming_funnel",
 ]
 

@@ -656,6 +656,73 @@ def llm_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_ivf_recall_audit",
+    """
+WITH q AS (SELECT vec_id AS query_id, label AS cell, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+     c AS (SELECT vec_id AS neighbor_id, label AS cell, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC
+               ) AS rank
+        FROM q JOIN c ON neighbor_id <> query_id
+    ) WHERE rank <= 5
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC
+               ) AS rank
+        FROM q JOIN c USING (cell)
+        WHERE neighbor_id <> query_id
+    ) WHERE rank <= 5
+)
+SELECT t.query_id,
+       COUNT(*)::BIGINT AS n_truth,
+       SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_hits
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY 1
+""",
+    doc="IVF recall audit (the ANN sibling of llm_dedup_lsh_recall_audit): "
+    "per query, how many of the brute-force top-5 the cell-pruned IVF "
+    "search recovered — exact integer (n_truth, n_hits) so recall@k is "
+    "one caller-side division. Deliberately pays the exact ground-truth "
+    "path (it is an audit): the truth side is the all-pairs scorer over "
+    "the SAME tiny broadcast query set, the comparison is one "
+    "(query, neighbor) equi-join — pool-bounded at k rows per query, "
+    "never corpus-bounded",
+)
+def llm_sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = S.ivf_topk(
+        emb, queries, cell_col="label", id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+    hits = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        truth.select("query_id", "neighbor_id")
+        .join(hits, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+@register(
     "llm_dedup_embedding_cosine",
     """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
