@@ -21,6 +21,7 @@ from aci_export_spark.sources import read_table
 from aci_export_spark.llm import dedup as D
 from aci_export_spark.llm import similarity as S
 from aci_export_spark.llm import text as T
+from aci_export_spark.llm import winnow as WN
 from aci_export_spark.operators import graph as G
 
 #: DuckDB rendering of `word_tokens` / normalize_text (llm/dedup.py).
@@ -825,6 +826,87 @@ FROM documents
 def llm_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return T.fingerprints(docs, "doc_id", "text")
+
+
+#: shared DuckDB rendering of the winnowing selection (llm/winnow.py):
+#: char-24-gram 32-bit md5-prefix hashes, window w=8, rightmost-argmin via
+#: the h*2^20 + (2^20-1-pos) packing — identical integers on both engines.
+_SQL_WINNOW_SEL = """
+norm AS (
+    SELECT doc_id,
+           CASE WHEN len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) < 1048576
+                THEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                ELSE error('winnow: document exceeds POS_SPACE chars') END AS s
+    FROM documents
+), grams AS (
+    SELECT doc_id, i - 1 AS pos, len(s) - 24 AS max_pos,
+           ('0x' || substr(md5('win:' || substr(s, i, 24)), 1, 8))::BIGINT AS h
+    FROM norm, unnest(generate_series(1, len(s) - 23)) AS u(i)
+    WHERE len(s) >= 24
+), keyed AS (
+    SELECT doc_id, pos, max_pos,
+           MIN(h * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk
+    FROM grams
+), sel AS (
+    SELECT DISTINCT doc_id, mk // 1048576 AS fp_hash,
+           1048575 - (mk % 1048576) AS fp_pos
+    FROM keyed WHERE pos <= max_pos - 7
+)
+"""
+
+
+@register(
+    "llm_winnow_fingerprints",
+    f"""
+WITH {_SQL_WINNOW_SEL}
+SELECT n.doc_id,
+       GREATEST(len(n.s) - 23, 0)::BIGINT AS n_grams,
+       GREATEST(len(n.s) - 30, 0)::BIGINT AS n_windows,
+       COALESCE(f.nf, 0)::BIGINT AS n_fingerprints
+FROM norm n LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS nf FROM sel GROUP BY doc_id
+) f USING (doc_id)
+""",
+    doc="winnowing fingerprint selection (Schleimer et al. SIGMOD'03, the "
+    "MOSS algorithm): char-24-gram hashes, window w=8, per-window min hash "
+    "with rightmost tie-break — selected-set density is provably ~2/(w+1) "
+    "of all grams. The rightmost-argmin is ONE window-min pass over packed "
+    "h*2^20+(2^20-1-pos) integer keys (no nested windows); per-doc stats "
+    "(grams / full windows / distinct selections) are exact BIGINTs",
+)
+def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return WN.winnow_stats(docs, "doc_id", "text", k=24, w=8)
+
+
+@register(
+    "llm_winnow_overlap_pairs",
+    f"""
+WITH {_SQL_WINNOW_SEL},
+fps AS (SELECT DISTINCT doc_id AS doc, fp_hash FROM sel),
+keep AS (SELECT fp_hash FROM fps GROUP BY fp_hash
+         HAVING COUNT(*) BETWEEN 2 AND 50),
+pr AS (SELECT doc, fp_hash FROM fps JOIN keep USING (fp_hash))
+SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*)::BIGINT AS n_shared
+FROM pr a JOIN pr b ON a.fp_hash = b.fp_hash AND a.doc < b.doc
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""",
+    doc="MOSS-style overlap candidates: document pairs sharing >= 2 distinct "
+    "winnowed fingerprint hashes, stop-grams (selected in > 50 docs) culled "
+    "exactly as the MOSS deployment does. Guarantee: any shared substring "
+    "of >= w+k-1 = 31 normalized chars yields a shared fingerprint. 100 TB "
+    "shape: the pair join runs on the winnowed ~2/(w+1) subset only, and "
+    "the stop-gram cap bounds per-key fanout like the AllPairs prefix "
+    "filter in llm_dedup_ngram_jaccard",
+)
+def llm_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return WN.winnow_overlap_pairs(
+        docs, "doc_id", "text", k=24, w=8, min_shared=2, max_df=50
+    )
 
 
 # ---------------------------------------------------------------------------
