@@ -909,6 +909,60 @@ def llm_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared DuckDB rendering of chunk_passages (llm/text.py): 64-token
+#: windows starting every 48 tokens; list_slice's inclusive end s+63 is
+#: Spark's slice(t, s, 64), both truncating at the document tail.
+_SQL_CHUNKS = f"""
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+chunks AS (
+    SELECT doc_id,
+           ((s - 1) // 48)::BIGINT AS chunk_no,
+           s::BIGINT AS start_tok,
+           len(list_slice(t, s, s + 63))::BIGINT AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t, s, s + 63), ' ')) AS chunk_hash
+    FROM toks, unnest(generate_series(1, len(t), 48)) AS u(s)
+    WHERE len(t) >= 1
+)
+"""
+
+
+@register(
+    "llm_chunk_passages",
+    f"""
+WITH {_SQL_CHUNKS}
+SELECT doc_id, chunk_no, start_tok, n_chunk_tokens, chunk_hash FROM chunks
+""",
+    doc="RAG passage chunking: 64-token windows every 48 tokens (16-token "
+    "overlap), final partial chunk kept so every token is covered; one "
+    "projection builds the chunk list and one explode emits it — corpus "
+    "scanned once, zero shuffle; chunk_hash is the md5 index/dedup key",
+)
+def llm_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.chunk_passages(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+@register(
+    "llm_chunk_dedup",
+    f"""
+WITH {_SQL_CHUNKS}
+SELECT chunk_hash,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occurrences
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    doc="chunk-level exact dedup for the RAG index: passage contents "
+    "appearing in >= 2 distinct documents, counted exactly; the only "
+    "shuffle is the groupBy on the uniform md5 chunk key (map-side "
+    "combined), so the pass is corpus-linear",
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.chunk_dedup_stats(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
 # ---------------------------------------------------------------------------
 # Event-stream surface (batch embodiment; streaming variant in
 # aci_export_spark/streaming with identical logic on readStream)

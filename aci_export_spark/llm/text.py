@@ -136,6 +136,69 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG passage chunking: fixed-size token windows with overlap.
+
+    Each document is split into chunks of `chunk_tokens` whitespace tokens
+    starting every `stride` tokens (overlap = chunk_tokens - stride); the
+    final chunk may be shorter, so every token is covered. Emits one row
+    per chunk with its 0-based chunk_no, 1-based start token, exact token
+    count, and an md5 content hash for chunk-level dedup / index keys.
+
+    Scale shape: a single projection builds the chunk list (sequence →
+    slice → join) and ONE explode emits it — amplification is ~n/stride
+    per doc and the corpus is scanned once, no shuffle at all; downstream
+    consumers shuffle only on the uniform md5 chunk key.
+    """
+    toks = F.col("__toks")
+    starts = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), toks.alias("__t"), F.explode(starts).alias("start_tok"))
+        .select(
+            F.col(id_col),
+            ((F.col("start_tok") - 1) / stride).cast("long").alias("chunk_no"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.size(F.slice(F.col("__t"), F.col("start_tok"), chunk_tokens))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(F.slice(F.col("__t"), F.col("start_tok"), chunk_tokens), " ")
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Chunk-level exact dedup: which passage contents appear in more than
+    one document (the RAG-index dedup pass — identical passages should be
+    indexed once). Returns (chunk_hash, n_docs, n_occurrences) for chunks
+    seen in >= 2 distinct documents; groupBy key is the uniform md5 hash."""
+    chunks = chunk_passages(df, id_col, text_col, chunk_tokens, stride)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 CDC_WINDOW = 16          # rolling-hash window (bytes)
 CDC_MASK = (1 << 6) - 1  # boundary when hash & mask == mask → ~64-byte chunks
 CDC_MIN, CDC_MAX = 32, 512
