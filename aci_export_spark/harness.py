@@ -445,14 +445,14 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: r9 window heads with all six r4-era deferrals (the mandated overflow
 #: repayment), so the oldest cohort (r4) is fully covered. The overflow
 #: lands on the r5 cohort instead — the window arithmetic is
-#: 1 flagship + 6 r4 + 3 module-changed + 15 new registrations = 25, so
-#: 25 of the 49 r5 rows fit and 24 wait for the r10 head (all stable
+#: 1 flagship + 6 r4 + 3 module-changed + 16 new registrations = 26, so
+#: 24 of the 49 r5 rows fit and 25 wait for the r10 head (all stable
 #: shapes, re-proven every round by the local oracle replica):
 #: basket_brand_pairs, basket_brand_triples, docs_cube_stats,
 #: dq_check_report, dq_profile_customer, events_anomalous_days,
 #: events_value_deciles, events_zorder_keys, events_zorder_pruning_stats,
-#: j_salted_join_equivalence, llm_sim_rplsh_topk, llm_split_leakage,
-#: llm_vocab_stats, mm_phash_pairs, orders_benford_digits,
+#: j_salted_join_equivalence, llm_quality_unigram_lm, llm_sim_rplsh_topk,
+#: llm_split_leakage, llm_vocab_stats, mm_phash_pairs, orders_benford_digits,
 #: orders_pareto_frontier, orders_value_gini, parts_price_band_pairs,
 #: q12_late_shipment_modes, q14_promo_revenue, q15_top_supplier,
 #: rec_item_item_cosine, streaming_dq_monitor, streaming_funnel.
@@ -461,7 +461,7 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: after CORRECTNESS_r09 lands they become the oldest cohort themselves
 #: and the r10 rebuild starts with them.) The window arithmetic is
 #: re-derived on every in-round registration: 1 flagship + 6 r4 +
-#: 3 module-changed + 15 new = 25, leaving 25 r5 slots.
+#: 3 module-changed + 16 new = 26, leaving 24 r5 slots.
 WINDOW_DEFERRED: frozenset[str] = frozenset()
 
 #: ROUND-9 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r08 union
@@ -471,7 +471,7 @@ WINDOW_DEFERRED: frozenset[str] = frozenset()
 #: after their newest row (llm/dedup.py's duplicated-gram refactor behind
 #: exact_ngrams / span_exposure; harness_analytics' ranker-agreement
 #: oracle guard) + this round's new registrations, then the r5 cohort
-#: oldest-first backfill (25 of 49; the 24 leftovers are documented above
+#: oldest-first backfill (24 of 49; the 25 leftovers are documented above
 #: for the r10 head). Producer-before-consumer holds WITHIN the sweep
 #: order too: llm_dedup_exact_ngrams runs before every dup-gram-artifact
 #: consumer (span_exposure, span_coverage, span_removal, kept_corpus_v3)
@@ -507,7 +507,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_winnow_overlap_pairs",
     "llm_chunk_passages",
     "llm_chunk_dedup",
-    # r5 cohort backfill (alphabetical; 25 of 49)
+    "llm_quality_bigram_lm",
+    # r5 cohort backfill (alphabetical; 24 of 49)
     "docs_bm25_topk",
     "events_activity_streaks",
     "events_countmin_user_counts",
@@ -532,7 +533,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_doc_keywords",
     "llm_domain_quota",
     "llm_lsh_index_upsert",
-    "llm_quality_unigram_lm",
 ]
 
 

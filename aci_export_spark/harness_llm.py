@@ -963,6 +963,41 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_dedup_stats(docs, "doc_id", "text", chunk_tokens=64, stride=48)
 
 
+@register(
+    "llm_quality_bigram_lm",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+grams AS (
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+), freq AS (
+    SELECT gram, COUNT(*)::BIGINT AS bf FROM grams GROUP BY gram
+), gstats AS (
+    SELECT SUM(bf)::BIGINT AS g_occ, COUNT(*)::BIGINT AS g_vocab FROM freq
+)
+SELECT g.doc_id,
+       COUNT(*)::BIGINT AS n_bigrams,
+       SUM(f.bf)::BIGINT AS freq_sum,
+       SUM(CASE WHEN f.bf <= 1 THEN 1 ELSE 0 END)::BIGINT AS novel_bigrams,
+       CAST(SUM(f.bf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bigram_freq,
+       SUM(f.bf)::BIGINT * MAX(gs.g_vocab) >= COUNT(*)::BIGINT * MAX(gs.g_occ) AS keep
+FROM grams g JOIN freq f USING (gram) CROSS JOIN gstats gs
+GROUP BY g.doc_id
+""",
+    doc="bigram-LM quality scoring — the order-sensitive sibling of "
+    "llm_quality_unigram_lm: the model is the corpus's own bigram counts, "
+    "so frequent-token word soup in nonsense order scores low; keep "
+    "decision is an integer cross-multiplication (doc mean bigram "
+    "frequency vs corpus mean per vocab entry), novel_bigrams counts "
+    "occurrences only this doc contributes; fit = one groupBy on the gram "
+    "key, score join re-uses that partitioning, global stats broadcast",
+)
+def llm_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.bigram_lm_scores(docs, "doc_id", "text", novel_max_count=1)
+
+
 # ---------------------------------------------------------------------------
 # Event-stream surface (batch embodiment; streaming variant in
 # aci_export_spark/streaming with identical logic on readStream)

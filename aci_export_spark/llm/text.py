@@ -136,6 +136,58 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    novel_max_count: int = 1,
+) -> DataFrame:
+    """Corpus bigram-LM quality scoring — the order-sensitive sibling of
+    :func:`unigram_lm_scores`: the model is fit on word BIGRAM occurrence
+    counts, so shuffled-word soup that fools the unigram filter (all
+    frequent tokens, nonsense order) scores low here. Same exact-integer
+    discipline: ``keep`` ⇔ freq_sum·vocab ≥ n_bigrams·total_occurrences,
+    cross-multiplied so no float sits at the decision boundary;
+    ``novel_bigrams`` counts occurrences whose corpus count ≤
+    `novel_max_count` (at 1: bigrams this doc alone contributes).
+
+    Documents with fewer than 2 tokens emit no row (they have no bigrams
+    to score — callers compose with a length gate first, as the Gopher
+    pipeline does). Plan shape is the unigram one: explode once, fit =
+    groupBy on the gram key, score join re-uses that partitioning, global
+    stats are a one-row broadcast.
+    """
+    grams = word_ngram_rows(df, id_col, text_col, n=2, distinct=False)
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__bf"))
+    glob = freq.agg(
+        F.sum("__bf").alias("__g_occ"), F.count(F.lit(1)).alias("__g_vocab")
+    )
+    per_doc = (
+        grams.join(freq, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__bf").alias("freq_sum"),
+            F.sum(
+                F.when(F.col("__bf") <= novel_max_count, 1).otherwise(0)
+            ).alias("novel_bigrams"),
+        )
+    )
+    return per_doc.join(F.broadcast(glob)).select(
+        id_col,
+        "n_bigrams",
+        "freq_sum",
+        "novel_bigrams",
+        (
+            F.col("freq_sum").cast("double") / F.col("n_bigrams").cast("double")
+        ).alias("mean_bigram_freq"),
+        (
+            F.col("freq_sum") * F.col("__g_vocab")
+            >= F.col("n_bigrams") * F.col("__g_occ")
+        ).alias("keep"),
+    )
+
+
 def chunk_passages(
     df: DataFrame,
     id_col: str,

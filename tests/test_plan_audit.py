@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "q11_important_stock",
     "q22_global_balance_anti",
     "llm_quality_unigram_lm",  # 1-row (total, vocab) aggregate broadcast
+    "llm_quality_bigram_lm",  # same shape on the bigram model: 1-row
+    # (total, vocab) aggregate broadcast cross
     "llm_doc_keywords",  # 1-row corpus-count aggregate broadcast
     "basket_brand_pairs",  # 1-row basket-total aggregate broadcast
     "graph_brand_triangles",  # composes basket_brand_pairs (same 1-row cross)
