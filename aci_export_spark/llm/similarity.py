@@ -1183,3 +1183,115 @@ def _rank_in_probed_cells(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (the FAISS SQ8 shape): per-dimension affine
+# quantization of the corpus to uint8 codes, candidate scan in the exact-
+# integer quantized domain, shortlist-only vector fetch for the final
+# cosine re-rank. The scanned table is dim bytes/vector instead of
+# dim*4-byte floats — the memory-bandwidth-bound 100 TB compressed-scan
+# path that sits between the raw brute scan and PQ's lossier 8-ints/vector.
+# ---------------------------------------------------------------------------
+
+
+def sq8_minmax_fit(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — the SQ8 'training' pass.
+
+    Unlike the kmeans/PQ fits this is an EXACT streaming aggregate (one
+    posexplode + a dim-group map-combined min/max), so it runs on the full
+    corpus at any scale; only dim rows come back to the driver."""
+    e = corpus.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x")
+    )
+    rows = e.groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()
+    rows.sort(key=lambda r: r["d"])
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def sq8_code(vec_col: Column, mn: list[float], mx: list[float]) -> Column:
+    """array<long> SQ8 code: per dim floor(((v - mn) * 255.0) / (mx - mn))
+    clamped to [0, 255]; zero-range dims code to 0. The expression order is
+    frozen — the DuckDB oracle computes the identical double arithmetic, so
+    codes (and every integer derived from them) are bit-identical."""
+    mn_a = F.array(*[F.lit(float(x)) for x in mn])
+    rng_a = F.array(*[F.lit(float(a) - float(b)) for a, b in zip(mx, mn)])
+    shifted = F.zip_with(vec_col.cast("array<double>"), mn_a, lambda v, m: v - m)
+    return F.zip_with(
+        shifted,
+        rng_a,
+        lambda s, r: F.when(
+            r > 0,
+            F.least(
+                F.lit(255).cast("long"),
+                F.greatest(F.lit(0).cast("long"), F.floor((s * 255.0) / r)),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 15,
+) -> DataFrame:
+    """SQ8 compressed scan + exact re-rank: for each query, the squared-L2
+    distance in the quantized integer domain ranks a shortlist (exact
+    BIGINT distances, id tie-break), then ONLY the shortlist's vectors are
+    fetched for the exact-cosine top-k. Emits (query_id, neighbor_id,
+    sq8_dist, adc_rank, rank) — the integer columns are bit-checkable, the
+    float stage is rank-only per the module convention."""
+    mn, mx = sq8_minmax_fit(corpus, vec_col)
+    ccode = corpus.select(
+        F.col(id_col).alias("neighbor_id"), sq8_code(F.col(vec_col), mn, mx).alias("__cc")
+    )
+    qcode = queries.select(
+        F.col(id_col).alias("query_id"), sq8_code(F.col(vec_col), mn, mx).alias("__qc")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("__qc"), F.col("__cc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("sq8_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        ccode.join(broadcast(qcode), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sq8_dist", sq_dist)
+        .withColumn("adc_rank", F.row_number().over(w1))
+        .filter(F.col("adc_rank") <= shortlist)
+        .select("query_id", "neighbor_id", "sq8_dist", "adc_rank")
+    )
+    # shortlist-only vector fetch for the exact re-rank
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    rer = (
+        short.join(cvec, on="neighbor_id")
+        .join(broadcast(qvec), on="query_id")
+        .withColumn(
+            "__cos",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sq8_dist", "adc_rank", "rank")
+    )

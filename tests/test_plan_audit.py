@@ -33,6 +33,9 @@ BNLJ_ALLOWED = {
     # label-mismatch predicate is non-equi by definition
     "llm_sim_mmr_rerank",  # candidate pool comes from the brute-force
     # scorer (same all-pairs shape); swap in any indexed ANN path at scale
+    "llm_sim_sq8_topk",  # compressed brute scan by definition (tiny query
+    # pool broadcast against the int8 code table); compose under IVF cells
+    # for a pruned scan at corpus scale
     "llm_sim_ivf_recall_audit",  # the audit's GROUND TRUTH side is the
     # brute-force scorer by definition (recall needs the exact answer);
     # tiny query set broadcast — the audited IVF side is an equi-join
