@@ -445,13 +445,14 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: r9 window heads with all six r4-era deferrals (the mandated overflow
 #: repayment), so the oldest cohort (r4) is fully covered. The overflow
 #: lands on the r5 cohort instead — the window arithmetic is
-#: 1 flagship + 6 r4 + 3 module-changed + 17 new registrations = 27, so
-#: 23 of the 49 r5 rows fit and 26 wait for the r10 head (all stable
+#: 1 flagship + 6 r4 + 3 module-changed + 18 new registrations = 28, so
+#: 22 of the 49 r5 rows fit and 27 wait for the r10 head (all stable
 #: shapes, re-proven every round by the local oracle replica):
 #: basket_brand_pairs, basket_brand_triples, docs_cube_stats,
 #: dq_check_report, dq_profile_customer, events_anomalous_days,
 #: events_value_deciles, events_zorder_keys, events_zorder_pruning_stats,
-#: j_salted_join_equivalence, llm_lsh_index_upsert, llm_quality_unigram_lm,
+#: j_salted_join_equivalence, llm_domain_quota, llm_lsh_index_upsert,
+#: llm_quality_unigram_lm,
 #: llm_sim_rplsh_topk,
 #: llm_split_leakage, llm_vocab_stats, mm_phash_pairs, orders_benford_digits,
 #: orders_pareto_frontier, orders_value_gini, parts_price_band_pairs,
@@ -462,7 +463,7 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: after CORRECTNESS_r09 lands they become the oldest cohort themselves
 #: and the r10 rebuild starts with them.) The window arithmetic is
 #: re-derived on every in-round registration: 1 flagship + 6 r4 +
-#: 3 module-changed + 17 new = 27, leaving 23 r5 slots.
+#: 3 module-changed + 18 new = 28, leaving 22 r5 slots.
 WINDOW_DEFERRED: frozenset[str] = frozenset()
 
 #: ROUND-9 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r08 union
@@ -472,7 +473,7 @@ WINDOW_DEFERRED: frozenset[str] = frozenset()
 #: after their newest row (llm/dedup.py's duplicated-gram refactor behind
 #: exact_ngrams / span_exposure; harness_analytics' ranker-agreement
 #: oracle guard) + this round's new registrations, then the r5 cohort
-#: oldest-first backfill (23 of 49; the 26 leftovers are documented above
+#: oldest-first backfill (22 of 49; the 27 leftovers are documented above
 #: for the r10 head). Producer-before-consumer holds WITHIN the sweep
 #: order too: llm_dedup_exact_ngrams runs before every dup-gram-artifact
 #: consumer (span_exposure, span_coverage, span_removal, kept_corpus_v3)
@@ -510,7 +511,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_chunk_dedup",
     "llm_quality_bigram_lm",
     "llm_sim_sq8_topk",
-    # r5 cohort backfill (alphabetical; 23 of 49)
+    "er_fs_pattern_counts",
+    # r5 cohort backfill (alphabetical; 22 of 49)
     "docs_bm25_topk",
     "events_activity_streaks",
     "events_countmin_user_counts",
@@ -533,7 +535,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_curation_kept_corpus",
     "llm_curation_kept_corpus_v2",
     "llm_doc_keywords",
-    "llm_domain_quota",
 ]
 
 

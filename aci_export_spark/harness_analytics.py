@@ -2362,6 +2362,47 @@ def er_fuzzy_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "er_fs_pattern_counts",
+    """
+WITH pairs AS (
+    SELECT levenshtein(a.c_name, b.c_name) <= 2 AS g_name_fuzzy,
+           floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0) AS g_balance_band,
+           right(a.c_name, 2) = right(b.c_name, 2) AS g_name_suffix
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+)
+SELECT g_name_fuzzy, g_balance_band, g_name_suffix,
+       COUNT(*)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1, 2, 3
+""",
+    doc="Fellegi-Sunter agreement-pattern frequencies (Fellegi & Sunter "
+    "JASA'69): blocked candidate pairs (nation x segment), comparison "
+    "vector gamma = (name levenshtein<=2, balance band, name suffix), "
+    "exact pair count per pattern — the sufficient statistic m/u "
+    "estimation (EM or labeled counts) consumes. Self-join co-partitioned "
+    "on the blocking key; comparators are JVM codegen expressions; the "
+    "pattern groupBy collapses to <= 2^3 rows map-side",
+)
+def er_fs_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.fuzzy import fs_agreement_patterns
+
+    cust = read_table(spark, sf_dir, "customer")
+    return fs_agreement_patterns(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        agree_exprs={
+            "g_name_fuzzy": F.levenshtein(F.col("a_c_name"), F.col("b_c_name")) <= 2,
+            "g_balance_band": F.floor(F.col("a_c_acctbal") / F.lit(1000.0))
+            == F.floor(F.col("b_c_acctbal") / F.lit(1000.0)),
+            "g_name_suffix": F.expr("right(a_c_name, 2) = right(b_c_name, 2)"),
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # OHLC bars (time-series candle aggregation)
 # ---------------------------------------------------------------------------

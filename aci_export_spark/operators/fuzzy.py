@@ -272,3 +272,46 @@ def edit_distance_pairs(
         .distinct()  # dedup BEFORE the verify: one levenshtein per pair
     )
     return _verify_pairs(cand, df, id_col, name_col, max_distance)
+
+
+def fs_agreement_patterns(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    agree_exprs: dict[str, "F.Column"],
+) -> DataFrame:
+    """Fellegi-Sunter agreement-pattern frequencies (Fellegi & Sunter,
+    JASA 1969): for every blocked candidate pair, evaluate the comparison
+    vector γ (one boolean per field comparator) and count pairs per
+    pattern — the sufficient statistic the FS model's m/u estimation (EM
+    or labeled counts) consumes. The pattern table is the E-step input;
+    emitting it exactly (BIGINT counts, one row per observed pattern)
+    keeps the whole linkage front-end engine-checkable.
+
+    `agree_exprs` maps output column name -> boolean Column over the pair
+    (reference the two sides' fields as ``a_<field>`` / ``b_<field>``).
+
+    Scale shape: the self-join is co-partitioned on the blocking key (one
+    shuffle of each side), per-block volume is quadratic in BLOCK size —
+    the standard linkage discipline is picking blocks that bound it, and
+    a skewed block salts exactly like any skewed join key; comparators
+    (levenshtein etc.) are JVM codegen expressions, no UDF; the pattern
+    groupBy has at most 2^|γ| groups, map-side combined to nothing.
+    """
+    def _side(side: str) -> DataFrame:
+        return df.select(
+            *[F.col(c).alias(f"{side}_{c}") for c in df.columns]
+        )
+
+    cond = F.expr(
+        " AND ".join(
+            [f"a_{c} = b_{c}" for c in block_cols] + [f"a_{id_col} < b_{id_col}"]
+        )
+    )
+    pairs = _side("a").join(_side("b"), cond)
+    gammas = [expr.alias(name) for name, expr in agree_exprs.items()]
+    return (
+        pairs.select(*gammas)
+        .groupBy(*agree_exprs.keys())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
