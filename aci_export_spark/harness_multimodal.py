@@ -344,3 +344,43 @@ FROM samp
 def mm_mp4_sample_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_mp4(read_table(spark, sf_dir, "documents"))
     return MM.mp4_sample_table(media)
+
+
+@register(
+    "mm_bmp_pixel_stats",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+dims AS (
+    SELECT doc_id, 4 + byte_len % 29 AS w, 3 + byte_len % 17 AS h FROM d
+),
+px AS (
+    SELECT doc_id, w, h,
+           (3 * doc_id + 13 * x.x + 17 * y.y) % 256 AS r,
+           (2 * doc_id + 5 * x.x + 11 * y.y) % 256 AS g,
+           (1 * doc_id + 3 * x.x + 7 * y.y) % 256 AS b
+    FROM dims,
+         LATERAL (SELECT unnest(range(0, w)) AS x) x,
+         LATERAL (SELECT unnest(range(0, h)) AS y) y
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       SUM(r)::BIGINT AS sum_r,
+       SUM(g)::BIGINT AS sum_g,
+       SUM(b)::BIGINT AS sum_b,
+       MAX(r + g + b)::BIGINT AS peak_rgb
+FROM px GROUP BY doc_id, w, h
+""",
+    doc="channel statistics over DECODED BMP pixels: synthesize a genuine "
+    "24-bit DIB per document (4-byte row stride with 0xAA pad sentinels; "
+    "even doc_ids bottom-up, odd top-down via negative biHeight), decode "
+    "with the pure struct+numpy BMP reader (multimodal.decode_bmp_pixels "
+    "— honors both orientations, strips stride padding, swaps BGR to "
+    "RGB), and emit exact integer channel sums + peak r+g+b. The oracle "
+    "replays the pixel formula arithmetically — a stride, orientation, "
+    "or channel-order bug breaks the hash. Two mapInPandas stages, no "
+    "shuffle; pixels never leave the executor",
+)
+def mm_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_bmp(read_table(spark, sf_dir, "documents"))
+    return MM.bmp_pixel_stats(media)

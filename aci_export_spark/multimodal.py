@@ -2281,3 +2281,142 @@ def _jpeg_decode_sequential(frame, scan, qtabs, hmax, vmax, mcus_x, mcus_y, np):
                         plane[y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
     return plane[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB): the simplest real raster container — BITMAPFILEHEADER +
+# BITMAPINFOHEADER + uncompressed 24-bit BGR rows, 4-byte-aligned, normally
+# stored BOTTOM-UP (positive biHeight) or top-down (negative biHeight).
+# Synthesis/decode follow the WAV/MP4 discipline: genuine container bytes,
+# exact-integer stats the DuckDB oracle replays arithmetically — a stride,
+# BGR-order, or row-orientation bug breaks the value hash.
+# ---------------------------------------------------------------------------
+
+_BMP_W_BASE, _BMP_W_MOD = 4, 29   # width 4..32 → stride padding 0..3 varies
+_BMP_H_BASE, _BMP_H_MOD = 3, 17   # height 3..19
+
+
+def synth_bmp(doc_id: int, byte_len: int) -> bytes:
+    """A genuine 24-bit uncompressed BMP whose pixels derive from integer
+    arithmetic over (doc_id, x, y): channel c at (x, y) is
+    ``(k_c*doc_id + a_c*x + b_c*y) % 256`` with (k,a,b) = (1,3,7) for B,
+    (2,5,11) for G, (3,13,17) for R, y counted from the TOP. Even doc_ids
+    store rows bottom-up (positive biHeight, the common layout), odd ones
+    top-down (negative biHeight) — decoders must honor both. Row stride is
+    padded to 4 bytes with 0xAA sentinels so a stride bug reads garbage,
+    not zeros."""
+    import struct
+
+    import numpy as np
+
+    w = _BMP_W_BASE + byte_len % _BMP_W_MOD
+    h = _BMP_H_BASE + byte_len % _BMP_H_MOD
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    b = (1 * doc_id + 3 * x + 7 * y) % 256
+    g = (2 * doc_id + 5 * x + 11 * y) % 256
+    r = (3 * doc_id + 13 * x + 17 * y) % 256
+    bgr = np.stack([b, g, r], axis=2).astype(np.uint8)  # (h, w, 3), y=0 top
+    stride = ((w * 3 + 3) // 4) * 4
+    pad = stride - w * 3
+    bottom_up = doc_id % 2 == 0
+    rows = bgr[::-1] if bottom_up else bgr
+    body = b"".join(row.tobytes() + b"\xaa" * pad for row in rows)
+    bi_height = h if bottom_up else -h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, bi_height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return file_hdr + info + body
+
+
+def decode_bmp_pixels(data: bytes):
+    """Decode an uncompressed 24-bit BMP to an RGB numpy array of shape
+    (height, width, 3) with row 0 at the TOP regardless of stored
+    orientation. Pure struct + numpy — no codec dependency. Raises
+    ValueError on a wrong magic, non-BITMAPINFOHEADER DIB, unsupported
+    bit depth/compression, or a truncated pixel array."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("BMP: bad magic/truncated header")
+    off = struct.unpack_from("<I", data, 10)[0]
+    bi_size, w, h_signed = struct.unpack_from("<Iii", data, 14)
+    if bi_size < 40:
+        raise ValueError(f"BMP: unsupported DIB header size {bi_size}")
+    planes, bpp, comp = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"BMP: unsupported bpp={bpp} compression={comp}")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("BMP: non-positive dimensions")
+    h = abs(h_signed)
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(data) < off + stride * h:
+        raise ValueError("BMP: truncated pixel array")
+    arr = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    rows = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage → flip to top-first
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def attach_bmp(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with content = a synthesized REAL BMP per
+    document (:func:`synth_bmp`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_bmp(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+BMP_STATS_SCHEMA = (
+    "doc_id long, width long, height long, sum_r long, sum_g long, "
+    "sum_b long, peak_rgb long"
+)
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image channel statistics over DECODED pixels: exact integer
+    channel sums and the peak r+g+b — the normalization/exposure pass of
+    an image-curation pipeline. One decode + three vectorized sums per
+    asset inside mapInPandas; pixels never leave the executor."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "peak_rgb",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                rgb = decode_bmp_pixels(bytes(content)).astype(np.int64)
+                out["doc_id"].append(int(d))
+                out["height"].append(rgb.shape[0])
+                out["width"].append(rgb.shape[1])
+                out["sum_r"].append(int(rgb[:, :, 0].sum()))
+                out["sum_g"].append(int(rgb[:, :, 1].sum()))
+                out["sum_b"].append(int(rgb[:, :, 2].sum()))
+                out["peak_rgb"].append(int(rgb.sum(axis=2).max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=BMP_STATS_SCHEMA)
