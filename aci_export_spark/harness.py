@@ -445,13 +445,14 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: r9 window heads with all six r4-era deferrals (the mandated overflow
 #: repayment), so the oldest cohort (r4) is fully covered. The overflow
 #: lands on the r5 cohort instead — the window arithmetic is
-#: 1 flagship + 6 r4 + 3 module-changed + 19 new registrations = 29, so
-#: 21 of the 49 r5 rows fit and 28 wait for the r10 head (all stable
+#: 1 flagship + 6 r4 + 3 module-changed + 20 new registrations = 30, so
+#: 20 of the 49 r5 rows fit and 29 wait for the r10 head (all stable
 #: shapes, re-proven every round by the local oracle replica):
 #: basket_brand_pairs, basket_brand_triples, docs_cube_stats,
 #: dq_check_report, dq_profile_customer, events_anomalous_days,
 #: events_value_deciles, events_zorder_keys, events_zorder_pruning_stats,
-#: j_salted_join_equivalence, llm_doc_keywords, llm_domain_quota,
+#: j_salted_join_equivalence, llm_curation_kept_corpus_v2, llm_doc_keywords,
+#: llm_domain_quota,
 #: llm_lsh_index_upsert,
 #: llm_quality_unigram_lm,
 #: llm_sim_rplsh_topk,
@@ -464,7 +465,7 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: after CORRECTNESS_r09 lands they become the oldest cohort themselves
 #: and the r10 rebuild starts with them.) The window arithmetic is
 #: re-derived on every in-round registration: 1 flagship + 6 r4 +
-#: 3 module-changed + 19 new = 29, leaving 21 r5 slots.
+#: 3 module-changed + 20 new = 30, leaving 20 r5 slots.
 WINDOW_DEFERRED: frozenset[str] = frozenset()
 
 #: ROUND-9 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r08 union
@@ -474,7 +475,7 @@ WINDOW_DEFERRED: frozenset[str] = frozenset()
 #: after their newest row (llm/dedup.py's duplicated-gram refactor behind
 #: exact_ngrams / span_exposure; harness_analytics' ranker-agreement
 #: oracle guard) + this round's new registrations, then the r5 cohort
-#: oldest-first backfill (21 of 49; the 28 leftovers are documented above
+#: oldest-first backfill (20 of 49; the 29 leftovers are documented above
 #: for the r10 head). Producer-before-consumer holds WITHIN the sweep
 #: order too: llm_dedup_exact_ngrams runs before every dup-gram-artifact
 #: consumer (span_exposure, span_coverage, span_removal, kept_corpus_v3)
@@ -514,7 +515,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_sim_sq8_topk",
     "er_fs_pattern_counts",
     "mm_bmp_pixel_stats",
-    # r5 cohort backfill (alphabetical; 21 of 49)
+    "events_mad_outliers",
+    # r5 cohort backfill (alphabetical; 20 of 49)
     "docs_bm25_topk",
     "events_activity_streaks",
     "events_countmin_user_counts",
@@ -535,7 +537,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_bloom_membership",
     "llm_compression_ratio",
     "llm_curation_kept_corpus",
-    "llm_curation_kept_corpus_v2",
 ]
 
 

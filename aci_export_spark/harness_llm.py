@@ -857,6 +857,19 @@ norm AS (
 """
 
 
+def _winnow_fps_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared winnowing selection (k=24, w=8) — the fingerprint table both
+    winnow queries consume; built once per corpus snapshot like the dup-gram
+    and pair artifacts (billed to llm_winnow_fingerprints, which registers
+    and runs first)."""
+
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return WN.winnow_fingerprints(docs, "doc_id", "text", k=24, w=8)
+
+    return shared_df(spark, ("winnow_fps", sf_dir, 24, 8), build)
+
+
 @register(
     "llm_winnow_fingerprints",
     f"""
@@ -874,11 +887,15 @@ FROM norm n LEFT JOIN (
     "with rightmost tie-break — selected-set density is provably ~2/(w+1) "
     "of all grams. The rightmost-argmin is ONE window-min pass over packed "
     "h*2^20+(2^20-1-pos) integer keys (no nested windows); per-doc stats "
-    "(grams / full windows / distinct selections) are exact BIGINTs",
+    "(grams / full windows / distinct selections) are exact BIGINTs; owns "
+    "the shared selection artifact llm_winnow_overlap_pairs consumes",
 )
 def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return WN.winnow_stats(docs, "doc_id", "text", k=24, w=8)
+    return WN.winnow_stats(
+        docs, "doc_id", "text", k=24, w=8,
+        fps=_winnow_fps_artifact(spark, sf_dir),
+    )
 
 
 @register(
@@ -905,7 +922,8 @@ HAVING COUNT(*) >= 2
 def llm_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return WN.winnow_overlap_pairs(
-        docs, "doc_id", "text", k=24, w=8, min_shared=2, max_df=50
+        docs, "doc_id", "text", k=24, w=8, min_shared=2, max_df=50,
+        fps=_winnow_fps_artifact(spark, sf_dir),
     )
 
 

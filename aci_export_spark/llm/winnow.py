@@ -103,13 +103,21 @@ def winnow_fingerprints(
 
 
 def winnow_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document winnowing density: total k-grams, full windows, and
     distinct selected fingerprints (expected ~2/(w+1) of grams). Every
     document appears (zero-filled) — the join back is on the doc key the
-    fingerprint pass already partitioned by."""
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    fingerprint pass already partitioned by. Pass a prebuilt `fps` table
+    (from :func:`winnow_fingerprints`, e.g. the harness's shared artifact)
+    to avoid recomputing the selection per consumer."""
+    if fps is None:
+        fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     per_doc = fps.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_fingerprints")
     )
@@ -135,6 +143,7 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 3,
     max_df: int = 50,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """MOSS-style overlap candidates: document pairs sharing >= min_shared
     distinct selected fingerprint HASHES, after dropping stop-grams
@@ -142,13 +151,12 @@ def winnow_overlap_pairs(
     would otherwise drive a quadratic per-key fanout; the paper's MOSS
     deployment does the same culling).
 
-    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b.
+    Returns (doc_a, doc_b, n_shared) with doc_a < doc_b. Pass a prebuilt
+    `fps` table to reuse the selection across consumers.
     """
-    fps = (
-        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-        .select(F.col(id_col).alias("doc"), "fp_hash")
-        .distinct()
-    )
+    if fps is None:
+        fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    fps = fps.select(F.col(id_col).alias("doc"), "fp_hash").distinct()
     df_counts = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
     keep = df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select(
         "fp_hash"
