@@ -384,3 +384,59 @@ FROM px GROUP BY doc_id, w, h
 def mm_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_bmp(read_table(spark, sf_dir, "documents"))
     return MM.bmp_pixel_stats(media)
+
+
+@register(
+    "mm_audio_g711_stats",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+c AS (
+    SELECT d.doc_id, d.byte_len,
+           (d.doc_id * 2654435761 + i.i * 40503) % 256 AS code
+    FROM d, LATERAL (
+        SELECT unnest(range(0, 64 + d.byte_len % 193)) AS i
+    ) i
+),
+lin AS (
+    SELECT doc_id, byte_len,
+           CASE WHEN doc_id % 2 = 0 THEN
+               -- mu-law (ITU G.711): u = ~code; t = ((m<<3)+132)<<e
+               CASE WHEN (255 - code) >= 128
+                    THEN 132 - (((255 - code) % 16) * 8 + 132)
+                             * (1::BIGINT << (((255 - code) % 128) // 16))
+                    ELSE (((255 - code) % 16) * 8 + 132)
+                             * (1::BIGINT << (((255 - code) % 128) // 16)) - 132
+               END
+           ELSE
+               -- A-law: a = code ^ 0x55; segment expansion
+               CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END *
+               CASE WHEN (xor(code, 85) % 128) // 16 = 0
+                         THEN (xor(code, 85) % 16) * 16 + 8
+                    WHEN (xor(code, 85) % 128) // 16 = 1
+                         THEN (xor(code, 85) % 16) * 16 + 264
+                    ELSE ((xor(code, 85) % 16) * 16 + 264)
+                         * (1::BIGINT << ((xor(code, 85) % 128) // 16 - 1))
+               END
+           END AS s
+    FROM c
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law,
+       (64 + byte_len % 193)::BIGINT AS n_samples,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq
+FROM lin GROUP BY doc_id, byte_len
+""",
+    doc="G.711 companded-audio decode (the telephony half of real-world "
+    "WAV): synthesize genuine mu-law (even doc_ids, fmt tag 7) and A-law "
+    "(odd, tag 6) containers, expand to linear with the ITU reference "
+    "integer arithmetic inside decode_wav_samples (no tables, no codec "
+    "dependency), emit exact amplitude stats. The oracle replays the "
+    "companding expansion formula — a sign, bias, or segment-shift bug "
+    "breaks the hash. The law column derives from the container's fmt "
+    "tag, so a synth/decode pairing bug also surfaces",
+)
+def mm_audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_audio_g711(read_table(spark, sf_dir, "documents"))
+    return MM.audio_g711_stats(media)

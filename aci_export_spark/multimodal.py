@@ -1156,14 +1156,17 @@ def decode_wav_samples(data: bytes) -> tuple["object", int, int]:
     the 16-bit range (8-bit unsigned PCM is centered and shifted << 8, the
     usual lossless embedding).
 
-    Supported: integer PCM (format tag 1) at 8/16/24/32-bit and IEEE
+    Supported: integer PCM (format tag 1) at 8/16/24/32-bit, IEEE
     float32/float64 (tag 3, clamped to [-1, 1] and scaled to the int16
     range — the standard lossy projection, noted in the returned values'
-    contract), any channel count; 24/32-bit integer samples reduce to
-    their top 16 bits (the same high-byte projection the PNG 16-bit path
-    uses). Chunk walk honors RIFF word alignment (odd chunk sizes carry a
-    pad byte). Compressed formats (IMA ADPCM, MP3-in-WAV, ...) raise
-    NotImplementedError — entropy/lossy decode needs a codec. Malformed
+    contract), and the G.711 companded codecs — A-law (tag 6) and mu-law
+    (tag 7), expanded with the ITU reference integer arithmetic (no
+    tables, exactly SQL-replayable) to the 16-bit linear domain. Any
+    channel count; 24/32-bit integer samples reduce to their top 16 bits
+    (the same high-byte projection the PNG 16-bit path uses). Chunk walk
+    honors RIFF word alignment (odd chunk sizes carry a pad byte).
+    Adaptive/entropy formats (IMA ADPCM, MP3-in-WAV, ...) raise
+    NotImplementedError — those genuinely need a codec. Malformed
     containers raise ValueError."""
     import struct
 
@@ -1201,11 +1204,25 @@ def decode_wav_samples(data: bytes) -> tuple["object", int, int]:
         smp = np.clip(
             np.round(np.clip(f, -1.0, 1.0) * 32767.0), -32768, 32767
         ).astype(np.int32)
+    elif fmt_tag == 7:  # G.711 mu-law: ITU reference expansion, no tables
+        u = (~np.frombuffer(pcm, dtype=np.uint8)).astype(np.int32) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        smp = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+    elif fmt_tag == 6:  # G.711 A-law: even-bit inversion then segment expand
+        a = (np.frombuffer(pcm, dtype=np.uint8).astype(np.int32)) ^ 0x55
+        seg = (a & 0x70) >> 4
+        m16 = (a & 0x0F) << 4
+        t = np.where(
+            seg == 0,
+            m16 + 8,
+            np.where(seg == 1, m16 + 0x108, (m16 + 0x108) << np.maximum(seg - 1, 0)),
+        )
+        smp = np.where(a & 0x80, t, -t).astype(np.int32)
     elif fmt_tag != 1:
         raise NotImplementedError(
-            f"WAV format tag {fmt_tag} gated: integer PCM (tag 1) and IEEE "
-            "float (tag 3) decode here; compressed WAV (ADPCM, MP3-in-WAV) "
-            "needs a codec"
+            f"WAV format tag {fmt_tag} gated: integer PCM (tag 1), IEEE "
+            "float (tag 3), and G.711 A-law/mu-law (tags 6/7) decode here; "
+            "adaptive/entropy WAV (ADPCM, MP3-in-WAV) needs a codec"
         )
     elif bits == 16:
         smp = np.frombuffer(pcm[: len(pcm) & ~1], dtype="<i2").astype(np.int32)
@@ -2420,3 +2437,90 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stats, schema=BMP_STATS_SCHEMA)
+
+
+def synth_wav_g711(doc_id: int, byte_len: int) -> bytes:
+    """A genuine RIFF/WAVE container carrying G.711 companded audio: even
+    doc_ids use mu-law (format tag 7), odd A-law (tag 6); 8-bit codes
+    derive from the same integer arithmetic as :func:`synth_wav` reduced
+    mod 256, so the expanded linear samples are SQL-replayable through the
+    ITU reference formulas."""
+    import struct
+
+    import numpy as np
+
+    n = _WAV_N_BASE + byte_len % _WAV_N_MOD
+    sr = 8000 + (byte_len % 37) * 1000
+    i = np.arange(n, dtype=np.int64)
+    codes = ((doc_id * _WAV_A + i * _WAV_B) % 256).astype(np.uint8)
+    tag = 7 if doc_id % 2 == 0 else 6
+    fmt = struct.pack("<HHIIHH", tag, 1, sr, sr, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", n) + codes.tobytes()
+        + (b"\x00" if n & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def attach_audio_g711(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with G.711-companded WAV payloads
+    (:func:`synth_wav_g711`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_wav_g711(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+G711_STATS_SCHEMA = (
+    "doc_id long, law string, n_samples long, peak_abs long, sum_abs long, "
+    "sum_sq long"
+)
+
+
+def audio_g711_stats(media: DataFrame) -> DataFrame:
+    """Amplitude statistics over G.711-EXPANDED linear samples: the decode
+    runs the ITU mu-law/A-law integer expansion inside
+    :func:`decode_wav_samples` (format tags 7/6), stats are exact
+    integers. One mapInPandas stage; samples never leave the executor."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import struct
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "law", "n_samples", "peak_abs", "sum_abs", "sum_sq",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                smp, _sr, _ch = decode_wav_samples(data)
+                # law comes from the container's fmt tag, not doc parity —
+                # a wrong synth/decode pairing would surface as a hash break
+                tag = struct.unpack_from("<H", data, 20)[0]
+                s64 = smp.astype(np.int64)
+                out["doc_id"].append(int(d))
+                out["law"].append("mulaw" if tag == 7 else "alaw")
+                out["n_samples"].append(len(smp))
+                out["peak_abs"].append(int(np.abs(s64).max()))
+                out["sum_abs"].append(int(np.abs(s64).sum()))
+                out["sum_sq"].append(int((s64 * s64).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=G711_STATS_SCHEMA)

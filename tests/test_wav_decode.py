@@ -161,3 +161,74 @@ def test_gated_synth_silence_runs_exact():
         q = [r for r in runs if r >= 8]
         assert q, "every gated asset has at least one 32-sample block"
         assert max(q) >= 32
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law expansion (format tags 7 / 6)
+# ---------------------------------------------------------------------------
+
+
+def _ulaw_ref(code: int) -> int:
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_ref(code: int) -> int:
+    a = code ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def _g711_wav(codes: bytes, tag: int) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+        + (b"\x00" if len(codes) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_mulaw_all_codes_match_reference():
+    from aci_export_spark.multimodal import decode_wav_samples
+
+    codes = bytes(range(256))
+    smp, sr, ch = decode_wav_samples(_g711_wav(codes, 7))
+    assert (sr, ch) == (8000, 1) and len(smp) == 256
+    assert [int(x) for x in smp] == [_ulaw_ref(c) for c in range(256)]
+    # canonical anchors: 0xFF -> 0, 0x00 -> -32124, 0x80 -> +32124
+    assert int(smp[0xFF]) == 0
+    assert int(smp[0x00]) == -32124
+    assert int(smp[0x80]) == 32124
+
+
+def test_alaw_all_codes_match_reference():
+    from aci_export_spark.multimodal import decode_wav_samples
+
+    codes = bytes(range(256))
+    smp, _, _ = decode_wav_samples(_g711_wav(codes, 6))
+    assert [int(x) for x in smp] == [_alaw_ref(c) for c in range(256)]
+    # canonical anchors: 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256, 0xAA -> +32256
+    assert int(smp[0x55]) == -8
+    assert int(smp[0xD5]) == 8
+    assert int(smp[0x2A]) == -32256
+    assert int(smp[0xAA]) == 32256
+
+
+def test_adpcm_still_gated():
+    import pytest
+
+    from aci_export_spark.multimodal import decode_wav_samples
+
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav_samples(_g711_wav(bytes(16), 2))
