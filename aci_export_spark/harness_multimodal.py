@@ -440,3 +440,34 @@ FROM lin GROUP BY doc_id, byte_len
 def mm_audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_audio_g711(read_table(spark, sf_dir, "documents"))
     return MM.audio_g711_stats(media)
+
+
+@register(
+    "mm_tiff_pages",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+pg AS (
+    SELECT d.doc_id, d.byte_len, p.p AS page_no
+    FROM d, LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 3)) AS p) p
+)
+SELECT doc_id,
+       CAST(page_no AS BIGINT) AS page_no,
+       CAST(4 + (byte_len + 13 * page_no) % 29 AS BIGINT) AS width,
+       CAST(3 + (byte_len + 7 * page_no) % 17 AS BIGINT) AS height,
+       8::BIGINT AS bits_per_sample,
+       1::BIGINT AS compression,
+       CAST((4 + (byte_len + 13 * page_no) % 29)
+            * (3 + (byte_len + 7 * page_no) % 17) AS BIGINT) AS strip_byte_counts
+FROM pg
+""",
+    doc="multi-page TIFF metadata via a real IFD-chain walk: synthesize "
+    "genuine baseline TIFFs (1-3 linked IFDs; even doc_ids little-endian "
+    "'II', odd big-endian 'MM'), parse with multimodal.parse_tiff_meta — "
+    "byte order applied to every integer field and SHORT values read "
+    "LEFT-JUSTIFIED from the entry value field (the two classic TIFF "
+    "parser bugs; either breaks the hash on half the corpus). One-asset-"
+    "to-page-rows fan-out, mapInPandas, no shuffle",
+)
+def mm_tiff_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_tiff(read_table(spark, sf_dir, "documents"))
+    return MM.tiff_pages(media)

@@ -2524,3 +2524,170 @@ def audio_g711_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stats, schema=G711_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline, both byte orders): header + linked IFD chain, one strip of
+# 8-bit grayscale per page. Exercises the two classic TIFF parser gotchas:
+# byte order applies to EVERY integer (including tag/type/count fields), and
+# values <= 4 bytes live LEFT-JUSTIFIED inside the entry's value field (so a
+# SHORT in a big-endian file occupies bytes 0-1, not 2-3).
+# ---------------------------------------------------------------------------
+
+_TIFF_SHORT, _TIFF_LONG = 3, 4
+
+
+def synth_tiff(doc_id: int, byte_len: int) -> bytes:
+    """A genuine multi-page baseline TIFF: 1 + doc_id % 3 pages, page p
+    sized w = 4 + (byte_len + 13p) % 29, h = 3 + (byte_len + 7p) % 17,
+    8-bit gray, one strip of zeros per page. Even doc_ids are
+    little-endian ('II'), odd big-endian ('MM')."""
+    import struct
+
+    bo = ">" if doc_id % 2 else "<"
+    n_pages = 1 + doc_id % 3
+    dims = [
+        (4 + (byte_len + 13 * p) % 29, 3 + (byte_len + 7 * p) % 17)
+        for p in range(n_pages)
+    ]
+    ifd_size = 2 + 8 * 12 + 4
+    ifd_off = [8 + i * ifd_size for i in range(n_pages)]
+    strip_off, pos = [], 8 + n_pages * ifd_size
+    for w, h in dims:
+        strip_off.append(pos)
+        pos += w * h
+
+    def entry(tag: int, typ: int, value: int) -> bytes:
+        head = struct.pack(f"{bo}HHI", tag, typ, 1)
+        if typ == _TIFF_SHORT:  # left-justified in the 4-byte field
+            return head + struct.pack(f"{bo}H", value) + b"\x00\x00"
+        return head + struct.pack(f"{bo}I", value)
+
+    out = [struct.pack(f"{bo}2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off[0])]
+    for p, (w, h) in enumerate(dims):
+        entries = (
+            entry(256, _TIFF_LONG, w)
+            + entry(257, _TIFF_LONG, h)
+            + entry(258, _TIFF_SHORT, 8)
+            + entry(259, _TIFF_SHORT, 1)
+            + entry(262, _TIFF_SHORT, 1)
+            + entry(273, _TIFF_LONG, strip_off[p])
+            + entry(278, _TIFF_LONG, h)
+            + entry(279, _TIFF_LONG, w * h)
+        )
+        nxt = ifd_off[p + 1] if p + 1 < n_pages else 0
+        out.append(struct.pack(f"{bo}H", 8) + entries + struct.pack(f"{bo}I", nxt))
+    out += [b"\x00" * (w * h) for w, h in dims]
+    return b"".join(out)
+
+
+def parse_tiff_meta(data: bytes) -> list[dict]:
+    """Walk a TIFF's IFD chain and return one dict per page:
+    (page_no, width, height, bits_per_sample, compression,
+    strip_byte_counts). Honors both byte orders end to end; SHORT values
+    are read left-justified from the entry value field per the spec.
+    Raises ValueError on bad magic, truncation, an IFD cycle, or a
+    missing required tag."""
+    import struct
+
+    if len(data) < 8:
+        raise ValueError("TIFF: truncated header")
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("TIFF: bad byte-order magic")
+    magic, off = struct.unpack_from(f"{bo}HI", data, 2)
+    if magic != 42:
+        raise ValueError(f"TIFF: bad magic {magic}")
+    pages, seen = [], set()
+    while off:
+        if off in seen or len(pages) > 10000:
+            raise ValueError("TIFF: IFD cycle")
+        seen.add(off)
+        if off + 2 > len(data):
+            raise ValueError("TIFF: truncated IFD")
+        (n,) = struct.unpack_from(f"{bo}H", data, off)
+        if off + 2 + 12 * n + 4 > len(data):
+            raise ValueError("TIFF: truncated IFD entries")
+        tags = {}
+        for i in range(n):
+            e = off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(f"{bo}HHI", data, e)
+            if cnt == 1 and typ == _TIFF_SHORT:
+                (v,) = struct.unpack_from(f"{bo}H", data, e + 8)
+            elif cnt == 1 and typ == _TIFF_LONG:
+                (v,) = struct.unpack_from(f"{bo}I", data, e + 8)
+            else:  # multi-value/other types unused by the baseline subset
+                continue
+            tags[tag] = v
+        missing = [t for t in (256, 257, 258, 259, 279) if t not in tags]
+        if missing:
+            raise ValueError(f"TIFF: IFD missing required tags {missing}")
+        pages.append(
+            {
+                "page_no": len(pages),
+                "width": tags[256],
+                "height": tags[257],
+                "bits_per_sample": tags[258],
+                "compression": tags[259],
+                "strip_byte_counts": tags[279],
+            }
+        )
+        (off,) = struct.unpack_from(f"{bo}I", data, off + 2 + 12 * n)
+    if not pages:
+        raise ValueError("TIFF: no IFDs")
+    return pages
+
+
+def attach_tiff(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with multi-page TIFF payloads
+    (:func:`synth_tiff`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_tiff(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+TIFF_PAGES_SCHEMA = (
+    "doc_id long, page_no long, width long, height long, "
+    "bits_per_sample long, compression long, strip_byte_counts long"
+)
+
+
+def tiff_pages(media: DataFrame) -> DataFrame:
+    """Per-page TIFF metadata rows via the IFD walker — the multi-page
+    fan-out pattern (one asset row → one row per page), linear growth,
+    mapInPandas, no shuffle."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "page_no", "width", "height", "bits_per_sample",
+                "compression", "strip_byte_counts",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for page in parse_tiff_meta(bytes(content)):
+                    out["doc_id"].append(int(d))
+                    for k, v in page.items():
+                        out[k].append(int(v))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=TIFF_PAGES_SCHEMA)
