@@ -345,3 +345,38 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 )
 def streaming_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.gram_index_stream(spark, sf_dir, n=8, min_docs=2, n_files=5)
+
+
+@register(
+    "streaming_chunk_index",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS t
+    FROM documents
+), chunks AS (
+    SELECT doc_id, md5(array_to_string(list_slice(t, s, s + 63), ' ')) AS chunk_hash
+    FROM toks, unnest(generate_series(1, len(t), 48)) AS u(s)
+    WHERE len(t) >= 1
+)
+SELECT chunk_hash,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occurrences
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    doc="streaming twin of the RAG chunk-dedup INDEX: the corpus arrives "
+    "as a multi-file drop stream (maxFilesPerTrigger=1, disjoint doc_id "
+    "ranges) and every foreachBatch merges the batch's chunk stats into "
+    "the maintained (chunk_hash, n_docs, n_occurrences) table — "
+    "singletons kept so later occurrences promote them; counts add "
+    "exactly because chunking is per-doc and batch doc sets are "
+    "disjoint. Final index filtered to n_docs >= 2 must equal the batch "
+    "rebuild (llm_chunk_dedup's oracle). Raises if the ingest collapsed "
+    "to one micro-batch. State = the index, bounded by distinct chunks",
+)
+def streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.chunk_index_stream(
+        spark, sf_dir, chunk_tokens=64, stride=48, min_docs=2, n_files=5
+    )

@@ -251,6 +251,26 @@ def chunk_dedup_stats(
     )
 
 
+def chunk_stats_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Full per-chunk statistics (chunk_hash, n_docs, n_occurrences)
+    INCLUDING singletons — the maintained INDEX for incremental chunk
+    dedup (:func:`chunk_dedup_stats` is this filtered to n_docs >= 2;
+    singletons must be kept: one delta occurrence turns a singleton into
+    a duplicate). Bucket-store on the hash key in production so the
+    incremental merge is a co-partitioned sum."""
+    chunks = chunk_passages(df, id_col, text_col, chunk_tokens, stride)
+    return chunks.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
 CDC_WINDOW = 16          # rolling-hash window (bytes)
 CDC_MASK = (1 << 6) - 1  # boundary when hash & mask == mask → ~64-byte chunks
 CDC_MIN, CDC_MAX = 32, 512

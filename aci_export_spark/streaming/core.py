@@ -737,43 +737,39 @@ def reconcile_funnel_snapshots(snapshots: DataFrame) -> DataFrame:
     )
 
 
-def gram_index_stream(
+def _file_drop_index_stream(
     spark: SparkSession,
     sf_dir: str,
-    n: int = 8,
-    min_docs: int = 2,
+    delta_fn,
+    merge_fn,
+    stage_key: str,
     n_files: int = 5,
     batch_counter: dict | None = None,
 ) -> DataFrame:
-    """Streaming maintenance of the exact-substring gram-stats INDEX: the
-    documents corpus arrives as a file-drop stream (``maxFilesPerTrigger=1``
-    over a range-partitioned landing dir, so the ingest really spans
-    multiple micro-batches) and every ``foreachBatch`` merges the batch's
-    gram stats into the maintained index via
-    :func:`~aci_export_spark.llm.dedup.merge_gram_stats` — the disjoint-doc
-    contract holds by construction (doc_id range partitioning). The final
-    index filtered to ``n_docs >= min_docs`` must equal the batch rebuild
-    over the whole corpus, which is exactly what the driver oracle checks.
+    """Shared machinery for streaming INDEX maintenance over a file-drop
+    corpus: the documents table is staged into a range-partitioned landing
+    dir (disjoint doc_id ranges → every micro-batch is a disjoint doc set
+    regardless of arrival order), re-read with ``maxFilesPerTrigger=1`` so
+    the ingest genuinely spans multiple micro-batches, and every
+    ``foreachBatch`` merges ``delta_fn(batch)`` into the maintained index
+    via ``merge_fn(index, delta)``.
 
-    State is the index itself (bounded by distinct grams, not stream
-    length), checkpointed per batch so each merge reads compact stats, not
-    a growing lineage. Raises if the stream collapsed to a single
-    micro-batch — a silent one-batch run would "verify" nothing but the
-    batch path (the events-glob lesson, SCALE.md)."""
+    State is the index itself (bounded by distinct keys, not stream
+    length), localCheckpointed per batch so each merge reads compact
+    stats, not a growing lineage. Raises if the stream collapsed to a
+    single micro-batch — a silent one-batch run would "verify" nothing
+    but the batch path (the events-glob lesson, SCALE.md)."""
     import hashlib
     import shutil
 
-    from aci_export_spark.llm.dedup import gram_stats_table, merge_gram_stats
     from aci_export_spark.sources import read_table
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     # md5 keying, not Python hash(): hash() is PYTHONHASHSEED-salted, so
     # every interpreter would mint a fresh landing dir (and the old copies
     # would pile up in /tmp); both dirs are removed in the finally below
-    key = hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:16]
-    stage = f"/tmp/spark_graft_gram_stream_{key}"
-    # multi-file landing dir: doc_id ranges are disjoint, so every
-    # micro-batch is a disjoint doc set regardless of arrival order
+    key = hashlib.md5(f"{sf_dir}:{n_files}:{stage_key}".encode()).hexdigest()[:16]
+    stage = f"/tmp/spark_graft_{stage_key}_stream_{key}"
     docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(
         stage
     )
@@ -787,11 +783,11 @@ def gram_index_stream(
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        delta = gram_stats_table(batch_df, "doc_id", "text", n=n)
+        delta = delta_fn(batch_df)
         if state["index"] is None:
             merged = delta
         else:
-            merged = merge_gram_stats(state["index"], delta)
+            merged = merge_fn(state["index"], delta)
         state["index"] = merged.localCheckpoint(eager=True)
         state["batches"] += 1
 
@@ -813,12 +809,84 @@ def gram_index_stream(
         batch_counter["batches"] = state["batches"]
     if state["batches"] < 2:
         raise RuntimeError(
-            f"gram index stream ran in {state['batches']} micro-batch(es) — "
-            "the incremental merge path was not exercised; check the "
-            "landing dir produced multiple files"
+            f"{stage_key} index stream ran in {state['batches']} "
+            "micro-batch(es) — the incremental merge path was not "
+            "exercised; check the landing dir produced multiple files"
         )
-    return (
-        state["index"]
-        .filter(F.col("n_docs") >= min_docs)
-        .select("gram", "n_docs", "n_occurrences")
+    return state["index"]
+
+
+def gram_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    min_docs: int = 2,
+    n_files: int = 5,
+    batch_counter: dict | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the exact-substring gram-stats INDEX: each
+    micro-batch's gram stats merge into the maintained index via
+    :func:`~aci_export_spark.llm.dedup.merge_gram_stats` — the disjoint-doc
+    contract holds by construction (doc_id range partitioning). The final
+    index filtered to ``n_docs >= min_docs`` must equal the batch rebuild
+    over the whole corpus, which is exactly what the driver oracle checks.
+    (Machinery: :func:`_file_drop_index_stream`.)"""
+    from aci_export_spark.llm.dedup import gram_stats_table, merge_gram_stats
+
+    index = _file_drop_index_stream(
+        spark,
+        sf_dir,
+        delta_fn=lambda b: gram_stats_table(b, "doc_id", "text", n=n),
+        merge_fn=merge_gram_stats,
+        stage_key="gram",
+        n_files=n_files,
+        batch_counter=batch_counter,
+    )
+    return index.filter(F.col("n_docs") >= min_docs).select(
+        "gram", "n_docs", "n_occurrences"
+    )
+
+
+def chunk_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    min_docs: int = 2,
+    n_files: int = 5,
+    batch_counter: dict | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the RAG chunk-dedup INDEX: each
+    micro-batch is chunked (:func:`~aci_export_spark.llm.text.
+    chunk_stats_table`, singletons kept — a singleton plus one delta
+    occurrence becomes a duplicate) and merged into the maintained
+    (chunk_hash, n_docs, n_occurrences) table; distinct-doc counts add
+    exactly because micro-batch doc sets are disjoint AND a document's
+    chunks never straddle batches (chunking is per-doc). Final index
+    filtered to ``n_docs >= min_docs`` must equal the batch rebuild
+    (llm_chunk_dedup's oracle). (Machinery:
+    :func:`_file_drop_index_stream`.)"""
+    from aci_export_spark.llm.text import chunk_stats_table
+
+    def merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
+            base.unionByName(delta)
+            .groupBy("chunk_hash")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_occurrences").alias("n_occurrences"),
+            )
+        )
+
+    index = _file_drop_index_stream(
+        spark,
+        sf_dir,
+        delta_fn=lambda b: chunk_stats_table(b, "doc_id", "text", chunk_tokens, stride),
+        merge_fn=merge,
+        stage_key="chunk",
+        n_files=n_files,
+        batch_counter=batch_counter,
+    )
+    return index.filter(F.col("n_docs") >= min_docs).select(
+        "chunk_hash", "n_docs", "n_occurrences"
     )

@@ -1,0 +1,37 @@
+"""Streaming chunk-index maintenance (streaming/core.chunk_index_stream):
+multi-batch ingest must merge to exactly the batch rebuild, and the
+single-batch degenerate guard must raise."""
+
+from __future__ import annotations
+
+import pytest
+
+from aci_export_spark import streaming as ST
+from aci_export_spark.llm.text import chunk_dedup_stats
+from aci_export_spark.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_merges_to_batch_rebuild(spark):
+    counter: dict = {}
+    out = ST.chunk_index_stream(
+        spark, SF, chunk_tokens=64, stride=48, min_docs=2, n_files=4,
+        batch_counter=counter,
+    )
+    assert counter["batches"] >= 2, "ingest must span multiple micro-batches"
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(
+            tuple,
+            chunk_dedup_stats(
+                read_table(spark, SF, "documents"), "doc_id", "text", 64, 48
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_single_batch_guard_raises(spark):
+    with pytest.raises(RuntimeError, match="micro-batch"):
+        ST.chunk_index_stream(spark, SF, n_files=1)
