@@ -1016,6 +1016,50 @@ def llm_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_lm_scores(docs, "doc_id", "text", novel_max_count=1)
 
 
+@register(
+    "llm_pmi_collocations",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+uni AS (
+    SELECT u.tok, COUNT(*)::BIGINT AS c FROM toks, unnest(t) AS u(tok)
+    GROUP BY u.tok
+), n_tok AS (SELECT SUM(c)::BIGINT AS n FROM uni),
+bi AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*)::BIGINT AS c_xy
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE len(t) >= 2
+    GROUP BY 1, 2
+), m_bi AS (SELECT SUM(c_xy)::BIGINT AS m FROM bi),
+scored AS (
+    SELECT b.w1 || ' ' || b.w2 AS gram, b.c_xy, x.c AS c_x, y.c AS c_y,
+           b.c_xy * n.n * n.n AS pmi_num,
+           m.m * x.c * y.c AS pmi_den,
+           CAST(b.c_xy * n.n * n.n AS DOUBLE) / CAST(m.m * x.c * y.c AS DOUBLE)
+               AS pmi_ratio
+    FROM bi b JOIN uni x ON x.tok = b.w1 JOIN uni y ON y.tok = b.w2
+    CROSS JOIN n_tok n CROSS JOIN m_bi m
+    WHERE b.c_xy >= 5
+)
+SELECT gram, c_xy, c_x, c_y, pmi_num, pmi_den, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, gram ASC) AS rank
+    FROM scored
+) WHERE rank <= 50
+""",
+    doc="PMI collocation extraction: top-50 bigrams by pointwise mutual "
+    "information with min support 5 — PMI's log fold is monotone, so the "
+    "rank comes from the exact rational c_xy*N^2 / (M*c_x*c_y) (numerator "
+    "and denominator emitted as exact BIGINTs, ratio one IEEE division; "
+    "the doc_keywords log-free discipline — at petabyte token counts the "
+    "int64 products overflow and the fold moves to DECIMAL(38) or log "
+    "space). Fit = two map-combined count aggregates; the score join hits "
+    "the unigram table twice on its own key; top-k is "
+    "TakeOrderedAndProject, no global sort",
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.pmi_collocations(docs, "doc_id", "text", min_count=5, k=50)
+
+
 # ---------------------------------------------------------------------------
 # Event-stream surface (batch embodiment; streaming variant in
 # aci_export_spark/streaming with identical logic on readStream)

@@ -251,6 +251,76 @@ def chunk_dedup_stats(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: bigrams whose
+    joint count beats independence, ranked by the exact rational
+    ``c_xy * N^2 / (M * c_x * c_y)`` (PMI's log is monotone, so the log
+    fold is unnecessary for ranking — the log-free doc_keywords
+    discipline). Numerator/denominator emitted as exact BIGINTs beside
+    the one-IEEE-division ratio used for the ordering; ties break on the
+    gram string. At petabyte token counts the int64 products overflow —
+    move the fold to DECIMAL(38) or log space there.
+
+    Plan shape: one corpus scan exploded twice (unigrams, bigrams), both
+    counts map-side combined; the score join hits the unigram table on
+    its own key twice; global N and M are one-row broadcasts; top-k is a
+    sort-limit (TakeOrderedAndProject), never a global sort."""
+    toks = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("__n"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("w1"),
+                        F.element_at("__t", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    m_bi = bi.agg(F.sum("c_xy").alias("__m"))
+    scored = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x")), on="w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y")), on="w2")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(m_bi))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            (F.col("c_xy") * F.col("__n") * F.col("__n")).alias("pmi_num"),
+            (F.col("__m") * F.col("c_x") * F.col("c_y")).alias("pmi_den"),
+            (
+                (F.col("c_xy") * F.col("__n") * F.col("__n")).cast("double")
+                / (F.col("__m") * F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("__ratio"),
+        )
+    )
+    w = Window.orderBy(F.col("__ratio").desc(), F.col("gram").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("gram", "c_xy", "c_x", "c_y", "pmi_num", "pmi_den", "rank")
+    )
+
+
 def chunk_stats_table(
     df: DataFrame,
     id_col: str = "doc_id",

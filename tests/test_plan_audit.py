@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
     "llm_quality_unigram_lm",  # 1-row (total, vocab) aggregate broadcast
     "llm_quality_bigram_lm",  # same shape on the bigram model: 1-row
     # (total, vocab) aggregate broadcast cross
+    "llm_pmi_collocations",  # 1-row N (tokens) and M (bigrams) aggregate
+    # broadcast crosses feeding the rational PMI rank
     "llm_doc_keywords",  # 1-row corpus-count aggregate broadcast
     "basket_brand_pairs",  # 1-row basket-total aggregate broadcast
     "graph_brand_triangles",  # composes basket_brand_pairs (same 1-row cross)
