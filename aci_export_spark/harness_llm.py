@@ -927,6 +927,42 @@ def llm_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_winnow_containment",
+    f"""
+WITH {_SQL_WINNOW_SEL},
+fps AS (SELECT DISTINCT doc_id AS doc, fp_hash FROM sel),
+sizes AS (SELECT doc, COUNT(*)::BIGINT AS n_fp FROM fps GROUP BY doc),
+keep AS (SELECT fp_hash FROM fps GROUP BY fp_hash
+         HAVING COUNT(*) BETWEEN 2 AND 50),
+pr AS (SELECT doc, fp_hash FROM fps JOIN keep USING (fp_hash)),
+pairs AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*)::BIGINT AS n_shared
+    FROM pr a JOIN pr b ON a.fp_hash = b.fp_hash AND a.doc < b.doc
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b
+FROM pairs p JOIN sizes sa ON sa.doc = p.doc_a
+             JOIN sizes sb ON sb.doc = p.doc_b
+""",
+    doc="MOSS match scores: exact (n_shared, n_fp_a, n_fp_b) sufficient "
+    "statistics per overlap-candidate pair — containment(a in b) and "
+    "resemblance are one caller-side division each; high containment "
+    "with asymmetric sizes = one document embedded in another. Consumes "
+    "the shared winnowing selection; the extra cost is two hash joins "
+    "of the per-doc count table (corpus-cardinality, NOT broadcast) "
+    "onto the culled pair table",
+)
+def llm_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return WN.winnow_containment(
+        docs, "doc_id", "text", k=24, w=8, min_shared=2, max_df=50,
+        fps=_winnow_fps_artifact(spark, sf_dir),
+    )
+
+
 #: shared DuckDB rendering of chunk_passages (llm/text.py): 64-token
 #: windows starting every 48 tokens; list_slice's inclusive end s+63 is
 #: Spark's slice(t, s, 64), both truncating at the document tail.

@@ -173,6 +173,54 @@ def winnow_overlap_pairs(
     )
 
 
+def winnow_containment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 50,
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """MOSS match scores: for each overlap-candidate pair, the exact
+    fingerprint-set sizes and shared count — containment(a in b) =
+    n_shared / n_fp_a and resemblance = n_shared / (n_fp_a + n_fp_b −
+    n_shared) are one caller-side division each (the integer sufficient
+    statistics are what's emitted, the log-free discipline). This is the
+    score MOSS ranks its report by: high containment with asymmetric
+    sizes = one document embedded in another; high resemblance = twins.
+
+    Consumes the same selection table as :func:`winnow_overlap_pairs`
+    (pass `fps` to share the artifact); the extra work is two hash joins
+    of the per-doc fingerprint-count table (corpus-cardinality — NOT
+    broadcast) onto the candidate-pair table, which the stop-gram cull
+    already bounded."""
+    if fps is None:
+        fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    pairs = winnow_overlap_pairs(
+        df, id_col, text_col, k=k, w=w,
+        min_shared=min_shared, max_df=max_df, fps=fps,
+    )
+    sizes = (
+        fps.select(F.col(id_col).alias("doc"), "fp_hash")
+        .distinct()
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_fp").alias("n_fp_a")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_fp").alias("n_fp_b")),
+            on="doc_b",
+        )
+        .select("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b")
+    )
+
+
 def _norm_sql_spark(text_col: str) -> str:
     """normalize_text as a Spark SQL string (for use inside F.expr)."""
     return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"

@@ -169,6 +169,15 @@ CD_QUERIES = [
     "er_fuzzy_name_pairs",
     "er_fuzzy_name_pairs_k2",
     "er_fuzzy_entities",
+    # r9 additions: winnowing (char-gram selection + pair join), chunk-level
+    # dedup, bigram-LM fit, SQ8 ADC scan — the alphabet-permuted copies keep
+    # each family's candidate density constant (disjoint gram/chunk/token
+    # spaces per copy; rotated embeddings per copy for the ADC scan)
+    "llm_winnow_fingerprints",
+    "llm_winnow_overlap_pairs",
+    "llm_chunk_dedup",
+    "llm_quality_bigram_lm",
+    "llm_sim_sq8_topk",
 ]
 
 OUT_CD = os.environ.get("STRESS_CD_OUT", "/tmp/stress10x_cd")

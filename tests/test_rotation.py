@@ -132,7 +132,7 @@ def test_bench_order_bills_artifact_producers_first():
         # kmeans model fit (per-process cache)
         "llm_sim_ivf_kmeans_topk": ["llm_dedup_semantic"],
         # shared winnowing selection
-        "llm_winnow_fingerprints": ["llm_winnow_overlap_pairs"],
+        "llm_winnow_fingerprints": ["llm_winnow_overlap_pairs", "llm_winnow_containment"],
     }
     bad = [
         (p, c)
@@ -157,7 +157,7 @@ def test_driver_window_bills_artifact_producers_first():
         ],
         "llm_sim_ivf_kmeans_topk": ["llm_dedup_semantic"],
         "er_fuzzy_name_pairs": ["er_fuzzy_entities"],
-        "llm_winnow_fingerprints": ["llm_winnow_overlap_pairs"],
+        "llm_winnow_fingerprints": ["llm_winnow_overlap_pairs", "llm_winnow_containment"],
         "llm_dedup_minhash_lsh": [
             "llm_dedup_clusters", "llm_dedup_cluster_canonical",
             "llm_dedup_method_agreement", "llm_dedup_lsh_recall_audit",

@@ -130,3 +130,29 @@ def test_too_long_document_raises(spark):
     with pytest.raises(Exception) as ei:
         W.winnow_fingerprints(df, "doc_id", "text").collect()
     assert "POS_SPACE" in str(ei.value)
+
+
+def test_containment_statistics(spark):
+    # doc 1's content is a strict subset of doc 0's -> containment of the
+    # smaller side should be near 1 (every selected fp of 1 also in 0),
+    # and n_shared <= min(n_fp_a, n_fp_b) always.
+    base = ("a long shared passage with plenty of distinct characters to "
+            "select several winnowed fingerprints from reliably")
+    rows = [
+        (0, base + " plus an extra unique tail only doc zero carries here"),
+        (1, base),
+        (2, "totally different text qq ww ee rr tt yy uu ii oo pp aa ss dd"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+    for r in W.winnow_containment(
+            df, "doc_id", "text", k=8, w=4, min_shared=2, max_df=50
+        ).collect()
+    }
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    assert r["n_shared"] <= min(r["n_fp_a"], r["n_fp_b"])
+    # the subset doc's containment: shared / n_fp_b >= 0.8
+    assert r["n_shared"] * 5 >= r["n_fp_b"] * 4
+    assert not any(2 in p for p in got)
