@@ -1358,6 +1358,58 @@ def llm_sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sq8_topk(emb, queries, k=5, shortlist=15)
 
 
+def _ivf_sq8_golden_oracle() -> str:
+    """Golden-VALUES oracle for the IVF-SQ8 search (the IVF-PQ pattern):
+    fit + assignment + quantization + integer ADC + re-rank replayed by an
+    independent single-process numpy implementation reading the parquet
+    directly; sq8_dist rides along as an exact-integer bit check of the
+    quantized-domain ranking."""
+    from aci_export_spark.llm.similarity import ivf_sq8_reference_topk_numpy
+
+    rows = ivf_sq8_reference_topk_numpy(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        k_cells=8, seed=42, sample_rows=2048, nprobe=3, shortlist=15, k=5,
+        n_queries=20,
+    )
+    values = ",".join(f"({q},{n},{d},{r})" for q, n, d, r in rows)
+    return f"""
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(sq8_dist AS BIGINT) AS sq8_dist,
+       CAST(rank AS INTEGER) AS rank
+FROM (VALUES {values}) AS t(query_id, neighbor_id, sq8_dist, rank)
+"""
+
+
+@register(
+    "llm_sim_ivf_sq8_topk",
+    _ivf_sq8_golden_oracle,  # resolved lazily; recall vs brute force is
+    # additionally asserted in tests/test_sq8.py
+    doc="IVF + SQ8 with exact re-rank — the third member of the FAISS "
+    "index matrix beside IVF-flat and IVF-PQ: cell pruning bounds the "
+    "scan, SQ8 bounds the bytes per scanned row (dim int8 codes vs dim*4 "
+    "floats; PQ compresses harder but lossier). Probes carry the query's "
+    "own code; candidate ranking is the exact BIGINT quantized squared-L2 "
+    "(bit-checked by the golden oracle's sq8_dist column); shortlist-only "
+    "vector fetch for the cosine top-k",
+)
+def llm_sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (sf_dir, 8, 42)
+    centroids = _KMEANS_MODEL_CACHE.get(key)
+    if centroids is None:
+        centroids = S.kmeans_fit_sample(
+            emb, k_cells=8, seed=42, sample_rows=2048,
+            sample_arr=_fit_sample(emb, sf_dir),
+        )
+        _KMEANS_MODEL_CACHE[key] = centroids
+    assigned = S.ivf_assign_centroids(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_sq8_topk(
+        assigned, queries, centroids, nprobe=3, shortlist=15, k=5
+    )
+
+
 def _vector_upsert_oracle() -> str:
     """Full SQL oracle for the incremental vector-index maintenance query:
     centroids come from the independent numpy fit (semdedup pattern),

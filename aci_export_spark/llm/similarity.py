@@ -1295,3 +1295,146 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sq8_dist", "adc_rank", "rank")
     )
+
+
+def ivf_sq8_topk(
+    assigned_corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 3,
+    shortlist: int = 15,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF + SQ8 search with exact re-rank — the third member of the FAISS
+    index matrix beside IVF-flat and IVF-PQ: cell pruning bounds the scan,
+    SQ8 bounds the bytes per scanned row (dim int8 codes vs dim·4 floats;
+    PQ compresses harder but lossier).
+
+    1. Queries probe their `nprobe` nearest coarse cells (constant-folded
+       centroid expression) carrying their own SQ8 code.
+    2. The CODE table joins the broadcast probe set on the cell; the
+       candidate distance is the exact BIGINT squared-L2 in the quantized
+       domain (bit-checked by the oracle); per-query (dist, id) window
+       keeps the `shortlist` best.
+    3. Shortlist-only vector fetch for the exact-cosine top-k.
+
+    Returns (query_id, neighbor_id, sq8_dist, rank).
+    """
+    mn, mx = sq8_minmax_fit(assigned_corpus, vec_col)
+    codes = assigned_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col),
+        sq8_code(F.col(vec_col), mn, mx).alias("__cc"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        sq8_code(F.col(vec_col), mn, mx).alias("__qc"),
+        F.explode(
+            F.expr(
+                f"transform(slice({_ranked_cells_sql(centroids, vec_col)}, 1, "
+                f"{int(nprobe)}), p -> p.i)"
+            )
+        ).alias(cell_col),
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("__qc"), F.col("__cc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("sq8_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        codes.join(broadcast(q), on=cell_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sq8_dist", sq_dist)
+        .withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= shortlist)
+        .select("query_id", "neighbor_id", "sq8_dist", "__qv")
+    )
+    vecs = assigned_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = vecs.join(broadcast(short), on="neighbor_id").withColumn(
+        "__cos",
+        dot(F.col("__qv"), F.col("__cv")) / (l2_norm(F.col("__qv")) * F.col("__cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sq8_dist", "rank")
+    )
+
+
+def ivf_sq8_reference_topk_numpy(
+    parquet_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    seed: int = 42,
+    sample_rows: int = 2048,
+    max_iter: int = 20,
+    nprobe: int = 3,
+    shortlist: int = 15,
+    k: int = 5,
+    n_queries: int = 20,
+) -> list[tuple[int, int, int, int]]:
+    """Single-process numpy ground truth for the IVF-SQ8 path (the
+    ivf_reference_topk_numpy pattern extended with the quantized-domain
+    candidate ranking): sample-fit quantizer → assignment → per-dim
+    min/max → SQ8 codes with the frozen expression order → probed-cell
+    integer ADC shortlist → exact cosine top-k. Returns
+    (query_id, neighbor_id, sq8_dist, rank) rows."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = np.asarray(tbl[id_col].to_pylist())
+    vecs = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+    keys = np.array(
+        [
+            int(hashlib.md5(f"{SAMPLE_SALT}{int(i)}".encode()).hexdigest()[:15], 16)
+            for i in ids
+        ]
+    )
+    sample = vecs[np.argsort(keys, kind="stable")[:sample_rows]]
+    cent = np.asarray(_kmeans_numpy(sample, k_cells, seed, max_iter))
+    d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    cell = d2.argmin(1)
+
+    mn, mx = vecs.min(0), vecs.max(0)
+    rng = mx - mn
+    safe = np.where(rng > 0, rng, 1.0)
+    codes = np.where(
+        rng > 0, np.clip(np.floor(((vecs - mn) * 255.0) / safe), 0, 255), 0
+    ).astype(np.int64)
+    norms = np.linalg.norm(vecs, axis=1)
+
+    rows: list[tuple[int, int, int, int]] = []
+    for qi in np.argsort(ids, kind="stable"):
+        qid = int(ids[qi])
+        if qid >= n_queries:
+            continue
+        probe_cells = np.argsort(d2[qi], kind="stable")[:nprobe]
+        cidx = np.nonzero(np.isin(cell, probe_cells) & (ids != qid))[0]
+        dist = ((codes[cidx] - codes[qi]) ** 2).sum(1)
+        sl = sorted(range(len(cidx)), key=lambda j: (dist[j], ids[cidx[j]]))[:shortlist]
+        sidx = cidx[sl]
+        cos = (vecs[sidx] @ vecs[qi]) / (norms[sidx] * norms[qi])
+        order = sorted(range(len(sidx)), key=lambda j: (-cos[j], ids[sidx[j]]))[:k]
+        rows.extend(
+            (qid, int(ids[sidx[j]]), int(dist[sl[j]]), r + 1)
+            for r, j in enumerate(order)
+        )
+    return rows

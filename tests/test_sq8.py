@@ -78,3 +78,27 @@ def test_adc_rank_within_shortlist_bound(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, 6)), f"query {q}"
+
+
+def test_ivf_sq8_recall_vs_bruteforce(spark):
+    from aci_export_spark.llm.similarity import (
+        ivf_assign_centroids,
+        ivf_sq8_topk,
+        kmeans_fit_sample,
+    )
+
+    emb = _emb(spark)
+    cents = kmeans_fit_sample(emb, k_cells=8, seed=42, sample_rows=2048)
+    assigned = ivf_assign_centroids(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got_rows = ivf_sq8_topk(assigned, queries, cents, nprobe=3, shortlist=15, k=5).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    # two approximations stack (cell pruning + 8-bit ADC shortlist);
+    # nprobe=3/8 cells should still recover well over half of exact top-5
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"recall@5 {recall}"
+    assert all(r["sq8_dist"] >= 0 for r in got_rows)
