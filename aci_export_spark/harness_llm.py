@@ -2503,6 +2503,60 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_pii_luhn",
+    """
+WITH enriched AS (
+    SELECT doc_id,
+           text || ' card ' || lpad(CAST((doc_id * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0')
+                || ' ref ' || lpad(CAST((doc_id * 40503 + 7) % 100000000000000 AS VARCHAR), 14, '0') AS text2
+    FROM documents
+), cand AS (
+    SELECT doc_id,
+           regexp_extract_all(text2, '\\b[0-9]{13,19}\\b') AS cands
+    FROM enriched
+), v AS (
+    SELECT doc_id, cands,
+           list_filter(cands,
+               c -> list_sum(list_transform(generate_series(1, length(c)),
+                        i -> CASE WHEN (length(c) - i) % 2 = 1
+                                  THEN CASE WHEN CAST(substr(c, i, 1) AS INT) * 2 > 9
+                                            THEN CAST(substr(c, i, 1) AS INT) * 2 - 9
+                                            ELSE CAST(substr(c, i, 1) AS INT) * 2 END
+                                  ELSE CAST(substr(c, i, 1) AS INT) END)) % 10 = 0
+           ) AS valid
+    FROM cand
+)
+SELECT doc_id,
+       len(cands)::BIGINT AS n_candidates,
+       len(valid)::BIGINT AS n_luhn_valid,
+       md5(COALESCE(array_to_string(list_sort(valid), ','), '')) AS valid_digest
+FROM v
+""",
+    doc="Luhn-validated card-number PII: the checksum pass that separates "
+    "real payment-card numbers from order-id/timestamp digit runs a bare "
+    "13-19-digit regex would flag — candidates per doc are injected "
+    "deterministically (one 16- and one 14-digit run whose validity "
+    "varies by doc_id), the mod-10 checksum runs as a nested aggregate "
+    "expression (no UDF, whole-stage codegen), and the valid set is "
+    "hash-checked. The oracle implements Luhn independently in DuckDB "
+    "list arithmetic, so a doubling-parity or subtract-9 bug breaks it",
+)
+def llm_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" card "),
+            F.lpad(((F.col("doc_id") * 2654435761) % F.lit(10_000_000_000_000_000)).cast("string"), 16, "0"),
+            F.lit(" ref "),
+            F.lpad(((F.col("doc_id") * 40503 + 7) % F.lit(100_000_000_000_000)).cast("string"), 14, "0"),
+        ).alias("text2"),
+    )
+    return T.luhn_card_stats(enriched, "doc_id", "text2")
+
+
+@register(
     "llm_stratified_sample",
     """
 WITH langs AS (

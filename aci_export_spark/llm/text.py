@@ -321,6 +321,45 @@ def pmi_collocations(
     )
 
 
+def luhn_card_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Luhn-validated payment-card detection — the checksum pass that cuts
+    the false positives a bare 13-19-digit regex drowns in (order ids,
+    timestamps, hashes): every digit run of card length is extracted, the
+    Luhn mod-10 checksum evaluated as a pure column expression (nested
+    aggregate over the digit positions — no UDF), and only checksum-valid
+    runs count as PII. Emits exact counts plus an md5 digest of the
+    (sorted) valid runs so the redaction set itself is hash-checked.
+
+    One projection per doc; work is bounded by candidates-per-doc, never
+    corpus-quadratic; stays entirely in whole-stage codegen."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"\b[0-9]{13,19}\b"), 0
+    )
+    # Luhn: from the RIGHT, double every second digit, subtract 9 when > 9;
+    # the nested aggregate is clearer as a SQL string than as DSL lambdas
+    valid = F.expr(
+        f"""
+        filter(regexp_extract_all({text_col}, '\\\\b[0-9]{{13,19}}\\\\b', 0),
+               c -> aggregate(
+                        sequence(1, length(c)),
+                        0,
+                        (acc, i) -> acc + CASE
+                            WHEN (length(c) - i) % 2 = 1
+                            THEN CASE WHEN CAST(substr(c, i, 1) AS INT) * 2 > 9
+                                      THEN CAST(substr(c, i, 1) AS INT) * 2 - 9
+                                      ELSE CAST(substr(c, i, 1) AS INT) * 2 END
+                            ELSE CAST(substr(c, i, 1) AS INT) END
+                    ) % 10 = 0)
+        """
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+        F.md5(F.array_join(F.array_sort(valid), ",")).alias("valid_digest"),
+    )
+
+
 def chunk_stats_table(
     df: DataFrame,
     id_col: str = "doc_id",

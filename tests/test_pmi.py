@@ -31,3 +31,22 @@ def test_min_count_filters(spark):
     rows = T.pmi_collocations(df, "doc_id", "text", min_count=5, k=10).collect()
     assert all(r["c_xy"] >= 5 for r in rows)
     assert "rare pair" not in {r["gram"] for r in rows}
+
+
+def test_luhn_known_vectors(spark):
+    from aci_export_spark.llm import text as T
+
+    rows = [
+        (0, "pay with 4111111111111111 thanks"),       # canonical valid visa
+        (1, "pay with 4111111111111112 thanks"),       # off-by-one: invalid
+        (2, "order 79927398713 is too short, 79927398713000000000 too long"),
+        (3, "amex 378282246310005 and bogus 1234567890123456"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in T.luhn_card_stats(df, "doc_id", "text").collect()}
+    assert got[0]["n_candidates"] == 1 and got[0]["n_luhn_valid"] == 1
+    assert got[1]["n_candidates"] == 1 and got[1]["n_luhn_valid"] == 0
+    # 11-digit and 20-digit runs are outside card length entirely
+    assert got[2]["n_candidates"] == 0
+    # amex (15 digits) valid; the ascending run fails the checksum
+    assert got[3]["n_candidates"] == 2 and got[3]["n_luhn_valid"] == 1
