@@ -2405,6 +2405,66 @@ def er_fs_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_rfm_segments",
+    """
+WITH rfm AS (
+    SELECT o_custkey,
+           date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                     (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+           COUNT(*)::BIGINT AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT *,
+           NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM rfm
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*)::BIGINT AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue,
+       MIN(o_custkey) AS sample_custkey
+FROM scored GROUP BY 1, 2, 3
+""",
+    doc="RFM customer segmentation: recency (days since last order vs the "
+    "corpus max date), frequency, monetary per customer, each cut into "
+    "NTILE(5) quintiles under a deterministic (value, custkey) total "
+    "order, aggregated to the 125-cell segment grid with exact-decimal "
+    "revenue. One orders shuffle on the customer key; the three quintile "
+    "windows run on the customer-cardinality aggregate, not the fact "
+    "table; the global max date is a 1-row broadcast",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    max_date = orders.agg(F.max(F.to_date("o_orderdate")).alias("__maxd"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("monetary"),
+        )
+        .join(broadcast(max_date))
+        .withColumn("recency_days", F.datediff(F.col("__maxd"), F.col("__last")))
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double").alias("segment_revenue"),
+        F.min("o_custkey").alias("sample_custkey"),
+    )
+
+
+@register(
     "events_mad_outliers",
     """
 WITH v AS (

@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "dq_join_key_skew",  # 1-row (n_keys, n_rows) aggregate broadcast
     "dq_value_drift_cells",  # 1-row bounds + totals aggregate broadcasts
     "orders_abc_classification",  # 1-row revenue-total aggregate broadcast
+    "orders_rfm_segments",  # 1-row corpus-max-date aggregate broadcast
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
