@@ -1053,6 +1053,34 @@ def llm_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_readability",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+syl AS (
+    SELECT doc_id, t,
+           list_transform(t, w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)) AS s
+    FROM toks
+)
+SELECT doc_id,
+       len(t)::BIGINT AS n_words,
+       list_sum(s)::BIGINT AS n_syllables,
+       len(list_filter(s, x -> x >= 3))::BIGINT AS n_polysyllables,
+       len(list_filter(t, w -> length(w) > 6))::BIGINT AS n_long_words,
+       CAST(list_sum(s) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_syllables_per_word
+FROM syl
+""",
+    doc="readability profile: exact integer inputs to Flesch/SMOG/LIX "
+    "scores — words, vowel-group syllables (floor 1), polysyllables "
+    "(>=3 groups), long words (>6 chars); the score fold is one "
+    "caller-side division. One projection, no shuffle, whole-stage "
+    "codegen",
+)
+def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.readability_profile(docs, "doc_id", "text")
+
+
+@register(
     "llm_pmi_collocations",
     f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),

@@ -321,6 +321,40 @@ def pmi_collocations(
     )
 
 
+def readability_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Readability inputs as exact integers — the counts Flesch/LIX-style
+    scores fold (the fold itself is one caller-side division): words,
+    syllables (vowel groups [aeiouy]+ per word, floor 1 — the standard
+    dictionary-free approximation), polysyllables (>= 3 groups, the SMOG
+    input), and long words (> 6 chars, the LIX input). One projection,
+    no shuffle, everything in whole-stage codegen."""
+    toks = F.col("__toks")
+    syl = F.transform(
+        toks,
+        lambda w: F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
+        ),
+    )
+    return (
+        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_words"),
+            F.aggregate(syl, F.lit(0), lambda a, x: a + x)
+            .cast("long")
+            .alias("n_syllables"),
+            F.size(F.filter(syl, lambda s: s >= 3)).cast("long").alias("n_polysyllables"),
+            F.size(F.filter(toks, lambda w: F.length(w) > 6))
+            .cast("long")
+            .alias("n_long_words"),
+        )
+        .withColumn(
+            "avg_syllables_per_word",
+            F.col("n_syllables").cast("double") / F.col("n_words").cast("double"),
+        )
+    )
+
+
 def luhn_card_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Luhn-validated payment-card detection — the checksum pass that cuts
     the false positives a bare 13-19-digit regex drowns in (order ids,

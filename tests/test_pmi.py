@@ -50,3 +50,20 @@ def test_luhn_known_vectors(spark):
     assert got[2]["n_candidates"] == 0
     # amex (15 digits) valid; the ascending run fails the checksum
     assert got[3]["n_candidates"] == 2 and got[3]["n_luhn_valid"] == 1
+
+
+def test_readability_hand_counts(spark):
+    from aci_export_spark.llm import text as T
+
+    rows = [
+        (0, "the cat sat"),                       # 3 words, 1 syllable each
+        (1, "extraordinary filtering considered"),  # polysyllabic, long words
+        (2, "zzz xyz"),                           # 'xyz' has vowel-group y; zzz floors to 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in T.readability_profile(df, "doc_id", "text").collect()}
+    assert got[0]["n_words"] == 3 and got[0]["n_syllables"] == 3
+    assert got[0]["n_polysyllables"] == 0 and got[0]["n_long_words"] == 0
+    # extraordinary: e-xtr-ao-rd-i-n-a-r-y -> vowel groups e,ao,i,a,y = 5
+    assert got[1]["n_polysyllables"] == 3 and got[1]["n_long_words"] == 3
+    assert got[2]["n_syllables"] == 2  # floor-1 for zzz, y-group for xyz
