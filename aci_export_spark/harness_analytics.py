@@ -2433,7 +2433,12 @@ FROM scored GROUP BY 1, 2, 3
     "order, aggregated to the 125-cell segment grid with exact-decimal "
     "revenue. One orders shuffle on the customer key; the three quintile "
     "windows run on the customer-cardinality aggregate, not the fact "
-    "table; the global max date is a 1-row broadcast",
+    "table; the global max date is a 1-row broadcast. Scale note: an "
+    "unpartitioned NTILE funnels the customer aggregate through one task "
+    "— exact and fine to ~10^7 customers; past that swap to "
+    "approx-percentile quintile THRESHOLDS (one pass, map-side) joined "
+    "back as range predicates, trading exact 20.0% buckets for "
+    "sketch-accurate ones (the events_sketch_quantiles dial)",
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
