@@ -2801,3 +2801,56 @@ def docs_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=20
     ).withColumnRenamed("neighbor_id", "doc_id")
     return ranker_agreement(sparse, dense)
+
+
+@register(
+    "er_blocking_audit",
+    """
+WITH base AS (
+    SELECT c_custkey AS id, c_name AS name, c_nationkey AS block FROM customer
+), members AS (
+    SELECT block, COUNT(*)::BIGINT AS n_members FROM base GROUP BY block
+), truth AS (
+    SELECT a.block, COUNT(*)::BIGINT AS n_true
+    FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+    GROUP BY a.block
+), var AS (
+    SELECT id, name, block, v
+    FROM base, unnest(list_distinct(list_concat([name],
+         list_transform(generate_series(1, length(name)),
+             i -> substr(name, 1, i - 1) || substr(name, i + 1, length(name) - i))))) AS u(v)
+), cand AS (
+    SELECT DISTINCT a.block, a.id AS id_a, b.id AS id_b,
+           a.name AS name_a, b.name AS name_b
+    FROM var a JOIN var b ON a.block = b.block AND a.v = b.v AND a.id < b.id
+), nc AS (
+    SELECT block, COUNT(*)::BIGINT AS n_candidates FROM cand GROUP BY block
+), nf AS (
+    SELECT block, COUNT(*)::BIGINT AS n_found FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1 GROUP BY block
+)
+SELECT m.block, m.n_members,
+       ((m.n_members * (m.n_members - 1)) // 2)::BIGINT AS n_scoped_pairs,
+       COALESCE(nc.n_candidates, 0)::BIGINT AS n_candidates,
+       COALESCE(t.n_true, 0)::BIGINT AS n_true,
+       COALESCE(nf.n_found, 0)::BIGINT AS n_found,
+       (COALESCE(t.n_true, 0) - COALESCE(nf.n_found, 0))::BIGINT AS n_missed
+FROM members m LEFT JOIN truth t USING (block)
+LEFT JOIN nc USING (block) LEFT JOIN nf USING (block)
+""",
+    doc="blocking-quality audit for the FastSS k=1 linkage pipeline, "
+    "nation-scoped: per block the exact pair space, the deletion-"
+    "neighborhood candidate count (reduction ratio's numerator), the "
+    "within-block brute-force true ed<=1 pairs, the verified finds, and "
+    "n_missed — the FastSS recall theorem emitted AS DATA (must be 0 on "
+    "every block). The audit pays the block-bounded exact path on "
+    "purpose (cf. llm_dedup_lsh_recall_audit); the oracle replays the "
+    "variant construction, candidate join, and truth in DuckDB",
+)
+def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.fuzzy import blocking_audit
+
+    cust = read_table(spark, sf_dir, "customer")
+    return blocking_audit(cust, id_col="c_custkey", name_col="c_name",
+                          block_col="c_nationkey")

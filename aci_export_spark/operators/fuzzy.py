@@ -315,3 +315,88 @@ def fs_agreement_patterns(
         .groupBy(*agree_exprs.keys())
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def blocking_audit(
+    df: DataFrame, id_col: str, name_col: str, block_col: str
+) -> DataFrame:
+    """Blocking-quality report for the FastSS k=1 pipeline, scoped to
+    production-style blocks: per block the exact pair-space size, the
+    candidate count the deletion-neighborhood join produces, the true
+    edit-distance-1 pair count (within-block brute force — the bounded
+    truth side), the candidates that verify, and the misses. The FastSS
+    recall theorem says n_missed == 0; this query emits that claim AS
+    DATA, next to the reduction ratio's exact numerator/denominator
+    (n_candidates vs n_scoped_pairs) — the audit a linkage deployment
+    runs before trusting a blocking scheme (cf. lsh_recall_audit for the
+    MinHash family).
+
+    Scale shape: the truth side is block-bounded brute force (quadratic
+    in BLOCK size, the same discipline as the pair space itself — audits
+    pay the exact path on purpose); candidates come from the linear
+    variant join; every count is a map-combined aggregate on the block
+    key.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.col(block_col).alias("block"),
+    )
+    members = base.groupBy("block").agg(F.count(F.lit(1)).alias("n_members"))
+    scoped = members.withColumn(
+        "n_scoped_pairs",
+        F.expr("(n_members * (n_members - 1)) div 2").cast("long"),
+    )
+    # truth: within-block brute force with exact verify
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "block"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
+    )
+    truth = (
+        a.join(b, on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__match", F.levenshtein("name_a", "name_b") <= 1)
+    )
+    n_true = truth.filter("__match").groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    # candidates: the deletion-neighborhood join, block-scoped, pre-verify
+    var = base.select(
+        "id", "name", "block", F.explode(deletion_variants("name")).alias("v")
+    )
+    va = var.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "block", "v"
+    )
+    vb = var.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block", "v"
+    )
+    cand = (
+        va.join(vb, on=["block", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("block", "id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    n_cand = cand.groupBy("block").agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_found = (
+        cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        scoped.join(n_true, on="block", how="left")
+        .join(n_cand, on="block", how="left")
+        .join(n_found, on="block", how="left")
+        .select(
+            F.col("block"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "n_scoped_pairs",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            (F.coalesce("n_true", F.lit(0)) - F.coalesce("n_found", F.lit(0)))
+            .cast("long")
+            .alias("n_missed"),
+        )
+    )
