@@ -471,3 +471,28 @@ FROM pg
 def mm_tiff_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_tiff(read_table(spark, sf_dir, "documents"))
     return MM.tiff_pages(media)
+
+
+@register(
+    "mm_flac_streaminfo",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents)
+SELECT doc_id,
+       CAST(8000 + (byte_len % 37) * 1000 AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 8 AS BIGINT) AS channels,
+       CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS bits_per_sample,
+       CAST((doc_id * 977 + byte_len * 131) % 68719476736 AS BIGINT) AS total_samples,
+       CAST(((doc_id * 977 + byte_len * 131) % 68719476736) * 1000
+            // (8000 + (byte_len % 37) * 1000) AS BIGINT) AS duration_ms
+FROM d
+""",
+    doc="FLAC STREAMINFO via genuine bit-packed decode: 20-bit sample "
+    "rate, 3-bit channels, 5-bit bits-per-sample and 36-bit total-sample "
+    "fields crossing byte boundaries (the parse byte-aligned readers get "
+    "wrong), block chain walked past a trailing PADDING block; exact "
+    "integer duration. The oracle replays the synthesis arithmetic — a "
+    "shift/mask error breaks the hash. mapInPandas, no shuffle",
+)
+def mm_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_flac(read_table(spark, sf_dir, "documents"))
+    return MM.flac_streaminfo(media)

@@ -2691,3 +2691,147 @@ def tiff_pages(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(parse, schema=TIFF_PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FLAC: 'fLaC' magic + metadata-block chain; STREAMINFO is mandatory-first
+# and BIT-PACKED — the sample rate is 20 bits, channels 3, bits-per-sample
+# 5, total samples 36, all crossing byte boundaries (the parse everyone gets
+# wrong by reading byte-aligned fields). Frames are not touched.
+# ---------------------------------------------------------------------------
+
+
+def synth_flac(doc_id: int, byte_len: int) -> bytes:
+    """A genuine FLAC metadata chain: STREAMINFO (bit-packed per the spec)
+    followed by a PADDING block (exercises the block walk), no frames.
+    Field values derive from (doc_id, byte_len) so the oracle replays
+    them arithmetically."""
+    import struct
+
+    sr = 8000 + (byte_len % 37) * 1000          # fits in 20 bits
+    channels = 1 + doc_id % 8                    # 1..8 -> 3-bit field
+    bps = 8 + (doc_id % 3) * 4                   # 8/12/16 -> 5-bit field
+    total = (doc_id * 977 + byte_len * 131) % (1 << 36)
+    min_bs, max_bs = 4096, 4096
+    min_fs, max_fs = 14, 14 + byte_len % 1000
+    packed = (
+        ((sr & 0xFFFFF) << 44)
+        | ((channels - 1) << 41)
+        | ((bps - 1) << 36)
+        | (total & 0xFFFFFFFFF)
+    )
+    streaminfo = (
+        struct.pack(">HH", min_bs, max_bs)
+        + min_fs.to_bytes(3, "big")
+        + max_fs.to_bytes(3, "big")
+        + packed.to_bytes(8, "big")
+        + bytes(16)  # audio md5 (no frames -> zeros)
+    )
+    assert len(streaminfo) == 34
+    pad = bytes(4 + doc_id % 8)
+    return (
+        b"fLaC"
+        + bytes([0x00]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + bytes([0x80 | 0x01]) + len(pad).to_bytes(3, "big") + pad  # last, PADDING
+    )
+
+
+def parse_flac_streaminfo(data: bytes) -> dict:
+    """Walk the metadata-block chain and decode STREAMINFO's bit-packed
+    fields. Raises ValueError on a bad magic, a first block that is not
+    STREAMINFO (the spec mandates it), a wrong STREAMINFO length, or a
+    truncated chain."""
+    if len(data) < 8 or data[:4] != b"fLaC":
+        raise ValueError("FLAC: bad magic")
+    i = 4
+    first = True
+    info = None
+    while True:
+        if i + 4 > len(data):
+            raise ValueError("FLAC: truncated block header")
+        hdr = data[i]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        blen = int.from_bytes(data[i + 1 : i + 4], "big")
+        body = data[i + 4 : i + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("FLAC: truncated block body")
+        if first:
+            if btype != 0:
+                raise ValueError(f"FLAC: first block type {btype}, not STREAMINFO")
+            if blen != 34:
+                raise ValueError(f"FLAC: STREAMINFO length {blen} != 34")
+            import struct
+
+            min_bs, max_bs = struct.unpack_from(">HH", body, 0)
+            packed = int.from_bytes(body[10:18], "big")
+            sr = (packed >> 44) & 0xFFFFF
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & 0xFFFFFFFFF
+            if sr == 0:
+                raise ValueError("FLAC: zero sample rate")
+            info = {
+                "min_blocksize": min_bs,
+                "max_blocksize": max_bs,
+                "sample_rate": sr,
+                "channels": channels,
+                "bits_per_sample": bps,
+                "total_samples": total,
+                "duration_ms": total * 1000 // sr,
+            }
+            first = False
+        if last:
+            break
+        i += 4 + blen
+    return info
+
+
+def attach_flac(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with FLAC metadata payloads
+    (:func:`synth_flac`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_flac(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+FLAC_INFO_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, bits_per_sample long, "
+    "total_samples long, duration_ms long"
+)
+
+
+def flac_streaminfo(media: DataFrame) -> DataFrame:
+    """STREAMINFO rows via the bit-packed parser. mapInPandas, no shuffle."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "channels", "bits_per_sample",
+                "total_samples", "duration_ms",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                info = parse_flac_streaminfo(bytes(content))
+                out["doc_id"].append(int(d))
+                for k in ("sample_rate", "channels", "bits_per_sample",
+                          "total_samples", "duration_ms"):
+                    out[k].append(int(info[k]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=FLAC_INFO_SCHEMA)
