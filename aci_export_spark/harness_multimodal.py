@@ -496,3 +496,33 @@ FROM d
 def mm_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_flac(read_table(spark, sf_dir, "documents"))
     return MM.flac_streaminfo(media)
+
+
+@register(
+    "mm_mp3_stream_info",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+br AS (SELECT * FROM (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),(7,96),
+       (8,112),(9,128),(10,160),(11,192),(12,224),(13,256),(14,320)) t(idx, kbps)),
+sr AS (SELECT * FROM (VALUES (0,44100),(1,48000),(2,32000)) t(idx, hz))
+SELECT d.doc_id,
+       CAST(4 + d.byte_len % 9 AS BIGINT) AS n_frames,
+       CAST(br.kbps AS BIGINT) AS bitrate_kbps,
+       CAST(sr.hz AS BIGINT) AS sample_rate,
+       CAST((4 + d.byte_len % 9) * 1152 * 1000 // sr.hz AS BIGINT) AS duration_ms
+FROM d JOIN br ON br.idx = 1 + d.doc_id % 14
+       JOIN sr ON sr.idx = d.doc_id % 3
+""",
+    doc="MP3 stream facts via a REAL frame-header walk: each frame's "
+    "length computed from its own header (144*bitrate/samplerate + "
+    "padding, padding alternating per frame so lengths differ), a "
+    "leading ID3v2 tag skipped by its syncsafe size on odd doc_ids; "
+    "CBR bitrate, frame count, exact 1152-samples-per-frame duration. "
+    "A wrong bitrate/samplerate table entry or padding handling desyncs "
+    "the walk and raises; the oracle replays the synthesis arithmetic "
+    "through the same VALUES tables. mapInPandas, no shuffle; frame "
+    "bodies never decoded (Huffman audio is codec-gated)",
+)
+def mm_mp3_stream_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_mp3(read_table(spark, sf_dir, "documents"))
+    return MM.mp3_stream_info(media)

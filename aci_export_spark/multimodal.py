@@ -2835,3 +2835,152 @@ def flac_streaminfo(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(parse, schema=FLAC_INFO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1 Layer III): no sample decode — frame-HEADER walking, which is
+# where real-world duration/bitrate metadata lives. Each frame's length is
+# computed from its own header (144*bitrate/samplerate + padding), so a
+# wrong bitrate table, samplerate table, or padding handling desyncs the
+# walk immediately. An ID3v2 tag (syncsafe size) may precede frame 1.
+# ---------------------------------------------------------------------------
+
+#: MPEG-1 Layer III bitrate table, kbps, index 1..14 (0=free, 15=bad)
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def synth_mp3(doc_id: int, byte_len: int) -> bytes:
+    """A genuine CBR MPEG-1 Layer III frame sequence: 4 + byte_len % 9
+    frames, bitrate index 1 + doc_id % 14, samplerate index doc_id % 3,
+    padding bit alternating per frame (so consecutive frame lengths
+    differ); odd doc_ids get a leading ID3v2.3 tag with a syncsafe size
+    the walker must skip."""
+    bidx = 1 + doc_id % 14
+    sidx = doc_id % 3
+    br = _MP3_BITRATES[bidx] * 1000
+    sr = _MP3_RATES[sidx]
+    n = 4 + byte_len % 9
+    out = bytearray()
+    if doc_id % 2 == 1:
+        tag_body = bytes(10 + doc_id % 50)
+        size = len(tag_body)
+        syncsafe = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3" + bytes([3, 0, 0]) + syncsafe + tag_body
+    for i in range(n):
+        pad = i % 2
+        flen = 144 * br // sr + pad
+        h0 = 0xFF
+        h1 = 0xFB  # sync + MPEG-1 + Layer III + no CRC
+        h2 = (bidx << 4) | (sidx << 2) | (pad << 1)
+        h3 = 0x00  # stereo, no ext, no (c), not original, no emphasis
+        frame = bytes([h0, h1, h2, h3]) + bytes(flen - 4)
+        out += frame
+    return bytes(out)
+
+
+def parse_mp3_frames(data: bytes) -> dict:
+    """Walk MPEG-1 Layer III frames (skipping a leading ID3v2 tag) and
+    return exact stream facts: frame count, the constant bitrate in kbps
+    (-1 if frames disagree, i.e. VBR), sample rate, and integer duration
+    (1152 samples per frame). Raises ValueError on a lost sync, a free/
+    bad bitrate index, a reserved samplerate, or a truncated frame."""
+    i = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("MP3: truncated ID3v2 header")
+        size = (
+            ((data[6] & 0x7F) << 21)
+            | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7)
+            | (data[9] & 0x7F)
+        )
+        i = 10 + size
+    n = 0
+    bitrates = set()
+    sr = None
+    while i < len(data):
+        if i + 4 > len(data):
+            raise ValueError("MP3: truncated frame header")
+        h0, h1, h2, _h3 = data[i : i + 4]
+        if h0 != 0xFF or (h1 & 0xFE) != 0xFA:  # sync + MPEG-1 Layer III
+            raise ValueError(f"MP3: lost sync at offset {i}")
+        bidx = (h2 >> 4) & 0xF
+        sidx = (h2 >> 2) & 0x3
+        pad = (h2 >> 1) & 0x1
+        if bidx in (0, 15):
+            raise ValueError(f"MP3: unsupported bitrate index {bidx}")
+        if sidx == 3:
+            raise ValueError("MP3: reserved samplerate index")
+        br = _MP3_BITRATES[bidx] * 1000
+        this_sr = _MP3_RATES[sidx]
+        if sr is None:
+            sr = this_sr
+        elif sr != this_sr:
+            raise ValueError("MP3: samplerate changed mid-stream")
+        flen = 144 * br // sr + pad
+        if i + flen > len(data):
+            raise ValueError("MP3: truncated frame body")
+        bitrates.add(br)
+        n += 1
+        i += flen
+    if n == 0:
+        raise ValueError("MP3: no frames")
+    cbr = bitrates.pop() // 1000 if len(bitrates) == 1 else -1
+    return {
+        "n_frames": n,
+        "bitrate_kbps": cbr,
+        "sample_rate": sr,
+        "duration_ms": n * 1152 * 1000 // sr,
+    }
+
+
+def attach_mp3(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with MP3 frame-sequence payloads
+    (:func:`synth_mp3`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_mp3(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+MP3_INFO_SCHEMA = (
+    "doc_id long, n_frames long, bitrate_kbps long, sample_rate long, "
+    "duration_ms long"
+)
+
+
+def mp3_stream_info(media: DataFrame) -> DataFrame:
+    """Frame-walk facts per asset. mapInPandas, no shuffle."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "bitrate_kbps", "sample_rate", "duration_ms",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                info = parse_mp3_frames(bytes(content))
+                out["doc_id"].append(int(d))
+                for k in ("n_frames", "bitrate_kbps", "sample_rate", "duration_ms"):
+                    out[k].append(int(info[k]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=MP3_INFO_SCHEMA)
