@@ -380,3 +380,49 @@ def streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.chunk_index_stream(
         spark, sf_dir, chunk_tokens=64, stride=48, min_docs=2, n_files=5
     )
+
+
+@register(
+    "streaming_winnow_index",
+    """
+WITH norm AS (
+    SELECT doc_id,
+           CASE WHEN len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) < 1048576
+                THEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                ELSE error('winnow: document exceeds POS_SPACE chars') END AS s
+    FROM documents
+), grams AS (
+    SELECT doc_id, i - 1 AS pos, len(s) - 24 AS max_pos,
+           ('0x' || substr(md5('win:' || substr(s, i, 24)), 1, 8))::BIGINT AS h
+    FROM norm, unnest(generate_series(1, len(s) - 23)) AS u(i)
+    WHERE len(s) >= 24
+), keyed AS (
+    SELECT doc_id, pos, max_pos,
+           MIN(h * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk
+    FROM grams
+), sel AS (
+    SELECT DISTINCT doc_id, mk // 1048576 AS fp_hash,
+           1048575 - (mk % 1048576) AS fp_pos
+    FROM keyed WHERE pos <= max_pos - 7
+)
+SELECT fp_hash,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_selections
+FROM sel
+GROUP BY fp_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+    doc="streaming twin of the winnowing POSTING index: the corpus arrives "
+    "as a multi-file drop stream and every foreachBatch merges the "
+    "batch's (fp_hash, n_docs, n_selections) stats into the maintained "
+    "table — winnowing selection is per-document, so batch boundaries "
+    "cannot change any doc's selected set and disjoint-doc counts add "
+    "exactly. Final index filtered to n_docs >= 2 equals the batch "
+    "rebuild (the oracle); the overlap-pair candidate vocabulary, "
+    "maintained without re-winnowing the base corpus. Raises on a "
+    "single-batch collapse",
+)
+def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.winnow_index_stream(spark, sf_dir, k=24, w=8, min_docs=2, n_files=5)

@@ -890,3 +890,54 @@ def chunk_index_stream(
     return index.filter(F.col("n_docs") >= min_docs).select(
         "chunk_hash", "n_docs", "n_occurrences"
     )
+
+
+def winnow_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 24,
+    w: int = 8,
+    min_docs: int = 2,
+    n_files: int = 5,
+    batch_counter: dict | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the winnowing fingerprint POSTING index:
+    each micro-batch is winnowed (selection is per-document, so batch
+    boundaries cannot change any doc's selected set) and its
+    (fp_hash, n_docs, n_selections) stats merge into the maintained
+    table; counts add exactly under the disjoint-doc ingest contract.
+    Final index filtered to ``n_docs >= min_docs`` equals the batch
+    rebuild — the overlap-pair candidate vocabulary, maintained without
+    re-winnowing the base corpus. (Machinery:
+    :func:`_file_drop_index_stream`.)"""
+    from aci_export_spark.llm.winnow import winnow_fingerprints
+
+    def delta(batch: DataFrame) -> DataFrame:
+        fps = winnow_fingerprints(batch, "doc_id", "text", k=k, w=w)
+        return fps.groupBy("fp_hash").agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_selections"),
+        )
+
+    def merge(base: DataFrame, d: DataFrame) -> DataFrame:
+        return (
+            base.unionByName(d)
+            .groupBy("fp_hash")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_selections").alias("n_selections"),
+            )
+        )
+
+    index = _file_drop_index_stream(
+        spark,
+        sf_dir,
+        delta_fn=delta,
+        merge_fn=merge,
+        stage_key="winnow",
+        n_files=n_files,
+        batch_counter=batch_counter,
+    )
+    return index.filter(F.col("n_docs") >= min_docs).select(
+        "fp_hash", "n_docs", "n_selections"
+    )

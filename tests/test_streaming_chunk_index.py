@@ -35,3 +35,32 @@ def test_stream_merges_to_batch_rebuild(spark):
 def test_single_batch_guard_raises(spark):
     with pytest.raises(RuntimeError, match="micro-batch"):
         ST.chunk_index_stream(spark, SF, n_files=1)
+
+
+def test_winnow_stream_merges_to_batch_rebuild(spark):
+    import pyspark.sql.functions as F
+
+    from aci_export_spark.llm.winnow import winnow_fingerprints
+
+    counter: dict = {}
+    out = ST.winnow_index_stream(
+        spark, SF, k=24, w=8, min_docs=2, n_files=4, batch_counter=counter
+    )
+    assert counter["batches"] >= 2
+    got = sorted(map(tuple, out.collect()))
+    fps = winnow_fingerprints(
+        read_table(spark, SF, "documents"), "doc_id", "text", k=24, w=8
+    )
+    want = sorted(
+        map(
+            tuple,
+            fps.groupBy("fp_hash")
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_selections"),
+            )
+            .filter(F.col("n_docs") >= 2)
+            .collect(),
+        )
+    )
+    assert got == want and len(want) > 0
