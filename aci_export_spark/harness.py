@@ -445,13 +445,14 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: r9 window heads with all six r4-era deferrals (the mandated overflow
 #: repayment), so the oldest cohort (r4) is fully covered. The overflow
 #: lands on the r5 cohort instead — the window arithmetic is
-#: 1 flagship + 6 r4 + 3 module-changed + 33 new registrations = 43, so
-#: 7 of the 49 r5 rows fit and 42 wait for the r10 head (all stable
+#: 1 flagship + 6 r4 + 3 module-changed + 34 new registrations = 44, so
+#: 6 of the 49 r5 rows fit and 43 wait for the r10 head (all stable
 #: shapes, re-proven every round by the local oracle replica):
 #: basket_brand_pairs, basket_brand_triples, docs_cube_stats,
 #: dq_check_report, dq_profile_customer, events_anomalous_days,
 #: events_value_deciles, events_zorder_keys, events_zorder_pruning_stats,
-#: events_retention_cohorts, events_rolling_active_users, events_scd2_history,
+#: events_pit_state_enrichment, events_retention_cohorts,
+#: events_rolling_active_users, events_scd2_history,
 #: events_sessionization_native, events_time_to_convert,
 #: events_transition_matrix, events_trending_topk,
 #: graph_brand_pagerank,
@@ -476,7 +477,7 @@ WINDOW_BUILT_FROM_ROUND = 8
 #: after CORRECTNESS_r09 lands they become the oldest cohort themselves
 #: and the r10 rebuild starts with them.) The window arithmetic is
 #: re-derived on every in-round registration: 1 flagship + 6 r4 +
-#: 3 module-changed + 33 new = 43, leaving 7 r5 slots.
+#: 3 module-changed + 34 new = 44, leaving 6 r5 slots.
 WINDOW_DEFERRED: frozenset[str] = frozenset()
 
 #: ROUND-9 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r08 union
@@ -486,7 +487,7 @@ WINDOW_DEFERRED: frozenset[str] = frozenset()
 #: after their newest row (llm/dedup.py's duplicated-gram refactor behind
 #: exact_ngrams / span_exposure; harness_analytics' ranker-agreement
 #: oracle guard) + this round's new registrations, then the r5 cohort
-#: oldest-first backfill (7 of 49; the 42 leftovers are documented above
+#: oldest-first backfill (6 of 49; the 43 leftovers are documented above
 #: for the r10 head). Producer-before-consumer holds WITHIN the sweep
 #: order too: llm_dedup_exact_ngrams runs before every dup-gram-artifact
 #: consumer (span_exposure, span_coverage, span_removal, kept_corpus_v3)
@@ -540,14 +541,14 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "mm_flac_streaminfo",
     "mm_mp3_stream_info",
     "streaming_winnow_index",
-    # r5 cohort backfill (alphabetical; 7 of 49)
+    "mm_zip_entries",
+    # r5 cohort backfill (alphabetical; 6 of 49)
     "docs_bm25_topk",
     "events_activity_streaks",
     "events_countmin_user_counts",
     "events_funnel_steps",
     "events_funnel_summary",
     "events_peak_concurrency",
-    "events_pit_state_enrichment",
 ]
 
 

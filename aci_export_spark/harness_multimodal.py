@@ -526,3 +526,38 @@ FROM d JOIN br ON br.idx = 1 + d.doc_id % 14
 def mm_mp3_stream_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_mp3(read_table(spark, sf_dir, "documents"))
     return MM.mp3_stream_info(media)
+
+
+@register(
+    "mm_zip_entries",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+e AS (
+    SELECT d.doc_id, j.j AS entry_no,
+           'f' || lpad(CAST(j.j AS VARCHAR), 2, '0') || '.txt' AS file_name,
+           CAST(10 + (d.doc_id + j.j) % 40 AS BIGINT) AS usize
+    FROM d, LATERAL (SELECT unnest(range(0, 1 + d.byte_len % 5)) AS j) j
+)
+SELECT doc_id, CAST(entry_no AS BIGINT) AS entry_no, file_name,
+       usize AS uncompressed_size,
+       usize AS compressed_size,
+       CAST(COALESCE(SUM(37 + usize) OVER (
+                PARTITION BY doc_id ORDER BY entry_no
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS local_offset
+FROM e
+""",
+    doc="ZIP central-directory walk over genuine archives (the epub/docx/"
+    "jar wrapper): EOCD located by BACKWARD signature scan past a "
+    "variable-length comment (the step offset-zero readers get wrong), "
+    "central entries parsed, each local-header signature cross-checked "
+    "at its offset and the stored data's CRC32 validated during the walk "
+    "— a wrong offset reads wrong bytes and raises. Synthesized archives "
+    "also verify under Python's stdlib zipfile (independent reader "
+    "agreement, pytest). Oracle replays names/sizes and offsets as a "
+    "window cumsum. Compressed methods gated (stored only). mapInPandas, "
+    "asset->entry-rows linear fan-out",
+)
+def mm_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_zip(read_table(spark, sf_dir, "documents"))
+    return MM.zip_entries(media)

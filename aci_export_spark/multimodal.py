@@ -2984,3 +2984,155 @@ def mp3_stream_info(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(parse, schema=MP3_INFO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ZIP (PKWARE): the archive wrapper of epub/docx/jar corpora. The ONLY
+# authoritative entry list is the CENTRAL directory, located via the
+# end-of-central-directory record's signature scanned BACKWARD past a
+# variable-length comment — the step naive offset-zero readers get wrong.
+# Entries here are STORED (method 0); CRC32s are validated against the
+# actual data during the walk (a wrong offset reads wrong bytes and fails
+# loudly), but not emitted — the oracle replays names/sizes/offsets.
+# ---------------------------------------------------------------------------
+
+
+def synth_zip(doc_id: int, byte_len: int) -> bytes:
+    """A genuine ZIP: 1 + byte_len % 5 stored entries (name ``fNN.txt``,
+    data length 10 + (doc_id + j) % 40, bytes (doc_id + j + i) % 256),
+    local headers + central directory + EOCD with a doc_id % 7 byte
+    comment (exercises the backward signature scan)."""
+    import struct
+    import zlib
+
+    n = 1 + byte_len % 5
+    out = bytearray()
+    central = bytearray()
+    offsets = []
+    for j in range(n):
+        name = f"f{j:02d}.txt".encode()
+        size = 10 + (doc_id + j) % 40
+        data = bytes((doc_id + j + i) % 256 for i in range(size))
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        offsets.append(len(out))
+        out += struct.pack(
+            "<IHHHHHIIIHH", 0x04034B50, 20, 0, 0, 0, 0, crc, size, size,
+            len(name), 0,
+        ) + name + data
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 0, 0, 0, crc,
+            size, size, len(name), 0, 0, 0, 0, 0, offsets[j],
+        ) + name
+    cd_off = len(out)
+    out += central
+    comment = bytes(doc_id % 7)
+    out += struct.pack(
+        "<IHHHHIIH", 0x06054B50, 0, 0, n, n, len(central), cd_off, len(comment)
+    ) + comment
+    return bytes(out)
+
+
+def parse_zip_entries(data: bytes) -> list[dict]:
+    """Walk a ZIP via the central directory: locate EOCD by scanning
+    backward for its signature (comment-tolerant), read the directory
+    offset/count, parse each central entry, cross-check the local header
+    signature at its offset, and validate the stored data's CRC32.
+    Raises ValueError on a missing EOCD, entry-count mismatch, bad local
+    signature, short data, or CRC mismatch."""
+    import struct
+    import zlib
+
+    sig = struct.pack("<I", 0x06054B50)
+    lo = max(0, len(data) - 65536 - 22)
+    eocd = data.rfind(sig, lo)
+    if eocd < 0:
+        raise ValueError("ZIP: no end-of-central-directory record")
+    (_s, _dn, _cd, n_here, n_total, _cd_size, cd_off, _clen) = struct.unpack_from(
+        "<IHHHHIIH", data, eocd
+    )
+    entries = []
+    i = cd_off
+    for _ in range(n_total):
+        if struct.unpack_from("<I", data, i)[0] != 0x02014B50:
+            raise ValueError(f"ZIP: bad central-directory signature at {i}")
+        (
+            _sig, _vmade, _vneed, _flags, method, _t, _d, crc, csize, usize,
+            nlen, xlen, clen, _disk, _iattr, _eattr, loff,
+        ) = struct.unpack_from("<IHHHHHHIIIHHHHHII", data, i)
+        name = data[i + 46 : i + 46 + nlen].decode()
+        if method != 0:
+            raise ValueError(f"ZIP: entry {name} method {method} gated (stored only)")
+        if struct.unpack_from("<I", data, loff)[0] != 0x04034B50:
+            raise ValueError(f"ZIP: bad local-header signature for {name}")
+        lnlen, lxlen = struct.unpack_from("<HH", data, loff + 26)
+        dstart = loff + 30 + lnlen + lxlen
+        body = data[dstart : dstart + usize]
+        if len(body) < usize:
+            raise ValueError(f"ZIP: short data for {name}")
+        if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"ZIP: CRC mismatch for {name}")
+        entries.append(
+            {
+                "entry_no": len(entries),
+                "file_name": name,
+                "uncompressed_size": usize,
+                "compressed_size": csize,
+                "local_offset": loff,
+            }
+        )
+        i += 46 + nlen + xlen + clen
+    if len(entries) != n_total:
+        raise ValueError("ZIP: entry count mismatch")
+    return entries
+
+
+def attach_zip(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with ZIP payloads (:func:`synth_zip`).
+    mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_zip(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+ZIP_ENTRIES_SCHEMA = (
+    "doc_id long, entry_no long, file_name string, uncompressed_size long, "
+    "compressed_size long, local_offset long"
+)
+
+
+def zip_entries(media: DataFrame) -> DataFrame:
+    """Central-directory entry rows per archive (CRCs validated during the
+    walk). mapInPandas, no shuffle; asset→entry-rows linear fan-out."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "entry_no", "file_name", "uncompressed_size",
+                "compressed_size", "local_offset",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for e in parse_zip_entries(bytes(content)):
+                    out["doc_id"].append(int(d))
+                    for k in ("entry_no", "file_name", "uncompressed_size",
+                              "compressed_size", "local_offset"):
+                        out[k].append(e[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=ZIP_ENTRIES_SCHEMA)
