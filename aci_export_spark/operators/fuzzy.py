@@ -337,10 +337,18 @@ def blocking_audit(
     variant join; every count is a map-combined aggregate on the block
     key.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(name_col).alias("name"),
-        F.col(block_col).alias("block"),
+    from aci_export_spark.llm.dedup import spread_for_explode
+
+    # the fixture corpus is one parquet file = one input split; without a
+    # spread the broadcast joins below (each task quadratic in its rows x
+    # the broadcast side) serialize through that single task (bench caught
+    # 15s wall / 1-task stages for what is a sub-second parallel plan)
+    base = spread_for_explode(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(name_col).alias("name"),
+            F.col(block_col).alias("block"),
+        )
     )
     members = base.groupBy("block").agg(F.count(F.lit(1)).alias("n_members"))
     scoped = members.withColumn(
@@ -354,8 +362,16 @@ def blocking_audit(
     b = base.select(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
     )
+    # b is corpus-row-count tiny relative to the pair blow-up it feeds, and
+    # AQE's size estimate sees only the INPUT: a plain shuffle join here got
+    # coalesced to ONE task (small input, quadratic output — the classic
+    # estimate trap, caught by the bench at 15s wall for a 0.7s plan).
+    # Broadcasting the build side keeps the quadratic expansion parallel
+    # over a's input splits with no exchange at all.
+    from pyspark.sql.functions import broadcast as _bc
+
     truth = (
-        a.join(b, on="block")
+        a.join(_bc(b), on="block")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("__match", F.levenshtein("name_a", "name_b") <= 1)
     )
@@ -373,7 +389,7 @@ def blocking_audit(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block", "v"
     )
     cand = (
-        va.join(vb, on=["block", "v"])
+        va.join(_bc(vb), on=["block", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("block", "id_a", "id_b", "name_a", "name_b")
         .distinct()
