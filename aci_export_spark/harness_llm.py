@@ -834,9 +834,9 @@ def llm_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_WINNOW_SEL = """
 norm AS (
     SELECT doc_id,
-           CASE WHEN len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) < 1048576
-                THEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-                ELSE error('winnow: document exceeds POS_SPACE chars') END AS s
+           CASE WHEN len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 1048576
+                THEN error('winnow: document exceeds POS_SPACE chars')
+                ELSE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) END AS s
     FROM documents
 ), grams AS (
     SELECT doc_id, i - 1 AS pos, len(s) - 24 AS max_pos,
@@ -975,7 +975,7 @@ chunks AS (
            len(list_slice(t, s, s + 63))::BIGINT AS n_chunk_tokens,
            md5(array_to_string(list_slice(t, s, s + 63), ' ')) AS chunk_hash
     FROM toks, unnest(generate_series(1, len(t), 48)) AS u(s)
-    WHERE len(t) >= 1
+    WHERE len(t) >= 1 AND t[1] <> ''
 )
 """
 
@@ -1055,7 +1055,9 @@ def llm_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_readability",
     f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+WITH toks AS (
+    SELECT doc_id, list_filter({_SQL_TOKS}, w -> w <> '') AS t FROM documents
+),
 syl AS (
     SELECT doc_id, t,
            list_transform(t, w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)) AS s
@@ -1063,10 +1065,12 @@ syl AS (
 )
 SELECT doc_id,
        len(t)::BIGINT AS n_words,
-       list_sum(s)::BIGINT AS n_syllables,
+       COALESCE(list_sum(s), 0)::BIGINT AS n_syllables,
        len(list_filter(s, x -> x >= 3))::BIGINT AS n_polysyllables,
        len(list_filter(t, w -> length(w) > 6))::BIGINT AS n_long_words,
-       CAST(list_sum(s) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_syllables_per_word
+       CASE WHEN len(t) > 0
+            THEN CAST(list_sum(s) AS DOUBLE) / CAST(len(t) AS DOUBLE) END
+           AS avg_syllables_per_word
 FROM syl
 """,
     doc="readability profile: exact integer inputs to Flesch/SMOG/LIX "

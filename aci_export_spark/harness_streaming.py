@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from aci_export_spark.harness import register
+from aci_export_spark.harness_llm import _SQL_CHUNKS, _SQL_WINNOW_SEL
 from aci_export_spark import streaming as ST
 
 
@@ -349,16 +350,8 @@ def streaming_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_chunk_index",
-    """
-WITH toks AS (
-    SELECT doc_id,
-           string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS t
-    FROM documents
-), chunks AS (
-    SELECT doc_id, md5(array_to_string(list_slice(t, s, s + 63), ' ')) AS chunk_hash
-    FROM toks, unnest(generate_series(1, len(t), 48)) AS u(s)
-    WHERE len(t) >= 1
-)
+    f"""
+WITH {_SQL_CHUNKS}
 SELECT chunk_hash,
        COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
        COUNT(*)::BIGINT AS n_occurrences
@@ -373,8 +366,10 @@ HAVING COUNT(DISTINCT doc_id) >= 2
     "singletons kept so later occurrences promote them; counts add "
     "exactly because chunking is per-doc and batch doc sets are "
     "disjoint. Final index filtered to n_docs >= 2 must equal the batch "
-    "rebuild (llm_chunk_dedup's oracle). Raises if the ingest collapsed "
-    "to one micro-batch. State = the index, bounded by distinct chunks",
+    "rebuild; the oracle is built FROM the same _SQL_CHUNKS constant "
+    "llm_chunk_dedup uses, so the two stay in lockstep. Raises if the "
+    "ingest collapsed to one micro-batch. State = the index, bounded by "
+    "distinct chunks",
 )
 def streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.chunk_index_stream(
@@ -384,29 +379,8 @@ def streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_winnow_index",
-    """
-WITH norm AS (
-    SELECT doc_id,
-           CASE WHEN len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) < 1048576
-                THEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-                ELSE error('winnow: document exceeds POS_SPACE chars') END AS s
-    FROM documents
-), grams AS (
-    SELECT doc_id, i - 1 AS pos, len(s) - 24 AS max_pos,
-           ('0x' || substr(md5('win:' || substr(s, i, 24)), 1, 8))::BIGINT AS h
-    FROM norm, unnest(generate_series(1, len(s) - 23)) AS u(i)
-    WHERE len(s) >= 24
-), keyed AS (
-    SELECT doc_id, pos, max_pos,
-           MIN(h * 1048576 + (1048575 - pos)) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk
-    FROM grams
-), sel AS (
-    SELECT DISTINCT doc_id, mk // 1048576 AS fp_hash,
-           1048575 - (mk % 1048576) AS fp_pos
-    FROM keyed WHERE pos <= max_pos - 7
-)
+    f"""
+WITH {_SQL_WINNOW_SEL}
 SELECT fp_hash,
        COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
        COUNT(*)::BIGINT AS n_selections
@@ -420,9 +394,9 @@ HAVING COUNT(DISTINCT doc_id) >= 2
     "table — winnowing selection is per-document, so batch boundaries "
     "cannot change any doc's selected set and disjoint-doc counts add "
     "exactly. Final index filtered to n_docs >= 2 equals the batch "
-    "rebuild (the oracle); the overlap-pair candidate vocabulary, "
-    "maintained without re-winnowing the base corpus. Raises on a "
-    "single-batch collapse",
+    "rebuild; the oracle is built FROM the same _SQL_WINNOW_SEL constant "
+    "the batch winnow queries use, so selection retunes propagate. "
+    "Raises on a single-batch collapse",
 )
 def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.winnow_index_stream(spark, sf_dir, k=24, w=8, min_docs=2, n_files=5)

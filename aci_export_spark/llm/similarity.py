@@ -522,6 +522,44 @@ def kmeans_fit_sample(
     return _kmeans_numpy(arr, k_cells, seed, max_iter)
 
 
+def _reference_fit_assign(
+    parquet_path: str,
+    id_col: str,
+    vec_col: str,
+    k_cells: int,
+    seed: int,
+    sample_rows: int,
+    max_iter: int,
+):
+    """Shared front half of the numpy golden references: parquet read,
+    md5-keyed sample selection (identical to kmeans_fit_sample), seeded
+    kmeans fit, nearest-centroid assignment (argmin = lowest-index
+    tie-break, matching the (distance², index) struct sort in
+    ivf_assign_centroids), and norms. ONE implementation — the IVF-flat
+    and IVF-SQ8 references must not be able to diverge on the fit or
+    assignment conventions."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = np.asarray(tbl[id_col].to_pylist())
+    vecs = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+    keys = np.array(
+        [
+            int(hashlib.md5(f"{SAMPLE_SALT}{int(i)}".encode()).hexdigest()[:15], 16)
+            for i in ids
+        ]
+    )
+    sample = vecs[np.argsort(keys, kind="stable")[:sample_rows]]
+    cent = np.asarray(_kmeans_numpy(sample, k_cells, seed, max_iter))
+    d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    cell = d2.argmin(1)
+    norms = np.linalg.norm(vecs, axis=1)
+    return ids, vecs, d2, cell, norms
+
+
 def ivf_reference_topk_numpy(
     parquet_path: str,
     id_col: str = "vec_id",
@@ -542,31 +580,11 @@ def ivf_reference_topk_numpy(
     against an independent implementation (the CDC-chunking golden-oracle
     pattern). Returns (query_id, neighbor_id, rank) rows.
     """
-    import hashlib
-
     import numpy as np
-    import pyarrow.parquet as pq
 
-    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
-    ids = np.asarray(tbl[id_col].to_pylist())
-    vecs = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
-
-    # identical sample selection to kmeans_fit_sample: smallest 60-bit
-    # md5(salt ++ str(id)) keys (hashing.hash64 semantics)
-    keys = np.array(
-        [
-            int(hashlib.md5(f"{SAMPLE_SALT}{int(i)}".encode()).hexdigest()[:15], 16)
-            for i in ids
-        ]
+    ids, vecs, d2, cell, norms = _reference_fit_assign(
+        parquet_path, id_col, vec_col, k_cells, seed, sample_rows, max_iter
     )
-    sample = vecs[np.argsort(keys, kind="stable")[:sample_rows]]
-    cent = np.asarray(_kmeans_numpy(sample, k_cells, seed, max_iter))
-
-    # nearest-centroid assignment; argmin = lowest-index tie-break, matching
-    # the (distance², index) struct sort in ivf_assign_centroids
-    d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-    cell = d2.argmin(1)
-    norms = np.linalg.norm(vecs, axis=1)
 
     rows: list[tuple[int, int, int]] = []
     for qi in np.argsort(ids, kind="stable"):
@@ -1393,25 +1411,15 @@ def ivf_sq8_reference_topk_numpy(
     candidate ranking): sample-fit quantizer → assignment → per-dim
     min/max → SQ8 codes with the frozen expression order → probed-cell
     integer ADC shortlist → exact cosine top-k. Returns
-    (query_id, neighbor_id, sq8_dist, rank) rows."""
-    import hashlib
-
+    (query_id, neighbor_id, sq8_dist, rank) rows. Fit/assignment come
+    from the SAME helper as the IVF-flat reference
+    (:func:`_reference_fit_assign`) so the two golden oracles cannot
+    diverge on those conventions."""
     import numpy as np
-    import pyarrow.parquet as pq
 
-    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
-    ids = np.asarray(tbl[id_col].to_pylist())
-    vecs = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
-    keys = np.array(
-        [
-            int(hashlib.md5(f"{SAMPLE_SALT}{int(i)}".encode()).hexdigest()[:15], 16)
-            for i in ids
-        ]
+    ids, vecs, d2, cell, norms = _reference_fit_assign(
+        parquet_path, id_col, vec_col, k_cells, seed, sample_rows, max_iter
     )
-    sample = vecs[np.argsort(keys, kind="stable")[:sample_rows]]
-    cent = np.asarray(_kmeans_numpy(sample, k_cells, seed, max_iter))
-    d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-    cell = d2.argmin(1)
 
     mn, mx = vecs.min(0), vecs.max(0)
     rng = mx - mn
@@ -1419,7 +1427,6 @@ def ivf_sq8_reference_topk_numpy(
     codes = np.where(
         rng > 0, np.clip(np.floor(((vecs - mn) * 255.0) / safe), 0, 255), 0
     ).astype(np.int64)
-    norms = np.linalg.norm(vecs, axis=1)
 
     rows: list[tuple[int, int, int, int]] = []
     for qi in np.argsort(ids, kind="stable"):

@@ -209,8 +209,13 @@ def chunk_passages(
     consumers shuffle only on the uniform md5 chunk key.
     """
     toks = F.col("__toks")
+    # the empty/whitespace-only tokenization artifact: split('') = [''] —
+    # one phantom token. Gate on the first token being non-empty or every
+    # empty doc would emit a 1-token chunk hashing to md5(''), and any TWO
+    # empty docs would then read as a duplicated passage downstream.
     starts = F.when(
-        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+        (F.size(toks) >= 1) & (F.element_at(toks, 1) != F.lit("")),
+        F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
@@ -238,16 +243,11 @@ def chunk_dedup_stats(
 ) -> DataFrame:
     """Chunk-level exact dedup: which passage contents appear in more than
     one document (the RAG-index dedup pass — identical passages should be
-    indexed once). Returns (chunk_hash, n_docs, n_occurrences) for chunks
-    seen in >= 2 distinct documents; groupBy key is the uniform md5 hash."""
-    chunks = chunk_passages(df, id_col, text_col, chunk_tokens, stride)
-    return (
-        chunks.groupBy("chunk_hash")
-        .agg(
-            F.countDistinct(id_col).alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
-        )
-        .filter(F.col("n_docs") >= 2)
+    indexed once). Exactly :func:`chunk_stats_table` filtered to chunks
+    seen in >= 2 distinct documents (one aggregation definition to keep
+    in sync); groupBy key is the uniform md5 hash."""
+    return chunk_stats_table(df, id_col, text_col, chunk_tokens, stride).filter(
+        F.col("n_docs") >= 2
     )
 
 
@@ -327,8 +327,10 @@ def readability_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     syllables (vowel groups [aeiouy]+ per word, floor 1 — the standard
     dictionary-free approximation), polysyllables (>= 3 groups, the SMOG
     input), and long words (> 6 chars, the LIX input). One projection,
-    no shuffle, everything in whole-stage codegen."""
-    toks = F.col("__toks")
+    no shuffle, everything in whole-stage codegen. Empty/whitespace-only
+    documents report zero counts and a NULL average (the split('') =
+    [''] phantom token is filtered out, not counted as a word)."""
+    toks = F.filter(F.col("__toks"), lambda w: w != F.lit(""))
     syl = F.transform(
         toks,
         lambda w: F.greatest(
@@ -350,7 +352,10 @@ def readability_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .withColumn(
             "avg_syllables_per_word",
-            F.col("n_syllables").cast("double") / F.col("n_words").cast("double"),
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_syllables").cast("double") / F.col("n_words").cast("double"),
+            ),
         )
     )
 
@@ -366,14 +371,12 @@ def luhn_card_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One projection per doc; work is bounded by candidates-per-doc, never
     corpus-quadratic; stays entirely in whole-stage codegen."""
-    cands = F.regexp_extract_all(
-        F.col(text_col), F.lit(r"\b[0-9]{13,19}\b"), 0
-    )
-    # Luhn: from the RIGHT, double every second digit, subtract 9 when > 9;
+    # the candidate extraction is PROJECTED ONCE and the Luhn filter reads
+    # the column — the full-text regex scan must not be expressed twice;
     # the nested aggregate is clearer as a SQL string than as DSL lambdas
     valid = F.expr(
-        f"""
-        filter(regexp_extract_all({text_col}, '\\\\b[0-9]{{13,19}}\\\\b', 0),
+        """
+        filter(__cands,
                c -> aggregate(
                         sequence(1, length(c)),
                         0,
@@ -386,11 +389,19 @@ def luhn_card_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     ) % 10 = 0)
         """
     )
-    return df.select(
-        F.col(id_col),
-        F.size(cands).cast("long").alias("n_candidates"),
-        F.size(valid).cast("long").alias("n_luhn_valid"),
-        F.md5(F.array_join(F.array_sort(valid), ",")).alias("valid_digest"),
+    return (
+        df.select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"\b[0-9]{13,19}\b"), 0
+            ).alias("__cands"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__cands").cast("long").alias("n_candidates"),
+            F.size(valid).cast("long").alias("n_luhn_valid"),
+            F.md5(F.array_join(F.array_sort(valid), ",")).alias("valid_digest"),
+        )
     )
 
 

@@ -69,10 +69,14 @@ def winnow_fingerprints(
     """
     # Guard the packing radix on BOTH engines (oracle uses error()): a doc
     # longer than POS_SPACE chars would silently corrupt the packed keys.
+    # The raise is on the EXCEEDS branch, not the else: NULL text has NULL
+    # length, matches neither branch, and flows through as NULL — emitting
+    # no grams, like every other text operator (a NULL-row corpus must not
+    # abort the job with a bogus too-long error).
     norm = F.expr(
-        f"CASE WHEN length({_norm_sql_spark(text_col)}) < {POS_SPACE} "
-        f"THEN {_norm_sql_spark(text_col)} "
-        f"ELSE raise_error('winnow: document exceeds POS_SPACE chars') END"
+        f"CASE WHEN length({_norm_sql_spark(text_col)}) >= {POS_SPACE} "
+        f"THEN raise_error('winnow: document exceeds POS_SPACE chars') "
+        f"ELSE {_norm_sql_spark(text_col)} END"
     )
     base = spread_for_explode(df.select(F.col(id_col), norm.alias("__s")))
     s = F.col("__s")

@@ -3045,7 +3045,7 @@ def parse_zip_entries(data: bytes) -> list[dict]:
     sig = struct.pack("<I", 0x06054B50)
     lo = max(0, len(data) - 65536 - 22)
     eocd = data.rfind(sig, lo)
-    if eocd < 0:
+    if eocd < 0 or eocd + 22 > len(data):
         raise ValueError("ZIP: no end-of-central-directory record")
     (_s, _dn, _cd, n_here, n_total, _cd_size, cd_off, _clen) = struct.unpack_from(
         "<IHHHHIIH", data, eocd
@@ -3053,15 +3053,27 @@ def parse_zip_entries(data: bytes) -> list[dict]:
     entries = []
     i = cd_off
     for _ in range(n_total):
+        # every offset below comes from file bytes — bound-check before
+        # reading, so corrupt input raises the documented ValueError, not
+        # struct.error / UnicodeDecodeError out of an executor task
+        if i + 46 > len(data):
+            raise ValueError(f"ZIP: truncated central directory at {i}")
         if struct.unpack_from("<I", data, i)[0] != 0x02014B50:
             raise ValueError(f"ZIP: bad central-directory signature at {i}")
         (
             _sig, _vmade, _vneed, _flags, method, _t, _d, crc, csize, usize,
             nlen, xlen, clen, _disk, _iattr, _eattr, loff,
         ) = struct.unpack_from("<IHHHHHHIIIHHHHHII", data, i)
-        name = data[i + 46 : i + 46 + nlen].decode()
+        if i + 46 + nlen > len(data):
+            raise ValueError(f"ZIP: truncated entry name at {i}")
+        try:
+            name = data[i + 46 : i + 46 + nlen].decode()
+        except UnicodeDecodeError as e:
+            raise ValueError(f"ZIP: undecodable entry name at {i}: {e}") from e
         if method != 0:
             raise ValueError(f"ZIP: entry {name} method {method} gated (stored only)")
+        if loff + 30 > len(data):
+            raise ValueError(f"ZIP: local-header offset out of range for {name}")
         if struct.unpack_from("<I", data, loff)[0] != 0x04034B50:
             raise ValueError(f"ZIP: bad local-header signature for {name}")
         lnlen, lxlen = struct.unpack_from("<HH", data, loff + 26)

@@ -298,6 +298,8 @@ def fs_agreement_patterns(
     (levenshtein etc.) are JVM codegen expressions, no UDF; the pattern
     groupBy has at most 2^|γ| groups, map-side combined to nothing.
     """
+    from aci_export_spark.llm.dedup import spread_for_explode
+
     def _side(side: str) -> DataFrame:
         return df.select(
             *[F.col(c).alias(f"{side}_{c}") for c in df.columns]
@@ -308,7 +310,13 @@ def fs_agreement_patterns(
             [f"a_{c} = b_{c}" for c in block_cols] + [f"a_{id_col} < b_{id_col}"]
         )
     )
-    pairs = _side("a").join(_side("b"), cond)
+    # same one-split trap blocking_audit hit: a single-file source would
+    # serialize the quadratic pair expansion (and its comparators) through
+    # one task — spread the probe side over the cluster and broadcast the
+    # build side so each task expands its rows against the whole block
+    from pyspark.sql.functions import broadcast as _bc
+
+    pairs = spread_for_explode(_side("a")).join(_bc(_side("b")), cond)
     gammas = [expr.alias(name) for name, expr in agree_exprs.items()]
     return (
         pairs.select(*gammas)

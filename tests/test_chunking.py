@@ -59,3 +59,23 @@ def test_overlap_region_tokens_shared(spark):
     assert rows[0]["chunk_hash"] == hashlib.md5(c0.encode()).hexdigest()
     c1 = " ".join(words[48:112])
     assert rows[1]["chunk_hash"] == hashlib.md5(c1.encode()).hexdigest()
+
+
+def test_empty_docs_emit_no_phantom_chunk(spark):
+    # review finding (r9): split('') = [''] produced a 1-token chunk hashing
+    # to md5(''), so two empty docs read as a duplicated passage.
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "real words here")], ["doc_id", "text"]
+    )
+    rows = T.chunk_passages(df, "doc_id", "text", 64, 48).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    assert T.chunk_dedup_stats(df, "doc_id", "text", 64, 48).count() == 0
+
+
+def test_empty_doc_readability_zeroes(spark):
+    got = {r["doc_id"]: r for r in T.readability_profile(
+        spark.createDataFrame([(0, ""), (1, "two words")], ["doc_id", "text"]),
+        "doc_id", "text").collect()}
+    assert got[0]["n_words"] == 0 and got[0]["n_syllables"] == 0
+    assert got[0]["avg_syllables_per_word"] is None
+    assert got[1]["n_words"] == 2

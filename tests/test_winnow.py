@@ -156,3 +156,17 @@ def test_containment_statistics(spark):
     # the subset doc's containment: shared / n_fp_b >= 0.8
     assert r["n_shared"] * 5 >= r["n_fp_b"] * 4
     assert not any(2 in p for p in got)
+
+
+def test_null_text_rows_emit_nothing_not_error(spark):
+    # review finding (r9): the POS_SPACE guard was inverted — NULL text fell
+    # into the raise branch and aborted the job. NULL rows must flow through
+    # as gram-less documents like every other text operator.
+    df = spark.createDataFrame(
+        [(0, "a perfectly ordinary document body"), (1, None)],
+        "doc_id long, text string",
+    )
+    got = W.winnow_fingerprints(df, "doc_id", "text", k=8, w=4).collect()
+    assert {r["doc_id"] for r in got} == {0}
+    stats = {r["doc_id"]: r for r in W.winnow_stats(df, "doc_id", "text", k=8, w=4).collect()}
+    assert stats[1]["n_fingerprints"] == 0
