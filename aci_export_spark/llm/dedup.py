@@ -50,6 +50,34 @@ def _parse_bytes(v: str) -> int:
         return 128 << 20
 
 
+def scan_input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of `df`'s file-source scans, from catalog
+    metadata only (`inputFiles()` + filesystem sizes — no job, no `.rdd`
+    analysis pass). Returns None when the size is UNKNOWABLE this way:
+    a file-less source (in-memory frame, checkpoint scan) or an
+    unreadable path. Callers gating a broadcast on this value must treat
+    None as "unbounded" — the whole point is to never broadcast a side
+    whose size nothing proves."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        path = f
+        if path.startswith("file:"):
+            path = path[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
 def spread_for_explode(df: DataFrame) -> DataFrame:
     """Round-robin repartition a narrow input up to the cluster's default
     parallelism BEFORE a generator amplifies it ~100-1000×.

@@ -264,13 +264,17 @@ def pmi_collocations(
     fold is unnecessary for ranking — the log-free doc_keywords
     discipline). Numerator/denominator emitted as exact BIGINTs beside
     the one-IEEE-division ratio used for the ordering; ties break on the
-    gram string. At petabyte token counts the int64 products overflow —
-    move the fold to DECIMAL(38) or log space there.
+    gram string. The products are computed in DECIMAL(38,0) and checked
+    against the BIGINT range with an explicit raise — at token counts
+    where ``c_xy * N²`` outgrows int64 the query FAILS LOUDLY (like the
+    ANSI/DuckDB oracle) instead of wrapping to wrong ranks; rerank in log
+    space there.
 
     Plan shape: one corpus scan exploded twice (unigrams, bigrams), both
     counts map-side combined; the score join hits the unigram table on
     its own key twice; global N and M are one-row broadcasts; top-k is a
-    sort-limit (TakeOrderedAndProject), never a global sort."""
+    sort-limit (TakeOrderedAndProject) with row_number applied AFTER the
+    limit over the k survivors — never a global window sort."""
     toks = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__t"))
     uni = (
         toks.select(F.explode("__t").alias("tok"))
@@ -294,6 +298,24 @@ def pmi_collocations(
     ).select("p.w1", "p.w2")
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
     m_bi = bi.agg(F.sum("c_xy").alias("__m"))
+    # exact products in DECIMAL(38,0): three int64 factors can reach ~1e56,
+    # and non-ANSI Spark would silently WRAP a bare int64 product (DuckDB
+    # raises) — decimal overflow instead yields NULL, which the checked
+    # cast below converts into the same loud failure the oracle gives
+    def _dec(c: "F.Column") -> "F.Column":
+        return c.cast("decimal(38,0)")
+
+    def _checked_long(c: "F.Column", what: str) -> "F.Column":
+        return F.when(
+            c.isNull() | (c > F.lit(2**63 - 1).cast("decimal(38,0)")),
+            F.raise_error(
+                F.lit(f"pmi_collocations: {what} overflows BIGINT — "
+                      "rerank in log space at this token count")
+            ).cast("decimal(38,0)"),
+        ).otherwise(c).cast("long")
+
+    num = _dec(F.col("c_xy")) * _dec(F.col("__n")) * _dec(F.col("__n"))
+    den = _dec(F.col("__m")) * _dec(F.col("c_x")) * _dec(F.col("c_y"))
     scored = (
         bi.filter(F.col("c_xy") >= min_count)
         .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x")), on="w1")
@@ -305,18 +327,19 @@ def pmi_collocations(
             "c_xy",
             "c_x",
             "c_y",
-            (F.col("c_xy") * F.col("__n") * F.col("__n")).alias("pmi_num"),
-            (F.col("__m") * F.col("c_x") * F.col("c_y")).alias("pmi_den"),
-            (
-                (F.col("c_xy") * F.col("__n") * F.col("__n")).cast("double")
-                / (F.col("__m") * F.col("c_x") * F.col("c_y")).cast("double")
-            ).alias("__ratio"),
+            _checked_long(num, "c_xy * N^2").alias("pmi_num"),
+            _checked_long(den, "M * c_x * c_y").alias("pmi_den"),
+            (num.cast("double") / den.cast("double")).alias("__ratio"),
         )
     )
+    # global top-k as sort-limit (TakeOrderedAndProject: per-partition
+    # partial top-k, no single-task global window sort); row_number runs
+    # AFTER the limit, over <= k rows — the only single-task stage left is
+    # k-bounded by construction
+    top = scored.orderBy(F.col("__ratio").desc(), F.col("gram").asc()).limit(k)
     w = Window.orderBy(F.col("__ratio").desc(), F.col("gram").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("gram", "c_xy", "c_x", "c_y", "pmi_num", "pmi_den", "rank")
     )
 

@@ -69,15 +69,21 @@ def winnow_fingerprints(
     """
     # Guard the packing radix on BOTH engines (oracle uses error()): a doc
     # longer than POS_SPACE chars would silently corrupt the packed keys.
+    # Built from the SAME normalize_text Column winnow_stats uses for
+    # n_grams/n_windows — a parallel SQL rendering could drift silently
+    # and corrupt fingerprint positions relative to the stats (r9 ADVICE).
     # The raise is on the EXCEEDS branch, not the else: NULL text has NULL
-    # length, matches neither branch, and flows through as NULL — emitting
-    # no grams, like every other text operator (a NULL-row corpus must not
-    # abort the job with a bogus too-long error).
-    norm = F.expr(
-        f"CASE WHEN length({_norm_sql_spark(text_col)}) >= {POS_SPACE} "
-        f"THEN raise_error('winnow: document exceeds POS_SPACE chars') "
-        f"ELSE {_norm_sql_spark(text_col)} END"
-    )
+    # length, matches neither branch (NULL condition = not taken), and
+    # flows through as NULL — emitting no grams, like every other text
+    # operator (a NULL-row corpus must not abort the job with a bogus
+    # too-long error).
+    norm_c = normalize_text(F.col(text_col))
+    norm = F.when(
+        F.length(norm_c) >= POS_SPACE,
+        F.raise_error(F.lit("winnow: document exceeds POS_SPACE chars")).cast(
+            "string"
+        ),
+    ).otherwise(norm_c)
     base = spread_for_explode(df.select(F.col(id_col), norm.alias("__s")))
     s = F.col("__s")
     # gram start offsets 0..len-k (empty for short docs)
@@ -225,6 +231,3 @@ def winnow_containment(
     )
 
 
-def _norm_sql_spark(text_col: str) -> str:
-    """normalize_text as a Spark SQL string (for use inside F.expr)."""
-    return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"

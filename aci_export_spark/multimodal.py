@@ -3044,8 +3044,21 @@ def parse_zip_entries(data: bytes) -> list[dict]:
 
     sig = struct.pack("<I", 0x06054B50)
     lo = max(0, len(data) - 65536 - 22)
-    eocd = data.rfind(sig, lo)
-    if eocd < 0 or eocd + 22 > len(data):
+    # scan BACKWARD and accept a candidate only when its comment length
+    # reaches exactly end-of-file: a bare rfind would lock onto a
+    # 0x06054b50 byte pattern INSIDE a trailing archive comment and
+    # mis-parse the directory (r9 ADVICE; the synthesized corpus was safe
+    # only because its comments are zero bytes)
+    eocd = -1
+    pos = data.rfind(sig, lo)
+    while pos >= 0:
+        if pos + 22 <= len(data):
+            clen = struct.unpack_from("<H", data, pos + 20)[0]
+            if pos + 22 + clen == len(data):
+                eocd = pos
+                break
+        pos = data.rfind(sig, lo, pos)
+    if eocd < 0:
         raise ValueError("ZIP: no end-of-central-directory record")
     (_s, _dn, _cd, n_here, n_total, _cd_size, cd_off, _clen) = struct.unpack_from(
         "<IHHHHIIH", data, eocd

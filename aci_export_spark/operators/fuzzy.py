@@ -22,8 +22,60 @@ block-join-then-verify discipline, third string metric. The verify is one
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def pair_expansion_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: "Column | list[str]",
+    probe_keys: list[str],
+    build_keys: list[str],
+) -> DataFrame:
+    """Blocked pair-expansion join (output quadratic in block size, input
+    bytes tiny) with a SIZE-CONDITIONED build-side broadcast — never a bare
+    hint on a side that grows with the corpus (r9 verdict finding #1).
+
+    Two traps pull in opposite directions here:
+
+    - AQE's one-task trap: partition coalescing sizes partitions by INPUT
+      shuffle bytes and is blind to the quadratic pair output, so a plain
+      shuffle join over a small scan collapses to one task and serializes
+      the expansion + comparators (bench caught 15 s wall for a 0.7 s
+      plan).
+    - The broadcast trap: an unconditional `broadcast(build)` fixes the
+      above but OOMs driver/executors once the corpus-projection build
+      side outgrows memory — a hint is forever, data isn't.
+
+    Resolution: broadcast ONLY when scan file metadata PROVES the build
+    side fits `spark.sql.autoBroadcastJoinThreshold`
+    (:func:`~aci_export_spark.llm.dedup.scan_input_bytes`; unknown size =
+    unbounded = no broadcast), spreading the probe side so the expansion
+    parallelizes over its splits with zero exchanges. Otherwise
+    co-partition BOTH sides on the block key with an explicit keyed
+    repartition at default parallelism — AQE never coalesces an explicit
+    repartition, so the bytes-tiny/compute-huge join keeps N tasks (the
+    `jaccard_pairs_prefix` pair-stage discipline, `llm/dedup.py`); the
+    keys match the join's equi-columns so no extra exchange is introduced.
+    A skewed block then salts exactly like any skewed join key.
+    """
+    from aci_export_spark.llm.dedup import (
+        _parse_bytes,
+        scan_input_bytes,
+        spread_for_explode,
+    )
+
+    thresh = _parse_bytes(
+        probe.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    size = scan_input_bytes(build)
+    if size is not None and 0 <= size <= thresh:
+        return spread_for_explode(probe).join(F.broadcast(build), on)
+    n = probe.sparkSession.sparkContext.defaultParallelism
+    return probe.repartition(n, *probe_keys).join(
+        build.repartition(n, *build_keys), on
+    )
 
 
 def deletion_variants(name_col: str) -> "F.Column":
@@ -291,14 +343,15 @@ def fs_agreement_patterns(
     `agree_exprs` maps output column name -> boolean Column over the pair
     (reference the two sides' fields as ``a_<field>`` / ``b_<field>``).
 
-    Scale shape: the self-join is co-partitioned on the blocking key (one
-    shuffle of each side), per-block volume is quadratic in BLOCK size —
+    Scale shape: the self-join goes through :func:`pair_expansion_join` —
+    build side broadcast only when scan metadata proves it small, else
+    co-partitioned on the blocking key with the pair stage pinned at
+    default parallelism; per-block volume is quadratic in BLOCK size —
     the standard linkage discipline is picking blocks that bound it, and
     a skewed block salts exactly like any skewed join key; comparators
     (levenshtein etc.) are JVM codegen expressions, no UDF; the pattern
     groupBy has at most 2^|γ| groups, map-side combined to nothing.
     """
-    from aci_export_spark.llm.dedup import spread_for_explode
 
     def _side(side: str) -> DataFrame:
         return df.select(
@@ -310,13 +363,13 @@ def fs_agreement_patterns(
             [f"a_{c} = b_{c}" for c in block_cols] + [f"a_{id_col} < b_{id_col}"]
         )
     )
-    # same one-split trap blocking_audit hit: a single-file source would
-    # serialize the quadratic pair expansion (and its comparators) through
-    # one task — spread the probe side over the cluster and broadcast the
-    # build side so each task expands its rows against the whole block
-    from pyspark.sql.functions import broadcast as _bc
-
-    pairs = spread_for_explode(_side("a")).join(_bc(_side("b")), cond)
+    pairs = pair_expansion_join(
+        _side("a"),
+        _side("b"),
+        cond,
+        probe_keys=[f"a_{c}" for c in block_cols],
+        build_keys=[f"b_{c}" for c in block_cols],
+    )
     gammas = [expr.alias(name) for name, expr in agree_exprs.items()]
     return (
         pairs.select(*gammas)
@@ -341,22 +394,15 @@ def blocking_audit(
 
     Scale shape: the truth side is block-bounded brute force (quadratic
     in BLOCK size, the same discipline as the pair space itself — audits
-    pay the exact path on purpose); candidates come from the linear
-    variant join; every count is a map-combined aggregate on the block
-    key.
+    pay the exact path on purpose) through :func:`pair_expansion_join`
+    (size-conditioned broadcast, co-partitioned block-key fallback);
+    candidates come from the linear variant join through the same helper;
+    every count is a map-combined aggregate on the block key.
     """
-    from aci_export_spark.llm.dedup import spread_for_explode
-
-    # the fixture corpus is one parquet file = one input split; without a
-    # spread the broadcast joins below (each task quadratic in its rows x
-    # the broadcast side) serialize through that single task (bench caught
-    # 15s wall / 1-task stages for what is a sub-second parallel plan)
-    base = spread_for_explode(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(name_col).alias("name"),
-            F.col(block_col).alias("block"),
-        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.col(block_col).alias("block"),
     )
     members = base.groupBy("block").agg(F.count(F.lit(1)).alias("n_members"))
     scoped = members.withColumn(
@@ -370,16 +416,13 @@ def blocking_audit(
     b = base.select(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block"
     )
-    # b is corpus-row-count tiny relative to the pair blow-up it feeds, and
-    # AQE's size estimate sees only the INPUT: a plain shuffle join here got
-    # coalesced to ONE task (small input, quadratic output — the classic
-    # estimate trap, caught by the bench at 15s wall for a 0.7s plan).
-    # Broadcasting the build side keeps the quadratic expansion parallel
-    # over a's input splits with no exchange at all.
-    from pyspark.sql.functions import broadcast as _bc
-
+    # AQE's size estimate sees only the INPUT of this join and is blind to
+    # its quadratic pair output: a plain shuffle join got coalesced to ONE
+    # task (caught by the bench at 15s wall for a 0.7s plan), while a bare
+    # broadcast hint OOMs once the corpus projection outgrows memory —
+    # pair_expansion_join picks per the build side's PROVEN size.
     truth = (
-        a.join(_bc(b), on="block")
+        pair_expansion_join(a, b, "block", probe_keys=["block"], build_keys=["block"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("__match", F.levenshtein("name_a", "name_b") <= 1)
     )
@@ -397,7 +440,10 @@ def blocking_audit(
         F.col("id").alias("id_b"), F.col("name").alias("name_b"), "block", "v"
     )
     cand = (
-        va.join(_bc(vb), on=["block", "v"])
+        pair_expansion_join(
+            va, vb, ["block", "v"],
+            probe_keys=["block", "v"], build_keys=["block", "v"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("block", "id_a", "id_b", "name_a", "name_b")
         .distinct()

@@ -123,9 +123,9 @@ def write_bucketed_mirror(
 
 def delta_available() -> bool:
     """True when the delta-spark package is importable. The sandbox does not
-    ship it (``pip install delta-spark`` re-attempted 2026-08-15 in rounds
-    7, 8 and 9: DNS resolution fails against every index — no network route),
-    so the Delta paths are gated rather than assumed."""
+    ship it (``pip install delta-spark`` re-attempted 2026-08-16 in rounds
+    7, 8, 9 and 10: DNS resolution fails against every index — no network
+    route), so the Delta paths are gated rather than assumed."""
     try:
         import delta  # noqa: F401
 

@@ -37,10 +37,10 @@ One-command repro of the block (run in this container's python):
 ``python -c "import google.protobuf.descriptor"`` →
 ``ImportError: cannot import name 'descriptor' from 'google.protobuf'``
 (the installed google namespace package is broken/incomplete). Install
-re-attempted 2026-08-15 (rounds 7, 8 AND 9 — thrice): ``pip install
-'protobuf>=4'`` fails with DNS resolution errors against every index
-(``[Errno -2] Name or service not known``) — the sandbox has no network
-route, so the block stands. To lift:
+re-attempted 2026-08-16 (rounds 7, 8, 9 AND 10 — four times): ``pip
+install 'protobuf>=4'`` fails with DNS resolution errors against every
+index (``[Errno -2] Name or service not known``) — the sandbox has no
+network route, so the block stands. To lift:
 ``pip install 'protobuf>=4'``, then port `_sessionize_group` /
 `_funnel_group` onto ``df.groupBy(key).transformWithStateInPandas(
 StatefulProcessor, ...)`` — the handler keeps the same state tuples; only

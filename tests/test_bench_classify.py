@@ -49,3 +49,34 @@ def test_system_busy_seconds_monotonic():
     a = bench._system_busy_seconds()
     b = bench._system_busy_seconds()
     assert b >= a >= 0.0
+
+
+def test_compact_summary_line_fits_driver_tail():
+    """r9 verdict #3: the driver keeps only the last 2000 chars of bench
+    stdout — the summary line must parse even for a huge registry, keeping
+    the contract keys and dropping headline queries before overflowing."""
+    import json
+
+    timings = {f"query_with_a_rather_long_name_{i:04d}": 1.234 for i in range(400)}
+    timings.update({k: 0.5 for k in bench.HEADLINE})
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": 123.4,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "n_queries": len(timings),
+        "value_cpu": 456.7,
+        "reps": 3,
+        "quiet": True,
+        "foreign_cpu_fraction": 0.013,
+        "cpu_regressions": {f"r{i}": {"prev": 1, "now": 2, "ratio": 2} for i in range(40)},
+    }
+    line = bench.compact_summary_line(full)
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf", "n_queries"):
+        assert key in parsed
+    assert parsed["queries"]  # headline subset survives the budget
+    assert parsed["n_cpu_regressions"] == 40
+    assert "rep_totals" not in parsed and "queries_cpu" not in parsed
