@@ -5064,3 +5064,123 @@ def llm_curation_kept_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dup_grams") * 10 <= F.col("n_grams") * 3)
         .select("doc_id", "lang", "n_chars", "n_grams", "n_dup_grams")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — the EM sibling of
+# BPE, completing the tokenizer matrix (r9 verdict ask #3).
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_PARAMS = {"vocab_size": 24, "max_piece_len": 4, "seed_multi": 48}
+
+
+def _unigram_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared trained-vocabulary artifact (the _bpe_trained discipline):
+    the trainer runs once per corpus snapshot; the train query publishes
+    the table, the fertility audit collects its hyperparameter-bounded
+    rows into the segmentation model dict."""
+    from aci_export_spark.llm import unigram as U
+
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return U.unigram_train(docs, text_col="text", **_UNIGRAM_PARAMS)
+
+    return shared_df(
+        spark,
+        ("unigram_vocab", sf_dir, tuple(sorted(_UNIGRAM_PARAMS.items()))),
+        build,
+    )
+
+
+def _unigram_trained_scores(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    rows = _unigram_vocab_df(spark, sf_dir).collect()
+    return {r["piece"]: int(r["usage_count"]) for r in rows}
+
+
+def _unigram_train_oracle() -> str:
+    """Golden-VALUES oracle: the trainer is deterministic end-to-end
+    (integer counts, exact big-int Viterbi comparisons, lexicographic
+    tie-breaks), so the single-process reference — an independent
+    pure-dict pipeline with a memoized-recursive DP — reproduces the
+    vocabulary table exactly at the sf0.01 gate."""
+    from aci_export_spark.llm.unigram import unigram_reference_python
+
+    rows = unigram_reference_python(
+        "/root/testdata/sf0.01/documents.parquet", **_UNIGRAM_PARAMS
+    )
+    values = ",".join(
+        "('{}', {}, {}, {})".format(p.replace("'", "''"), c, str(ic).upper(), r)
+        for p, c, ic, r in rows
+    )
+    return f"""
+SELECT CAST(piece AS VARCHAR) AS piece,
+       CAST(usage_count AS BIGINT) AS usage_count,
+       CAST(is_char AS BOOLEAN) AS is_char,
+       CAST(rank AS INTEGER) AS rank
+FROM (VALUES {values}) AS t(piece, usage_count, is_char, rank)
+"""
+
+
+@register(
+    "llm_unigram_tokenizer_train",
+    _unigram_train_oracle,  # resolved lazily; brute-force Viterbi and
+    # Spark≡reference differential pytests in tests/test_unigram.py
+    doc="unigram-LM tokenizer training (Kudo 2018, SentencePiece's model; "
+    "hard-EM/Viterbi variant): corpus reduced once to the word-type table "
+    "(the only corpus-scale shuffle), substring seed vocabulary counted "
+    "distributed, then EM rounds — an Arrow-batched exact-big-int Viterbi "
+    "E-step over word types with per-partition pre-aggregation and one "
+    "vocab-sized shuffle, and a driver-side prune M-step (bottom quarter "
+    "of multi-char pieces per round, the batched-BPE round-loop "
+    "discipline). The shipped piece-score table is hyperparameter-bounded "
+    "(seed_multi + alphabet), never corpus-sized; all comparisons are "
+    "exact rationals so the golden-VALUES reference matches bit-for-bit",
+)
+def llm_unigram_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _unigram_vocab_df(spark, sf_dir)
+
+
+def _unigram_fertility_oracle() -> str:
+    """Golden-VALUES oracle for the per-language fertility audit under the
+    reference-trained vocabulary; the one IEEE division is replayed in SQL
+    so both engines round identically."""
+    from aci_export_spark.llm.unigram import unigram_reference_fertility
+
+    rows = unigram_reference_fertility(
+        "/root/testdata/sf0.01/documents.parquet", **_UNIGRAM_PARAMS
+    )
+    values = ",".join(
+        "('{}', {}, {}, {})".format(lg.replace("'", "''"), nw, nc, np)
+        for lg, nw, nc, np in rows
+    )
+    return f"""
+SELECT CAST(lang AS VARCHAR) AS lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_pieces AS BIGINT) AS n_pieces,
+       CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+FROM (VALUES {values}) AS t(lang, n_words, n_chars, n_pieces)
+"""
+
+
+@register(
+    "llm_unigram_fertility_by_lang",
+    _unigram_fertility_oracle,  # resolved lazily; reference-equivalence
+    # pytest in tests/test_unigram.py
+    doc="per-language fertility of the trained unigram-LM vocabulary — the "
+    "multilingual-fairness audit (over-segmentation of under-represented "
+    "languages), fertility_by_lang's shape under Viterbi segmentation: "
+    "per-(lang, word)-type reduction (one corpus scan), exact-big-int DP "
+    "per word type, exact-integer sums, the single IEEE division at the "
+    "edge. Reuses the per-process trained model artifact, so the audit "
+    "bills segmentation, not a retrain",
+)
+def llm_unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm import unigram as U
+
+    docs = read_table(spark, sf_dir, "documents")
+    scores = _unigram_trained_scores(spark, sf_dir)
+    return U.unigram_fertility_by_lang(
+        docs, scores, text_col="text", lang_col="lang",
+        max_piece_len=_UNIGRAM_PARAMS["max_piece_len"],
+    )
