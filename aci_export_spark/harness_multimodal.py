@@ -561,3 +561,34 @@ FROM e
 def mm_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_zip(read_table(spark, sf_dir, "documents"))
     return MM.zip_entries(media)
+
+
+@register(
+    "mm_exif_tags",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents)
+SELECT doc_id,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       '2026:01:' || lpad(CAST(1 + byte_len % 28 AS VARCHAR), 2, '0') || ' '
+         || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST(byte_len % 60 AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST((doc_id + byte_len) % 60 AS VARCHAR), 2, '0')
+         AS capture_dt,
+       CAST(100 * (1 + doc_id % 32) AS BIGINT) AS iso,
+       CAST(640 + byte_len % 3000 AS BIGINT) AS pixel_x
+FROM d
+""",
+    doc="EXIF/APP1 metadata via a real JPEG marker walk + the shared TIFF "
+    "IFD reader (r9 verdict ask #4): APP1 located by segment lengths "
+    "(fill bytes tolerated), 'Exif\\0\\0' verified, the embedded TIFF's "
+    "IFD0 walked honoring BOTH byte orders (even doc_ids II, odd MM), "
+    "orientation validated 1..8, Make/DateTime read through ASCII offset "
+    "indirection, ISO/PixelXDimension from the pointed-to Exif sub-IFD. "
+    "capture_dt stays the spec's ASCII form (engine-portable). Oracle "
+    "replays the synthesis arithmetic — a byte-order or offset slip "
+    "breaks the hash on half the corpus. mapInPandas, no shuffle",
+)
+def mm_exif_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_exif_jpeg(read_table(spark, sf_dir, "documents"))
+    return MM.exif_tags(media)

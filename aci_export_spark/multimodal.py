@@ -2606,22 +2606,8 @@ def parse_tiff_meta(data: bytes) -> list[dict]:
         if off in seen or len(pages) > 10000:
             raise ValueError("TIFF: IFD cycle")
         seen.add(off)
-        if off + 2 > len(data):
-            raise ValueError("TIFF: truncated IFD")
-        (n,) = struct.unpack_from(f"{bo}H", data, off)
-        if off + 2 + 12 * n + 4 > len(data):
-            raise ValueError("TIFF: truncated IFD entries")
-        tags = {}
-        for i in range(n):
-            e = off + 2 + 12 * i
-            tag, typ, cnt = struct.unpack_from(f"{bo}HHI", data, e)
-            if cnt == 1 and typ == _TIFF_SHORT:
-                (v,) = struct.unpack_from(f"{bo}H", data, e + 8)
-            elif cnt == 1 and typ == _TIFF_LONG:
-                (v,) = struct.unpack_from(f"{bo}I", data, e + 8)
-            else:  # multi-value/other types unused by the baseline subset
-                continue
-            tags[tag] = v
+        # one IFD reader for baseline TIFF and the EXIF embedded TIFF
+        tags, nxt = _read_ifd_entries(data, bo, off)
         missing = [t for t in (256, 257, 258, 259, 279) if t not in tags]
         if missing:
             raise ValueError(f"TIFF: IFD missing required tags {missing}")
@@ -2635,7 +2621,7 @@ def parse_tiff_meta(data: bytes) -> list[dict]:
                 "strip_byte_counts": tags[279],
             }
         )
-        (off,) = struct.unpack_from(f"{bo}I", data, off + 2 + 12 * n)
+        off = nxt
     if not pages:
         raise ValueError("TIFF: no IFDs")
     return pages
@@ -2691,6 +2677,247 @@ def tiff_pages(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(parse, schema=TIFF_PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EXIF / JPEG APP1: real photo pipelines hit orientation on nearly every
+# image. The APP1 payload is a complete embedded TIFF (both byte orders in
+# the wild), so the parse REUSES the IFD walker machinery above — entry
+# offsets are relative to the embedded TIFF header, ASCII values longer
+# than the 4-byte entry field live at an offset (Make/DateTime always do).
+# ---------------------------------------------------------------------------
+
+_TIFF_ASCII = 2
+_EXIF_ORIENTATION, _EXIF_MAKE, _EXIF_DATETIME = 274, 271, 306
+_EXIF_SUBIFD_PTR, _EXIF_ISO, _EXIF_PIXEL_X = 34665, 34855, 40962
+
+
+def _read_ifd_entries(
+    data: bytes, bo: str, off: int, base: int = 0
+) -> tuple[dict[int, int | str], int]:
+    """One IFD at `base + off`: returns ({tag: value}, next_ifd_offset).
+    Values resolved for single-count SHORT/LONG (left-justified inline,
+    honoring byte order — the two classic TIFF parser bugs) and ASCII
+    (inline when count ≤ 4, else at its offset, relative to `base` — the
+    EXIF convention; NUL terminator stripped). Other types are skipped.
+    Raises ValueError on truncation."""
+    import struct
+
+    p = base + off
+    if p + 2 > len(data):
+        raise ValueError("TIFF: truncated IFD")
+    (n,) = struct.unpack_from(f"{bo}H", data, p)
+    if p + 2 + 12 * n + 4 > len(data):
+        raise ValueError("TIFF: truncated IFD entries")
+    tags: dict[int, int | str] = {}
+    for i in range(n):
+        e = p + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(f"{bo}HHI", data, e)
+        if cnt == 1 and typ == _TIFF_SHORT:
+            (tags[tag],) = struct.unpack_from(f"{bo}H", data, e + 8)
+        elif cnt == 1 and typ == _TIFF_LONG:
+            (tags[tag],) = struct.unpack_from(f"{bo}I", data, e + 8)
+        elif typ == _TIFF_ASCII:
+            if cnt <= 4:
+                raw = data[e + 8 : e + 8 + cnt]
+            else:
+                (voff,) = struct.unpack_from(f"{bo}I", data, e + 8)
+                if base + voff + cnt > len(data):
+                    raise ValueError("TIFF: ASCII value out of range")
+                raw = data[base + voff : base + voff + cnt]
+            tags[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+    (nxt,) = struct.unpack_from(f"{bo}I", data, p + 2 + 12 * n)
+    return tags, nxt
+
+
+def synth_jpeg_exif(doc_id: int, byte_len: int) -> bytes:
+    """A genuine minimal JPEG carrying an APP1/Exif segment: SOI, APP1
+    ('Exif\\0\\0' + embedded TIFF with IFD0 {orientation, Make, DateTime,
+    ExifIFD pointer} and an Exif sub-IFD {ISO, PixelXDimension}), EOI.
+    Even doc_ids little-endian, odd big-endian (the TIFF discipline). All
+    values derive from (doc_id, byte_len) so the oracle replays them
+    arithmetically:
+    orientation 1 + doc_id % 8, make 'Cam' + doc_id % 5,
+    datetime 2026:01:(1 + byte_len % 28) (doc_id % 24):(byte_len % 60):
+    ((doc_id + byte_len) % 60), iso 100 * (1 + doc_id % 32),
+    pixel_x 640 + byte_len % 3000."""
+    import struct
+
+    bo = ">" if doc_id % 2 else "<"
+    orientation = 1 + doc_id % 8
+    make = f"Cam{doc_id % 5}".encode() + b"\x00"
+    dt = "2026:01:{:02d} {:02d}:{:02d}:{:02d}".format(
+        1 + byte_len % 28, doc_id % 24, byte_len % 60, (doc_id + byte_len) % 60
+    ).encode() + b"\x00"
+    iso = 100 * (1 + doc_id % 32)
+    pixel_x = 640 + byte_len % 3000
+
+    def entry(tag: int, typ: int, cnt: int, field: bytes) -> bytes:
+        return struct.pack(f"{bo}HHI", tag, typ, cnt) + field.ljust(4, b"\x00")
+
+    # layout (offsets relative to TIFF header): header 8, IFD0 at 8 with 4
+    # entries (2 + 48 + 4 = 54), Exif sub-IFD at 62 with 2 entries (30),
+    # then the out-of-line ASCII values
+    ifd0_off, n0 = 8, 4
+    exif_off = ifd0_off + 2 + 12 * n0 + 4
+    make_off = exif_off + 2 + 12 * 2 + 4
+    dt_off = make_off + len(make)
+    ifd0 = (
+        struct.pack(f"{bo}H", n0)
+        + entry(_EXIF_MAKE, _TIFF_ASCII, len(make), struct.pack(f"{bo}I", make_off))
+        + entry(_EXIF_ORIENTATION, _TIFF_SHORT, 1, struct.pack(f"{bo}H", orientation))
+        + entry(_EXIF_DATETIME, _TIFF_ASCII, len(dt), struct.pack(f"{bo}I", dt_off))
+        + entry(_EXIF_SUBIFD_PTR, _TIFF_LONG, 1, struct.pack(f"{bo}I", exif_off))
+        + struct.pack(f"{bo}I", 0)
+    )
+    exif_ifd = (
+        struct.pack(f"{bo}H", 2)
+        + entry(_EXIF_ISO, _TIFF_SHORT, 1, struct.pack(f"{bo}H", iso))
+        + entry(_EXIF_PIXEL_X, _TIFF_LONG, 1, struct.pack(f"{bo}I", pixel_x))
+        + struct.pack(f"{bo}I", 0)
+    )
+    tiff = (
+        struct.pack(f"{bo}2sHI", b"II" if bo == "<" else b"MM", 42, ifd0_off)
+        + ifd0
+        + exif_ifd
+        + make
+        + dt
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xd9"
+    )
+
+
+def parse_jpeg_exif(data: bytes) -> dict:
+    """Extract EXIF tags from a JPEG's APP1 segment: SOI checked, markers
+    walked by their lengths to APP1 (fill bytes tolerated, the T.81
+    discipline of `decode_jpeg_luma`), 'Exif\\0\\0' header verified, then
+    the embedded TIFF's IFD0 + Exif sub-IFD walked with
+    :func:`_read_ifd_entries` (offsets relative to the TIFF header).
+    Returns {orientation, make, capture_dt, iso, pixel_x}; orientation
+    must be 1..8 per the spec. Raises ValueError on a missing SOI, no
+    APP1/Exif before SOS/EOI, bad TIFF magic, truncation, or an
+    out-of-range orientation."""
+    import struct
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("EXIF: missing SOI")
+    i = 2
+    tiff: bytes | None = None
+    while i + 1 < len(data):
+        if data[i] != 0xFF:
+            raise ValueError(f"EXIF: bad marker byte at {i}")
+        while i < len(data) and data[i] == 0xFF:
+            i += 1  # fill bytes before any marker are legal (T.81 B.1.1.2)
+        if i >= len(data):
+            break
+        marker = data[i]
+        i += 1
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            if marker == 0xD9:
+                break
+            continue
+        if i + 2 > len(data):
+            raise ValueError("EXIF: truncated segment length")
+        (seglen,) = struct.unpack_from(">H", data, i)
+        if i + seglen > len(data):
+            raise ValueError("EXIF: truncated segment")
+        if marker == 0xE1 and data[i + 2 : i + 8] == b"Exif\x00\x00":
+            tiff = data[i + 8 : i + seglen]
+            break
+        if marker == 0xDA:  # entering the scan: no APP1 will follow
+            break
+        i += seglen
+    if tiff is None:
+        raise ValueError("EXIF: no APP1/Exif segment")
+    if len(tiff) < 8:
+        raise ValueError("EXIF: truncated TIFF header")
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("EXIF: bad TIFF byte-order magic")
+    magic, off = struct.unpack_from(f"{bo}HI", tiff, 2)
+    if magic != 42:
+        raise ValueError(f"EXIF: bad TIFF magic {magic}")
+    ifd0, _ = _read_ifd_entries(tiff, bo, off, base=0)
+    sub: dict[int, int | str] = {}
+    if _EXIF_SUBIFD_PTR in ifd0:
+        sub, _ = _read_ifd_entries(tiff, bo, int(ifd0[_EXIF_SUBIFD_PTR]), base=0)
+    missing = [t for t in (_EXIF_ORIENTATION, _EXIF_MAKE, _EXIF_DATETIME) if t not in ifd0]
+    if missing:
+        raise ValueError(f"EXIF: IFD0 missing tags {missing}")
+    orientation = int(ifd0[_EXIF_ORIENTATION])
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"EXIF: orientation {orientation} out of range 1..8")
+    return {
+        "orientation": orientation,
+        "make": str(ifd0[_EXIF_MAKE]),
+        "capture_dt": str(ifd0[_EXIF_DATETIME]),
+        "iso": int(sub.get(_EXIF_ISO, 0)),
+        "pixel_x": int(sub.get(_EXIF_PIXEL_X, 0)),
+    }
+
+
+def attach_exif_jpeg(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with APP1/Exif JPEG payloads
+    (:func:`synth_jpeg_exif`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_jpeg_exif(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+EXIF_TAGS_SCHEMA = (
+    "doc_id long, orientation long, make string, capture_dt string, "
+    "iso long, pixel_x long"
+)
+
+
+def exif_tags(media: DataFrame) -> DataFrame:
+    """One EXIF-tag row per image via the APP1 walk — mapInPandas, no
+    shuffle; capture_dt stays the spec's ASCII form (engine-portable
+    string, never an engine date object)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                parse_jpeg_exif(bytes(content)) for content in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orientation": [r["orientation"] for r in rows],
+                    "make": [r["make"] for r in rows],
+                    "capture_dt": [r["capture_dt"] for r in rows],
+                    "iso": [r["iso"] for r in rows],
+                    "pixel_x": [r["pixel_x"] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(parse, schema=EXIF_TAGS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
