@@ -5184,3 +5184,150 @@ def llm_unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
         docs, scores, text_col="text", lang_col="lang",
         max_piece_len=_UNIGRAM_PARAMS["max_piece_len"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF-PQ index maintenance (r9 verdict ask #5): the IVM
+# discipline of llm_vector_index_upsert extended to the PQ CODE table —
+# delta vectors encoded with the FROZEN coarse centroids + codebooks and
+# upserted/retracted per cell, never a corpus re-encode.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_UPSERT_PARAMS = dict(k_cells=8, m=8, ksub=16, seed=42, sample_rows=2048)
+
+
+def _ivfpq_upsert_oracle() -> str:
+    """Golden-VALUES oracle: the reference assigns + encodes the FINAL
+    corpus (vec_id % 10 != 7) with the same md5-sampled seeded fits and
+    sequential-fold arithmetic, then folds the per-cell census and the
+    code-sensitive digest sum((vec_id * 31) + sum_s codes[s] * (s+1)) —
+    any drift in a single PQ code of a single delta vector breaks the
+    digest, so 'incremental equals rebuild' is pinned at CODE granularity,
+    not just membership counts."""
+    from aci_export_spark.llm.similarity import pq_reference_cell_codes
+
+    p = _IVFPQ_UPSERT_PARAMS
+    ref = pq_reference_cell_codes(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        k_cells=p["k_cells"], m=p["m"], ksub=p["ksub"], seed=p["seed"],
+        sample_rows=p["sample_rows"],
+    )
+    cells: dict[int, list[int]] = {}
+    for vid, (cell, codes) in ref.items():
+        if vid % 10 == 7:
+            continue
+        digest = vid * 31 + sum(c * (s + 1) for s, c in enumerate(codes))
+        agg = cells.setdefault(cell, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += vid
+        agg[2] += digest
+    values = ",".join(
+        f"({cell},{n},{s},{g},TRUE)" for cell, (n, s, g) in sorted(cells.items())
+    )
+    return f"""
+SELECT CAST(cell AS INTEGER) AS cell,
+       CAST(n_vectors AS BIGINT) AS n_vectors,
+       CAST(sum_ids AS BIGINT) AS sum_ids,
+       CAST(code_digest AS BIGINT) AS code_digest,
+       CAST(matches_rebuild AS BOOLEAN) AS matches_rebuild
+FROM (VALUES {values}) AS t(cell, n_vectors, sum_ids, code_digest, matches_rebuild)
+"""
+
+
+@register(
+    "llm_ivfpq_index_upsert",
+    _ivfpq_upsert_oracle,  # resolved lazily (assigns + encodes on sf0.01)
+    doc="incremental IVF-PQ index maintenance: per-cell signed merges over "
+    "the PQ code table absorb an insert batch and retract a delete set — "
+    "only the DELTA is assigned and encoded, with the FROZEN coarse "
+    "centroids and sub-quantizer codebooks (the FAISS contract: codebooks "
+    "change only on an explicit retrain), so upsert cost is O(|delta| + "
+    "k_cells), never a corpus re-encode. The query materializes the "
+    "incremental per-cell stats AND the rebuild's and proves them equal "
+    "cell-by-cell at CODE granularity (census + code-weighted digest); "
+    "the golden oracle replays the final corpus independently in numpy",
+)
+def llm_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    p = _IVFPQ_UPSERT_PARAMS
+    ckey = (sf_dir, p["k_cells"], p["seed"])
+    centroids = _KMEANS_MODEL_CACHE.get(ckey)
+    if centroids is None:
+        centroids = S.kmeans_fit_sample(
+            emb, k_cells=p["k_cells"], seed=p["seed"],
+            sample_rows=p["sample_rows"], sample_arr=_fit_sample(emb, sf_dir),
+        )
+        _KMEANS_MODEL_CACHE[ckey] = centroids
+    pkey = (sf_dir, p["m"], p["ksub"], p["seed"])
+    books = _PQ_CODEBOOK_CACHE.get(pkey)
+    if books is None:
+        books = S.pq_fit_sample(
+            emb, m=p["m"], ksub=p["ksub"], seed=p["seed"],
+            sample_rows=p["sample_rows"], sample_arr=_fit_sample(emb, sf_dir),
+        )
+        _PQ_CODEBOOK_CACHE[pkey] = books
+
+    digest = F.col("vec_id") * 31 + F.expr(
+        "aggregate(zip_with(pq_code, sequence(1, size(pq_code)), "
+        "(c, w) -> cast(c as bigint) * w), 0L, (acc, x) -> acc + x)"
+    )
+
+    def code_stats(d: DataFrame) -> DataFrame:
+        enc = S.pq_encode(S.ivf_assign_centroids(d, centroids), books)
+        return enc.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vec_id").cast("long").alias("s"),
+            F.sum(digest).cast("long").alias("g"),
+        )
+
+    ten = F.col("vec_id") % 10
+    # standing index predates today's batch (no %10==3 rows); the batch
+    # inserts %10==3 and deletes %10==7 — the vector_index_upsert scenario
+    # carried down to the code table
+    base = code_stats(emb.filter(ten != 3))
+    delta = code_stats(emb.filter(ten == 3))
+    dels = code_stats(emb.filter(ten == 7))
+    inc = (
+        base.withColumnsRenamed({"n": "nb", "s": "sb", "g": "gb"})
+        .join(
+            delta.withColumnsRenamed({"n": "nd", "s": "sd", "g": "gd"}),
+            "cell", "full_outer",
+        )
+        .join(
+            dels.withColumnsRenamed({"n": "nx", "s": "sx", "g": "gx"}),
+            "cell", "full_outer",
+        )
+        .select(
+            "cell",
+            (
+                F.coalesce("nb", F.lit(0))
+                + F.coalesce("nd", F.lit(0))
+                - F.coalesce("nx", F.lit(0))
+            ).alias("n_vectors"),
+            (
+                F.coalesce("sb", F.lit(0))
+                + F.coalesce("sd", F.lit(0))
+                - F.coalesce("sx", F.lit(0))
+            ).alias("sum_ids"),
+            (
+                F.coalesce("gb", F.lit(0))
+                + F.coalesce("gd", F.lit(0))
+                - F.coalesce("gx", F.lit(0))
+            ).alias("code_digest"),
+        )
+        .filter(F.col("n_vectors") > 0)
+    )
+    reb = code_stats(emb.filter(ten != 7)).withColumnsRenamed(
+        {"n": "nr", "s": "sr", "g": "gr"}
+    )
+    return inc.join(reb, on="cell", how="full_outer").select(
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+        F.coalesce("sum_ids", F.lit(0)).alias("sum_ids"),
+        F.coalesce("code_digest", F.lit(0)).alias("code_digest"),
+        (
+            (F.coalesce("n_vectors", F.lit(0)) == F.coalesce("nr", F.lit(0)))
+            & (F.coalesce("sum_ids", F.lit(0)) == F.coalesce("sr", F.lit(0)))
+            & (F.coalesce("code_digest", F.lit(0)) == F.coalesce("gr", F.lit(0)))
+        ).alias("matches_rebuild"),
+    )

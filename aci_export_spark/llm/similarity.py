@@ -789,6 +789,69 @@ def ivf_pq_topk(
     )
 
 
+def pq_reference_cell_codes(
+    parquet_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample_rows: int = 2048,
+    max_iter: int = 20,
+) -> dict[int, tuple[int, list[int]]]:
+    """Single-process reference for the IVF-PQ LAYOUT: {vec_id: (cell,
+    [m codes])} over the whole parquet — the md5-keyed sample, seeded
+    fits, sequential-fold distances and low-index tie-breaks of
+    :func:`pq_reference_topk_numpy`, stopping at the encode (no search).
+    Backs the incremental-index-maintenance golden oracle; kept separate
+    from the search reference rather than refactoring it so the proven
+    golden search path stays byte-identical."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = np.asarray(tbl[id_col].to_pylist())
+    vecs = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+    dim = vecs.shape[1]
+    dsub = dim // m
+
+    keys = np.array(
+        [
+            int(hashlib.md5(f"{SAMPLE_SALT}{int(i)}".encode()).hexdigest()[:15], 16)
+            for i in ids
+        ]
+    )
+    sample = vecs[np.argsort(keys, kind="stable")[:sample_rows]]
+    cent = np.asarray(_kmeans_numpy(sample, k_cells, seed, max_iter))
+    books = [
+        np.asarray(
+            _kmeans_numpy(sample[:, s * dsub : (s + 1) * dsub], ksub, seed + s, max_iter)
+        )
+        for s in range(m)
+    ]
+
+    def seq_d2(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            acc += (x - y) * (x - y)
+        return acc
+
+    out: dict[int, tuple[int, list[int]]] = {}
+    for i, v in enumerate(vecs):
+        ds = [seq_d2(v, c) for c in cent]
+        cell = min(range(k_cells), key=lambda j: (ds[j], j))
+        codes = []
+        for s in range(m):
+            sub = v[s * dsub : (s + 1) * dsub]
+            sds = [seq_d2(sub, e) for e in books[s]]
+            codes.append(min(range(ksub), key=lambda j: (sds[j], j)))
+        out[int(ids[i])] = (cell, codes)
+    return out
+
+
 def pq_reference_topk_numpy(
     parquet_path: str,
     id_col: str = "vec_id",
