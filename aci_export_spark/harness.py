@@ -436,119 +436,102 @@ BENCH_BILLING_ORDER: list[str] = [
 #: with a10_set_difference_count, then new registrations and
 #: module-changed-after-row queries, then back-fill oldest-first (after
 #: this round the oldest cohort is r5, 49 rows, minus any checked here).
+#: ROUND-10 NOTE: executed below — the window heads with all 43 r5-era
+#: deferrals, the four new registrations, and the two ER re-checks
+#: (1 + 43 + 4 + 2 = 50 exactly; no deferrals this round). After a green
+#: CORRECTNESS_r10 the oldest cohort is r6 (42 rows) — the r11 rebuild
+#: starts with them plus any new/changed registrations.
 #: The newest CORRECTNESS_r{N} round the window above was computed from —
 #: tests/test_rotation.py recomputes the freshness cohorts from the files
 #: and asserts the window covers them. Bump this when rebuilding the window.
-WINDOW_BUILT_FROM_ROUND = 8
+WINDOW_BUILT_FROM_ROUND = 9
 #: Oldest-cohort queries consciously deferred to the NEXT round's window
 #: head because the window arithmetic overflowed 50. EMPTY this round: the
-#: r9 window heads with all six r4-era deferrals (the mandated overflow
-#: repayment), so the oldest cohort (r4) is fully covered. The overflow
-#: lands on the r5 cohort instead — the window arithmetic is
-#: 1 flagship + 6 r4 + 3 module-changed + 34 new registrations = 44, so
-#: 6 of the 49 r5 rows fit and 43 wait for the r10 head (all stable
-#: shapes, re-proven every round by the local oracle replica):
-#: basket_brand_pairs, basket_brand_triples, docs_cube_stats,
-#: dq_check_report, dq_profile_customer, events_anomalous_days,
-#: events_value_deciles, events_zorder_keys, events_zorder_pruning_stats,
-#: events_pit_state_enrichment, events_retention_cohorts,
-#: events_rolling_active_users, events_scd2_history,
-#: events_sessionization_native, events_time_to_convert,
-#: events_transition_matrix, events_trending_topk,
-#: graph_brand_pagerank,
-#: graph_brand_triangles,
-#: ivm_orders_maintained_agg,
-#: j_salted_join_equivalence,
-#: llm_bloom_membership,
-#: llm_compression_ratio,
-#: llm_curation_kept_corpus,
-#: llm_curation_kept_corpus_v2,
-#: llm_doc_keywords,
-#: llm_domain_quota,
-#: llm_lsh_index_upsert,
-#: llm_quality_unigram_lm,
-#: llm_sim_rplsh_topk,
-#: llm_split_leakage, llm_vocab_stats, mm_phash_pairs, orders_benford_digits,
-#: orders_pareto_frontier, orders_value_gini, parts_price_band_pairs,
-#: q12_late_shipment_modes, q14_promo_revenue, q15_top_supplier,
-#: rec_item_item_cosine, streaming_dq_monitor, streaming_funnel.
-#: (They are not listed in WINDOW_DEFERRED because
-#: that set is asserted ⊆ the OLDEST cohort, which this round is r4 —
-#: after CORRECTNESS_r09 lands they become the oldest cohort themselves
-#: and the r10 rebuild starts with them.) The window arithmetic is
-#: re-derived on every in-round registration: 1 flagship + 6 r4 +
-#: 3 module-changed + 34 new = 44, leaving 6 r5 slots.
+#: r10 window heads with ALL 43 r5-era deferrals (the mandated overflow
+#: repayment, VERDICT r9 #1), so the oldest cohort (r5) is fully covered
+#: and the arithmetic closes at exactly 50 — 1 flagship + 43 r5 + 4 new
+#: registrations + 2 ER plan-change re-checks — with nothing pushed to
+#: the r11 head.
 WINDOW_DEFERRED: frozenset[str] = frozenset()
 
-#: ROUND-9 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r08 union
-#: (newest-round histogram {4:6, 5:49, 6:42, 7:49, 8:50}). Head = flagship
-#: (the driver's entry() smoke) + the SIX r4-era rows the r8 window
-#: deferred (VERDICT r8 #1) + the queries whose implementing code changed
-#: after their newest row (llm/dedup.py's duplicated-gram refactor behind
-#: exact_ngrams / span_exposure; harness_analytics' ranker-agreement
-#: oracle guard) + this round's new registrations, then the r5 cohort
-#: oldest-first backfill (6 of 49; the 43 leftovers are documented above
-#: for the r10 head). Producer-before-consumer holds WITHIN the sweep
-#: order too: llm_dedup_exact_ngrams runs before every dup-gram-artifact
-#: consumer (span_exposure, span_coverage, span_removal, kept_corpus_v3)
-#: so the shared build is billed to its producer — asserted for this list
-#: by tests/test_rotation.py alongside the bench order.
+#: ROUND-10 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r09 union
+#: (newest-round histogram {5:43, 6:42, 7:49, 8:46, 9:50}). Head = flagship
+#: (the driver's entry() smoke) + the 43 r5-era rows the r9 window
+#: deferred (VERDICT r9 #1 — the mandated overflow repayment; after this
+#: round no query's newest driver row is older than r6) + this round's
+#: four new registrations (unigram-LM trainer + fertility, EXIF tags,
+#: IVF-PQ incremental maintenance) + the two ER audit queries whose
+#: implementing plan changed after their r9 rows (operators/fuzzy.py's
+#: size-conditioned pair_expansion_join retiring the r9 `weak` grades —
+#: the fresh driver rows prove the fix). Window arithmetic: 1 + 43 + 4 +
+#: 2 = 50 exactly; the OTHER module-changed-after-row queries
+#: (llm_pmi_collocations' sort-limit rank, mm_zip_entries' EOCD
+#: validation, mm_tiff_pages' shared IFD reader, the winnow trio's
+#: Column-built guard) did not fit and are instead re-proven green by the
+#: full local driver-gate replica (tests/test_oracle_queries.py +
+#: scripts/driver_sim.py, the identical compare at the same scale) — all
+#: carry r9 driver rows, well inside the freshness contract.
+#: Producer-before-consumer holds WITHIN the sweep order:
+#: llm_unigram_tokenizer_train owns the shared trained-vocabulary
+#: artifact its fertility audit collects — asserted by
+#: tests/test_rotation.py alongside the bench order.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
-    # the six r4-era deferrals — mandated window head (VERDICT r8 #1)
-    "a10_set_difference_count",
-    "j3_self_join_partner",
-    "a9_sync_stats",
-    "j7_existence_flags",
-    "j4_coalesce_key_join",
-    "llm_stratified_sample",
-    # module-changed after their newest (r8) row; exact_ngrams FIRST —
-    # it owns the dup-gram artifact its consumers below reuse
-    "llm_dedup_exact_ngrams",
-    "llm_dedup_span_exposure",
-    "docs_ranker_agreement",
-    # new registrations this round (never driver-checked)
-    "mm_mp4_tracks",
-    "mm_mp4_sample_ranges",
-    "mm_audio_silence_segments",
-    "llm_dedup_span_coverage",
-    "llm_dedup_span_removal",
-    "llm_curation_kept_corpus_v3",
-    "llm_dedup_span_exposure_incremental",
-    "llm_dsir_select_topk",
-    "llm_sim_filtered_topk",
-    "streaming_gram_index",
-    "llm_sim_ivf_recall_audit",
-    "llm_winnow_fingerprints",
-    "llm_winnow_overlap_pairs",
-    "llm_winnow_containment",
-    "llm_chunk_passages",
-    "llm_chunk_dedup",
-    "llm_quality_bigram_lm",
-    "llm_sim_sq8_topk",
+    # the 43 r5-era deferrals — mandated window head (VERDICT r9 #1),
+    # oldest cohort first, alphabetical within
+    "basket_brand_pairs",
+    "basket_brand_triples",
+    "docs_cube_stats",
+    "dq_check_report",
+    "dq_profile_customer",
+    "events_anomalous_days",
+    "events_pit_state_enrichment",
+    "events_retention_cohorts",
+    "events_rolling_active_users",
+    "events_scd2_history",
+    "events_sessionization_native",
+    "events_time_to_convert",
+    "events_transition_matrix",
+    "events_trending_topk",
+    "events_value_deciles",
+    "events_zorder_keys",
+    "events_zorder_pruning_stats",
+    "graph_brand_pagerank",
+    "graph_brand_triangles",
+    "ivm_orders_maintained_agg",
+    "j_salted_join_equivalence",
+    "llm_bloom_membership",
+    "llm_compression_ratio",
+    "llm_curation_kept_corpus",
+    "llm_curation_kept_corpus_v2",
+    "llm_doc_keywords",
+    "llm_domain_quota",
+    "llm_lsh_index_upsert",
+    "llm_quality_unigram_lm",
+    "llm_sim_rplsh_topk",
+    "llm_split_leakage",
+    "llm_vocab_stats",
+    "mm_phash_pairs",
+    "orders_benford_digits",
+    "orders_pareto_frontier",
+    "orders_value_gini",
+    "parts_price_band_pairs",
+    "q12_late_shipment_modes",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "rec_item_item_cosine",
+    "streaming_dq_monitor",
+    "streaming_funnel",
+    # new registrations this round (never driver-checked); the unigram
+    # trainer precedes its fertility consumer (shared vocab artifact)
+    "llm_unigram_tokenizer_train",
+    "llm_unigram_fertility_by_lang",
+    "mm_exif_tags",
+    "llm_ivfpq_index_upsert",
+    # module-changed after their newest (r9) rows: the ER broadcast fix —
+    # fresh driver rows retire the r9 `weak` grades
     "er_fs_pattern_counts",
-    "mm_bmp_pixel_stats",
-    "events_mad_outliers",
-    "mm_audio_g711_stats",
-    "mm_tiff_pages",
-    "streaming_chunk_index",
-    "llm_pmi_collocations",
-    "llm_sim_ivf_sq8_topk",
-    "llm_pii_luhn",
-    "orders_rfm_segments",
-    "llm_readability",
     "er_blocking_audit",
-    "mm_flac_streaminfo",
-    "mm_mp3_stream_info",
-    "streaming_winnow_index",
-    "mm_zip_entries",
-    # r5 cohort backfill (alphabetical; 6 of 49)
-    "docs_bm25_topk",
-    "events_activity_streaks",
-    "events_countmin_user_counts",
-    "events_funnel_steps",
-    "events_funnel_summary",
-    "events_peak_concurrency",
 ]
 
 

@@ -225,9 +225,9 @@ def unigram_train(
             scores = new_scores
             break
         keep = max(vocab_size, (len(multis) * 3) // 4)
-        ranked = sorted(multis, key=lambda p: (-new_scores[p], p))[:keep]
+        kept = set(sorted(multis, key=lambda p: (-new_scores[p], p))[:keep])
         scores = {
-            p: new_scores[p] for p in new_scores if len(p) == 1 or p in set(ranked)
+            p: new_scores[p] for p in new_scores if len(p) == 1 or p in kept
         }
 
     rows = sorted(

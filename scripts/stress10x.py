@@ -178,6 +178,19 @@ CD_QUERIES = [
     "llm_chunk_dedup",
     "llm_quality_bigram_lm",
     "llm_sim_sq8_topk",
+    # r10 additions: unigram-LM tokenizer (word-type table grows ~10× under
+    # alphabet-permuted copies — E-step linearity is exactly the claim),
+    # EXIF walk (per-row decode, linear), IVF-PQ incremental maintenance
+    # (delta assign+encode linear, rotated copies), the re-planned ER
+    # audits (size-conditioned pair_expansion_join), and the sort-limit
+    # PMI rank
+    "llm_unigram_tokenizer_train",
+    "llm_unigram_fertility_by_lang",
+    "mm_exif_tags",
+    "llm_ivfpq_index_upsert",
+    "er_fs_pattern_counts",
+    "er_blocking_audit",
+    "llm_pmi_collocations",
 ]
 
 OUT_CD = os.environ.get("STRESS_CD_OUT", "/tmp/stress10x_cd")

@@ -133,6 +133,8 @@ def test_bench_order_bills_artifact_producers_first():
         "llm_sim_ivf_kmeans_topk": ["llm_dedup_semantic"],
         # shared winnowing selection
         "llm_winnow_fingerprints": ["llm_winnow_overlap_pairs", "llm_winnow_containment"],
+        # shared trained unigram vocabulary (r10)
+        "llm_unigram_tokenizer_train": ["llm_unigram_fertility_by_lang"],
     }
     bad = [
         (p, c)
@@ -162,6 +164,7 @@ def test_driver_window_bills_artifact_producers_first():
             "llm_dedup_clusters", "llm_dedup_cluster_canonical",
             "llm_dedup_method_agreement", "llm_dedup_lsh_recall_audit",
         ],
+        "llm_unigram_tokenizer_train": ["llm_unigram_fertility_by_lang"],
     }
     bad = [
         (p, c)
