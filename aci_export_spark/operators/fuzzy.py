@@ -424,7 +424,11 @@ def blocking_audit(
     truth = (
         pair_expansion_join(a, b, "block", probe_keys=["block"], build_keys=["block"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__match", F.levenshtein("name_a", "name_b") <= 1)
+        # thresholded levenshtein (banded O(k·L), -1 above bound): the
+        # block-quadratic truth pass is THE audit hot loop
+        .withColumn(
+            "__match", F.levenshtein(F.col("name_a"), F.col("name_b"), 1) >= 0
+        )
     )
     n_true = truth.filter("__match").groupBy("block").agg(
         F.count(F.lit(1)).alias("n_true")
@@ -450,7 +454,7 @@ def blocking_audit(
     )
     n_cand = cand.groupBy("block").agg(F.count(F.lit(1)).alias("n_candidates"))
     n_found = (
-        cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+        cand.filter(F.levenshtein(F.col("name_a"), F.col("name_b"), 1) >= 0)
         .groupBy("block")
         .agg(F.count(F.lit(1)).alias("n_found"))
     )

@@ -286,13 +286,19 @@ def synthesize_cd(spark) -> None:
 def run_counting(
     spark, sf_dir: str, names: list[str]
 ) -> dict[str, tuple[float, float, int]]:
-    """Like run(), but the action is count() so the density check (rows ≈
-    10× base) prints beside every timing. Records process-tree CPU-seconds
-    beside wall (r8 verdict #7), and — the r9 lesson — takes the MEDIAN of
-    interleaved repetitions: the single-sample CD rows printed a 16.3×
-    CPU reading for er_fuzzy_entities that three-rep medians corrected to
-    7.2× (rep 1 pays JVM/codegen warmup for that query shape; one
-    inflated sample becomes the row when each cell runs once)."""
+    """Like run() — the TIMED action is the noop write (full plan, every
+    output column, exactly what bench.py measures) — plus a separate
+    untimed count() per query for the density check (rows ≈ 10× base).
+    The r10 lesson behind the split: count() lets Catalyst ELIMINATE
+    left joins whose build side is unique on the join key (legal — row
+    count is unchanged — which is also why the untimed count stays a
+    valid density check), so timing count() under-measured
+    er_blocking_audit by the entire block-quadratic truth pass (0.5 s
+    printed for what executes in ~24 s at 10×). Records process-tree
+    CPU-seconds beside wall (r8 verdict #7), and — the r9 lesson — takes
+    the MEDIAN of interleaved repetitions (rep 1 pays JVM/codegen
+    warmup; one inflated sample becomes the row when each cell runs
+    once)."""
     from statistics import median
 
     from bench import _tree_cpu_seconds
@@ -301,28 +307,34 @@ def run_counting(
 
     harness._ensure_all_registered()
     reps = max(1, int(os.environ.get("STRESS_REPS", "3")))
-    samples: dict[str, list[tuple[float, float, int]]] = {n: [] for n in names}
-    for _ in range(reps):
+    samples: dict[str, list[tuple[float, float]]] = {n: [] for n in names}
+    counts: dict[str, int] = {}
+
+    def _clear_caches() -> None:
+        artifacts._CACHE.clear()
+        harness_llm._KMEANS_MODEL_CACHE.clear()
+        harness_llm._PQ_CODEBOOK_CACHE.clear()
+        harness_llm._FIT_SAMPLE_CACHE.clear()
+
+    for rep in range(reps):
         for name in names:
-            artifacts._CACHE.clear()
-            harness_llm._KMEANS_MODEL_CACHE.clear()
-            harness_llm._PQ_CODEBOOK_CACHE.clear()
-            harness_llm._FIT_SAMPLE_CACHE.clear()
+            _clear_caches()
             c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
-            n = harness.REGISTRY[name].fn(spark, sf_dir).count()
+            harness.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             samples[name].append(
-                (
-                    time.perf_counter() - t0,
-                    max(0.0, _tree_cpu_seconds() - c0),
-                    n,
-                )
+                (time.perf_counter() - t0, max(0.0, _tree_cpu_seconds() - c0))
             )
+            if rep == 0:
+                _clear_caches()
+                counts[name] = harness.REGISTRY[name].fn(spark, sf_dir).count()
     return {
         name: (
             median(s[0] for s in v),
             median(s[1] for s in v),
-            v[0][2],
+            counts[name],
         )
         for name, v in samples.items()
     }
