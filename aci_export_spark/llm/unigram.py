@@ -180,10 +180,17 @@ def estep_usage(
             for word, wc in zip(pdf["word"], pdf["wcount"]):
                 for piece in viterbi_segment(word, frozen, total, max_piece_len):
                     acc[piece] += int(wc)
-        yield pd.DataFrame(
-            {"piece": list(acc.keys()), "usage": list(acc.values())}
-        ) if acc else pd.DataFrame({"piece": pd.Series([], dtype=str),
-                                    "usage": pd.Series([], dtype="int64")})
+        if acc:
+            yield pd.DataFrame(
+                {"piece": list(acc.keys()), "usage": list(acc.values())}
+            )
+        else:  # empty partition still needs a typed frame for Arrow
+            yield pd.DataFrame(
+                {
+                    "piece": pd.Series([], dtype=str),
+                    "usage": pd.Series([], dtype="int64"),
+                }
+            )
 
     return (
         words.mapInPandas(gen, schema="piece string, usage long")
