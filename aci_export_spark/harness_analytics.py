@@ -2408,6 +2408,70 @@ def er_fs_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_em_oracle() -> str:
+    """Golden-VALUES oracle: the EM recursion is exact rational arithmetic
+    on a 2^-40 fixed-point grid (operators/fuzzy.py FS_EM_SCALE), so the
+    independent single-process reference — DuckDB pattern counts + a
+    from-the-spec EM reimplementation — reproduces every parameter
+    bit-for-bit. The VALUES carry the exact grid NUMERATORS (a >15-digit
+    float literal would be parsed as DECIMAL by DuckDB and double-rounded);
+    the grid divisions (exact: power-of-two denominator) and the two
+    weight ratios (single IEEE divisions, same operands as the Spark side)
+    are replayed in SQL."""
+    from aci_export_spark.operators.fuzzy import fs_em_reference_python
+
+    rows = fs_em_reference_python("/root/testdata/sf0.01/customer.parquet")
+    values = ",".join(
+        f"('{f}', {mn}, {un}, {ln})" for f, mn, un, ln in rows
+    )
+    s = float(1 << 40)
+    return f"""
+SELECT CAST(field AS VARCHAR) AS field,
+       CAST(m_num AS DOUBLE) / {s!r} AS m,
+       CAST(u_num AS DOUBLE) / {s!r} AS u,
+       (CAST(m_num AS DOUBLE) / {s!r}) / (CAST(u_num AS DOUBLE) / {s!r})
+           AS agree_weight,
+       (CAST({1 << 40} - m_num AS DOUBLE) / {s!r})
+           / (CAST({1 << 40} - u_num AS DOUBLE) / {s!r}) AS disagree_weight,
+       CAST(lam_num AS DOUBLE) / {s!r} AS lambda_match
+FROM (VALUES {values}) AS t(field, m_num, u_num, lam_num)
+"""
+
+
+@register(
+    "er_fs_em_weights",
+    _fs_em_oracle,  # resolved lazily; planted-parameter recovery and
+    # sufficient-statistic pytests in tests/test_fs_patterns.py
+    doc="Fellegi-Sunter m/u estimation (Winkler 1988's EM over the "
+    "two-class latent model): the blocked agreement-pattern frequencies "
+    "(er_fs_pattern_counts' table — the model's sufficient statistic) "
+    "drive an EM fit of match/unmatch probabilities per comparator and "
+    "the match prevalence, emitting the likelihood-ratio weights record "
+    "linkage actually scores with. The distributed work is the pattern "
+    "aggregation (size-conditioned pair-expansion join, 2^K-group "
+    "map-side count); EM consumes the <= 2^K collected rows on the "
+    "driver as exact 2^-40 fixed-point rationals — O(iters * 2^K), "
+    "data-size-independent, and bit-reproducible by the independent "
+    "reference (no float drift to hide in)",
+)
+def er_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.fuzzy import fs_em_weights
+
+    cust = read_table(spark, sf_dir, "customer")
+    return fs_em_weights(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        agree_exprs={
+            "g_name_fuzzy": F.levenshtein(F.col("a_c_name"), F.col("b_c_name"), 2)
+            >= 0,
+            "g_balance_band": F.floor(F.col("a_c_acctbal") / F.lit(1000.0))
+            == F.floor(F.col("b_c_acctbal") / F.lit(1000.0)),
+            "g_name_suffix": F.expr("right(a_c_name, 2) = right(b_c_name, 2)"),
+        },
+    )
+
+
 @register(
     "orders_rfm_segments",
     """

@@ -5331,3 +5331,138 @@ def llm_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.coalesce("code_digest", F.lit(0)) == F.coalesce("gr", F.lit(0)))
         ).alias("matches_rebuild"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer training — the likelihood-scored merge trainer
+# completing the tokenizer matrix (BPE: frequency-scored merges; unigram-LM:
+# EM-pruned vocabulary; WordPiece: count/(freq_l*freq_r)-scored merges).
+# ---------------------------------------------------------------------------
+
+_WORDPIECE_PARAMS = {"n_merges": 48, "batch_cap": 16, "scan_cap": 64}
+
+
+def _wordpiece_train_oracle() -> str:
+    """Golden-VALUES oracle: the trainer is deterministic end-to-end
+    (integer pair/frequency counts, the one ranking division built from
+    identical operands in both engines, lexicographic tie-breaks, the
+    shared compatibility-selection spec), so the independent
+    single-process reference reproduces the merge table exactly. The
+    VALUES carry only exact integers; the ranking double is replayed in
+    SQL (CAST .. AS DOUBLE quotient — float literals would be
+    decimal-parsed and double-rounded)."""
+    from aci_export_spark.llm.wordpiece import wordpiece_reference_python
+
+    rows, _rounds = wordpiece_reference_python(
+        "/root/testdata/sf0.01/documents.parquet", **_WORDPIECE_PARAMS
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",".join(
+        f"({rank}, {q(l)}, {q(r)}, {q(new)}, {c}, {fl}, {fr})"
+        for rank, l, r, new, c, fl, fr, _score in rows
+    )
+    return f"""
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+       CAST(left_sym AS VARCHAR) AS left_sym,
+       CAST(right_sym AS VARCHAR) AS right_sym,
+       CAST(new_sym AS VARCHAR) AS new_sym,
+       CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(freq_left AS BIGINT) AS freq_left,
+       CAST(freq_right AS BIGINT) AS freq_right,
+       CAST(pair_count AS DOUBLE) / CAST(freq_left * freq_right AS DOUBLE)
+           AS score
+FROM (VALUES {values})
+    AS t(merge_rank, left_sym, right_sym, new_sym, pair_count, freq_left,
+         freq_right)
+"""
+
+
+@register(
+    "llm_wordpiece_train",
+    _wordpiece_train_oracle,  # resolved lazily; Spark≡reference and
+    # semantics pytests in tests/test_wordpiece.py
+    doc="WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT "
+    "trainer as shipped by HuggingFace tokenizers): ##-prefixed "
+    "continuation alphabet, merges ranked by pair_count/(freq_l*freq_r) "
+    "— the likelihood gain, which favors meaningful affixes over raw "
+    "frequency — applied with llm/bpe.py's batched round discipline "
+    "(corpus reduced once to word types; per round one pair-count and "
+    "one symbol-frequency map-side aggregation + two broadcast-sized "
+    "joins, a scan_cap ranked collect, non-interacting batch selection, "
+    "one JVM batch fold; driver rounds sublinear in merges). The "
+    "frequency product is overflow-checked in DECIMAL(38,0) with an "
+    "explicit raise (the pmi_collocations discipline) so ranks can never "
+    "silently wrap; the emitted table carries the exact integer evidence "
+    "beside the one-IEEE-division score",
+)
+def llm_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.wordpiece import wordpiece_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merge_df, _words, _rounds = wordpiece_train(
+        docs, text_col="text", **_WORDPIECE_PARAMS
+    )
+    return merge_df
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA whitening — the decorrelating pre-transform in front of
+# the ANN index family (FAISS PCAMatrix/OPQ shape).
+# ---------------------------------------------------------------------------
+
+_PCA_PARAMS = {"dim": 64, "k": 4}
+
+
+def _pca_oracle() -> str:
+    """Golden-VALUES oracle: moments are exact decimals (order-free), the
+    covariance is exact rationals, eigh is a shared deterministic kernel
+    on the bit-identical float64 matrix (the seeded-kmeans-fit precedent),
+    and the projection is a left-to-right fold both sides replay in index
+    order — so the reference reproduces every output double bit-for-bit.
+    Doubles ship as CAST('<repr>' AS DOUBLE) strings: DuckDB parses bare
+    >15-digit literals as DECIMAL and double-rounds (the strtod string
+    path is correctly rounded; verified empirically)."""
+    from aci_export_spark.llm.pca import pca_reference_python
+
+    rows = pca_reference_python(
+        "/root/testdata/sf0.01/embeddings.parquet", **_PCA_PARAMS
+    )
+    values = ",".join(
+        "({}, {})".format(
+            vid, ", ".join(f"CAST('{p!r}' AS DOUBLE)" for p in pcs)
+        )
+        for vid, pcs in rows
+    )
+    return f"""
+SELECT t.vec_id, e.label,
+       t.pc1, t.pc2, t.pc3, t.pc4
+FROM (VALUES {values}) AS t(vec_id, pc1, pc2, pc3, pc4)
+JOIN embeddings e ON e.vec_id = t.vec_id
+"""
+
+
+@register(
+    "llm_embedding_pca",
+    _pca_oracle,  # resolved lazily; variance/orthogonality/numpy
+    # differential pytests in tests/test_pca.py
+    doc="distributed PCA whitening of the embedding column (the FAISS "
+    "PCAMatrix pre-transform): one map-side-combined moment aggregation "
+    "(sum x_i and upper-triangle sum x_i*x_j quantized to exact "
+    "DECIMAL(38,18) — float sum order vanishes from the algebra, so the "
+    "shuffle tree and the reference's row-major loop agree bit-for-bit), "
+    "a d^2-bounded collect (kmeans-fit discipline), exact-rational "
+    "covariance assembly, eigh on the driver, then per-row whitened "
+    "projections as left-to-right JVM aggregate folds (no BLAS batching "
+    "to reorder the adds, no per-row Python). At petabyte row counts the "
+    "documented dial swaps the moment pass to per-batch float64 numpy "
+    "partials and keeps this exact path as the audit twin",
+)
+def llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.pca import pca_whiten
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = pca_whiten(emb, vec_col="embedding", **_PCA_PARAMS)
+    return out.select("vec_id", "label", "pc1", "pc2", "pc3", "pc4")

@@ -474,3 +474,207 @@ def blocking_audit(
             .alias("n_missed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter m/u estimation: EM over the agreement-pattern table
+# ---------------------------------------------------------------------------
+
+#: fixed-point quantum for the EM parameters: every parameter is kept as an
+#: exact multiple of 2^-40 between iterations, so the whole recursion is
+#: rational arithmetic with BOUNDED term size (big-int growth is cut at each
+#: M-step) and any independent implementation of the same spec reproduces
+#: the trajectory bit-for-bit — the float-free-oracle discipline of
+#: llm/unigram.py applied to an iterative float algorithm. 2^-40 is ~1e-12,
+#: far below EM's statistical resolution; the final numerator < 2^40 < 2^53,
+#: so the parameter -> DOUBLE conversion at the edge is EXACT.
+FS_EM_SCALE = 1 << 40
+
+FS_EM_ITERS = 25
+
+
+def _fs_quantize(x) -> "object":
+    """Round a Fraction to the nearest multiple of 2^-FS_EM_SCALE (half-up),
+    clamped inside the open unit interval — the one lossy step of each EM
+    round, applied identically by the Spark side and the reference."""
+    from fractions import Fraction
+
+    n = (x.numerator * FS_EM_SCALE * 2 + x.denominator) // (x.denominator * 2)
+    n = max(1, min(FS_EM_SCALE - 1, n))
+    return Fraction(n, FS_EM_SCALE)
+
+
+def fs_em_fixed_point(
+    patterns: list[tuple[tuple[bool, ...], int]],
+    n_fields: int,
+    iters: int = FS_EM_ITERS,
+) -> tuple["object", list["object"], list["object"]]:
+    """Fit the Fellegi-Sunter two-class latent model (Winkler 1988's EM
+    formulation) on an agreement-pattern frequency table: returns
+    (lambda, m[k], u[k]) as exact 2^-40-grid Fractions.
+
+    E-step: P(match | gamma) per PATTERN (not per pair) — the pattern table
+    is the model's sufficient statistic, so the loop is O(iters * 2^K)
+    regardless of corpus size. M-step: frequency-weighted re-estimates,
+    then fixed-point quantization (see FS_EM_SCALE).
+    """
+    from fractions import Fraction
+
+    # canonical textbook init (match prevalence 10%, informative
+    # comparators) — deterministic and strictly inside (0, 1), so the
+    # first E-step never divides by zero
+    lam = Fraction(1, 10)
+    m = [Fraction(9, 10)] * n_fields
+    u = [Fraction(1, 10)] * n_fields
+    total = sum(n for _, n in patterns)
+    for _ in range(iters):
+        sw = Fraction(0)
+        swg = [Fraction(0)] * n_fields
+        sv = Fraction(0)
+        svg = [Fraction(0)] * n_fields
+        for gamma, n in patterns:
+            pm = lam
+            pu = 1 - lam
+            for k in range(n_fields):
+                pm *= m[k] if gamma[k] else 1 - m[k]
+                pu *= u[k] if gamma[k] else 1 - u[k]
+            w = pm / (pm + pu)
+            sw += n * w
+            sv += n * (1 - w)
+            for k in range(n_fields):
+                if gamma[k]:
+                    swg[k] += n * w
+                    svg[k] += n * (1 - w)
+        lam = _fs_quantize(sw / total)
+        m = [_fs_quantize(swg[k] / sw) for k in range(n_fields)]
+        u = [_fs_quantize(svg[k] / sv) for k in range(n_fields)]
+    return lam, m, u
+
+
+def fs_em_weights(
+    df: "DataFrame",
+    id_col: str,
+    block_cols: list[str],
+    agree_exprs: dict[str, "F.Column"],
+    iters: int = FS_EM_ITERS,
+) -> "DataFrame":
+    """Fellegi-Sunter match/unmatch probabilities and match weights per
+    comparator field, fitted by EM over the blocked agreement-pattern
+    frequencies (:func:`fs_agreement_patterns` is the E-step input).
+
+    Returns one row per field: (field, m, u, agree_weight = m/u,
+    disagree_weight = (1-m)/(1-u), lambda_match) — the likelihood-ratio
+    weights record linkage scores pairs with (Fellegi & Sunter 1969 §3;
+    log is monotone, so the raw ratios rank identically and stay
+    engine-exact). m/u/lambda are EXACT doubles (2^-40 grid, below the
+    53-bit mantissa); the two weight divisions are the only IEEE ops.
+
+    Scale shape: the distributed work is the pattern aggregation (blocked
+    pair expansion + 2^K-group map-side-combined count); EM consumes that
+    sufficient statistic on the driver — O(iters * 2^K) exact-rational
+    ops, data-size-independent, the bounded-collect discipline of the
+    kmeans quantizer fit. The collect is <= 2^K rows by construction.
+    """
+    fields = list(agree_exprs.keys())
+    pat = fs_agreement_patterns(df, id_col, block_cols, agree_exprs)
+    rows = pat.collect()
+    patterns = [
+        (tuple(bool(r[f]) for f in fields), int(r["n_pairs"])) for r in rows
+    ]
+    patterns.sort()
+    lam, m, u = fs_em_fixed_point(patterns, len(fields), iters)
+    out = [
+        (
+            f,
+            float(m[k]),
+            float(u[k]),
+            float(m[k]) / float(u[k]),
+            float(1 - m[k]) / float(1 - u[k]),
+            float(lam),
+        )
+        for k, f in enumerate(fields)
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        schema="field string, m double, u double, agree_weight double, "
+        "disagree_weight double, lambda_match double",
+    )
+
+
+def fs_em_reference_python(
+    parquet_path: str, iters: int = FS_EM_ITERS
+) -> list[tuple[str, int, int, int]]:
+    """Single-process reference for :func:`fs_em_weights` over the customer
+    table with the er_fs_pattern_counts comparator vector: DuckDB computes
+    the blocked agreement-pattern frequencies independently, and the EM
+    recursion below is a from-the-spec reimplementation (dict-keyed
+    accumulators, inline integer quantization — shares no code with
+    ``fs_em_fixed_point``). Exactness comes from the spec, not the code:
+    every parameter is an exact multiple of 2^-40, so both implementations
+    follow the identical rational trajectory. Returns (field, m_num, u_num,
+    lam_num) — the 2^-40-grid NUMERATORS, not floats: a >15-digit float
+    literal would be parsed as DECIMAL by DuckDB and double-rounded, so the
+    golden oracle ships exact integers and replays the grid divisions in
+    SQL. Backs the golden-VALUES oracle of ``er_fs_em_weights``."""
+    from fractions import Fraction
+
+    import duckdb
+
+    fields = ["g_name_fuzzy", "g_balance_band", "g_name_suffix"]
+    rows = duckdb.sql(
+        f"""
+        WITH pairs AS (
+            SELECT levenshtein(a.c_name, b.c_name) <= 2 AS g_name_fuzzy,
+                   floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+                       AS g_balance_band,
+                   right(a.c_name, 2) = right(b.c_name, 2) AS g_name_suffix
+            FROM '{parquet_path}' a JOIN '{parquet_path}' b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey
+        )
+        SELECT g_name_fuzzy, g_balance_band, g_name_suffix, COUNT(*) AS n
+        FROM pairs GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    counts = {(bool(r[0]), bool(r[1]), bool(r[2])): int(r[3]) for r in rows}
+    total = sum(counts.values())
+
+    def q40(x: Fraction) -> Fraction:
+        num = (x.numerator * (1 << 40) * 2 + x.denominator) // (x.denominator * 2)
+        return Fraction(min(max(num, 1), (1 << 40) - 1), 1 << 40)
+
+    params = {
+        "lam": Fraction(1, 10),
+        **{("m", f): Fraction(9, 10) for f in fields},
+        **{("u", f): Fraction(1, 10) for f in fields},
+    }
+    for _ in range(iters):
+        acc: dict = {"w": Fraction(0), "v": Fraction(0)}
+        for f in fields:
+            acc[("wg", f)] = Fraction(0)
+            acc[("vg", f)] = Fraction(0)
+        for gamma, n in counts.items():
+            like_m = params["lam"]
+            like_u = 1 - params["lam"]
+            for f, g in zip(fields, gamma):
+                like_m *= params[("m", f)] if g else 1 - params[("m", f)]
+                like_u *= params[("u", f)] if g else 1 - params[("u", f)]
+            w = like_m / (like_m + like_u)
+            acc["w"] += n * w
+            acc["v"] += n * (1 - w)
+            for f, g in zip(fields, gamma):
+                if g:
+                    acc[("wg", f)] += n * w
+                    acc[("vg", f)] += n * (1 - w)
+        params["lam"] = q40(acc["w"] / total)
+        for f in fields:
+            params[("m", f)] = q40(acc[("wg", f)] / acc["w"])
+            params[("u", f)] = q40(acc[("vg", f)] / acc["v"])
+    def num40(x: Fraction) -> int:
+        return x.numerator * ((1 << 40) // x.denominator)
+
+    return [
+        (f, num40(params[("m", f)]), num40(params[("u", f)]), num40(params["lam"]))
+        for f in fields
+    ]

@@ -151,6 +151,9 @@ QUERIES = [
     "llm_bpe_train_batched",
     "llm_bpe_encode_stats_batched",
     "er_fuzzy_name_pairs_k2",
+    # round-10 second-wave: daily-grid resample over the 10x event stream
+    # (grid rows grow with users x span, fill window linear per key)
+    "events_gapfill_locf",
 ]
 
 
@@ -191,6 +194,15 @@ CD_QUERIES = [
     "er_fs_pattern_counts",
     "er_blocking_audit",
     "llm_pmi_collocations",
+    # r10 second-wave: FS-EM (same block-quadratic pattern pass as the
+    # er_fs audits + data-independent driver EM), WordPiece trainer
+    # (word-type table grows ~10× under alphabet permutation — round-loop
+    # linearity is the claim), PCA whitening (moment pass linear in rows,
+    # d²-bounded collect; rotated copies change the covariance, not the
+    # cost)
+    "er_fs_em_weights",
+    "llm_wordpiece_train",
+    "llm_embedding_pca",
 ]
 
 OUT_CD = os.environ.get("STRESS_CD_OUT", "/tmp/stress10x_cd")
