@@ -74,8 +74,15 @@ def embedding_moments_exact(
         f"'v', cast(cast(element_at({vec_col}, i + 1) as double) * "
         f"cast(element_at({vec_col}, j + 1) as double) as {_DEC})))))"
     )
+    from aci_export_spark.llm.dedup import spread_for_explode
+
+    # the explode amplifies each row ~d(d+3)/2× — spread a narrow scan
+    # first or the whole moment pass (and its partial aggregation)
+    # serializes through the input's split count (one small parquet file
+    # = one task, the llm/dedup one-split trap; measured 9.7 s → 0.9 s at
+    # sf0.1)
     rows = (
-        emb.filter(F.size(e) == dim)
+        spread_for_explode(emb.filter(F.size(e) == dim))
         .select(F.explode(F.concat(first, second)).alias("m"))
         .groupBy(F.col("m.idx").alias("idx"))
         .agg(F.sum("m.v").alias("s"), F.count(F.lit(1)).alias("c"))
