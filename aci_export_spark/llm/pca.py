@@ -89,7 +89,12 @@ def embedding_moments_exact(
         .collect()
     )
     by_idx = {int(r["idx"]): r for r in rows}
-    n = int(by_idx[0]["c"]) if by_idx else 0
+    if not by_idx:
+        raise ValueError(
+            f"embedding_moments_exact: no {dim}-dimensional vectors in "
+            f"column — nothing to fit"
+        )
+    n = int(by_idx[0]["c"])
     sum_x = [by_idx[i]["s"] for i in range(dim)]
     n_pairs = dim * (dim + 1) // 2
     sum_xx = [by_idx[dim + p]["s"] for p in range(n_pairs)]

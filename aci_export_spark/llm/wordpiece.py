@@ -34,7 +34,7 @@ trips are O(n_merges / batch-yield).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aci_export_spark.llm.bpe import _pair_counts

@@ -520,6 +520,11 @@ def fs_em_fixed_point(
     """
     from fractions import Fraction
 
+    if not patterns or sum(n for _, n in patterns) == 0:
+        raise ValueError(
+            "fs_em_fixed_point: empty agreement-pattern table — the "
+            "blocking produced no candidate pairs, so the model is unfit"
+        )
     # canonical textbook init (match prevalence 10%, informative
     # comparators) — deterministic and strictly inside (0, 1), so the
     # first E-step never divides by zero

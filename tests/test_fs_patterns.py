@@ -119,3 +119,12 @@ def test_em_weights_query_shape(spark):
         assert 0.0 < r["m"] < 1.0 and 0.0 < r["u"] < 1.0
         assert r["agree_weight"] == r["m"] / r["u"]
         assert r["disagree_weight"] == (1.0 - r["m"]) / (1.0 - r["u"])
+
+
+def test_em_empty_pattern_table_raises():
+    import pytest as _pytest
+
+    from aci_export_spark.operators.fuzzy import fs_em_fixed_point
+
+    with _pytest.raises(ValueError, match="empty agreement-pattern table"):
+        fs_em_fixed_point([], 3)

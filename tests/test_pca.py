@@ -91,3 +91,11 @@ def test_degenerate_covariance_raises(spark):
     X = np.ones((20, DIM), dtype=np.float32)
     with pytest.raises(Exception, match="non-positive eigenvalue"):
         pca_whiten(_emb_df(spark, X), dim=DIM, k=1).collect()
+
+
+def test_no_valid_vectors_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no 8-dimensional vectors"):
+        pca_whiten(df, dim=DIM, k=1)
