@@ -441,6 +441,12 @@ BENCH_BILLING_ORDER: list[str] = [
 #: (1 + 43 + 4 + 2 = 50 exactly; no deferrals this round). After a green
 #: CORRECTNESS_r10 the oldest cohort is r6 (42 rows) — the r11 rebuild
 #: starts with them plus any new/changed registrations.
+#: ROUND-11 NOTE: rebuild from the CORRECTNESS_r01..r10 union. Head order:
+#: flagship, then the two WINDOW_DEFERRED r5 shapes (q14_promo_revenue,
+#: q15_top_supplier — the mandated overflow repayment), then any new/
+#: module-changed registrations, then the r6 cohort (42 rows at the r10
+#: build) oldest-first; defer overflow from the oldest cohort with the
+#: same documentation discipline.
 #: The newest CORRECTNESS_r{N} round the window above was computed from —
 #: tests/test_rotation.py recomputes the freshness cohorts from the files
 #: and asserts the window covers them. Bump this when rebuilding the window.

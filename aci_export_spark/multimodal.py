@@ -1705,10 +1705,20 @@ def synth_mp4(doc_id: int, byte_len: int) -> bytes:
 def attach_mp4(docs: DataFrame) -> DataFrame:
     """(doc_id, byte_len, content) with content = a synthesized REAL MP4
     container per document (the ingestion stand-in, like
-    :func:`attach_audio`). mapInPandas, no shuffle."""
-    src = docs.select(
-        "doc_id",
-        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
+    :func:`attach_audio`). mapInPandas; the only movement is the guarded
+    pre-spread of the narrow (doc_id, byte_len) source — MP4 synthesis +
+    the downstream per-sample expansion are the mm family's heaviest
+    Python stages, and a one-file scan would otherwise serialize them
+    through a single worker (the llm/dedup one-split trap; measured
+    4.8 s → ~1 s wall at sf0.1). On a real many-file media lake the guard
+    sees a wide scan and moves nothing."""
+    from aci_export_spark.llm.dedup import spread_for_explode
+
+    src = spread_for_explode(
+        docs.select(
+            "doc_id",
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
+        )
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
