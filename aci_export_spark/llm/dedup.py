@@ -78,9 +78,18 @@ def scan_input_bytes(df: DataFrame) -> int | None:
     return total
 
 
-def spread_for_explode(df: DataFrame) -> DataFrame:
+def spread_for_explode(df: DataFrame, width: int | None = None) -> DataFrame:
     """Round-robin repartition a narrow input up to the cluster's default
     parallelism BEFORE a generator amplifies it ~100-1000×.
+
+    `width` caps the spread below default parallelism — the right setting
+    when the consumer is a PYTHON (Arrow) stage rather than JVM codegen:
+    every mapInPandas partition pays a fixed worker/Arrow-IPC overhead
+    PER STAGE, so full width multiplies CPU-seconds without buying wall
+    (measured on the mp4 chain at sf0.1: 1/4/8/32 partitions → warm wall
+    2.9/1.6/1.25/1.6 s at 4.4/8.0/11.5/36.5 CPU-s — 32-way costs 8× the
+    CPU of serial for a wall WORSE than 8-way). JVM-side consumers keep
+    the default full width.
 
     A scan with few input splits (the extreme: one small parquet file, the
     local-bench shape) would otherwise serialize the whole explode and the
@@ -100,6 +109,8 @@ def spread_for_explode(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if width is not None:
+        target = min(target, width)
     try:
         files = df.inputFiles()
         if len(files) >= target:

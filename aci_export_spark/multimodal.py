@@ -1709,16 +1709,20 @@ def attach_mp4(docs: DataFrame) -> DataFrame:
     pre-spread of the narrow (doc_id, byte_len) source — MP4 synthesis +
     the downstream per-sample expansion are the mm family's heaviest
     Python stages, and a one-file scan would otherwise serialize them
-    through a single worker (the llm/dedup one-split trap; measured
-    4.8 s → ~1 s wall at sf0.1). On a real many-file media lake the guard
-    sees a wide scan and moves nothing."""
+    through a single worker (the llm/dedup one-split trap). WIDTH-CAPPED
+    at 4: Python stages pay a fixed per-partition worker/Arrow overhead
+    per stage, so full 32-way spread measured 8× the CPU-seconds of
+    serial for no wall gain over modest widths (see spread_for_explode's
+    width note); 4-way halves the serial wall at CPU parity. On a real
+    many-file media lake the guard sees a wide scan and moves nothing."""
     from aci_export_spark.llm.dedup import spread_for_explode
 
     src = spread_for_explode(
         docs.select(
             "doc_id",
             F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
-        )
+        ),
+        width=4,
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
