@@ -121,15 +121,11 @@ def spread_for_explode(df: DataFrame, width: int | None = None) -> DataFrame:
                     "spark.sql.files.maxPartitionBytes", "128m"
                 )
             )
-            total = 0
-            for f in files:
-                path = f
-                if path.startswith("file:"):
-                    path = path[5:]
-                    while path.startswith("//"):
-                        path = path[1:]
-                total += os.path.getsize(path)
-            if total // max_split >= target:
+            # shared path-normalization + size walk (None = size unknowable
+            # -> fall through to the repartition, the conservative side
+            # HERE, opposite of a broadcast gate)
+            total = scan_input_bytes(df)
+            if total is not None and total // max_split >= target:
                 return df
         else:
             # no files: an in-memory frame OR an already-materialized

@@ -56,6 +56,15 @@ def _pair_index_expr(dim: int) -> str:
     return f"(i * {dim} - (i * (i - 1)) DIV 2 + (j - i))"
 
 
+def _valid_vec(vec_col: str, dim: int) -> "F.Column":
+    """dim-length AND fully non-null: a NULL element would be silently
+    skipped by SUM but still counted by COUNT, corrupting the moments
+    (and the reference would crash on float(None)) — invalid vectors are
+    excluded from moments and output alike, like wrong-dim rows."""
+    e = F.col(vec_col)
+    return (F.size(e) == dim) & ~F.exists(e, lambda x: x.isNull())
+
+
 def embedding_moments_exact(
     emb: DataFrame, vec_col: str, dim: int
 ) -> tuple[int, list, list]:
@@ -82,7 +91,7 @@ def embedding_moments_exact(
     # = one task, the llm/dedup one-split trap; measured 9.7 s → 0.9 s at
     # sf0.1)
     rows = (
-        spread_for_explode(emb.filter(F.size(e) == dim))
+        spread_for_explode(emb.filter(_valid_vec(vec_col, dim)))
         .select(F.explode(F.concat(first, second)).alias("m"))
         .groupBy(F.col("m.idx").alias("idx"))
         .agg(F.sum("m.v").alias("s"), F.count(F.lit(1)).alias("c"))
@@ -174,10 +183,11 @@ def pca_whiten(
     k: int = 4,
 ) -> DataFrame:
     """Append whitened principal components pc1..pck to `emb` (rows whose
-    vector is not `dim`-long are dropped — they carry no moments either)."""
+    vector is not `dim`-long or carries a NULL element are dropped — they
+    contribute no moments either)."""
     n, sum_x, sum_xx = embedding_moments_exact(emb, vec_col, dim)
     mu, comps, lams = fit_pca_model(n, sum_x, sum_xx, dim, k)
-    out = emb.filter(F.size(F.col(vec_col)) == dim)
+    out = emb.filter(_valid_vec(vec_col, dim))
     for c in range(k):
         out = out.withColumn(
             f"pc{c + 1}", F.expr(_project_expr(vec_col, mu, comps[c], lams[c]))
@@ -221,7 +231,7 @@ def pca_reference_python(
     sum_xx = [zero] * n_pairs
     kept: list[tuple[int, list[float]]] = []
     for vid, vec in zip(ids, vecs):
-        if vec is None or len(vec) != dim:
+        if vec is None or len(vec) != dim or any(v is None for v in vec):
             continue
         x = [float(v) for v in vec]
         kept.append((int(vid), x))

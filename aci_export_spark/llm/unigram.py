@@ -348,6 +348,13 @@ def _ref_viterbi(
                 state = cand
         return state
 
+    # warm the memo in index order so no solve() call recurses deeper than
+    # max_piece_len — a bare top-down pass recurses len(word) frames and a
+    # single ~1000-char whitespace-free token (URL, base64 blob) would blow
+    # the interpreter recursion limit in the ORACLE builder while the
+    # iterative executor-side DP sails through
+    for k in range(1, len(word) + 1):
+        solve(k)
     out: list[str] = []
     i = len(word)
     while i > 0:

@@ -32,6 +32,8 @@ def pair_expansion_join(
     on: "Column | list[str]",
     probe_keys: list[str],
     build_keys: list[str],
+    build_amplification: int = 1,
+    spread_probe: bool = True,
 ) -> DataFrame:
     """Blocked pair-expansion join (output quadratic in block size, input
     bytes tiny) with a SIZE-CONDITIONED build-side broadcast — never a bare
@@ -59,19 +61,39 @@ def pair_expansion_join(
     `jaccard_pairs_prefix` pair-stage discipline, `llm/dedup.py`); the
     keys match the join's equi-columns so no extra exchange is introduced.
     A skewed block then salts exactly like any skewed join key.
+
+    ``build_amplification`` is the caller's worst-case row fan-out between
+    the scanned files and the build relation actually broadcast (e.g. a
+    deletion-variants explode emits ≤ max_name_len+1 rows per input row):
+    the gate proves FILE bytes, so an amplified build side must clear the
+    threshold at size × amplification or the "metadata PROVES it fits"
+    claim is false exactly where it matters. The threshold conf is parsed
+    STRICTLY — an unparseable autoBroadcastJoinThreshold disables the
+    broadcast (a fallback default here would approve broadcasts the user
+    never allowed; contrast _parse_bytes' wide-scan guard, where a
+    default errs safe).
     """
     from aci_export_spark.llm.dedup import (
-        _parse_bytes,
+        _BYTE_SUFFIX,
         scan_input_bytes,
         spread_for_explode,
     )
 
-    thresh = _parse_bytes(
+    raw = str(
         probe.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
-    )
+    ).strip().lower()
+    digits = raw.rstrip("kmgbtp")
+    try:
+        thresh = int(float(digits) * _BYTE_SUFFIX[raw[len(digits):]])
+    except (KeyError, ValueError):
+        thresh = -1  # unknown threshold = no broadcast
     size = scan_input_bytes(build)
-    if size is not None and 0 <= size <= thresh:
-        return spread_for_explode(probe).join(F.broadcast(build), on)
+    if size is not None and 0 <= size * max(1, build_amplification) <= thresh:
+        # spread_probe=False: the caller already spread BELOW its generator
+        # (the right place — this helper only sees the post-explode frame,
+        # and a second repartition here would move the amplified rows)
+        spread = spread_for_explode(probe) if spread_probe else probe
+        return spread.join(F.broadcast(build), on)
     n = probe.sparkSession.sparkContext.defaultParallelism
     return probe.repartition(n, *probe_keys).join(
         build.repartition(n, *build_keys), on
@@ -433,8 +455,18 @@ def blocking_audit(
     n_true = truth.filter("__match").groupBy("block").agg(
         F.count(F.lit(1)).alias("n_true")
     )
-    # candidates: the deletion-neighborhood join, block-scoped, pre-verify
-    var = base.select(
+    # candidates: the deletion-neighborhood join, block-scoped, pre-verify.
+    # Spread the NARROW base before the variant explode (the generator
+    # amplifies ~len+1x; a one-split scan would serialize generation —
+    # spread_for_explode's own contract), and tell the join helper the
+    # fan-out bound so its broadcast gate prices the EXPLODED build side,
+    # not the scanned file bytes (review r10: metadata proves file bytes
+    # only; an amplified side must clear threshold at size x amplification)
+    from aci_export_spark.llm.dedup import spread_for_explode
+
+    amp_row = base.agg(F.max(F.length("name")).alias("m")).collect()[0]
+    amplification = int(amp_row["m"] or 0) + 1
+    var = spread_for_explode(base).select(
         "id", "name", "block", F.explode(deletion_variants("name")).alias("v")
     )
     va = var.select(
@@ -447,6 +479,7 @@ def blocking_audit(
         pair_expansion_join(
             va, vb, ["block", "v"],
             probe_keys=["block", "v"], build_keys=["block", "v"],
+            build_amplification=amplification, spread_probe=False,
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("block", "id_a", "id_b", "name_a", "name_b")

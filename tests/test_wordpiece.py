@@ -32,12 +32,15 @@ def test_alphabet_and_merge_products(spark):
     )
     got = [(r["left_sym"], r["right_sym"], r["new_sym"])
            for r in merge_df.orderBy("merge_rank").collect()]
-    # pairs in 'a ##a ##a ##b': (a,##a) c=1, (##a,##a) c=1, (##a,##b) c=1;
-    # freqs: a=1(x2 words? one type, wcount 2 -> all counts x2)...
-    # ranking is likelihood: (##a,##b) has freq ##b smallest
+    # merge products never stack prefixes
     assert all(not n.startswith("####") for *_pair, n in got)
-    syms = {s for r in words.collect() for s in r["symbols"]}
-    assert all(s == "a" or s.startswith("##") or len(s) >= 1 for s in syms)
+    # positional invariant: the word-initial symbol is always bare, every
+    # later symbol always ##-prefixed — merges preserve this by
+    # construction (_wp_concat strips the RIGHT side's prefix only)
+    for r in words.collect():
+        syms = r["symbols"]
+        assert syms and not syms[0].startswith("##")
+        assert all(s.startswith("##") and len(s) > 2 for s in syms[1:])
 
 
 def test_likelihood_ranking_beats_raw_frequency(spark):
