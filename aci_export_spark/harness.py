@@ -442,11 +442,11 @@ BENCH_BILLING_ORDER: list[str] = [
 #: CORRECTNESS_r10 the oldest cohort is r6 (42 rows) — the r11 rebuild
 #: starts with them plus any new/changed registrations.
 #: ROUND-11 NOTE: rebuild from the CORRECTNESS_r01..r10 union. Head order:
-#: flagship, then the two WINDOW_DEFERRED r5 shapes (q14_promo_revenue,
-#: q15_top_supplier — the mandated overflow repayment), then any new/
-#: module-changed registrations, then the r6 cohort (42 rows at the r10
-#: build) oldest-first; defer overflow from the oldest cohort with the
-#: same documentation discipline.
+#: flagship, then the TEN WINDOW_DEFERRED r5 shapes (q14/q15 plus the
+#: eight third-wave displacements — the mandated overflow repayment),
+#: then any new/module-changed registrations, then the r6 cohort (42 rows
+#: at the r10 build) oldest-first; defer overflow from the oldest cohort
+#: with the same documentation discipline.
 #: The newest CORRECTNESS_r{N} round the window above was computed from —
 #: tests/test_rotation.py recomputes the freshness cohorts from the files
 #: and asserts the window covers them. Bump this when rebuilding the window.
@@ -467,8 +467,36 @@ WINDOW_BUILT_FROM_ROUND = 9
 #: compare at the identical scale). The r9 verdict's "no row older than
 #: r6" goal therefore lands for 41 of 43; these two repay at r11 exactly
 #: like the r8→r9 single-deferral precedent.
+#: THIRD-WAVE UPDATE (same session): EIGHT more never-driver-checked
+#: registrations landed (KN bigram LM, Bradley-Terry, survival life table,
+#: compaction planner, binary-Hamming ANN, bootstrap CI, SRT cues, ID3
+#: tags) and the never-checked contract forces them into the window, so
+#: eight more r5 slots defer: 1 flagship + 33 r5 + 16 new = 50.  The eight
+#: deferred below are chosen by the same rule as q14/q15 — SQL-inline or
+#: single-operator queries whose implementing code is frozen since their
+#: r5 row and which the full local driver-gate replica re-proves green
+#: every round (tests/test_oracle_queries.py + scripts/driver_sim.py).
+#: They repay at the r11 head together with q14/q15, before the r6 cohort.
+#: FOURTH-WAVE UPDATE (same session, +3): Jaro-Winkler pairs, k-core
+#: decomposition, and weighted Jaccard joined the registry under the same
+#: never-checked contract, deferring three more by the same rule:
+#: 1 flagship + 30 r5 + 19 new = 50.
 WINDOW_DEFERRED: frozenset[str] = frozenset(
-    {"q14_promo_revenue", "q15_top_supplier"}
+    {
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q12_late_shipment_modes",
+        "orders_benford_digits",
+        "orders_pareto_frontier",
+        "orders_value_gini",
+        "parts_price_band_pairs",
+        "docs_cube_stats",
+        "events_value_deciles",
+        "events_zorder_pruning_stats",
+        "dq_profile_customer",
+        "events_anomalous_days",
+        "events_scd2_history",
+    }
 )
 
 #: ROUND-10 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r09 union
@@ -479,8 +507,11 @@ WINDOW_DEFERRED: frozenset[str] = frozenset(
 #: EIGHT new registrations (unigram-LM trainer + fertility, EXIF tags,
 #: IVF-PQ incremental maintenance, then the session's second wave:
 #: gap-fill/LOCF, Fellegi-Sunter EM weights, WordPiece trainer, embedding
-#: PCA whitening). Window arithmetic: 1 + 41 + 8 = 50 exactly, with two
-#: r5 shapes deferred (see WINDOW_DEFERRED above). The module-changed-
+#: PCA whitening) + the session's THIRD wave (KN-smoothed bigram LM,
+#: Bradley-Terry preference fit, Kaplan-Meier life table, Poisson
+#: bootstrap CI, compaction planner, binary-Hamming ANN, SRT cue and
+#: ID3v2.3 tag parsers). Window arithmetic: 1 + 33 + 16 = 50 exactly,
+#: with ten r5 shapes deferred (see WINDOW_DEFERRED above). The module-changed-
 #: after-row queries (the ER pair's size-conditioned pair_expansion_join
 #: retiring the r9 `weak` grades, llm_pmi_collocations' sort-limit rank,
 #: mm_zip_entries' EOCD validation, mm_tiff_pages' shared IFD reader, the
@@ -501,21 +532,15 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # oldest cohort first, alphabetical within
     "basket_brand_pairs",
     "basket_brand_triples",
-    "docs_cube_stats",
     "dq_check_report",
-    "dq_profile_customer",
-    "events_anomalous_days",
     "events_pit_state_enrichment",
     "events_retention_cohorts",
     "events_rolling_active_users",
-    "events_scd2_history",
     "events_sessionization_native",
     "events_time_to_convert",
     "events_transition_matrix",
     "events_trending_topk",
-    "events_value_deciles",
     "events_zorder_keys",
-    "events_zorder_pruning_stats",
     "graph_brand_pagerank",
     "graph_brand_triangles",
     "ivm_orders_maintained_agg",
@@ -532,11 +557,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_split_leakage",
     "llm_vocab_stats",
     "mm_phash_pairs",
-    "orders_benford_digits",
-    "orders_pareto_frontier",
-    "orders_value_gini",
-    "parts_price_band_pairs",
-    "q12_late_shipment_modes",
     "rec_item_item_cosine",
     "streaming_dq_monitor",
     "streaming_funnel",
@@ -552,6 +572,22 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "er_fs_em_weights",
     "llm_wordpiece_train",
     "llm_embedding_pca",
+    # third-wave new registrations (never driver-checked): the smoothed
+    # LM quality gate, preference/survival/bootstrap statistics, lake
+    # maintenance, the binary ANN tier, and the two caption/tag parsers
+    "llm_quality_kn_bigram",
+    "pref_bradley_terry_brands",
+    "events_survival_km",
+    "events_bootstrap_ci",
+    "maint_compaction_plan",
+    "llm_sim_binary_hamming_topk",
+    "mm_srt_cues",
+    "mm_id3_tags",
+    # fourth-wave new registrations (never driver-checked): the linkage
+    # comparator, the graph-density peel, and the weighted dedup measure
+    "er_jaro_winkler_pairs",
+    "graph_brand_kcore",
+    "llm_dedup_weighted_jaccard",
 ]
 
 

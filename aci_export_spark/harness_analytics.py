@@ -2473,6 +2473,259 @@ def er_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_bootstrap_ci",
+    """
+WITH base AS (
+    SELECT event_type AS g, event_id AS id,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+), pt AS (
+    SELECT g, COUNT(*)::BIGINT AS n_events, SUM(cents)::BIGINT AS cents_total
+    FROM base GROUP BY g
+), reps AS (
+    SELECT g, cents, t.j AS rep,
+           ('0x' || substr(md5('boot:v1:' || CAST(t.j AS VARCHAR) || ':'
+                                || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS u
+    FROM base, unnest(generate_series(1, 32)) AS t(j)
+), weighted AS (
+    SELECT g, rep,
+           SUM(((u >= 424136118829305344)::BIGINT
+              + (u >= 848272237658610688)::BIGINT
+              + (u >= 1060340297073263360)::BIGINT
+              + (u >= 1131029650211480960)::BIGINT
+              + (u >= 1148701988496035328)::BIGINT
+              + (u >= 1152236456152946176)::BIGINT) * cents)::BIGINT
+               AS cents_star
+    FROM reps GROUP BY g, rep
+), ranked AS (
+    SELECT g, cents_star,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents_star, rep) AS r
+    FROM weighted
+)
+SELECT pt.g AS event_type, pt.n_events, pt.cents_total,
+       lo.cents_star AS boot_lo_cents, hi.cents_star AS boot_hi_cents,
+       32::BIGINT AS n_reps
+FROM pt
+JOIN (SELECT g, cents_star FROM ranked WHERE r = 2) lo USING (g)
+JOIN (SELECT g, cents_star FROM ranked WHERE r = 31) hi USING (g)
+""",
+    doc="deterministic Poisson bootstrap CI (Owen & Eckles 2012's "
+    "one-pass online bootstrap): per-(row, replicate) Poisson(1) weights "
+    "inverted from 60-bit md5 uniforms against precomputed 2^60-scaled "
+    "CDF thresholds — no RNG, engine-replayable, truncated at w=6 "
+    "(P > 1e-7) by defined spec. Replicate totals are exact integer "
+    "(floored-cents) weighted sums reduced map-side on the (group, rep) "
+    "key; CI bounds are deterministic rank-2/31-of-32 order statistics "
+    "(~5%/95% percentile bootstrap) — no float anywhere. ONE corpus scan "
+    "serves all 32 replicates (the only bootstrap shape that survives "
+    "100 TB: no resampled copies, no per-replicate shuffle); the rank "
+    "window runs on the groups x reps replicate table, never the corpus",
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    ev = read_table(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, group_col="event_type", id_col="event_id", value_col="value",
+        n_reps=32, lo_rank=2, hi_rank=31,
+    )
+
+
+@register(
+    "maint_compaction_plan",
+    """
+WITH cat AS (
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+           CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+    FROM documents
+), assigned AS (
+    SELECT source, doc_id, bytes, cum_before // 2000 AS group_id FROM cat
+)
+SELECT source, group_id,
+       COUNT(*)::BIGINT AS n_files,
+       SUM(bytes)::BIGINT AS group_bytes,
+       MIN(doc_id) AS min_key,
+       MAX(doc_id) AS max_key,
+       SUM(bytes)::BIGINT > 2000 AS oversized
+FROM assigned GROUP BY 1, 2
+""",
+    doc="small-file compaction planner (the Delta OPTIMIZE / Iceberg "
+    "rewrite_data_files planning step): catalog rows (here: documents as "
+    "the file catalog, n_chars as file bytes) pack into ~target-size "
+    "output groups via a per-partition ordered byte cumsum and one floor "
+    "division — order-preserving bin packing, so it composes with a "
+    "z-ordered layout (events_zorder_keys). A file straddling a boundary "
+    "joins the group it started in (groups exceed the target by at most "
+    "one file, flagged oversized). All integer arithmetic; the plan is "
+    "catalog-sized metadata work — at 100 TB ~10^6 catalog rows, "
+    "partition-key window parallelism, hierarchical-cumsum dial past that",
+)
+def maint_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.maintenance import compaction_plan
+
+    docs = read_table(spark, sf_dir, "documents")
+    return compaction_plan(
+        docs.select("source", "doc_id", "n_chars"),
+        partition_col="source",
+        file_key_col="doc_id",
+        size_col="n_chars",
+        target_bytes=2000,
+    )
+
+
+@register(
+    "events_survival_km",
+    """
+WITH lt AS (
+    SELECT user_id,
+           date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))::BIGINT
+               AS t,
+           date_diff('day', MAX(CAST(ts AS DATE)),
+                     (SELECT MAX(CAST(ts AS DATE)) FROM events)) < 7 AS censored
+    FROM events GROUP BY user_id
+), per_t AS (
+    SELECT t,
+           SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS n_deaths,
+           SUM(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT AS n_censored
+    FROM lt GROUP BY t
+), risked AS (
+    SELECT *,
+           CAST(SUM(n_deaths + n_censored) OVER (
+               ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+    FROM per_t
+), ev AS (
+    SELECT t, n_risk, n_deaths, n_censored,
+           (n_deaths * 1000000) // n_risk AS hazard_ppm,
+           ((n_risk - n_deaths) * 1000000) // n_risk AS km_factor_ppm
+    FROM risked WHERE n_deaths > 0
+)
+SELECT t AS duration_days, n_risk, n_deaths, n_censored, hazard_ppm,
+       CAST(SUM(hazard_ppm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_hazard_ppm,
+       km_factor_ppm
+FROM ev
+""",
+    doc="Kaplan-Meier / Nelson-Aalen life table (Kaplan & Meier 1958; "
+    "Aalen 1978) over right-censored user lifetimes — the churn question "
+    "a naive histogram answers WRONG (users still active at the "
+    "observation edge are censored, not churned; here: last event within "
+    "7 days of the corpus max day). Emits per-death-time risk set, "
+    "deaths, censored, ppm-floored hazard d/n, the window-summed "
+    "Nelson-Aalen cumulative hazard, and the KM product factor (n-d)/n "
+    "— every value integer, no float at any boundary; the multiplicative "
+    "KM curve folds caller-side (exp(-cum_hazard) is the additive "
+    "identity). One user-key shuffle; the life-table windows run on the "
+    "calendar-bounded duration aggregate",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.survival import km_life_table, user_lifetimes
+
+    ev = read_table(spark, sf_dir, "events")
+    return km_life_table(user_lifetimes(ev, censor_window_days=7))
+
+
+def _jw_oracle() -> str:
+    """Golden-VALUES oracle: the Jaro-Winkler similarity is exact integer
+    arithmetic on the ppm grid (operators/fuzzy.jw_ppm — transposition
+    halves cleared into the rational, Winkler p=1/10 rational), so the
+    independent single-process reference (DuckDB blocked pairs + a
+    from-the-spec comparator built on per-char position queues) reproduces
+    every score bit-for-bit."""
+    from aci_export_spark.operators.fuzzy import jw_reference_python
+
+    rows = jw_reference_python(
+        "/root/testdata/sf0.01/part.parquet", threshold_ppm=900_000
+    )
+    values = ",".join(f"({a},{b},{s})" for a, b, s in rows)
+    return f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(jw_ppm AS BIGINT) AS jw_ppm
+FROM (VALUES {values}) AS t(id_a, id_b, jw_ppm)
+"""
+
+
+@register(
+    "er_jaro_winkler_pairs",
+    _jw_oracle,  # resolved lazily; engine-vs-reference property fuzz in
+    # tests/test_jaro_winkler.py
+    doc="Jaro-Winkler blocked candidate pairs (Jaro 1989; Winkler 1990) — "
+    "THE record-linkage string comparator (Winkler's Census matcher, the "
+    "default scorer in production linkage stacks): part names within a "
+    "brand block scored on the exact ppm integer grid (transposition "
+    "halves cleared into the rational, p=1/10 Winkler bonus rational, no "
+    "float anywhere), pairs >= 0.90 emitted. Block self-join through the "
+    "size-conditioned pair_expansion_join; the windowed greedy matcher "
+    "has no SQL form, so scoring is the documented Arrow-batched slow "
+    "path AFTER blocking bounds pair volume. Golden oracle from the "
+    "independent position-queue reference",
+)
+def er_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.fuzzy import jaro_winkler_pairs
+
+    part = read_table(spark, sf_dir, "part")
+    return jaro_winkler_pairs(
+        part, id_col="p_partkey", field="p_name",
+        block_cols=["p_brand"], threshold_ppm=900_000,
+    )
+
+
+def _bt_oracle() -> str:
+    """Golden-VALUES oracle: the MM recursion is exact rational arithmetic
+    on a 2^-40 fixed-point grid (operators/preferences.py BT_SCALE), so
+    the independent single-process reference — DuckDB pair counts + a
+    from-the-spec MM reimplementation — reproduces every strength
+    bit-for-bit.  VALUES carry the exact grid NUMERATORS; the grid
+    division (power-of-two denominator, exact in a double) is replayed in
+    SQL."""
+    from aci_export_spark.operators.preferences import bt_reference_python
+
+    rows = bt_reference_python(
+        "/root/testdata/sf0.01/lineitem.parquet",
+        "/root/testdata/sf0.01/part.parquet",
+    )
+    values = ",".join(f"('{i}', {sn}, {w}, {g})" for i, sn, w, g in rows)
+    s = float(1 << 40)
+    return f"""
+SELECT CAST(item AS VARCHAR) AS item,
+       CAST(s_num AS DOUBLE) / {s!r} AS strength,
+       CAST(wins AS BIGINT) AS wins,
+       CAST(games AS BIGINT) AS games
+FROM (VALUES {values}) AS t(item, s_num, wins, games)
+"""
+
+
+@register(
+    "pref_bradley_terry_brands",
+    _bt_oracle,  # resolved lazily; planted-strength recovery and
+    # order-invariance pytests in tests/test_preferences.py
+    doc="Bradley-Terry preference-strength estimation (Bradley & Terry "
+    "1952; Hunter 2004's MM recursion) — the RLHF-preference-data fit: "
+    "pairwise win/loss judgments (here: within each order, the brand "
+    "with strictly more units beats the other — a deterministic revealed "
+    "preference) reduce to the per-pair sufficient statistic "
+    "(vocabulary-bounded, corpus-independent), and the MM loop runs on "
+    "that bounded collect in exact 2^-40 fixed-point rationals — "
+    "bit-reproducible by the independent reference, the "
+    "er_fs_em_weights discipline applied to preference modeling. "
+    "Distributed work: broadcast part-dim join, per-(order,brand) "
+    "exact-decimal aggregate, order-key co-partitioned self-join (pair "
+    "fan-out bounded by per-order line count), map-side pair reduce",
+)
+def pref_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.preferences import (
+        brand_preference_pairs,
+        bt_strengths,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return bt_strengths(brand_preference_pairs(li, part))
+
+
+@register(
     "orders_rfm_segments",
     """
 WITH rfm AS (

@@ -1053,6 +1053,106 @@ def llm_quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_weighted_jaccard",
+    f"""
+WITH t0 AS (SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents),
+toks AS (SELECT doc_id, lang, u.tok AS tok FROM t0, unnest(t) AS u(tok)),
+tf AS (SELECT doc_id, lang, tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2, 3),
+dfreq AS (SELECT lang, tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1, 2),
+feat AS (
+    SELECT t.*, d.df FROM tf t JOIN dfreq d USING (lang, tok) WHERE d.df <= 50
+), tot AS (SELECT doc_id, lang, SUM(tf)::BIGINT AS tot FROM feat GROUP BY 1, 2),
+cand AS (
+    SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+           SUM(LEAST(a.tf, b.tf))::BIGINT AS smin
+    FROM feat a JOIN feat b
+      ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+    WHERE a.df >= 2
+    GROUP BY 1, 2, 3
+)
+SELECT c.id_a, c.id_b,
+       (1000000 * c.smin) // (ta.tot + tb.tot - c.smin) AS wjacc_ppm
+FROM cand c
+JOIN tot ta ON ta.doc_id = c.id_a AND ta.lang = c.lang
+JOIN tot tb ON tb.doc_id = c.id_b AND tb.lang = c.lang
+WHERE 1000000 * c.smin >= 500000 * (ta.tot + tb.tot - c.smin)
+""",
+    doc="tf-weighted (multiset) Jaccard near-dup pairs — the weighted "
+    "generalization set-Jaccard misses and weighted-MinHash (Ioffe CWS) "
+    "sketches approximate, computed EXACTLY: J_w = sum min(tf)/sum "
+    "max(tf) over a declared feature space (in-bucket document frequency "
+    "<= 50 — the winnowing stop-gram cull, which also BOUNDS candidate "
+    "volume: sum df^2 <= cap * sum df, linear where the uncapped token "
+    "join is stop-word-quadratic). Emission predicate and wjacc_ppm are "
+    "pure int64 via sum-max = |A|+|B|-sum-min; one tf aggregate, the df "
+    "table reused as cull + candidate equi-join, pair aggregate "
+    "map-combined",
+)
+def llm_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.dedup import weighted_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", bucket_col="lang",
+        threshold_ppm=500_000, df_cap=50,
+    )
+
+
+@register(
+    "llm_quality_kn_bigram",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+pairs AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE len(t) >= 2
+), big AS (
+    SELECT w1, w2, COUNT(*)::BIGINT AS c_xy FROM pairs GROUP BY 1, 2
+), fwd AS (
+    SELECT w1, SUM(c_xy)::BIGINT AS c_w1, COUNT(*)::BIGINT AS n1p_fw
+    FROM big GROUP BY w1
+), bwd AS (SELECT w2, COUNT(*)::BIGINT AS n1p_bw FROM big GROUP BY w2),
+ty AS (SELECT COUNT(*)::BIGINT AS t_types FROM big),
+scored AS (
+    SELECT b.w1, b.w2, b.c_xy,
+           (GREATEST(4 * b.c_xy - 3, 0) * 250000000) // f.c_w1
+           + (3 * f.n1p_fw * w.n1p_bw * 250000000) // (f.c_w1 * ty.t_types)
+               AS p_ppb
+    FROM big b JOIN fwd f USING (w1) JOIN bwd w USING (w2) CROSS JOIN ty
+), per_doc AS (
+    SELECT p.doc_id,
+           COUNT(*)::BIGINT AS n_bigrams,
+           SUM(s.p_ppb)::BIGINT AS sum_ppb,
+           MIN(s.p_ppb)::BIGINT AS min_ppb,
+           SUM(CASE WHEN s.c_xy <= 1 THEN 1 ELSE 0 END)::BIGINT AS novel_bigrams
+    FROM pairs p JOIN scored s USING (w1, w2) GROUP BY p.doc_id
+), gl AS (
+    SELECT SUM(sum_ppb)::BIGINT AS g_sum, SUM(n_bigrams)::BIGINT AS g_n
+    FROM per_doc
+)
+SELECT doc_id, n_bigrams, sum_ppb, min_ppb, novel_bigrams,
+       sum_ppb // n_bigrams AS mean_ppb,
+       (sum_ppb // n_bigrams) >= (g.g_sum // g.g_n) AS keep
+FROM per_doc CROSS JOIN gl g
+""",
+    doc="Kneser-Ney smoothed bigram-LM quality scoring (Kneser & Ney 1995; "
+    "Chen & Goodman 1999 interpolated form, D = 3/4): absolute-discounted "
+    "bigram probability backed off to the CONTINUATION unigram — the "
+    "estimator production n-gram LMs (KenLM / the CCNet filter) actually "
+    "use, where llm_quality_bigram_lm is raw MLE counts. D = 3/4 makes "
+    "every term a ratio of int64 products, quantized to a ppb grid with "
+    "one floor division per term — no float anywhere in the model, and "
+    "the keep decision compares two integer means. Fit = three map-side "
+    "groupBys (bigram key + two type-table marginals); T is a 1-row "
+    "broadcast; the score join reuses the bigram partitioning; state is "
+    "the bigram TYPE table (Heaps-law sublinear at 100 TB)",
+)
+def llm_quality_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.kn_bigram_scores(docs, "doc_id", "text")
+
+
+@register(
     "llm_readability",
     f"""
 WITH toks AS (
@@ -1388,6 +1488,60 @@ def llm_sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.sq8_topk(emb, queries, k=5, shortlist=15)
+
+
+@register(
+    "llm_sim_binary_hamming_topk",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+packed AS (
+    SELECT vec_id, v,
+           CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN v[j + 1] > 0 THEN (1::BIGINT << j)
+                    ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+           CAST(list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN v[j + 33] > 0 THEN (1::BIGINT << j)
+                    ELSE 0::BIGINT END)) AS BIGINT) AS w1
+    FROM e
+), pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           (bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)))::BIGINT
+               AS hamming
+    FROM packed q JOIN packed c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 20
+), short AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming ASC, neighbor_id ASC)
+                      AS srank
+        FROM pairs
+    ) WHERE srank <= 30
+)
+SELECT query_id, neighbor_id, hamming, rank FROM (
+    SELECT s.query_id, s.neighbor_id, s.hamming,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+                              ORDER BY list_dot_product(eq.v, ec.v) /
+                                       (sqrt(list_dot_product(eq.v, eq.v)) *
+                                        sqrt(list_dot_product(ec.v, ec.v))) DESC,
+                              s.neighbor_id ASC) AS rank
+    FROM short s JOIN e eq ON eq.vec_id = s.query_id
+                 JOIN e ec ON ec.vec_id = s.neighbor_id
+) WHERE rank <= 10
+""",
+    doc="binary-quantized ANN with asymmetric exact rerank (the RaBitQ / "
+    "FAISS IndexBinaryFlat shape): sign-bit vectors packed into 32-bit "
+    "words (positive longs — the sign-bit-free packing both engines "
+    "produce identically), Hamming distance = bit_count(xor) per word — "
+    "pure integer, bit-checked by the oracle, 16x less scan bandwidth "
+    "than the float vectors; top-30 shortlist per query then exact-cosine "
+    "rerank touching floats for shortlist rows only (rank-only at the "
+    "float edge). The binary code table composes under IVF cells exactly "
+    "like the SQ8/PQ code tables",
+)
+def llm_sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.binary_hamming_topk(emb, queries, dim=64, k=10, shortlist=30)
 
 
 def _ivf_sq8_golden_oracle() -> str:
@@ -4410,6 +4564,78 @@ def graph_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded work: one executor task, not 10 rounds of 3-stage shuffles
     # (bit-identical either way — see the operator's equivalence pytest)
     return pagerank_fixed_point(edges, "src", "dst", iterations=10, bounded=True)
+
+
+def _kcore_golden_oracle() -> str:
+    """Golden oracle for k-core decomposition: edges from the same top-40
+    brand-pair SQL (run here in DuckDB), coreness computed by a THIRD
+    independent algorithm — level-by-level "delete every node of degree
+    < k" sweeps (the textbook k-core definition applied literally; the
+    engine runs Batagelj-Zaveršnik peeling / the h-index fixed point,
+    sharing no code) — embedded as VALUES."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'"
+        )
+    edges = con.sql(_BRAND_EDGES_SQL).fetchall()
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core: dict[str, int] = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k += 1
+        while True:
+            drop = [
+                v for v in alive
+                if len([u for u in adj[v] if u in alive]) < k
+            ]
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+                alive.discard(v)
+    values = ",".join(f"('{v}',{c})" for v, c in sorted(core.items()))
+    return f"""
+SELECT node, CAST(core AS BIGINT) AS core
+FROM (VALUES {values}) AS t(node, core)
+"""
+
+
+@register(
+    "graph_brand_kcore",
+    _kcore_golden_oracle,
+    doc="k-core decomposition (Seidman 1983) over the top-40 brand "
+    "co-occurrence graph — the graph-density peel that finds community "
+    "cores and dense duplicate cliques: distributed algorithm is the "
+    "H-INDEX FIXED POINT (Lü et al. 2016, c(v) <- H(neighbor c), "
+    "provably converging to the coreness), each round one co-partitioned "
+    "join + a codegen array fold (size(filter(1..n, i -> desc[i] >= i))) "
+    "— all integer, order-free, bit-identical across engines. The "
+    "bounded top-k graph runs as one Batagelj-Zaveršnik peeling task "
+    "(the pagerank bounded-work discipline); the golden oracle is a "
+    "THIRD independent algorithm (literal definition sweeps). The "
+    "convergence loop is the connected_components per-round-checkpoint "
+    "shape at unbounded scale",
+)
+def graph_brand_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.basket import cooccurrence_pairs
+    from aci_export_spark.operators.graph import kcore_decomposition
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    branded = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    edges = cooccurrence_pairs(
+        branded, "l_orderkey", "p_brand", top_k=40, max_basket_items=64
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return kcore_decomposition(edges, "src", "dst", bounded=True)
 
 
 def _zorder_sql(x: str, y: str, bits: int = 10) -> str:

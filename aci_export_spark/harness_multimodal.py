@@ -592,3 +592,76 @@ FROM d
 def mm_exif_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_exif_jpeg(read_table(spark, sf_dir, "documents"))
     return MM.exif_tags(media)
+
+
+@register(
+    "mm_srt_cues",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+c AS (
+    SELECT d.doc_id, d.byte_len, i.i AS idx,
+           (d.doc_id * 13 + i.i * 41) % 1500 AS gap,
+           700 + (d.doc_id * 31 + i.i * 97) % 2500 AS dur,
+           2 + (d.byte_len + d.doc_id + i.i) % 9 AS nw
+    FROM d, LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 6)) AS i) i
+), timed AS (
+    SELECT doc_id, idx, dur, nw,
+           CAST(COALESCE(SUM(gap + dur) OVER (
+               PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + gap
+               AS BIGINT) AS start_ms
+    FROM c
+)
+SELECT doc_id, CAST(idx + 1 AS BIGINT) AS cue_no, start_ms,
+       CAST(start_ms + dur AS BIGINT) AS end_ms,
+       CAST(dur AS BIGINT) AS dur_ms,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(nw * 60000 // dur AS BIGINT) AS words_per_min
+FROM timed
+""",
+    doc="SRT caption-cue parsing — the text side of video-text training "
+    "pairs and the words-per-minute quality gate: genuine SRT files "
+    "(CRLF on odd doc_ids, every third cue's text split across two "
+    "lines — the two classic parser hazards) parsed with a strict "
+    "grammar walk that validates index sequence, timestamp format, "
+    "positive durations and cue monotonicity, raising on any violation. "
+    "Cue start times replay in the oracle as a window cumsum over the "
+    "synthesis gaps/durations; words-per-minute is one integer floor "
+    "division. mapInPandas, no shuffle; asset->cue-rows linear fan-out; "
+    "composes with mm_audio_silence_segments for caption/speech "
+    "alignment",
+)
+def mm_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_srt(read_table(spark, sf_dir, "documents"))
+    return MM.srt_cues(media)
+
+
+@register(
+    "mm_id3_tags",
+    """
+WITH d AS (SELECT doc_id FROM documents)
+SELECT doc_id, CAST(f.n AS BIGINT) AS frame_no, f.fid AS frame_id,
+       CASE f.n
+            WHEN 0 THEN 'Title ' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN 'Artist ' || CAST(doc_id % 17 AS VARCHAR)
+            WHEN 2 THEN 'Album ' || CAST(doc_id % 7 AS VARCHAR)
+            ELSE CAST(1 + doc_id % 12 AS VARCHAR) || '/12'
+       END AS value
+FROM d, (VALUES (0, 'TIT2'), (1, 'TPE1'), (2, 'TALB'), (3, 'TRCK'))
+       AS f(n, fid)
+""",
+    doc="ID3v2.3 text-frame parsing over genuine tagged MP3s (the "
+    "metadata container audio-text pairing and dedup keys come from): "
+    "the walk syncsafe-decodes the TAG size but reads v2.3 FRAME sizes "
+    "as plain big-endian (the spec distinction readers get wrong), "
+    "decodes each text frame per its encoding byte — latin-1 on even "
+    "doc_ids, UTF-16-with-BOM on odd (naive ASCII slicing garbles half "
+    "the corpus and breaks the hash) — and stops at padding. The audio "
+    "body after the tag is a genuine CBR frame sequence, so the blob "
+    "round-trips parse_mp3_frames too (asserted in pytest). Oracle "
+    "replays the four frame values as string arithmetic. mapInPandas, "
+    "no shuffle",
+)
+def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_id3_mp3(read_table(spark, sf_dir, "documents"))
+    return MM.id3_tags(media)

@@ -273,11 +273,27 @@ def jaccard_pairs_prefix(
         .groupBy(id_col, "__bucket")
         .agg(F.array_sort(F.collect_list(F.struct("__f", "__tok"))).alias("__st"))
     )
-    # ⌈t·|d|⌉ with exact decimal (a float product like 0.9·10 → 9.0000…1
-    # would ceil to 10 and silently shrink the prefix → missed pairs)
+    # ⌈t'·|d|⌉ in pure int64 over a FLOOR-rounded rational t' =
+    # floor(t·10⁶)/10⁶ ≤ t.  Two float traps hide here: a float product
+    # like 0.9·10 → 9.0000…1 would ceil to 10 and shrink the prefix, and
+    # a HALF-UP rounding of t (the old decimal(9,6) cast) rounds 2/3 to
+    # 0.666667 > t — a STRICTER threshold whose shorter prefix provably
+    # missed boundary pairs with t ≤ jaccard < t' (caught by the
+    # jaccard_pairs_prefix ≡ naive hypothesis property).  A lower bound
+    # t' ≤ t keeps both the prefix theorem and the PPJoin prunes necessary
+    # conditions for jaccard ≥ t: the prefix only lengthens and the prunes
+    # only loosen — exactness preserved, at most a few extra candidates
+    # for the verify join to reject.
+    import math as _math
+
+    from fractions import Fraction
+
+    frac = Fraction(int(_math.floor(threshold * 10**6)), 10**6)
     sz = F.size("__st")
-    t_dec = F.lit(threshold).cast("decimal(9,6)")
-    prefix_len = (sz - F.ceil(t_dec * sz) + 1).cast("int")
+    prefix_len = F.expr(
+        f"cast(size(__st) - (({frac.numerator} * cast(size(__st) as bigint)"
+        f" + {frac.denominator - 1}) div {frac.denominator}) + 1 as int)"
+    )
     # small (≈(1-t)·tokens rows); lazily persisted — NOT localCheckpoint:
     # the self-join's two sides are identical subplans, so Spark reuses one
     # exchange (ReusedExchange) and the subtree runs once inside the same
@@ -301,17 +317,17 @@ def jaccard_pairs_prefix(
     #   (the matched token plus whatever follows it on each side), and
     #   jaccard ≥ t ⇔ overlap·(1+t) ≥ t·(|A|+|B|).
     # Both compare in pure int64: t is materialized as the exact rational
-    # num/den that decimal(·,6) rounding produces, so `x ≥ t·y` becomes
-    # `x·den ≥ num·y` — no float rounding can drop a boundary pair, and the
-    # predicate stays in whole-stage codegen instead of per-row BigDecimal
-    # (measurably faster on millions of candidate rows).
-    # Both filters are necessary conditions for jaccard ≥ t, so pruning with
-    # them keeps the output exactly equal to the naive all-pairs plan; on a
-    # template-heavy corpus they cut candidates severalfold right where the
-    # plan is most expensive (the distinct + verify shuffles).
-    from fractions import Fraction
-
-    frac = Fraction(round(threshold * 10**6), 10**6)
+    # num/den of the FLOOR-rounded rational t' ≤ t (the same one the
+    # prefix length used above — a half-up rounding here once dropped the
+    # exact-boundary pair), so `x ≥ t'·y` becomes `x·den ≥ num·y` — no
+    # float rounding can drop a boundary pair, and the predicate stays in
+    # whole-stage codegen instead of per-row BigDecimal (measurably faster
+    # on millions of candidate rows).
+    # Both filters are necessary conditions for jaccard ≥ t' (hence for
+    # jaccard ≥ t ≥ t'), so pruning with them keeps the output exactly
+    # equal to the naive all-pairs plan; on a template-heavy corpus they
+    # cut candidates severalfold right where the plan is most expensive
+    # (the distinct + verify shuffles).
     num, den = F.lit(frac.numerator), F.lit(frac.denominator)
     ub = F.lit(1) + F.least(
         F.col("__sza") - 1 - F.col("__pa"), F.col("__szb") - 1 - F.col("__pb")
@@ -1275,5 +1291,89 @@ def merge_gram_stats(base: DataFrame, delta: DataFrame) -> DataFrame:
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("n_occurrences").alias("n_occurrences"),
+        )
+    )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_col: str,
+    threshold_ppm: int,
+    df_cap: int = 50,
+) -> DataFrame:
+    """tf-weighted (multiset) Jaccard near-dup pairs — the weighted
+    generalization plain set-Jaccard misses: J_w(A,B) =
+    Σ_t min(tf_A(t), tf_B(t)) / Σ_t max(tf_A(t), tf_B(t)), the measure
+    weighted-MinHash sketches (Ioffe's CWS) approximate; here computed
+    EXACTLY in integer arithmetic over a declared feature space.
+
+    Feature space: word tokens whose in-bucket document frequency is
+    ≤ `df_cap` — the winnowing stop-gram cull applied to weighted
+    similarity: ubiquitous tokens ('the', boilerplate) carry no duplicate
+    signal but dominate both tf mass and candidate fan-out.  The cap is
+    part of the operator's spec (the oracle replays it), and it bounds
+    candidate volume: Σ_t df(t)² ≤ df_cap · Σ_t df(t) — LINEAR in corpus
+    size, where the uncapped token join is quadratic on stop words.
+
+    Using Σ max = |A| + |B| − Σ min (totals over the feature space), the
+    emission predicate `1e6·Σmin ≥ threshold_ppm·(|A|+|B|−Σmin)` and the
+    emitted `wjacc_ppm` are pure int64 — no float at the boundary.
+
+    Plan: one tokenize+tf aggregate on the (id, token) key, a document-
+    frequency aggregate on the token key reused as both the cull and the
+    candidate equi-join (tokens with df ≥ 2), the pair aggregate
+    map-combined on the (id_a, id_b) key, and two totals joins on the id
+    key.  All shuffles key-hashed and linear under the cap.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(bucket_col).alias("__bkt"),
+        F.explode(word_tokens(F.col(text_col))).alias("__t"),
+    )
+    tf = toks.groupBy(id_col, "__bkt", "__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__tf")
+    )
+    dfreq = tf.groupBy("__bkt", "__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    feat = tf.join(dfreq, on=["__bkt", "__t"]).filter(F.col("__df") <= df_cap)
+    tot = feat.groupBy(F.col(id_col), F.col("__bkt")).agg(
+        F.sum("__tf").alias("__tot")
+    )
+    cand = feat.filter(F.col("__df") >= 2)
+    a = cand.select(
+        F.col("__bkt"), F.col("__t"),
+        F.col(id_col).alias("id_a"), F.col("__tf").alias("__tfa"),
+    )
+    b = cand.select(
+        F.col("__bkt"), F.col("__t"),
+        F.col(id_col).alias("id_b"), F.col("__tf").alias("__tfb"),
+    )
+    smin = (
+        a.join(b, on=["__bkt", "__t"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("__bkt", "id_a", "id_b")
+        .agg(F.sum(F.least("__tfa", "__tfb")).alias("__smin"))
+    )
+    ta = tot.select(
+        F.col("__bkt"), F.col(id_col).alias("id_a"), F.col("__tot").alias("__ta")
+    )
+    tb = tot.select(
+        F.col("__bkt"), F.col(id_col).alias("id_b"), F.col("__tot").alias("__tb")
+    )
+    scored = smin.join(ta, on=["__bkt", "id_a"]).join(tb, on=["__bkt", "id_b"])
+    union_w = F.col("__ta") + F.col("__tb") - F.col("__smin")
+    return (
+        scored.filter(
+            F.lit(1_000_000) * F.col("__smin") >= F.lit(threshold_ppm) * union_w
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"(1000000 * __smin) div (__ta + __tb - __smin)").alias(
+                "wjacc_ppm"
+            ),
         )
     )

@@ -1082,6 +1082,122 @@ def unigram_lm_scores(
     )
 
 
+#: Kneser-Ney absolute discount D = 3/4 (Chen & Goodman 1999's canonical
+#: value), kept as the integer pair (numerator 3, denominator 4) so every
+#: smoothed probability is a ratio of int64 products — no float enters the
+#: model.  Probabilities are emitted on a parts-per-billion integer grid
+#: (two per-term floor divisions, see kn_bigram_scores); 1e9 = 4 * KN_PPB_Q.
+KN_PPB_Q = 250_000_000
+
+
+def kn_bigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Kneser-Ney smoothed bigram-LM quality scoring — the properly-smoothed
+    sibling of :func:`bigram_lm_scores` (which is raw MLE counts): interpolated
+    KN (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.26) with absolute
+    discount D = 3/4 and the CONTINUATION unigram as the backoff
+    distribution, the estimator every production n-gram LM (KenLM, the CCNet
+    filter's model) actually uses.  For each observed bigram (w1, w2):
+
+        P_KN = max(c(w1,w2) - D, 0) / c(w1·)
+             + (D · N1+(w1·) / c(w1·)) · (N1+(·w2) / T)
+
+    where c(w1·) = Σ_y c(w1,y), N1+(w1·) = |{y : c(w1,y) > 0}|,
+    N1+(·w2) = |{x : c(x,w2) > 0}| and T = total distinct bigram types.
+    With D = 3/4 every term is a ratio of integers, so the probability is
+    quantized to a parts-per-billion grid with one floor division per term
+    (the two-floor sum is the DEFINED spec both engines replay — no float
+    anywhere in the model, the unigram_lm_scores discipline applied to a
+    genuinely smoothed estimator):
+
+        p_ppb = (max(4c−3, 0) · 250_000_000) div c(w1·)
+              + (3 · N1+(w1·) · N1+(·w2) · 250_000_000) div (c(w1·) · T)
+
+    Per document: bigram count, Σ p_ppb, min p_ppb (the single most
+    surprising transition), novel bigrams (corpus count 1 — this doc alone
+    contributes them), integer mean, and ``keep`` ⇔ doc mean ppb ≥ corpus
+    mean ppb (two floor divisions compared — no float at the boundary).
+    Documents with fewer than 2 tokens emit no row (nothing to score), as
+    in :func:`bigram_lm_scores`.
+
+    Plan shape: corpus exploded once to (doc, w1, w2) via a zip of two
+    array slices (no self-join for adjacency); the model fit is three
+    map-side-combined groupBys (bigram key, then its two marginals — each
+    input already the compacted TYPE table, far smaller than occurrences);
+    T is a 1-row broadcast; the score join back to occurrences re-uses the
+    bigram-key partitioning.  All shuffles are key-hashed and linear; at
+    100 TB the bigram-type table is the only state and it grows
+    sub-linearly in corpus size (Heaps' law).  int64 headroom: the largest
+    product is 3 · N1+ · N1+ · 2.5e8 — safe to vocab ~10^5 per marginal;
+    past that swap the two products to DECIMAL(38,0) (documented dial, the
+    pmi_collocations overflow-guard discipline).
+    """
+    toks = F.col("__toks")
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+            F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(pairs_arr).alias("__p"))
+        .select(F.col(id_col), F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    fwd = big.groupBy("w1").agg(
+        F.sum("c_xy").alias("c_w1"), F.count(F.lit(1)).alias("n1p_fw")
+    )
+    bwd = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    types = big.agg(F.count(F.lit(1)).alias("__t_types"))
+    scored = (
+        big.join(fwd, "w1")
+        .join(bwd, "w2")
+        .join(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                F.expr(f"(greatest(4 * c_xy - 3, 0L) * {KN_PPB_Q}L) div c_w1")
+                + F.expr(
+                    f"(3 * n1p_fw * n1p_bw * {KN_PPB_Q}L) div (c_w1 * __t_types)"
+                )
+            ).alias("p_ppb"),
+        )
+    )
+    per_doc = (
+        pairs.join(scored, on=["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppb").alias("sum_ppb"),
+            F.min("p_ppb").alias("min_ppb"),
+            F.sum(F.when(F.col("c_xy") <= 1, 1).otherwise(0)).alias(
+                "novel_bigrams"
+            ),
+        )
+    )
+    glob = per_doc.agg(
+        F.sum("sum_ppb").alias("__g_sum"), F.sum("n_bigrams").alias("__g_n")
+    )
+    return per_doc.join(F.broadcast(glob)).select(
+        id_col,
+        "n_bigrams",
+        "sum_ppb",
+        "min_ppb",
+        "novel_bigrams",
+        F.expr("sum_ppb div n_bigrams").alias("mean_ppb"),
+        (
+            F.expr("sum_ppb div n_bigrams") >= F.expr("__g_sum div __g_n")
+        ).alias("keep"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (2, 3, 4)
 ) -> DataFrame:

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -3402,3 +3403,303 @@ def zip_entries(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(parse, schema=ZIP_ENTRIES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# SRT subtitles: the caption sidecar of every video-training corpus.
+# Caption files carry the TEXT side of video-text pairs, and their cue
+# timing drives words-per-minute quality filters and silence/speech
+# alignment (compose with audio_silence_segments). SRT is plain text with
+# a rigid grammar — index line, "HH:MM:SS,mmm --> HH:MM:SS,mmm", 1+ text
+# lines, blank separator — and the two classic parser hazards are CRLF
+# line endings and multi-line cue text, both synthesized here.
+# ---------------------------------------------------------------------------
+
+
+def synth_srt(doc_id: int, byte_len: int) -> bytes:
+    """A genuine SRT file: 1 + doc_id % 6 cues; cue i starts after a
+    (doc_id*13 + i*41) % 1500 ms gap and lasts 700 + (doc_id*31 + i*97)
+    % 2500 ms, with 2 + (byte_len + doc_id + i) % 9 words; every third
+    cue splits its words across two text lines; odd doc_ids use CRLF."""
+    nl = "\r\n" if doc_id % 2 == 1 else "\n"
+    n = 1 + doc_id % 6
+    t = 0
+    blocks = []
+    for i in range(n):
+        gap = (doc_id * 13 + i * 41) % 1500
+        dur = 700 + (doc_id * 31 + i * 97) % 2500
+        start = t + gap
+        end = start + dur
+        t = end
+        nw = 2 + (byte_len + doc_id + i) % 9
+        words = [f"w{doc_id % 10}x{j}" for j in range(nw)]
+        if i % 3 == 0 and nw >= 2:
+            text_lines = [" ".join(words[: nw // 2]), " ".join(words[nw // 2:])]
+        else:
+            text_lines = [" ".join(words)]
+
+        def ts(ms: int) -> str:
+            return (
+                f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:"
+                f"{ms // 1000 % 60:02d},{ms % 1000:03d}"
+            )
+
+        blocks.append(
+            nl.join([str(i + 1), f"{ts(start)} --> {ts(end)}", *text_lines])
+        )
+    return ((nl + nl).join(blocks) + nl).encode("utf-8")
+
+
+_SRT_TS = re.compile(
+    r"^(\d{2,}):([0-5]\d):([0-5]\d),(\d{3}) --> "
+    r"(\d{2,}):([0-5]\d):([0-5]\d),(\d{3})$"
+)
+
+
+def parse_srt_cues(data: bytes) -> list[dict]:
+    """Parse an SRT byte payload into cue dicts: cue_no, start_ms, end_ms,
+    dur_ms, n_words (multi-line cue text joined), words_per_min (integer,
+    n_words*60000 div duration).  Tolerates LF and CRLF; raises ValueError
+    on a bad index, malformed timestamp line, an empty cue, a
+    non-positive duration, or cues that overlap/run backward (start
+    before the previous cue's end) — caption QA must fail loudly, not
+    emit garbage timings."""
+    text = data.decode("utf-8")
+    blocks = [b for b in re.split(r"(?:\r?\n){2,}", text.strip()) if b.strip()]
+    cues = []
+    prev_end = -1
+    for b in blocks:
+        lines = [ln for ln in b.split("\n")]
+        lines = [ln.rstrip("\r") for ln in lines]
+        if len(lines) < 3:
+            raise ValueError(f"SRT: cue block with {len(lines)} lines")
+        if not lines[0].isdigit():
+            raise ValueError(f"SRT: bad cue index {lines[0]!r}")
+        idx = int(lines[0])
+        if idx != len(cues) + 1:
+            raise ValueError(f"SRT: cue index {idx} out of sequence")
+        m = _SRT_TS.match(lines[1])
+        if not m:
+            raise ValueError(f"SRT: malformed timestamp line {lines[1]!r}")
+        g = [int(x) for x in m.groups()]
+        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        if end <= start:
+            raise ValueError(f"SRT: non-positive duration at cue {idx}")
+        if start < prev_end:
+            raise ValueError(f"SRT: cue {idx} overlaps previous cue")
+        prev_end = end
+        words = " ".join(lines[2:]).split()
+        if not words:
+            raise ValueError(f"SRT: empty text at cue {idx}")
+        dur = end - start
+        cues.append(
+            {
+                "cue_no": idx,
+                "start_ms": start,
+                "end_ms": end,
+                "dur_ms": dur,
+                "n_words": len(words),
+                "words_per_min": len(words) * 60000 // dur,
+            }
+        )
+    if not cues:
+        raise ValueError("SRT: no cues")
+    return cues
+
+
+def attach_srt(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with SRT caption payloads
+    (:func:`synth_srt`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_srt(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+SRT_CUES_SCHEMA = (
+    "doc_id long, cue_no long, start_ms long, end_ms long, dur_ms long, "
+    "n_words long, words_per_min long"
+)
+
+
+def srt_cues(media: DataFrame) -> DataFrame:
+    """Cue timing/word rows per caption file. mapInPandas, no shuffle;
+    asset→cue-rows linear fan-out."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "cue_no", "start_ms", "end_ms", "dur_ms",
+                "n_words", "words_per_min",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for c in parse_srt_cues(bytes(content)):
+                    out["doc_id"].append(int(d))
+                    for k in ("cue_no", "start_ms", "end_ms", "dur_ms",
+                              "n_words", "words_per_min"):
+                        out[k].append(c[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=SRT_CUES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2.3 tags: the metadata container of every MP3 corpus (title/artist/
+# album drive audio-text pairing and dedup keys). The frame walk has two
+# classic hazards synthesized here: the TAG size is syncsafe but v2.3
+# FRAME sizes are plain big-endian (readers that syncsafe-decode both
+# mis-walk half of real files), and text frames carry an encoding byte —
+# 0x00 latin-1 vs 0x01 UTF-16-with-BOM — which naive ASCII slicing
+# garbles. The payload after the tag is a genuine MP3 frame sequence
+# (synth_mp3's walker body), so the blob is a real tagged file.
+# ---------------------------------------------------------------------------
+
+
+def synth_id3_mp3(doc_id: int, byte_len: int) -> bytes:
+    """A genuine ID3v2.3-tagged MP3: TIT2/TPE1/TALB/TRCK text frames
+    (latin-1 on even doc_ids, UTF-16+BOM on odd), doc_id % 17 bytes of
+    padding, then 2 + byte_len % 4 CBR frames (bitrate index 9,
+    samplerate 44100)."""
+    frames = [
+        ("TIT2", f"Title {doc_id}"),
+        ("TPE1", f"Artist {doc_id % 17}"),
+        ("TALB", f"Album {doc_id % 7}"),
+        ("TRCK", f"{1 + doc_id % 12}/12"),
+    ]
+    body = bytearray()
+    for fid, val in frames:
+        if doc_id % 2 == 0:
+            payload = b"\x00" + val.encode("latin-1")
+        else:
+            payload = b"\x01" + b"\xff\xfe" + val.encode("utf-16-le")
+        body += fid.encode("ascii")
+        body += len(payload).to_bytes(4, "big")  # v2.3: NOT syncsafe
+        body += b"\x00\x00"
+        body += payload
+    body += bytes(doc_id % 17)  # padding
+    size = len(body)
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    out = bytearray(b"ID3" + bytes([3, 0, 0]) + syncsafe + body)
+    # a genuine audio body after the tag (fixed 128 kbps / 44.1 kHz)
+    bidx, sidx = 9, 0
+    br = _MP3_BITRATES[bidx] * 1000
+    sr = _MP3_RATES[sidx]
+    for i in range(2 + byte_len % 4):
+        pad = i % 2
+        flen = 144 * br // sr + pad
+        h2 = (bidx << 4) | (sidx << 2) | (pad << 1)
+        out += bytes([0xFF, 0xFB, h2, 0x00]) + bytes(flen - 4)
+    return bytes(out)
+
+
+def parse_id3_tags(data: bytes) -> list[dict]:
+    """Walk ID3v2.3 text frames: returns (frame_id, value) dicts in frame
+    order.  The tag size is syncsafe-decoded; FRAME sizes are plain
+    big-endian (the v2.3 spec distinction); text payloads decode per
+    their encoding byte (0x00 latin-1, 0x01 UTF-16 with BOM); the walk
+    stops at padding (a zero byte where a frame id should start).
+    Raises ValueError on a missing/short tag, a frame overrunning the
+    tag, an unknown text encoding, or a malformed UTF-16 payload."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        raise ValueError("ID3: missing ID3v2 header")
+    if data[3] != 3:
+        raise ValueError(f"ID3: unsupported version 2.{data[3]}")
+    size = (
+        ((data[6] & 0x7F) << 21)
+        | ((data[7] & 0x7F) << 14)
+        | ((data[8] & 0x7F) << 7)
+        | (data[9] & 0x7F)
+    )
+    end = 10 + size
+    if end > len(data):
+        raise ValueError("ID3: tag size overruns file")
+    i = 10
+    out = []
+    while i + 10 <= end:
+        if data[i] == 0:  # padding reached
+            break
+        fid = data[i : i + 4].decode("ascii")
+        fsize = int.from_bytes(data[i + 4 : i + 8], "big")  # v2.3 plain BE
+        if i + 10 + fsize > end:
+            raise ValueError(f"ID3: frame {fid} overruns tag")
+        payload = data[i + 10 : i + 10 + fsize]
+        if fid.startswith("T") and payload:
+            enc = payload[0]
+            if enc == 0:
+                val = payload[1:].decode("latin-1")
+            elif enc == 1:
+                if payload[1:3] not in (b"\xff\xfe", b"\xfe\xff"):
+                    raise ValueError(f"ID3: {fid} UTF-16 payload missing BOM")
+                val = payload[1:].decode("utf-16")
+            else:
+                raise ValueError(f"ID3: unknown text encoding {enc}")
+            out.append({"frame_id": fid, "value": val.rstrip("\x00")})
+        i += 10 + fsize
+    if not out:
+        raise ValueError("ID3: no text frames")
+    return out
+
+
+def attach_id3_mp3(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with ID3v2.3-tagged MP3 payloads
+    (:func:`synth_id3_mp3`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_id3_mp3(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+ID3_TAGS_SCHEMA = "doc_id long, frame_no long, frame_id string, value string"
+
+
+def id3_tags(media: DataFrame) -> DataFrame:
+    """Text-frame rows per tagged MP3 (frame_no is the in-tag order).
+    mapInPandas, no shuffle; asset→frame-rows linear fan-out."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_no", "frame_id", "value")}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for n, fr in enumerate(parse_id3_tags(bytes(content))):
+                    out["doc_id"].append(int(d))
+                    out["frame_no"].append(n)
+                    out["frame_id"].append(fr["frame_id"])
+                    out["value"].append(fr["value"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=ID3_TAGS_SCHEMA)

@@ -1,0 +1,135 @@
+"""Deterministic Poisson bootstrap: distributed confidence intervals with
+no RNG — every resample weight derives from an md5 hash both engines
+replay, the stable-split / weighted-sample principle applied to
+uncertainty estimation.
+
+The online-bootstrap literature (Owen & Eckles 2012, "Bootstrapping data
+arrays of arbitrary order"; the Poisson bootstrap of Hanley & MacGibbon
+2006) replaces multinomial resampling — which needs the global row count
+and a shared draw — with an INDEPENDENT Poisson(1) weight per (row,
+replicate): the resample total is then a plain weighted sum, embarrassingly
+parallel, one pass over the data for ALL replicates.  That is the only
+bootstrap that works at 100 TB: no per-replicate shuffle, no resampled
+copy of the corpus, just `n_reps` extra integer columns folded map-side.
+
+Determinism: the Poisson(1) draw is inverted from a 60-bit md5 uniform
+against PRECOMPUTED integer CDF thresholds (floor(CDF_k * 2^60), truncated
+at w = 6 — P(X > 6) < 1e-7, a defined spec both engines replay literally).
+Metrics are exact integers (counts; value in floored cents), replicate
+estimates are integer sums, and the CI bounds are ORDER STATISTICS of the
+replicate estimates (percentile bootstrap) picked by deterministic rank —
+no float arithmetic anywhere.
+
+Reference parity note: the reference engine (madninja/aci-export) has no
+uncertainty surface; this extends the beyond-reference analytics toolkit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: floor(P(Poisson(1) <= k) * 2^60) for k = 0..5: a 60-bit uniform u maps
+#: to weight w = |{k : u >= T_k}| (inverse-CDF, truncated at 6).
+POISSON1_CDF_T60: tuple[int, ...] = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+)
+
+BOOT_SALT = "boot:v1"
+
+
+def _u60(rep_col, id_col, salt: str):
+    """The 60-bit md5 uniform for (replicate, row) — 15 hex chars, the
+    weighted-sample conversion (conv base16 -> base10, exact in a long)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    rep_col.cast("string"),
+                    F.lit(":"),
+                    id_col.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    n_reps: int = 32,
+    lo_rank: int = 2,
+    hi_rank: int = 31,
+    salt: str = BOOT_SALT,
+) -> DataFrame:
+    """Per-group point estimate + percentile-bootstrap CI of the group's
+    value total (in exact floored cents) under Poisson(1) resampling:
+
+    - each row gets `n_reps` deterministic Poisson(1) weights (explode of
+      a literal replicate sequence — no join, no RNG);
+    - replicate estimates are integer weighted sums, reduced map-side on
+      the (group, rep) key;
+    - the CI is the (`lo_rank`, `hi_rank`) order statistics of the
+      `n_reps` replicate totals (deterministic (value, rep) rank) — at
+      n_reps=32, ranks 2/31 give the ~5%/95% percentile bootstrap.
+
+    Output: (group, n_events, cents_total, boot_lo_cents, boot_hi_cents,
+    n_reps).  One corpus scan for all replicates; the rank window runs on
+    the (groups x n_reps)-sized replicate table, never the corpus.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.floor(F.col(value_col) * 100).cast("long").alias("__cents"),
+    )
+    point = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__cents").alias("cents_total"),
+    )
+    reps = base.withColumn(
+        "__rep", F.explode(F.sequence(F.lit(1), F.lit(int(n_reps))))
+    ).withColumn("__u", _u60(F.col("__rep"), F.col("__id"), salt))
+    w = F.lit(0).cast("long")
+    for t in POISSON1_CDF_T60:
+        w = w + F.when(F.col("__u") >= F.lit(t), 1).otherwise(0).cast("long")
+    est = (
+        reps.withColumn("__w", w)
+        .groupBy("__g", "__rep")
+        .agg(F.sum(F.col("__w") * F.col("__cents")).alias("__cents_star"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("__g").orderBy(
+            F.col("__cents_star").asc(), F.col("__rep").asc()
+        )
+    )
+    ranked = est.withColumn("__r", rk)
+    lo = ranked.filter(F.col("__r") == lo_rank).select(
+        "__g", F.col("__cents_star").alias("boot_lo_cents")
+    )
+    hi = ranked.filter(F.col("__r") == hi_rank).select(
+        "__g", F.col("__cents_star").alias("boot_hi_cents")
+    )
+    return (
+        point.join(lo, on="__g")
+        .join(hi, on="__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_events",
+            "cents_total",
+            "boot_lo_cents",
+            "boot_hi_cents",
+            F.lit(int(n_reps)).cast("long").alias("n_reps"),
+        )
+    )

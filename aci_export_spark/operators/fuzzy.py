@@ -716,3 +716,200 @@ def fs_em_reference_python(
         (f, num40(params[("m", f)]), num40(params[("u", f)]), num40(params["lam"]))
         for f in fields
     ]
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler comparator: the record-linkage string similarity
+# ---------------------------------------------------------------------------
+
+#: emission grid for Jaro-Winkler: floor(jw * 1e6) computed in EXACT
+#: integer arithmetic (the similarity is rational once transposition
+#: halves are cleared: jaro = (2m²|b| + 2m²|a| + (2m−k)|a||b|) / 6|a||b|m
+#: with k = mismatched aligned positions, and the Winkler bonus p=1/10 is
+#: rational too) — no float ever enters, so engines and the reference
+#: agree bit-for-bit.
+JW_PPM_SCALE = 1_000_000
+
+
+def jw_ppm(a: str, b: str) -> int:
+    """Jaro-Winkler similarity (Jaro 1989; Winkler 1990) on the exact
+    parts-per-million integer grid: standard windowed greedy matching
+    (window = max(|a|,|b|)/2 − 1), transpositions as mismatched aligned
+    positions k (jaro's t = k/2 cleared into the rational), Winkler
+    prefix bonus l ≤ 4 at p = 1/10.  Identical strings → 1_000_000;
+    either empty → 0."""
+    if a == b:
+        return JW_PPM_SCALE if a else 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    a_match = [False] * la
+    b_match = [False] * lb
+    m = 0
+    for i in range(la):
+        lo = i - window if i - window > 0 else 0
+        hi = i + window + 1 if i + window + 1 < lb else lb
+        for j in range(lo, hi):
+            if not b_match[j] and b[j] == a[i]:
+                a_match[i] = True
+                b_match[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0
+    k = 0
+    j = 0
+    for i in range(la):
+        if a_match[i]:
+            while not b_match[j]:
+                j += 1
+            if a[i] != b[j]:
+                k += 1
+            j += 1
+    jaro_num = 2 * m * m * lb + 2 * m * m * la + (2 * m - k) * la * lb
+    jaro_den = 6 * la * lb * m
+    l = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        l += 1
+    jw_num = 10 * jaro_num + l * (jaro_den - jaro_num)
+    jw_den = 10 * jaro_den
+    return JW_PPM_SCALE * jw_num // jw_den
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    id_col: str,
+    field: str,
+    block_cols: list[str],
+    threshold_ppm: int,
+) -> DataFrame:
+    """Blocked Jaro-Winkler candidate pairs — THE record-linkage string
+    comparator (Winkler's Census work; the default scorer in every
+    production linkage stack): pairs within a block whose field similarity
+    clears `threshold_ppm` on the exact integer grid, emitted as
+    (id_a, id_b, jw_ppm) with id_a < id_b.
+
+    Plan: the block self-join goes through :func:`pair_expansion_join`
+    (size-conditioned broadcast / co-partitioned fallback, the
+    fs_agreement_patterns discipline) over a projection carrying ONLY the
+    id, the compared field, and the block keys; the comparator runs as an
+    Arrow-batched stage over the joined pairs (a character-windowed greedy
+    match has no SQL expression — this is the documented Pandas-UDF slow
+    path, applied after blocking bounds the pair volume).  The threshold
+    filter is integer-exact, so the emitted pair set is bit-stable.
+    """
+    import pandas as _pd
+    from typing import Iterator as _Iterator
+
+    proj = df.select(F.col(id_col), F.col(field), *[F.col(c) for c in block_cols])
+
+    def _side(side: str) -> DataFrame:
+        return proj.select(
+            *[F.col(c).alias(f"{side}_{c}") for c in proj.columns]
+        )
+
+    cond = F.expr(
+        " AND ".join(
+            [f"a_{c} = b_{c}" for c in block_cols] + [f"a_{id_col} < b_{id_col}"]
+        )
+    )
+    pairs = pair_expansion_join(
+        _side("a"),
+        _side("b"),
+        cond,
+        probe_keys=[f"a_{c}" for c in block_cols],
+        build_keys=[f"b_{c}" for c in block_cols],
+    ).select(
+        F.col(f"a_{id_col}").alias("id_a"),
+        F.col(f"b_{id_col}").alias("id_b"),
+        F.col(f"a_{field}").alias("__fa"),
+        F.col(f"b_{field}").alias("__fb"),
+    )
+
+    def score(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            ppm = [
+                jw_ppm(str(x), str(y))
+                for x, y in zip(pdf["__fa"], pdf["__fb"])
+            ]
+            out = _pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jw_ppm": ppm}
+            )
+            yield out[out["jw_ppm"] >= threshold_ppm]
+
+    return pairs.mapInPandas(score, schema="id_a long, id_b long, jw_ppm long")
+
+
+def jw_reference_python(
+    parquet_path: str, threshold_ppm: int
+) -> list[tuple[int, int, int]]:
+    """Single-process reference for :func:`jaro_winkler_pairs` over the
+    part table blocked by brand: DuckDB generates the blocked pairs
+    independently, and the comparator below is a from-the-spec
+    reimplementation structured differently from :func:`jw_ppm` (per-char
+    position queues instead of a b-side availability scan; transposition
+    count from the paired match lists) — exactness comes from the spec's
+    integer arithmetic, not shared code.  Returns (id_a, id_b, jw_ppm)
+    rows at or above the threshold, backing the golden-VALUES oracle of
+    ``er_jaro_winkler_pairs``."""
+    from collections import deque
+
+    import duckdb
+
+    def ref_jw(a: str, b: str) -> int:
+        if a == b:
+            return 1_000_000 if a else 0
+        la, lb = len(a), len(b)
+        if not la or not lb:
+            return 0
+        w = max(max(la, lb) // 2 - 1, 0)
+        pos: dict[str, deque] = {}
+        for j, ch in enumerate(b):
+            pos.setdefault(ch, deque()).append(j)
+        a_hits: list[int] = []   # matched a-positions in order
+        b_hits: list[int] = []   # their matched b-positions
+        for i, ch in enumerate(a):
+            q = pos.get(ch)
+            if not q:
+                continue
+            while q and q[0] < i - w:
+                q.popleft()
+            if q and q[0] <= i + w:
+                b_hits.append(q.popleft())
+                a_hits.append(i)
+        m = len(a_hits)
+        if m == 0:
+            return 0
+        k = sum(
+            1
+            for i, j in zip(a_hits, sorted(b_hits))
+            if a[i] != b[j]
+        )
+        jn = 2 * m * m * lb + 2 * m * m * la + (2 * m - k) * la * lb
+        jd = 6 * la * lb * m
+        l = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            l += 1
+        return 1_000_000 * (10 * jn + l * (jd - jn)) // (10 * jd)
+
+    rows = duckdb.sql(
+        f"""
+        SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+        FROM '{parquet_path}' a JOIN '{parquet_path}' b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        """
+    ).fetchall()
+    out = []
+    for ia, ib, na, nb in rows:
+        s = ref_jw(na, nb)
+        if s >= threshold_ppm:
+            out.append((int(ia), int(ib), s))
+    out.sort()
+    return out

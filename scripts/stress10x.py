@@ -154,6 +154,25 @@ QUERIES = [
     # round-10 second-wave: daily-grid resample over the 10x event stream
     # (grid rows grow with users x span, fill window linear per key)
     "events_gapfill_locf",
+    # round-10 third-wave: survival life table (user-key agg linear, life
+    # table calendar-bounded), one-pass Poisson bootstrap (32 replicate
+    # columns fold map-side — the scan grows 10x, replicate table doesn't),
+    # Bradley-Terry (pair sufficient statistic vocabulary-bounded; order-key
+    # self-join linear), compaction planner (catalog-sized window cumsum),
+    # and the two asset->rows parsers (per-row decode, linear fan-out)
+    "events_survival_km",
+    "events_bootstrap_ci",
+    "pref_bradley_terry_brands",
+    "maint_compaction_plan",
+    "mm_srt_cues",
+    "mm_id3_tags",
+    # round-10 fourth-wave: Jaro-Winkler pairs (verbatim copies multiply
+    # brand-block sizes 10x so pair volume is honestly block-quadratic —
+    # the er_fs/blocking_audit documented pattern; the linkage discipline
+    # is picking blocks that bound it) and bounded k-core (edge list
+    # top-k-capped, the pagerank bounded-work shape)
+    "er_jaro_winkler_pairs",
+    "graph_brand_kcore",
 ]
 
 
@@ -203,6 +222,16 @@ CD_QUERIES = [
     "er_fs_em_weights",
     "llm_wordpiece_train",
     "llm_embedding_pca",
+    # r10 third-wave: KN bigram LM (bigram TYPE table grows ~10x under
+    # alphabet-permuted copies — the Heaps-law fit claim), binary-Hamming
+    # ANN (fixed 20-query set; the packed-code scan is the linear term,
+    # rotated copies decorrelate the codes)
+    "llm_quality_kn_bigram",
+    "llm_sim_binary_hamming_topk",
+    # r10 fourth-wave: weighted Jaccard — alphabet-permuted copies keep
+    # per-copy tf/df structure exact while cross-copy tokens stay disjoint,
+    # so candidates grow linearly (the df_cap bound at work)
+    "llm_dedup_weighted_jaccard",
 ]
 
 OUT_CD = os.environ.get("STRESS_CD_OUT", "/tmp/stress10x_cd")

@@ -1,0 +1,97 @@
+"""Jaro-Winkler comparator (operators/fuzzy.jw_ppm / jaro_winkler_pairs):
+engine-vs-reference property fuzz (two independently structured
+implementations of the same integer spec), canonical textbook vectors, and
+the pair operator's blocking/threshold contract."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aci_export_spark.operators.fuzzy import jaro_winkler_pairs, jw_ppm
+
+
+def _ref_jw(a: str, b: str) -> int:
+    """The position-queue reference (the structure jw_reference_python
+    uses), inlined so the fuzz runs without DuckDB."""
+    from collections import deque
+
+    if a == b:
+        return 1_000_000 if a else 0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0
+    w = max(max(la, lb) // 2 - 1, 0)
+    pos: dict = {}
+    for j, ch in enumerate(b):
+        pos.setdefault(ch, deque()).append(j)
+    a_hits, b_hits = [], []
+    for i, ch in enumerate(a):
+        q = pos.get(ch)
+        if not q:
+            continue
+        while q and q[0] < i - w:
+            q.popleft()
+        if q and q[0] <= i + w:
+            b_hits.append(q.popleft())
+            a_hits.append(i)
+    m = len(a_hits)
+    if m == 0:
+        return 0
+    k = sum(1 for i, j in zip(a_hits, sorted(b_hits)) if a[i] != b[j])
+    jn = 2 * m * m * lb + 2 * m * m * la + (2 * m - k) * la * lb
+    jd = 6 * la * lb * m
+    l = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        l += 1
+    return 1_000_000 * (10 * jn + l * (jd - jn)) // (10 * jd)
+
+
+@given(
+    a=st.text(alphabet="abcdef ", max_size=16),
+    b=st.text(alphabet="abcdef ", max_size=16),
+)
+@settings(max_examples=400, deadline=None)
+def test_engine_and_reference_agree(a, b):
+    assert jw_ppm(a, b) == _ref_jw(a, b)
+
+
+def test_canonical_vectors():
+    # MARTHA/MARHTA: m=6, t=1, jaro=0.944..., l=3 -> jw=0.961111
+    assert jw_ppm("martha", "marhta") == 961_111
+    # DIXON/DICKSONX: m=4, t=0, jaro=0.766666, l=2 -> jw=0.813333
+    assert jw_ppm("dixon", "dicksonx") == 813_333
+    # DWAYNE/DUANE: m=4, t=0, jaro=0.822222, l=1 -> jw=0.84
+    assert jw_ppm("dwayne", "duane") == 840_000
+
+
+def test_edge_cases_and_bounds():
+    assert jw_ppm("", "") == 0
+    assert jw_ppm("a", "") == 0
+    assert jw_ppm("abc", "abc") == 1_000_000
+    assert jw_ppm("abc", "xyz") == 0
+    # symmetry and the [0, 1e6] range
+    for a, b in [("kitten", "sitting"), ("ab", "ba"), ("aaaa", "aa")]:
+        assert jw_ppm(a, b) == jw_ppm(b, a)
+        assert 0 <= jw_ppm(a, b) <= 1_000_000
+
+
+def test_pair_operator_blocks_and_thresholds(spark):
+    rows = [
+        (1, "small ring", "B1"),
+        (2, "small rings", "B1"),   # near-dup, same block
+        (3, "small ring", "B2"),    # identical text, DIFFERENT block
+        (4, "hot gear", "B1"),      # same block, dissimilar
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, brand string")
+    out = {
+        (r["id_a"], r["id_b"]): r["jw_ppm"]
+        for r in jaro_winkler_pairs(
+            df, "id", "name", ["brand"], threshold_ppm=900_000
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] == jw_ppm("small ring", "small rings")
+    assert all(a != 3 and b != 3 for a, b in out)  # blocking respected
+    assert (1, 4) not in out  # threshold respected

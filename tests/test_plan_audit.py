@@ -76,6 +76,15 @@ BNLJ_ALLOWED = {
     "dq_value_drift_cells",  # 1-row bounds + totals aggregate broadcasts
     "orders_abc_classification",  # 1-row revenue-total aggregate broadcast
     "orders_rfm_segments",  # 1-row corpus-max-date aggregate broadcast
+    "llm_quality_kn_bigram",  # 1-row bigram-type-count (T) broadcast cross
+    # + 1-row corpus-mean broadcast — the unigram/bigram LM shape
+    "events_survival_km",  # 1-row corpus-max-day (censoring horizon)
+    # aggregate broadcast
+    "llm_sim_binary_hamming_topk",  # tiny query side broadcast with the
+    # definitional non-equi self-exclusion — the sq8 compressed-brute-scan
+    # shape; composes under IVF cells at corpus scale
+    "graph_brand_kcore",  # composes basket_brand_pairs (the same 1-row
+    # basket-total broadcast cross as pagerank/triangles)
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
