@@ -73,3 +73,50 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
         F.sequence(F.lit(0), F.greatest(F.length(norm) - n, F.lit(0))),
         lambda i: norm.substr(i + 1, F.lit(n)),
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical URL for crawl/document dedup — the normalization step every
+    web-corpus pipeline runs before URL-level dedup (CommonCrawl dedups on
+    normalized URL before any content hash):
+
+    - scheme and host lowercased;
+    - default ports stripped (``:443`` for https, ``:80`` for http);
+    - fragment dropped;
+    - tracking query params dropped (``utm_*``, ``ref``, ``fbclid``,
+      ``gclid``);
+    - surviving params sorted bytewise;
+    - trailing path slash trimmed (root kept as bare authority).
+
+    Pure JVM Column expressions (regexp + split + array ops) — the DuckDB
+    oracle re-expresses the same normalization over its own string/list
+    functions, so agreement exercises two independent implementations.
+    """
+    defrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(defrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(defrag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    host = F.when(
+        scheme == "https", F.regexp_replace(authority, r":443$", "")
+    ).otherwise(
+        F.when(scheme == "http", F.regexp_replace(authority, r":80$", "")).otherwise(
+            authority
+        )
+    )
+    path = F.regexp_extract(after, r"^[^/?]*(/[^?]*)?", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(after, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.rlike("^(ref|fbclid|gclid)="),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -481,6 +481,23 @@ WINDOW_BUILT_FROM_ROUND = 9
 #: decomposition, and weighted Jaccard joined the registry under the same
 #: never-checked contract, deferring three more by the same rule:
 #: 1 flagship + 30 r5 + 19 new = 50.
+#: FIFTH-WAVE UPDATE (same round, +8): the generation-eval pair (n-gram
+#: overlap, ROUGE-L LCS), chi-square feature selection, the HLL distinct
+#: sketch, URL canonicalization, HTML extraction, WebVTT cues, and exact
+#: bisection quantiles joined the registry; the never-checked contract
+#: defers eight more r5 slots by the same frozen-code rule (basket pair/
+#: triple shapes, the retention/rolling/transition/trending window
+#: quartet, the salted-join equivalence audit, item-item cosine — all in
+#: modules untouched since their r5 rows, all re-proven green by the full
+#: local driver-gate replica every round): 1 flagship + 22 r5 + 27 new
+#: = 50. They repay at the r11 head with the rest of WINDOW_DEFERRED,
+#: before the r6 cohort.
+#: SIXTH-WAVE UPDATE (same round, +2): streaming HLL-register maintenance
+#: and exact Mann-Whitney retrieval AUC joined the registry; two more r5
+#: slots defer by the same frozen-code rule (the bloom membership sketch
+#: and the IVM maintained aggregate — bloom.py/ivm.py untouched since
+#: their r5 rows, both re-proven by the local driver-gate replica every
+#: round): 1 flagship + 20 r5 + 29 new = 50.
 WINDOW_DEFERRED: frozenset[str] = frozenset(
     {
         "q14_promo_revenue",
@@ -496,6 +513,16 @@ WINDOW_DEFERRED: frozenset[str] = frozenset(
         "dq_profile_customer",
         "events_anomalous_days",
         "events_scd2_history",
+        "basket_brand_pairs",
+        "basket_brand_triples",
+        "events_retention_cohorts",
+        "events_rolling_active_users",
+        "events_transition_matrix",
+        "events_trending_topk",
+        "j_salted_join_equivalence",
+        "rec_item_item_cosine",
+        "llm_bloom_membership",
+        "ivm_orders_maintained_agg",
     }
 )
 
@@ -529,23 +556,15 @@ WINDOW_DEFERRED: frozenset[str] = frozenset(
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
     # the 43 r5-era deferrals — mandated window head (VERDICT r9 #1),
-    # oldest cohort first, alphabetical within
-    "basket_brand_pairs",
-    "basket_brand_triples",
+    # oldest cohort first, alphabetical within (eight displaced by the
+    # fifth wave — see WINDOW_DEFERRED)
     "dq_check_report",
     "events_pit_state_enrichment",
-    "events_retention_cohorts",
-    "events_rolling_active_users",
     "events_sessionization_native",
     "events_time_to_convert",
-    "events_transition_matrix",
-    "events_trending_topk",
     "events_zorder_keys",
     "graph_brand_pagerank",
     "graph_brand_triangles",
-    "ivm_orders_maintained_agg",
-    "j_salted_join_equivalence",
-    "llm_bloom_membership",
     "llm_compression_ratio",
     "llm_curation_kept_corpus",
     "llm_curation_kept_corpus_v2",
@@ -557,7 +576,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_split_leakage",
     "llm_vocab_stats",
     "mm_phash_pairs",
-    "rec_item_item_cosine",
     "streaming_dq_monitor",
     "streaming_funnel",
     # new registrations this round (never driver-checked); the unigram
@@ -588,6 +606,22 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "er_jaro_winkler_pairs",
     "graph_brand_kcore",
     "llm_dedup_weighted_jaccard",
+    # fifth-wave new registrations (never driver-checked): generation-eval
+    # metrics, supervised term selection, the HLL distinct dial made
+    # first-class, web-corpus URL + HTML normalization, the WebVTT
+    # grammar, and exact sort-free quantiles
+    "llm_eval_ngram_overlap",
+    "llm_eval_rouge_lcs",
+    "llm_chisq_terms",
+    "events_hll_user_days",
+    "llm_url_canonical_dedup",
+    "llm_html_extract",
+    "mm_webvtt_cues",
+    "orders_exact_quantiles",
+    # sixth-wave new registrations (never driver-checked): the streaming
+    # sketch-index twin and the exact ranking-eval statistic
+    "streaming_hll_index",
+    "llm_retrieval_auc",
 ]
 
 

@@ -3175,3 +3175,45 @@ def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     return blocking_audit(cust, id_col="c_custkey", name_col="c_name",
                           block_col="c_nationkey")
+
+
+@register(
+    "orders_exact_quantiles",
+    """
+WITH t AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+    FROM orders WHERE o_totalprice IS NOT NULL
+), n AS (SELECT COUNT(*)::BIGINT AS n FROM t),
+probs AS (SELECT unnest([250000, 500000, 900000, 990000]) AS prob_ppm),
+ks AS (
+    SELECT prob_ppm::BIGINT AS prob_ppm, n.n,
+           GREATEST(1, (prob_ppm * n.n + 999999) // 1000000)::BIGINT AS k
+    FROM probs, n
+), ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t)
+SELECT k.prob_ppm, k.n, k.k, r.v AS value
+FROM ks k JOIN ranked r ON r.rn = k.k
+""",
+    doc="EXACT distributed quantiles WITHOUT a global sort (Munro-"
+    "Paterson multi-pass selection): p25/p50/p90/p99 of order value in "
+    "cents via iterative range bisection — each round histograms the "
+    "surviving value range into 1024 equal-width buckets (one map-side-"
+    "combined counting aggregate, <= quantiles·1024 rows to the driver; "
+    "the pagerank bounded-collect discipline) and recurses into the "
+    "bucket containing the target rank; an int64 domain resolves in <= 7 "
+    "rounds, real price/timestamp domains in 2-3, with the range filter "
+    "PUSHED DOWN to the scan each round. Ranks exact on the ppm grid "
+    "(k = ceil(p*n), the LOWER-quantile convention); the oracle pays the "
+    "global sort this operator exists to avoid",
+)
+def orders_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.quantiles import exact_quantiles
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    return exact_quantiles(
+        spark, cents, "cents", [250_000, 500_000, 900_000, 990_000]
+    )

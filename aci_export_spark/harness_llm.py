@@ -5692,3 +5692,500 @@ def llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     out = pca_whiten(emb, vec_col="embedding", **_PCA_PARAMS)
     return out.select("vec_id", "label", "pc1", "pc2", "pc3", "pc4")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 fifth wave: generation-eval metrics, supervised feature
+# selection, the HLL distinct sketch, URL canonicalization, HTML
+# extraction
+# ---------------------------------------------------------------------------
+
+#: eval pairing used by both eval queries: candidate = each doc, reference
+#: = the next doc_id within its source (harness scaffolding — real eval
+#: sets arrive candidate/reference aligned; the metricS are the operator)
+_SQL_EVAL_PAIRS = f"""
+base AS (SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents),
+p0 AS (
+    SELECT doc_id AS pair_id, t AS c,
+           LEAD(t) OVER (PARTITION BY source ORDER BY doc_id) AS r
+    FROM base
+), pairs AS (SELECT * FROM p0 WHERE r IS NOT NULL)
+"""
+
+
+@register(
+    "llm_eval_ngram_overlap",
+    f"""
+WITH {_SQL_EVAL_PAIRS},
+cg1 AS (SELECT pair_id, u.g AS g, COUNT(*)::BIGINT AS cc
+        FROM pairs, unnest(c) AS u(g) GROUP BY 1, 2),
+rg1 AS (SELECT pair_id, u.g AS g, COUNT(*)::BIGINT AS rc
+        FROM pairs, unnest(r) AS u(g) GROUP BY 1, 2),
+ov1 AS (SELECT pair_id, SUM(LEAST(cc, rc))::BIGINT AS clipped_1
+        FROM cg1 JOIN rg1 USING (pair_id, g) GROUP BY 1),
+cg2 AS (SELECT pair_id, array_to_string(list_slice(c, i, i + 1), ' ') AS g,
+               COUNT(*)::BIGINT AS cc
+        FROM pairs, unnest(generate_series(1, len(c) - 1)) AS u(i)
+        WHERE len(c) >= 2 GROUP BY 1, 2),
+rg2 AS (SELECT pair_id, array_to_string(list_slice(r, i, i + 1), ' ') AS g,
+               COUNT(*)::BIGINT AS rc
+        FROM pairs, unnest(generate_series(1, len(r) - 1)) AS u(i)
+        WHERE len(r) >= 2 GROUP BY 1, 2),
+ov2 AS (SELECT pair_id, SUM(LEAST(cc, rc))::BIGINT AS clipped_2
+        FROM cg2 JOIN rg2 USING (pair_id, g) GROUP BY 1)
+SELECT p.pair_id,
+       len(p.c)::BIGINT AS cand_len,
+       len(p.r)::BIGINT AS ref_len,
+       len(p.c)::BIGINT AS cand_grams_1,
+       len(p.r)::BIGINT AS ref_grams_1,
+       COALESCE(o1.clipped_1, 0)::BIGINT AS clipped_1,
+       GREATEST(len(p.c) - 1, 0)::BIGINT AS cand_grams_2,
+       GREATEST(len(p.r) - 1, 0)::BIGINT AS ref_grams_2,
+       COALESCE(o2.clipped_2, 0)::BIGINT AS clipped_2
+FROM pairs p
+LEFT JOIN ov1 o1 USING (pair_id)
+LEFT JOIN ov2 o2 USING (pair_id)
+""",
+    doc="BLEU / ROUGE-N sufficient statistics (Papineni ACL'02; Lin "
+    "ACL'04) per candidate/reference pair: exact clipped n-gram overlap "
+    "sum_g min(count_cand, count_ref) for n=1,2 plus both sides' gram "
+    "totals and token lengths — BLEU-n precision, ROUGE-n recall and the "
+    "brevity penalty are caller-side divisions of these integers. "
+    "Corpus-linear: explode + two map-side-combined gram counts + one "
+    "equi-join per n, every shuffle keyed by (pair, gram) — no all-pairs "
+    "stage (eval sets arrive candidate/reference ALIGNED; the harness "
+    "pairing via LEAD within source is scaffolding)",
+)
+def llm_eval_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from aci_export_spark.llm.evalmetrics import ngram_overlap_eval
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("pair_id"),
+            F.col("text").alias("cand_text"),
+            F.lead("text").over(w).alias("ref_text"),
+        )
+        .filter(F.col("ref_text").isNotNull())
+    )
+    return ngram_overlap_eval(pairs, "pair_id", "cand_text", "ref_text", n_max=2)
+
+
+def _rouge_lcs_oracle() -> str:
+    """Golden-VALUES oracle: the ROUGE-L LCS length is an exact integer,
+    so the independent single-process reference — DuckDB pairing + the
+    CLASSIC quadratic DP (`lcs_reference_python`) — must agree bit-for-bit
+    with the engine's Allison–Dix bit-parallel sweep. Two genuinely
+    different algorithms; agreement is evidence, not replay."""
+    import duckdb
+
+    from aci_export_spark.llm.evalmetrics import lcs_reference_python
+
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        WITH base AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), '\\s+') AS t
+            FROM '/root/testdata/sf0.01/documents.parquet'
+        ), p AS (
+            SELECT doc_id AS pair_id, t AS c,
+                   LEAD(t) OVER (PARTITION BY source ORDER BY doc_id) AS r
+            FROM base
+        )
+        SELECT pair_id, c, r FROM p WHERE r IS NOT NULL ORDER BY pair_id
+        """
+    ).fetchall()
+    vals = []
+    for pid, c, r in rows:
+        c, r = list(c)[:512], list(r)[:512]
+        vals.append(f"({pid},{len(c)},{len(r)},{lcs_reference_python(c, r)})")
+    return (
+        "SELECT CAST(pair_id AS BIGINT) AS pair_id, "
+        "CAST(cand_len AS BIGINT) AS cand_len, "
+        "CAST(ref_len AS BIGINT) AS ref_len, "
+        "CAST(lcs_len AS BIGINT) AS lcs_len "
+        f"FROM (VALUES {','.join(vals)}) AS t(pair_id, cand_len, ref_len, lcs_len)"
+    )
+
+
+@register(
+    "llm_eval_rouge_lcs",
+    _rouge_lcs_oracle,  # resolved lazily; bit-parallel-vs-DP fuzz in
+    # tests/test_evalmetrics.py
+    doc="ROUGE-L sufficient statistics (Lin ACL'04): token-level longest-"
+    "common-subsequence length per candidate/reference pair, computed "
+    "with the Allison–Dix bit-parallel DP (O(|a|·|b|/word) — one Python "
+    "big int carries the whole DP column) inside one Arrow-batched "
+    "mapInPandas; token lists truncated at 512 JVM-side so per-pair work "
+    "is bound-quadratic, never doc-quadratic (the MMR pool-bound "
+    "discipline). Zero shuffle. Golden oracle from the independent "
+    "classic quadratic-DP reference — two different algorithms agreeing",
+)
+def llm_eval_rouge_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from aci_export_spark.llm.evalmetrics import lcs_token_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("pair_id"),
+            F.col("text").alias("cand_text"),
+            F.lead("text").over(w).alias("ref_text"),
+        )
+        .filter(F.col("ref_text").isNotNull())
+    )
+    return lcs_token_stats(pairs, "pair_id", "cand_text", "ref_text", max_tokens=512)
+
+
+@register(
+    "llm_chisq_terms",
+    f"""
+WITH toks AS (SELECT doc_id, source AS domain, {_SQL_TOKS} AS t FROM documents),
+pres AS (SELECT DISTINCT domain, doc_id, u.term AS term
+         FROM toks, unnest(list_distinct(t)) AS u(term)),
+cell AS (SELECT domain, term, COUNT(*)::BIGINT AS n11 FROM pres GROUP BY 1, 2),
+tt AS (SELECT term, SUM(n11)::BIGINT AS n1_ FROM cell GROUP BY 1),
+dd AS (SELECT source AS domain, COUNT(*)::BIGINT AS n_1 FROM documents GROUP BY 1),
+nt AS (SELECT COUNT(*)::BIGINT AS n_tot FROM documents),
+base AS (
+    SELECT c.domain, c.term, c.n11, t.n1_, d.n_1, n.n_tot,
+           (t.n1_ - c.n11) AS n12, (d.n_1 - c.n11) AS n21,
+           (n.n_tot - t.n1_ - d.n_1 + c.n11) AS n22
+    FROM cell c JOIN tt t USING (term) JOIN dd d USING (domain) CROSS JOIN nt n
+    WHERE t.n1_ >= 5
+      AND c.n11::HUGEINT * n.n_tot > t.n1_::HUGEINT * d.n_1
+), sc AS (
+    SELECT domain, term, n11, n1_, n_1,
+           n_tot::HUGEINT
+               * (n11::HUGEINT * n22 - n12::HUGEINT * n21)
+               * (n11::HUGEINT * n22 - n12::HUGEINT * n21) AS num_h,
+           n1_::HUGEINT * (n_tot - n1_) * n_1 * (n_tot - n_1) AS den_h
+    FROM base
+), ranked AS (
+    SELECT domain, term, n11, n1_, n_1,
+           CAST(num_h AS BIGINT) AS chi2_num,
+           CAST(den_h AS BIGINT) AS chi2_den,
+           ROW_NUMBER() OVER (
+               PARTITION BY domain
+               ORDER BY CAST(num_h AS DOUBLE) / CAST(den_h AS DOUBLE) DESC,
+                        term ASC
+           ) AS rank
+    FROM sc
+)
+SELECT domain, term, n11, n1_, n_1, chi2_num, chi2_den, rank
+FROM ranked WHERE rank <= 15
+""",
+    doc="chi-square feature selection (Yang & Pedersen ICML'97): the "
+    "top-15 terms most POSITIVELY associated with each domain by the "
+    "exact 2x2 contingency statistic over doc-presence counts, min df 5. "
+    "The pmi discipline: numerator/denominator exact integers computed "
+    "in DECIMAL(38,0) with a loud BIGINT-overflow raise (log-space "
+    "rerank is the documented dial past that), rank by the one-IEEE-"
+    "division ratio with term tie-break. One corpus scan explodes "
+    "distinct presence rows; term totals map-side combine on the term "
+    "key; domain totals and N broadcast; the top-k window is PARTITIONED "
+    "by domain over term-cardinality rows — never doc-cardinality, never "
+    "a global sort",
+)
+def llm_chisq_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.chisq_feature_terms(
+        docs, "doc_id", "text", domain_col="source", min_df=5, k=15
+    )
+
+
+@register(
+    "events_hll_user_days",
+    """
+WITH k AS (
+    SELECT DISTINCT event_type,
+           user_id || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS uday
+    FROM events
+), h AS (
+    SELECT event_type, uday,
+           ('0x' || substr(md5('hll:' || uday), 1, 15))::BIGINT AS h64
+    FROM k
+), reg AS (
+    SELECT event_type,
+           h64 // 2251799813685248 AS register,
+           h64 % 2251799813685248 AS w
+    FROM h
+), rho AS (
+    SELECT event_type, register,
+           CASE WHEN w = 0 THEN 52 ELSE 51 - length(bin(w)) + 1 END AS rho
+    FROM reg
+), m AS (
+    SELECT event_type, register, MAX(rho)::BIGINT AS max_rho
+    FROM rho GROUP BY 1, 2
+), fold AS (
+    SELECT event_type, COUNT(*)::BIGINT AS n_registers,
+           (SUM(1::BIGINT << (52 - max_rho)::INTEGER)
+            + (512 - COUNT(*)) * (1::BIGINT << 52))::BIGINT AS z_scaled
+    FROM m GROUP BY 1
+), est AS (
+    SELECT event_type, n_registers, z_scaled,
+           CAST((719783::HUGEINT * 262144 * 4503599627370496)
+                // (z_scaled::HUGEINT * 1000000) AS BIGINT) AS hll_estimate
+    FROM fold
+), tru AS (
+    SELECT event_type, COUNT(*)::BIGINT AS exact_distinct FROM k GROUP BY 1
+)
+SELECT e.event_type, e.n_registers, e.z_scaled, e.hll_estimate,
+       t.exact_distinct,
+       (e.hll_estimate - t.exact_distinct)::BIGINT AS err
+FROM est e JOIN tru t USING (event_type)
+""",
+    doc="HyperLogLog distinct sketch (Flajolet AofA'07, p=9 / 512 "
+    "registers, md5-derived like every sketch here) estimating distinct "
+    "user-DAYS per event type — the DAU-style metric COUNT(DISTINCT) "
+    "pays a full-key shuffle for; the sketch's groupBy map-side combines "
+    "to <= groups·512 partial rows per task, THE distinct-count dial "
+    "this repo's exact operators document for 100 TB. Registers merge by "
+    "max (partitions/days sketch independently and fold — tested); every "
+    "emitted value is an integer: rho from the no-leading-zeros binary "
+    "string length, the harmonic sum scaled by 2^52 so absent-register "
+    "terms stay integral, alpha on a ppm grid with integral division. "
+    "The audit joins the exact distinct count beside the estimate "
+    "(the lsh_recall_audit discipline: the sketch's error is DATA)",
+)
+def events_hll_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = read_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("ts").cast("date").cast("string"),
+        ).alias("uday"),
+    )
+    regs = hll_registers(keyed, "uday", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
+    truth = keyed.groupBy("event_type").agg(
+        F.countDistinct("uday").cast("long").alias("exact_distinct")
+    )
+    return est.join(truth, "event_type").select(
+        "event_type",
+        "n_registers",
+        "z_scaled",
+        "hll_estimate",
+        "exact_distinct",
+        (F.col("hll_estimate") - F.col("exact_distinct")).cast("long").alias("err"),
+    )
+
+
+@register(
+    "llm_url_canonical_dedup",
+    """
+WITH d AS (
+    SELECT doc_id, source, lang, doc_id % 4 AS v,
+           'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/' || lang
+               || '/' || CAST(doc_id % 100 AS VARCHAR) AS b
+    FROM documents
+), raw AS (
+    SELECT doc_id,
+           CASE v
+               WHEN 0 THEN b || '?utm_source=feed&utm_campaign=x&id='
+                             || CAST(doc_id % 7 AS VARCHAR)
+               WHEN 1 THEN b || '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                             || '&ref=tw#frag'
+               WHEN 2 THEN b || '/'
+               ELSE b || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=m'
+           END AS url
+    FROM d
+), parsed AS (
+    SELECT doc_id, url,
+           regexp_replace(url, '#.*$', '') AS defrag,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme
+    FROM raw
+), comp AS (
+    SELECT doc_id, url, scheme,
+           regexp_replace(defrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+    FROM parsed
+), canon AS (
+    SELECT doc_id, url,
+           scheme || '://'
+           || CASE
+                  WHEN scheme = 'https' THEN
+                      regexp_replace(lower(regexp_extract(after, '^([^/?]*)', 1)), ':443$', '')
+                  WHEN scheme = 'http' THEN
+                      regexp_replace(lower(regexp_extract(after, '^([^/?]*)', 1)), ':80$', '')
+                  ELSE lower(regexp_extract(after, '^([^/?]*)', 1))
+              END
+           || regexp_replace(regexp_extract(after, '^[^/?]*(/[^?]*)?', 1), '/$', '')
+           || CASE
+                  WHEN array_to_string(list_sort(list_filter(
+                           string_split(regexp_extract(after, '\\?([^#]*)', 1), '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_')
+                                AND NOT regexp_matches(p, '^(ref|fbclid|gclid)=')
+                       )), '&') <> ''
+                  THEN '?' || array_to_string(list_sort(list_filter(
+                           string_split(regexp_extract(after, '\\?([^#]*)', 1), '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_')
+                                AND NOT regexp_matches(p, '^(ref|fbclid|gclid)=')
+                       )), '&')
+                  ELSE ''
+              END AS canonical_url
+    FROM comp
+)
+SELECT canonical_url,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT url)::BIGINT AS n_raw_variants,
+       MIN(doc_id) AS min_doc_id
+FROM canon
+GROUP BY 1
+""",
+    doc="URL canonicalization + URL-level dedup — the normalization every "
+    "web-corpus pipeline runs before any content hash (CommonCrawl dedups "
+    "on normalized URL first): scheme/host lowercased, default ports "
+    "stripped, fragments dropped, tracking params (utm_*/ref/fbclid/"
+    "gclid) removed, surviving params sorted, trailing slash trimmed. "
+    "The harness synthesizes four deterministic mess variants per doc "
+    "(tracking bloat, param-order+fragment, trailing slash, mixed "
+    "tracking) and groups by the canonical form with variant counts. "
+    "Spark side is pure JVM Column expressions; the oracle re-expresses "
+    "the normalization over DuckDB's string/list functions — two "
+    "independent implementations of the same spec. One projection + one "
+    "groupBy on the canonical key, map-side combined, corpus-linear",
+)
+def llm_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.functions.text import canonical_url
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".EXAMPLE.COM:443/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    idp = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(base, F.lit("?utm_source=feed&utm_campaign=x&id="), idp))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(base, F.lit("?id="), idp, F.lit("&ref=tw#frag")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("/")))
+        .otherwise(F.concat(base, F.lit("?id="), idp, F.lit("&utm_medium=m")))
+    )
+    return (
+        docs.select(F.col("doc_id"), url.alias("url"))
+        .select("doc_id", "url", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "llm_html_extract",
+    """
+WITH d AS (
+    SELECT doc_id, source,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tk
+    FROM documents
+), base AS (
+    SELECT doc_id, source, tk,
+           CASE WHEN len(tk) = 1 AND tk[1] = '' THEN 0 ELSE len(tk) END AS ntk
+    FROM d
+), calc AS (
+    SELECT doc_id,
+           source || '-' || CAST(doc_id AS VARCHAR) || ' Doc '
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN ntk > 0 THEN ' ' || array_to_string(tk, ' ')
+                       ELSE '' END
+               || ' Tom & J''s <tag> "q"' AS text,
+           (ntk + 11) // 12 AS n_paras
+    FROM base
+)
+SELECT doc_id, text,
+       (16 + 2 * n_paras + 2 * ((n_paras + 3) // 4))::BIGINT AS n_tags,
+       1::BIGINT AS n_comments,
+       6::BIGINT AS n_entities,
+       87::BIGINT AS n_raw_chars
+FROM calc
+""",
+    doc="HTML text extraction — the boilerplate-stripping front door of "
+    "web-scale corpus curation (the C4/RefinedWeb preprocessing step): a "
+    "real single-pass STATE MACHINE (modes text/tag/quoted-attr/comment/"
+    "rawtext) strips markup, skips script+style raw text and comments, "
+    "decodes character entities, and collapses whitespace. The "
+    "synthesized pages plant the three hazards that break regex "
+    "strippers: '>' inside a quoted attribute, '</div>' inside a script "
+    "string, markup inside a comment. Oracle replays the synthesis "
+    "arithmetic (expected text reconstructed from the raw tokens, tag "
+    "count 16 + 2·ceil(ntk/12) + 2·ceil(n_paras/4), raw chars = "
+    "len(style)+len(script) = 87) — any state-machine bug breaks the "
+    "value hash. Two Arrow mapInPandas stages, zero shuffle, linear",
+)
+def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.html import attach_html, html_extract
+
+    docs = read_table(spark, sf_dir, "documents")
+    return html_extract(attach_html(docs))
+
+
+@register(
+    "llm_retrieval_auc",
+    """
+WITH q AS (
+    SELECT vec_id AS query_id, label AS ql,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
+    FROM embeddings WHERE vec_id < 8
+), c AS (
+    SELECT vec_id AS neighbor_id, label AS cl,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1024) AS BIGINT)) AS cv
+    FROM embeddings
+), ranked AS (
+    SELECT query_id, ql, cl,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_sum(list_transform(list_zip(qv, cv),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))) DESC,
+                        neighbor_id ASC
+           ) AS rank
+    FROM q JOIN c ON neighbor_id <> query_id
+), per AS (
+    SELECT query_id,
+           SUM(CASE WHEN cl = ql THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+           SUM(CASE WHEN cl = ql THEN rank ELSE 0 END)::BIGINT AS rank_sum_pos
+    FROM ranked GROUP BY 1
+)
+SELECT query_id, n_pos, n_neg, rank_sum_pos,
+       (rank_sum_pos - (n_pos * (n_pos + 1)) // 2)::BIGINT AS auc_num,
+       (n_pos * n_neg)::BIGINT AS auc_den,
+       CAST(rank_sum_pos - (n_pos * (n_pos + 1)) // 2 AS DOUBLE)
+           / CAST(n_pos * n_neg AS DOUBLE) AS auc
+FROM per
+""",
+    doc="exact retrieval AUC via the Mann-Whitney U statistic (Mann & "
+    "Whitney 1947; AUC = U/(n_pos*n_neg)) — the eval twin of "
+    "llm_hard_negatives: each query's similarity ranking of the corpus "
+    "scored as a same-label classifier, with every rank/rank-sum an "
+    "int64. Similarity is the NEGATED QUANTIZED squared-L2 (floor(x*1024) "
+    "onto the integer grid — float32 widens exactly, power-of-two "
+    "products are exact, so both engines mint identical integers): a "
+    "full-corpus ranking over raw IEEE cosines would hinge on ulp-level "
+    "agreement at EVERY adjacent pair (AUC exposes the whole order, not "
+    "a top-k) — the SQ8 integer discipline applied to evaluation. "
+    "All-pairs scoring is definitional (tiny query broadcast, "
+    "BNLJ-allowlisted); the dial is md5-sampled AUC",
+)
+def llm_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.retrieval_auc(emb, queries, label_col="label")

@@ -665,3 +665,45 @@ FROM d, (VALUES (0, 'TIT2'), (1, 'TPE1'), (2, 'TALB'), (3, 'TRCK'))
 def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_id3_mp3(read_table(spark, sf_dir, "documents"))
     return MM.id3_tags(media)
+
+
+@register(
+    "mm_webvtt_cues",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+c AS (
+    SELECT d.doc_id, d.byte_len, i.i AS idx,
+           (d.doc_id * 17 + i.i * 53) % 1200 AS gap,
+           600 + (d.doc_id * 29 + i.i * 83) % 2200 AS dur,
+           2 + (d.byte_len + d.doc_id * 3 + i.i) % 8 AS nw
+    FROM d, LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 5)) AS i) i
+), timed AS (
+    SELECT doc_id, idx, dur, nw,
+           CAST(COALESCE(SUM(gap + dur) OVER (
+               PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + gap
+               AS BIGINT) AS start_ms
+    FROM c
+)
+SELECT doc_id, CAST(idx + 1 AS BIGINT) AS cue_no, start_ms,
+       CAST(start_ms + dur AS BIGINT) AS end_ms,
+       CAST(dur AS BIGINT) AS dur_ms,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(nw * 60000 // dur AS BIGINT) AS words_per_min,
+       (idx % 3 = 1) AS has_settings
+FROM timed
+""",
+    doc="WebVTT caption-cue parsing — the web-native sibling of "
+    "mm_srt_cues (the format browser/YouTube pipelines emit), with the "
+    "three grammar deltas the synthesis plants: the mandatory WEBVTT "
+    "header, OPTIONAL cue-identifier lines (even cues carry one), DOT "
+    "millisecond separators with the hour field optional (even doc_ids "
+    "write MM:SS.mmm), cue SETTINGS after the end timestamp (every i%3==1 "
+    "cue), and NOTE comment blocks (every third file) that must be "
+    "skipped. Strict-grammar walk raising on malformed timing, empty or "
+    "overlapping cues. Oracle replays the synthesis gap/duration cumsum; "
+    "mapInPandas, no shuffle, asset->cue-rows linear fan-out",
+)
+def mm_webvtt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_webvtt(read_table(spark, sf_dir, "documents"))
+    return MM.webvtt_cues(media)

@@ -400,3 +400,52 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 )
 def streaming_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.winnow_index_stream(spark, sf_dir, k=24, w=8, min_docs=2, n_files=5)
+
+
+@register(
+    "streaming_hll_index",
+    """
+WITH t0 AS (
+    SELECT lang,
+           string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS t
+    FROM documents
+), toks AS (SELECT lang, u.tok AS tok FROM t0, unnest(t) AS u(tok)),
+h AS (
+    SELECT lang, ('0x' || substr(md5('hll:' || tok), 1, 15))::BIGINT AS h64
+    FROM toks
+), reg AS (
+    SELECT lang,
+           h64 // 2251799813685248 AS register,
+           h64 % 2251799813685248 AS w
+    FROM h
+), rho AS (
+    SELECT lang, register,
+           CASE WHEN w = 0 THEN 52 ELSE 51 - length(bin(w)) + 1 END AS rho
+    FROM reg
+), m AS (
+    SELECT lang, register, MAX(rho)::BIGINT AS max_rho FROM rho GROUP BY 1, 2
+), fold AS (
+    SELECT lang, COUNT(*)::BIGINT AS n_registers,
+           (SUM(1::BIGINT << (52 - max_rho)::INTEGER)
+            + (512 - COUNT(*)) * (1::BIGINT << 52))::BIGINT AS z_scaled
+    FROM m GROUP BY 1
+)
+SELECT lang, n_registers, z_scaled,
+       CAST((719783::HUGEINT * 262144 * 4503599627370496)
+            // (z_scaled::HUGEINT * 1000000) AS BIGINT) AS hll_estimate
+FROM fold
+""",
+    doc="streaming maintenance of the per-language HLL REGISTER index "
+    "over the corpus vocabulary (file-drop stream, maxFilesPerTrigger=1, "
+    "foreachBatch merge): registers merge by MAX — the strongest merge "
+    "law in the index family, needing NO disjointness contract (max is "
+    "idempotent: re-delivered or overlapping batches cannot corrupt "
+    "state), so the sketch survives at-least-once delivery where the "
+    "count-based gram/chunk/winnow merges rely on exactly-once disjoint "
+    "ingest. State = <= langs x 512 rows FOREVER regardless of stream "
+    "length. The final estimate fold must equal the batch rebuild over "
+    "the whole corpus — the oracle recomputes exactly that; raises on a "
+    "single-batch collapse",
+)
+def streaming_hll_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.hll_index_stream(spark, sf_dir, n_files=5)

@@ -1606,3 +1606,94 @@ def ivf_sq8_reference_topk_numpy(
             for r, j in enumerate(order)
         )
     return rows
+
+
+def retrieval_auc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1024,
+) -> DataFrame:
+    """Exact retrieval AUC per query via the Mann-Whitney U statistic —
+    the eval-side sibling of hard_negative_topk: treating each query's
+    similarity ranking of the corpus as a same-label classifier, AUC is
+    the probability a positive (same-label) corpus row outranks a
+    negative, computed EXACTLY from integer rank sums (Mann & Whitney
+    1947; AUC = U / (n_pos * n_neg)):
+
+        U = rank_sum_pos - n_pos(n_pos+1)/2      (ranks ascending)
+
+    Similarity is the NEGATED QUANTIZED squared-L2 distance: vectors are
+    floored onto a power-of-two integer grid (floor(x * 1024) — float32
+    widens to double exactly and a power-of-two product is exact, so both
+    engines mint IDENTICAL integers) and every distance, rank and rank
+    sum is int64 from there.  A full-corpus ranking over raw IEEE cosines
+    would hinge on ulp-level cross-engine agreement for EVERY adjacent
+    pair (the top-k queries only expose the top of the order; AUC exposes
+    all of it) — the integer grid removes that cliff entirely, the SQ8
+    code-table discipline applied to evaluation.  ``auc`` itself is the
+    one IEEE division of exact integers at the output edge.
+
+    Plan: the scoring join is the definitional all-pairs brute scan (tiny
+    query side broadcast — the BNLJ-allowlisted ground-truth shape); the
+    rank window partitions per query.  AUC NEEDS the full ranking by
+    definition — the 100 TB dial is sampled AUC (rank within an
+    md5-chosen corpus sample), which changes the estimand, not the plan.
+    """
+    def qvec(col):
+        return F.transform(
+            col, lambda x: F.floor(x.cast("double") * quant).cast("long")
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        qvec(F.col(vec_col)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        qvec(F.col(vec_col)).alias("__cv"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(
+        broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("__d2", dist)
+    # ascending similarity = descending distance; integer keys make the
+    # order engine-identical even before the id tie-break
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    per = ranked.groupBy("query_id").agg(
+        F.sum(F.when(F.col("__cl") == F.col("__ql"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("__cl") != F.col("__ql"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(
+            F.when(F.col("__cl") == F.col("__ql"), F.col("rank")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rank_sum_pos"),
+    )
+    # integral div — n_pos(n_pos+1) is even, but the arithmetic stays in
+    # int64 (a double quotient would break the all-integer discipline)
+    auc_num = F.expr("rank_sum_pos - (n_pos * (n_pos + 1)) div 2").cast("long")
+    auc_den = (F.col("n_pos") * F.col("n_neg")).cast("long")
+    return per.select(
+        "query_id",
+        "n_pos",
+        "n_neg",
+        "rank_sum_pos",
+        auc_num.alias("auc_num"),
+        auc_den.alias("auc_den"),
+        (auc_num.cast("double") / auc_den.cast("double")).alias("auc"),
+    )

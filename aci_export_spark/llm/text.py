@@ -1438,3 +1438,120 @@ def dsir_affinity(
             F.coalesce("affinity_raw", F.lit(0)).alias("affinity_raw"),
         )
     )
+
+
+def chisq_feature_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    min_df: int = 5,
+    k: int = 15,
+) -> DataFrame:
+    """Chi-square (χ²) feature selection: the top-k terms most associated
+    with each domain by the exact 2×2 contingency statistic — the classic
+    supervised vocabulary selector for domain classifiers and quality
+    routers (Yang & Pedersen ICML'97 established χ² as the strongest of
+    the standard selectors).
+
+    For term t and domain s over N docs, with n11 = docs of s containing
+    t, n1_ = docs containing t, n_1 = docs in s:
+
+        χ² = N · (n11·n22 − n12·n21)² / (n1_ · (N−n1_) · n_1 · (N−n_1))
+
+    Float discipline (the pmi_collocations pattern): numerator and
+    denominator are exact integers, computed in DECIMAL(38,0) and checked
+    against the BIGINT range with an explicit raise — χ²'s value never
+    decides anything here; the RANK uses the one-IEEE-division ratio
+    (identical doubles from identical ints in both engines) with the term
+    string as tie-break. At corpus sizes where N⁵/16 outgrows int64 the
+    query FAILS LOUDLY (like the ANSI/DuckDB oracle) — rerank per-domain
+    in log space there (log χ² is monotone), the documented 100 TB dial.
+
+    Plan shape: one corpus scan explodes distinct (doc, term) presence
+    rows; term totals and (term, domain) cells are two map-side-combined
+    groupBys on the term key; domain totals and N are domain-cardinality
+    broadcasts; per-domain top-k is a PARTITIONED window over rows already
+    reduced to (term × domain) cardinality — never a global sort and
+    never a doc-cardinality window."""
+    pres = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias(
+                "term"
+            ),
+            F.col(id_col),
+        )
+        .groupBy("domain", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n11"))
+    )
+    term_tot = pres.groupBy("term").agg(F.sum("n11").cast("long").alias("n1_"))
+    dom_docs = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_1")
+    )
+    n_total = df.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+
+    def _dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    def _checked_long(c: Column, what: str) -> Column:
+        return (
+            F.when(
+                c.isNull() | (c > F.lit(2**63 - 1).cast("decimal(38,0)")),
+                F.raise_error(
+                    F.lit(
+                        f"chisq_feature_terms: {what} overflows BIGINT — "
+                        "rerank per-domain in log space at this corpus size"
+                    )
+                ).cast("decimal(38,0)"),
+            )
+            .otherwise(c)
+            .cast("long")
+        )
+
+    n12 = F.col("n1_") - F.col("n11")
+    n21 = F.col("n_1") - F.col("n11")
+    n22 = F.col("n_tot") - F.col("n1_") - n21
+    diff = _dec(F.col("n11")) * _dec(n22) - _dec(n12) * _dec(n21)
+    num = _dec(F.col("n_tot")) * diff * diff
+    den = (
+        _dec(F.col("n1_"))
+        * _dec(F.col("n_tot") - F.col("n1_"))
+        * _dec(F.col("n_1"))
+        * _dec(F.col("n_tot") - F.col("n_1"))
+    )
+    scored = (
+        pres.join(term_tot.filter(F.col("n1_") >= min_df), on="term")
+        .join(F.broadcast(dom_docs), on="domain")
+        .join(F.broadcast(n_total))
+        # keep only POSITIVE association (the term is over-represented in
+        # the domain): χ² is sign-blind after squaring, but a domain
+        # vocabulary selector wants characteristic terms, not absences —
+        # exact integer cross-multiplication, no division
+        .filter(
+            _dec(F.col("n11")) * _dec(F.col("n_tot"))
+            > _dec(F.col("n1_")) * _dec(F.col("n_1"))
+        )
+        .select(
+            "domain",
+            "term",
+            "n11",
+            "n1_",
+            "n_1",
+            "n_tot",
+            _checked_long(num, "N * (ad-bc)^2").alias("chi2_num"),
+            _checked_long(den, "margin product").alias("chi2_den"),
+            (num.cast("double") / den.cast("double")).alias("__ratio"),
+        )
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("__ratio").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "domain", "term", "n11", "n1_", "n_1", "chi2_num", "chi2_den",
+            "rank",
+        )
+    )

@@ -3561,6 +3561,189 @@ def srt_cues(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WebVTT: the web-native caption sibling of SRT (W3C WebVTT spec) — the
+# format YouTube/browser pipelines actually emit. Three grammar hazards
+# distinguish it from SRT, and the synthesis plants all three: the
+# mandatory "WEBVTT" header line (optionally with trailing text), cue
+# blocks with an OPTIONAL identifier line (any line not containing
+# "-->"), timestamps with a DOT millisecond separator whose hour field is
+# optional (MM:SS.mmm and HH:MM:SS.mmm both legal), optional cue SETTINGS
+# after the end timestamp, and NOTE comment blocks that must be skipped.
+# ---------------------------------------------------------------------------
+
+
+def synth_webvtt(doc_id: int, byte_len: int) -> bytes:
+    """A genuine WebVTT file: 1 + doc_id % 5 cues; cue i starts after a
+    (doc_id*17 + i*53) % 1200 ms gap and lasts 600 + (doc_id*29 + i*83)
+    % 2200 ms with 2 + (byte_len + doc_id*3 + i) % 8 words.  Even cues
+    carry an identifier line; cues with i % 3 == 1 carry settings; every
+    third cue splits its text across two lines; doc_id % 3 == 0 files
+    open with a NOTE block; even doc_ids write hour-less MM:SS.mmm
+    timestamps whenever the cue ends before one hour."""
+    n = 1 + doc_id % 5
+    t = 0
+    blocks = []
+    if doc_id % 3 == 0:
+        blocks.append("NOTE\nsynthesized for doc %d" % doc_id)
+    for i in range(n):
+        gap = (doc_id * 17 + i * 53) % 1200
+        dur = 600 + (doc_id * 29 + i * 83) % 2200
+        start = t + gap
+        end = start + dur
+        t = end
+        nw = 2 + (byte_len + doc_id * 3 + i) % 8
+        words = [f"v{doc_id % 10}x{j}" for j in range(nw)]
+        if i % 3 == 0 and nw >= 2:
+            text_lines = [" ".join(words[: nw // 2]), " ".join(words[nw // 2:])]
+        else:
+            text_lines = [" ".join(words)]
+
+        def ts(ms: int) -> str:
+            h, rem = divmod(ms, 3600000)
+            if h == 0 and doc_id % 2 == 0:
+                return f"{rem // 60000:02d}:{rem // 1000 % 60:02d}.{rem % 1000:03d}"
+            return (
+                f"{h:02d}:{rem // 60000:02d}:{rem // 1000 % 60:02d}."
+                f"{rem % 1000:03d}"
+            )
+
+        settings = (
+            f" align:start position:{10 + (i * 7) % 80}%" if i % 3 == 1 else ""
+        )
+        lines = []
+        if i % 2 == 0:
+            lines.append(f"cue-{i + 1}")
+        lines.append(f"{ts(start)} --> {ts(end)}{settings}")
+        lines.extend(text_lines)
+        blocks.append("\n".join(lines))
+    return ("WEBVTT - synthesized\n\n" + "\n\n".join(blocks) + "\n").encode(
+        "utf-8"
+    )
+
+
+_VTT_TS = re.compile(r"^(?:(\d{2,}):)?([0-5]\d):([0-5]\d)\.(\d{3})$")
+
+
+def _vtt_ms(tok: str) -> int:
+    m = _VTT_TS.match(tok)
+    if not m:
+        raise ValueError(f"WebVTT: malformed timestamp {tok!r}")
+    h = int(m.group(1)) if m.group(1) is not None else 0
+    return ((h * 60 + int(m.group(2))) * 60 + int(m.group(3))) * 1000 + int(
+        m.group(4)
+    )
+
+
+def parse_webvtt_cues(data: bytes) -> list[dict]:
+    """Parse a WebVTT byte payload into cue dicts: cue_no, start_ms,
+    end_ms, dur_ms, n_words, words_per_min, has_settings.  Validates the
+    WEBVTT header, skips NOTE/STYLE/REGION blocks, accepts optional cue
+    identifiers and hour-less timestamps, and raises ValueError on a
+    malformed timestamp line, an empty cue, non-positive duration, or a
+    cue starting before the previous one ends — caption QA fails loudly."""
+    text = data.decode("utf-8")
+    if text.startswith("﻿"):
+        text = text[1:]
+    blocks = [b for b in re.split(r"(?:\r?\n){2,}", text.strip()) if b.strip()]
+    if not blocks:
+        raise ValueError("WebVTT: empty file")
+    header = blocks[0].split("\n")[0].rstrip("\r")
+    if header != "WEBVTT" and not header.startswith(("WEBVTT ", "WEBVTT\t", "WEBVTT -")):
+        raise ValueError(f"WebVTT: missing WEBVTT header, got {header!r}")
+    cues = []
+    prev_end = -1
+    for b in blocks[1:]:
+        lines = [ln.rstrip("\r") for ln in b.split("\n")]
+        if lines[0].startswith(("NOTE", "STYLE", "REGION")):
+            continue
+        ts_i = 0 if "-->" in lines[0] else 1
+        if ts_i >= len(lines) or "-->" not in lines[ts_i]:
+            raise ValueError(f"WebVTT: cue block without a timestamp line: {lines[0]!r}")
+        parts = lines[ts_i].split("-->")
+        if len(parts) != 2:
+            raise ValueError(f"WebVTT: malformed cue timing {lines[ts_i]!r}")
+        start = _vtt_ms(parts[0].strip())
+        tail = parts[1].strip().split(None, 1)
+        end = _vtt_ms(tail[0])
+        has_settings = len(tail) > 1
+        if end <= start:
+            raise ValueError(f"WebVTT: non-positive duration at cue {len(cues) + 1}")
+        if start < prev_end:
+            raise ValueError(f"WebVTT: cue {len(cues) + 1} overlaps previous cue")
+        prev_end = end
+        words = " ".join(lines[ts_i + 1:]).split()
+        if not words:
+            raise ValueError(f"WebVTT: empty text at cue {len(cues) + 1}")
+        dur = end - start
+        cues.append(
+            {
+                "cue_no": len(cues) + 1,
+                "start_ms": start,
+                "end_ms": end,
+                "dur_ms": dur,
+                "n_words": len(words),
+                "words_per_min": len(words) * 60000 // dur,
+                "has_settings": has_settings,
+            }
+        )
+    if not cues:
+        raise ValueError("WebVTT: no cues")
+    return cues
+
+
+def attach_webvtt(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with WebVTT caption payloads
+    (:func:`synth_webvtt`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_webvtt(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+WEBVTT_CUES_SCHEMA = (
+    "doc_id long, cue_no long, start_ms long, end_ms long, dur_ms long, "
+    "n_words long, words_per_min long, has_settings boolean"
+)
+
+
+def webvtt_cues(media: DataFrame) -> DataFrame:
+    """Cue timing/word/settings rows per WebVTT file. mapInPandas, no
+    shuffle; asset→cue-rows linear fan-out."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "cue_no", "start_ms", "end_ms", "dur_ms",
+                "n_words", "words_per_min", "has_settings",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for c in parse_webvtt_cues(bytes(content)):
+                    out["doc_id"].append(int(d))
+                    for k in ("cue_no", "start_ms", "end_ms", "dur_ms",
+                              "n_words", "words_per_min", "has_settings"):
+                        out[k].append(c[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=WEBVTT_CUES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # ID3v2.3 tags: the metadata container of every MP3 corpus (title/artist/
 # album drive audio-text pairing and dedup keys). The frame walk has two
 # classic hazards synthesized here: the TAG size is syncsafe but v2.3

@@ -1,0 +1,149 @@
+"""EXACT distributed quantiles without a global sort: iterative range
+bisection (the classic "histogram refinement" / BlinkDB-era k-th-statistic
+scheme — Munro & Paterson's multi-pass selection, Theor. Comp. Sci. 1980,
+is the canonical analysis).
+
+``approx_percentile`` trades exactness for one pass; ``ORDER BY`` buys
+exactness with a full sort (one all-to-one stage at the percentile
+boundary).  This operator gets EXACT order statistics in a handful of
+COUNTING passes instead: each round histograms the surviving value range
+into ``branch`` equal-width buckets (one map-side-combined aggregate whose
+result is ≤ quantiles·branch rows), locates the bucket containing the
+target rank, and recurses into it.  An int64 domain resolves in at most
+ceil(64 / log2(branch)) rounds — 7 at branch=1024 — and real value
+domains (prices in cents, millisecond timestamps) in 2–3, each a
+corpus-linear scan with the range filter PUSHED DOWN to the parquet scan
+(later rounds touch a vanishing fraction of row groups under any
+clustered layout).
+
+Driver state is bounded by quantiles · branch counts per round (the
+pagerank_fixed_point bounded-collect discipline) — never a row collect.
+
+Float discipline: ranks are exact integers (k = ceil(p·n) on a ppm grid,
+the repo's LOWER-quantile convention: rank (n+1) div 2 at p=0.5); values
+never leave int64.
+
+Reference parity note: the reference engine (madninja/aci-export) has no
+quantile surface; this extends the beyond-reference analytics operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: histogram fan-out per round; 1024 resolves any int64 range in ≤ 7 rounds
+BRANCH = 1024
+#: hard stop — provably unreachable at BRANCH=1024 over int64 (guard only)
+MAX_ROUNDS = 16
+
+
+def exact_quantiles(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    probs_ppm: list[int],
+    branch: int = BRANCH,
+) -> DataFrame:
+    """Exact lower quantiles of an integral column, one row per requested
+    probability: (prob_ppm, n, k, value) with value = the k-th smallest,
+    k = ceil(prob · n) computed exactly on the ppm grid.
+
+    NULLs are excluded (the SQL aggregate convention); an empty input
+    raises loudly rather than emitting a fabricated quantile.
+    """
+    vals = df.select(F.col(value_col).cast("long").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    head = vals.agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    n = int(head["n"])
+    if n == 0:
+        raise ValueError("exact_quantiles: empty input (after NULL filter)")
+    glo, ghi = int(head["lo"]), int(head["hi"])
+    # k = ceil(p*n / 1e6) with pure integer arithmetic; p=500000, n even
+    # gives n/2 — the repo's exact-LOWER-median convention
+    states = {
+        qi: {
+            "prob": p,
+            "k": max(1, (p * n + 999_999) // 1_000_000),
+            "lo": glo,
+            "hi": ghi,
+            "below": 0,
+            "value": None,
+        }
+        for qi, p in enumerate(probs_ppm)
+    }
+
+    rounds = 0
+    while any(s["value"] is None for s in states.values()):
+        rounds += 1
+        if rounds > MAX_ROUNDS:  # pragma: no cover — see module docstring
+            raise RuntimeError("exact_quantiles: bisection failed to converge")
+        live = {qi: s for qi, s in states.items() if s["value"] is None}
+        # trivial resolution: a collapsed range needs no scan
+        for s in live.values():
+            if s["lo"] == s["hi"]:
+                s["value"] = s["lo"]
+        live = {qi: s for qi, s in live.items() if s["value"] is None}
+        if not live:
+            break
+        widths = {
+            qi: (s["hi"] - s["lo"]) // branch + 1 for qi, s in live.items()
+        }
+        arms = F.array(
+            *[
+                F.when(
+                    F.col("v").between(F.lit(s["lo"]), F.lit(s["hi"])),
+                    F.struct(
+                        F.lit(qi).alias("qi"),
+                        # integral div — a double quotient would lose
+                        # exactness past 2^53 on a full int64 domain
+                        F.expr(
+                            f"(v - {s['lo']}L) div {widths[qi]}L"
+                        ).alias("bucket"),
+                    ),
+                )
+                for qi, s in live.items()
+            ]
+        )
+        range_filter = None
+        for s in live.values():
+            c = F.col("v").between(F.lit(s["lo"]), F.lit(s["hi"]))
+            range_filter = c if range_filter is None else (range_filter | c)
+        counts = (
+            vals.filter(range_filter)
+            .select(
+                F.explode(F.filter(arms, lambda x: x.isNotNull())).alias("a")
+            )
+            .groupBy(F.col("a.qi").alias("qi"), F.col("a.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # bounded: ≤ len(live) · branch rows
+        )
+        by_q: dict[int, list[tuple[int, int]]] = {qi: [] for qi in live}
+        for r in counts:
+            by_q[int(r["qi"])].append((int(r["bucket"]), int(r["c"])))
+        for qi, s in live.items():
+            cum = s["below"]
+            target = None
+            for bucket, c in sorted(by_q[qi]):
+                if cum + c >= s["k"]:
+                    target = bucket
+                    break
+                cum += c
+            if target is None:  # pragma: no cover — rank beyond range
+                raise RuntimeError("exact_quantiles: rank not covered")
+            w = widths[qi]
+            s["below"] = cum
+            s["lo"] = s["lo"] + target * w
+            s["hi"] = min(s["hi"], s["lo"] + w - 1)
+            if s["lo"] == s["hi"]:
+                s["value"] = s["lo"]
+
+    rows = [
+        (s["prob"], n, s["k"], s["value"]) for s in states.values()
+    ]
+    return spark.createDataFrame(
+        rows, schema="prob_ppm long, n long, k long, value long"
+    )

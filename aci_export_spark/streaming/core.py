@@ -745,6 +745,7 @@ def _file_drop_index_stream(
     stage_key: str,
     n_files: int = 5,
     batch_counter: dict | None = None,
+    columns: tuple[str, ...] = ("doc_id", "text"),
 ) -> DataFrame:
     """Shared machinery for streaming INDEX maintenance over a file-drop
     corpus: the documents table is staged into a range-partitioned landing
@@ -764,7 +765,7 @@ def _file_drop_index_stream(
 
     from aci_export_spark.sources import read_table
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = read_table(spark, sf_dir, "documents").select(*columns)
     # md5 keying, not Python hash(): hash() is PYTHONHASHSEED-salted, so
     # every interpreter would mint a fresh landing dir (and the old copies
     # would pile up in /tmp); both dirs are removed in the finally below
@@ -941,3 +942,51 @@ def winnow_index_stream(
     return index.filter(F.col("n_docs") >= min_docs).select(
         "fp_hash", "n_docs", "n_selections"
     )
+
+
+def hll_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 5,
+    batch_counter: dict | None = None,
+) -> DataFrame:
+    """Streaming maintenance of a per-language HyperLogLog REGISTER index
+    over the corpus vocabulary: each micro-batch's (lang, register,
+    max_rho) table merges into the maintained index by MAX — the
+    strongest merge law in the index family: unlike the count-based
+    gram/chunk/winnow merges it needs NO disjointness contract at all
+    (max is idempotent), so re-delivered or overlapping batches cannot
+    corrupt the state. State is the index itself: ≤ langs · 2^p rows
+    FOREVER, regardless of stream length — the sketch's whole point.
+
+    The final fold (:func:`~aci_export_spark.operators.sketches.
+    hll_estimate`) must equal the batch rebuild over the whole corpus,
+    which is exactly what the driver oracle recomputes.  (Machinery:
+    :func:`_file_drop_index_stream`.)"""
+    from aci_export_spark.llm.text import word_tokens
+    from aci_export_spark.operators.sketches import hll_estimate, hll_registers
+
+    def delta(batch: DataFrame) -> DataFrame:
+        toks = batch.select(
+            "lang", F.explode(word_tokens(F.col("text"))).alias("tok")
+        )
+        return hll_registers(toks, "tok", ["lang"])
+
+    def merge(base: DataFrame, d: DataFrame) -> DataFrame:
+        return (
+            base.unionByName(d)
+            .groupBy("lang", "register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+
+    index = _file_drop_index_stream(
+        spark,
+        sf_dir,
+        delta_fn=delta,
+        merge_fn=merge,
+        stage_key="hll",
+        n_files=n_files,
+        batch_counter=batch_counter,
+        columns=("doc_id", "lang", "text"),
+    )
+    return hll_estimate(index, ["lang"])

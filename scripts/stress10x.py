@@ -52,6 +52,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("STRESS_OUT", "/tmp/stress10x")
 COPIES = int(os.environ.get("STRESS_COPIES", "10"))
 
+#: STRESS_ONLY=name1,name2 restricts either sweep to the named queries —
+#: the per-wave iteration loop (full sweeps re-run everything)
+_ONLY = {n for n in os.environ.get("STRESS_ONLY", "").split(",") if n}
+
+
+def _only(names: list[str]) -> list[str]:
+    return [n for n in names if not _ONLY or n in _ONLY]
+
 QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -173,6 +181,11 @@ QUERIES = [
     # top-k-capped, the pagerank bounded-work shape)
     "er_jaro_winkler_pairs",
     "graph_brand_kcore",
+    # round-10 fifth-wave: the HLL sketch (register state constant, the
+    # scan is the only 10x term) and the bisection quantiles (rounds
+    # bounded by the value range, each a counting scan)
+    "events_hll_user_days",
+    "orders_exact_quantiles",
 ]
 
 
@@ -232,6 +245,25 @@ CD_QUERIES = [
     # per-copy tf/df structure exact while cross-copy tokens stay disjoint,
     # so candidates grow linearly (the df_cap bound at work)
     "llm_dedup_weighted_jaccard",
+    # r10 fifth-wave: eval metrics (one pair per doc — pair volume and the
+    # (pair, gram) join grow linearly; the LCS stage is truncation-bounded
+    # per pair), chi-square terms (term TYPE table grows ~10x under
+    # alphabet permutation — the Heaps-law claim; domains fixed), URL
+    # canonicalization (one projection + canonical-key groupBy, linear),
+    # HTML extraction (per-row state machine, linear), WebVTT parse
+    # (per-row decode, linear fan-out)
+    "llm_eval_ngram_overlap",
+    "llm_eval_rouge_lcs",
+    "llm_chisq_terms",
+    "llm_url_canonical_dedup",
+    "llm_html_extract",
+    "mm_webvtt_cues",
+    # r10 sixth-wave: exact AUC (query set fixed at 8 — the quantized
+    # distance scan is the linear term, the rank window partitions per
+    # query over 10x rows) and the streaming HLL index (register state
+    # constant; per-batch delta pass linear in batch tokens)
+    "llm_retrieval_auc",
+    "streaming_hll_index",
 ]
 
 OUT_CD = os.environ.get("STRESS_CD_OUT", "/tmp/stress10x_cd")
@@ -428,14 +460,15 @@ def main_cd(bpe_only: bool = False) -> None:
         "noop"
     ).mode("overwrite").save()
     spark.range(1).toPandas()
-    base = run_counting(spark, SF_DIR, CD_QUERIES)
-    big = run_counting(spark, OUT_CD, CD_QUERIES)
+    names = _only(CD_QUERIES)
+    base = run_counting(spark, SF_DIR, names)
+    big = run_counting(spark, OUT_CD, names)
     print(
         f"\n| query | sf0.1 wall | cpu | rows | {COPIES}× CD wall | cpu | rows "
         "| wall growth | cpu growth | row growth |"
     )
     print("|---|---|---|---|---|---|---|---|---|---|")
-    for name in CD_QUERIES:
+    for name in names:
         bt, bc, bn = base[name]
         gt, gc, gn = big[name]
         wg = gt / bt if bt else float("nan")
@@ -546,6 +579,29 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
     spark.range(1).toPandas()
+    names = _only(QUERIES)
+    if _ONLY:
+        # targeted wave runs use the counting runner (CPU + rows columns,
+        # the CD-table format SCALE.md now standardizes on)
+        base = run_counting(spark, SF_DIR, names)
+        big = run_counting(spark, OUT, names)
+        print(
+            f"\n| query | sf0.1 wall | cpu | rows | {COPIES}× wall | cpu | rows "
+            "| wall growth | cpu growth | row growth |"
+        )
+        print("|---|---|---|---|---|---|---|---|---|---|")
+        for name in names:
+            bt, bc, bn = base[name]
+            gt, gc, gn = big[name]
+            wg = gt / bt if bt else float("nan")
+            cg = gc / bc if bc else float("nan")
+            rg = gn / bn if bn else float("nan")
+            print(
+                f"| {name} | {bt:.1f} s | {bc:.0f} | {bn} | {gt:.1f} s | {gc:.0f} "
+                f"| {gn} | {wg:.1f}× | {cg:.1f}× | {rg:.1f}× |"
+            )
+        spark.stop()
+        return
     base = run(spark, SF_DIR)
     big = run(spark, OUT)
     print(f"\n| query | sf0.1 | {COPIES}× | growth |")

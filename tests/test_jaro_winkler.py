@@ -95,3 +95,46 @@ def test_pair_operator_blocks_and_thresholds(spark):
     assert (1, 2) in out and out[(1, 2)] == jw_ppm("small ring", "small rings")
     assert all(a != 3 and b != 3 for a, b in out)  # blocking respected
     assert (1, 4) not in out  # threshold respected
+
+
+# ---------------------------------------------------------------------------
+# r10 prefilter: the histogram bound must be NECESSARY (no false negatives)
+# ---------------------------------------------------------------------------
+
+
+def _hist_bound_passes(a: str, b: str, threshold_ppm: int) -> bool:
+    """Python replay of the JVM prefilter predicate in jaro_winkler_pairs:
+    26-letter histogram + one other-chars class, I·(la+lb)·1e6 >=
+    (5T−3e6)·la·lb."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    c_ppm = 5 * threshold_ppm - 3_000_000
+    if c_ppm <= 0:
+        return True
+    la, lb = len(a), len(b)
+    isect = sum(min(a.count(ch), b.count(ch)) for ch in alpha)
+    oa = la - sum(a.count(ch) for ch in alpha)
+    ob = lb - sum(b.count(ch) for ch in alpha)
+    isect += min(oa, ob)
+    return isect * (la + lb) * 1_000_000 >= c_ppm * la * lb
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.text(alphabet="abcdez 19", min_size=1, max_size=24),
+    st.text(alphabet="abcdez 19", min_size=1, max_size=24),
+)
+def test_histogram_prefilter_is_necessary(a, b):
+    """Every pair the comparator accepts must pass the prefilter — a false
+    negative would silently drop a true linkage pair. (The alphabet mixes
+    letters, digits and space so the other-chars class is exercised.)"""
+    from aci_export_spark.operators.fuzzy import jw_ppm
+
+    for t in (700_000, 900_000, 980_000):
+        if jw_ppm(a, b) >= t:
+            assert _hist_bound_passes(a, b, t), (a, b, t)
+
+
+def test_histogram_prefilter_culls_something():
+    """Sanity: the bound is not vacuous — clearly-dissimilar strings fail."""
+    assert not _hist_bound_passes("aaaaaaaaaa", "zzzzzzzzzz", 900_000)
+    assert _hist_bound_passes("martha", "marhta", 900_000)

@@ -85,6 +85,8 @@ BNLJ_ALLOWED = {
     # shape; composes under IVF cells at corpus scale
     "graph_brand_kcore",  # composes basket_brand_pairs (the same 1-row
     # basket-total broadcast cross as pagerank/triangles)
+    "llm_chisq_terms",  # 1-row corpus-doc-count (N) aggregate broadcast
+    # cross — the pmi/bm25 global-stats shape; every other join is equi
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")

@@ -1,0 +1,88 @@
+"""Exact bisection quantiles (operators/quantiles.py): differential vs a
+sorted-oracle over adversarial distributions (duplicates, skew, negatives,
+two-point), the rank convention, and the loud empty-input contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from aci_export_spark.operators.quantiles import exact_quantiles
+
+PROBS = [1, 250_000, 500_000, 900_000, 999_999, 1_000_000]
+
+
+def _sorted_oracle(vals, probs_ppm):
+    s = sorted(vals)
+    n = len(s)
+    out = {}
+    for p in probs_ppm:
+        k = max(1, (p * n + 999_999) // 1_000_000)
+        out[p] = (n, k, s[k - 1])
+    return out
+
+
+def _check(spark, vals, probs=PROBS):
+    df = spark.createDataFrame([(v,) for v in vals], schema="v long")
+    got = {
+        r["prob_ppm"]: (r["n"], r["k"], r["value"])
+        for r in exact_quantiles(spark, df, "v", probs).collect()
+    }
+    assert got == _sorted_oracle(vals, probs)
+
+
+def test_quantiles_duplicates_heavy(spark):
+    # 90% of mass on one value — the bucket walk must handle a single
+    # bucket absorbing most ranks
+    vals = [7] * 900 + list(range(100))
+    _check(spark, vals)
+
+
+def test_quantiles_negatives_and_wide_range(spark):
+    vals = [-(10**12), -5, -5, 0, 3, 3, 10**12, 42, -999999999, 77]
+    _check(spark, vals)
+
+
+def test_quantiles_two_point_and_single(spark):
+    _check(spark, [1, 2])
+    _check(spark, [5])
+    _check(spark, [5, 5, 5, 5])
+
+
+def test_quantiles_dense_sequential(spark):
+    _check(spark, list(range(1, 1001)))
+
+
+def test_quantiles_adversarial_bucket_edges(spark):
+    # values straddling bucket boundaries at branch=4 force multi-round
+    # refinement with non-zero 'below' carry
+    vals = [0, 1, 2, 3, 4, 5, 6, 7, 1000, 1001, 1002, 2000]
+    df = spark.createDataFrame([(v,) for v in vals], schema="v long")
+    got = {
+        r["prob_ppm"]: (r["n"], r["k"], r["value"])
+        for r in exact_quantiles(spark, df, "v", PROBS, branch=4).collect()
+    }
+    assert got == _sorted_oracle(vals, PROBS)
+
+
+def test_quantiles_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,), (None,), (2,)], schema="v long"
+    )
+    got = {
+        r["prob_ppm"]: (r["n"], r["k"], r["value"])
+        for r in exact_quantiles(spark, df, "v", [500_000]).collect()
+    }
+    assert got == {500_000: (3, 2, 2)}
+
+
+def test_quantiles_empty_raises(spark):
+    df = spark.createDataFrame([], schema="v long")
+    with pytest.raises(ValueError, match="empty input"):
+        exact_quantiles(spark, df, "v", [500_000])
+
+
+def test_quantiles_median_convention(spark):
+    # even n: k = ceil(0.5n) = n/2 — the repo's exact LOWER median
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], schema="v long")
+    r = exact_quantiles(spark, df, "v", [500_000]).collect()[0]
+    assert (r["k"], r["value"]) == (2, 2)
