@@ -120,3 +120,47 @@ def canonical_url(url: Column) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+def robots_longest_match(
+    urls: "DataFrame",
+    rules: "DataFrame",
+    path_col: str = "path",
+) -> "DataFrame":
+    """Robots-exclusion decision per URL path under the REP longest-match
+    rule (RFC 9309 §2.2.2: the most specific — longest — matching path
+    wins; on an allow/disallow tie of equal length, allow wins).  Rule
+    paths are literal prefixes (the RFC's core semantics; ``*``/``$``
+    wildcards are a documented non-goal of this subset).
+
+    ``rules`` is (rule_path string, allow boolean) — a robots.txt is
+    definitionally tiny and bounded, so the match join broadcasts it and
+    the non-equi prefix condition is a rules-bounded nested loop (≤ rules
+    comparisons per URL — the right plan at ANY corpus scale).  URLs
+    matching no rule are allowed (the RFC default).  Output: every input
+    column plus ``allowed`` and ``matched_rule`` (NULL when no rule
+    matched)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    r = rules.select(
+        F.col("rule_path").alias("__rp"), F.col("allow").alias("__allow")
+    )
+    matched = urls.join(
+        broadcast(r), F.col(path_col).startswith(F.col("__rp")), "left"
+    )
+    # partition by the full input row identity — partitioning by path alone
+    # would collapse distinct URLs sharing a path into one survivor
+    w = Window.partitionBy(*[F.col(c) for c in urls.columns]).orderBy(
+        F.length("__rp").desc(), F.col("__allow").desc(), F.col("__rp").asc()
+    )
+    return (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(c) for c in urls.columns],
+            F.coalesce(F.col("__allow"), F.lit(True)).alias("allowed"),
+            F.col("__rp").alias("matched_rule"),
+        )
+    )

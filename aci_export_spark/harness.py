@@ -492,6 +492,13 @@ WINDOW_BUILT_FROM_ROUND = 9
 #: local driver-gate replica every round): 1 flagship + 22 r5 + 27 new
 #: = 50. They repay at the r11 head with the rest of WINDOW_DEFERRED,
 #: before the r6 cohort.
+#: SEVENTH-WAVE UPDATE (same round, +3): WARC record parsing, the Avro
+#: OCF round trip, and robots longest-match filtering joined the
+#: registry; three more r5 slots defer by the frozen-code rule (the
+#: z-order key shape, the funnel-composed conversion latency, and the DQ
+#: check report — harness-inline / funnel.py / dq.py untouched since
+#: their r5 rows, all re-proven by the local driver-gate replica every
+#: round): 1 flagship + 17 r5 + 32 new = 50.
 #: SIXTH-WAVE UPDATE (same round, +2): streaming HLL-register maintenance
 #: and exact Mann-Whitney retrieval AUC joined the registry; two more r5
 #: slots defer by the same frozen-code rule (the bloom membership sketch
@@ -523,6 +530,9 @@ WINDOW_DEFERRED: frozenset[str] = frozenset(
         "rec_item_item_cosine",
         "llm_bloom_membership",
         "ivm_orders_maintained_agg",
+        "events_zorder_keys",
+        "events_time_to_convert",
+        "dq_check_report",
     }
 )
 
@@ -558,11 +568,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # the 43 r5-era deferrals — mandated window head (VERDICT r9 #1),
     # oldest cohort first, alphabetical within (eight displaced by the
     # fifth wave — see WINDOW_DEFERRED)
-    "dq_check_report",
     "events_pit_state_enrichment",
     "events_sessionization_native",
-    "events_time_to_convert",
-    "events_zorder_keys",
     "graph_brand_pagerank",
     "graph_brand_triangles",
     "llm_compression_ratio",
@@ -622,6 +629,11 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # sketch-index twin and the exact ranking-eval statistic
     "streaming_hll_index",
     "llm_retrieval_auc",
+    # seventh-wave new registrations (never driver-checked): the two
+    # corpus-container parsers and the crawl-compliance filter
+    "mm_warc_records",
+    "mm_avro_blocks",
+    "llm_robots_url_filter",
 ]
 
 

@@ -2579,13 +2579,14 @@ def maint_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_survival_km",
     """
-WITH lt AS (
+WITH h AS (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+    FROM events
+), lt AS (
     SELECT user_id,
-           date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))::BIGINT
-               AS t,
-           date_diff('day', MAX(CAST(ts AS DATE)),
-                     (SELECT MAX(CAST(ts AS DATE)) FROM events)) < 7 AS censored
-    FROM events GROUP BY user_id
+           (MAX(hr) - MIN(hr))::BIGINT AS t,
+           ((SELECT MAX(hr) FROM h) - MAX(hr)) < 24 AS censored
+    FROM h GROUP BY user_id
 ), per_t AS (
     SELECT t,
            SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS n_deaths,
@@ -2602,7 +2603,7 @@ WITH lt AS (
            ((n_risk - n_deaths) * 1000000) // n_risk AS km_factor_ppm
     FROM risked WHERE n_deaths > 0
 )
-SELECT t AS duration_days, n_risk, n_deaths, n_censored, hazard_ppm,
+SELECT t AS duration_hours, n_risk, n_deaths, n_censored, hazard_ppm,
        CAST(SUM(hazard_ppm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS cum_hazard_ppm,
        km_factor_ppm
@@ -2612,19 +2613,29 @@ FROM ev
     "Aalen 1978) over right-censored user lifetimes — the churn question "
     "a naive histogram answers WRONG (users still active at the "
     "observation edge are censored, not churned; here: last event within "
-    "7 days of the corpus max day). Emits per-death-time risk set, "
-    "deaths, censored, ppm-floored hazard d/n, the window-summed "
-    "Nelson-Aalen cumulative hazard, and the KM product factor (n-d)/n "
-    "— every value integer, no float at any boundary; the multiplicative "
-    "KM curve folds caller-side (exp(-cum_hazard) is the additive "
-    "identity). One user-key shuffle; the life-table windows run on the "
-    "calendar-bounded duration aggregate",
+    "24 HOURS of the corpus max). Durations are epoch-hour floor "
+    "differences (boundary counts — identical in both engines, unlike "
+    "timestampdiff's full-unit semantics): this corpus spans days, so "
+    "whole-day durations would censor EVERYONE and emit a degenerate "
+    "empty life table (caught in r10 — a 0-row oracle match verifies "
+    "nothing). Emits per-death-time risk set, deaths, censored, "
+    "ppm-floored hazard d/n, the window-summed Nelson-Aalen cumulative "
+    "hazard, and the KM product factor (n-d)/n — every value integer; "
+    "the multiplicative KM curve folds caller-side. One user-key "
+    "shuffle; the life-table windows run on the calendar-bounded "
+    "duration aggregate",
 )
 def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aci_export_spark.operators.survival import km_life_table, user_lifetimes
+    from aci_export_spark.operators.survival import (
+        km_life_table,
+        user_lifetimes_hours,
+    )
 
     ev = read_table(spark, sf_dir, "events")
-    return km_life_table(user_lifetimes(ev, censor_window_days=7))
+    return km_life_table(
+        user_lifetimes_hours(ev, censor_window_hours=24),
+        duration_col="duration_hours",
+    )
 
 
 def _jw_oracle() -> str:

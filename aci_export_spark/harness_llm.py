@@ -6189,3 +6189,54 @@ def llm_retrieval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.retrieval_auc(emb, queries, label_col="label")
+
+
+@register(
+    "llm_robots_url_filter",
+    """
+WITH rules(rule_path, allow) AS (
+    VALUES ('/de/', false), ('/de/4', true), ('/zh/7', false), ('/', true)
+), u AS (
+    SELECT doc_id,
+           '/' || lang || '/' || CAST(doc_id % 100 AS VARCHAR) AS path
+    FROM documents
+), m AS (
+    SELECT u.doc_id, u.path, r.rule_path, r.allow,
+           ROW_NUMBER() OVER (
+               PARTITION BY u.doc_id, u.path
+               ORDER BY length(r.rule_path) DESC, r.allow DESC,
+                        r.rule_path ASC
+           ) AS rn
+    FROM u LEFT JOIN rules r ON starts_with(u.path, r.rule_path)
+)
+SELECT doc_id, path, COALESCE(allow, true) AS allowed,
+       rule_path AS matched_rule
+FROM m WHERE rn = 1
+""",
+    doc="robots-exclusion filtering under the RFC 9309 longest-match rule "
+    "(most specific matching path wins; allow wins equal-length ties) — "
+    "the crawl-compliance gate that pairs with llm_url_canonical_dedup in "
+    "every web-corpus front end. The planted ruleset exercises the two "
+    "semantics bugs: /de/4 (allow) must beat /de/ (disallow) by LENGTH, "
+    "and /zh/7 must match /zh/70..79 too (prefix, not equality). The "
+    "rules table is definitionally tiny and bounded, so the prefix match "
+    "is a broadcast nested loop with <= |rules| comparisons per URL — "
+    "the right plan at any corpus scale; the longest-match argmax is a "
+    "per-URL-row window",
+)
+def llm_robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.functions.text import robots_longest_match
+
+    docs = read_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("/"), F.col("lang"), F.lit("/"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [("/de/", False), ("/de/4", True), ("/zh/7", False), ("/", True)],
+        schema="rule_path string, allow boolean",
+    )
+    return robots_longest_match(urls, rules, path_col="path")

@@ -707,3 +707,83 @@ FROM timed
 def mm_webvtt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_webvtt(read_table(spark, sf_dir, "documents"))
     return MM.webvtt_cues(media)
+
+
+@register(
+    "mm_warc_records",
+    """
+WITH d AS (
+    SELECT doc_id, source, lang,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS coll
+    FROM documents
+), base AS (
+    SELECT doc_id,
+           LEAST(length(coll), 120) + 19 AS bodylen,
+           (doc_id % 4 = 0) AS has_info,
+           'https://www.' || source || '.example.com/' || lang || '/'
+               || CAST(doc_id % 100 AS VARCHAR) AS uri,
+           length('GET /' || lang || '/' || CAST(doc_id % 100 AS VARCHAR)
+               || ' HTTP/1.1') + 2
+               + length('Host: www.' || source || '.example.com') + 4 AS reqlen
+    FROM d
+)
+SELECT doc_id, 1::BIGINT AS rec_no, 'warcinfo' AS rec_type,
+       26::BIGINT AS content_length, NULL::VARCHAR AS target_uri,
+       NULL::BIGINT AS http_status, NULL::BIGINT AS body_chars
+FROM base WHERE has_info
+UNION ALL
+SELECT doc_id, (CASE WHEN has_info THEN 2 ELSE 1 END)::BIGINT, 'request',
+       reqlen::BIGINT, uri, NULL::BIGINT, NULL::BIGINT
+FROM base
+UNION ALL
+SELECT doc_id, (CASE WHEN has_info THEN 3 ELSE 2 END)::BIGINT, 'response',
+       (44 + bodylen)::BIGINT, uri, 200::BIGINT, bodylen::BIGINT
+FROM base
+""",
+    doc="WARC record parsing (ISO 28500) — THE web-corpus container "
+    "(CommonCrawl ships every crawl as WARC), parsed by STRICT "
+    "Content-Length framing: version line, header block, exactly "
+    "Content-Length payload bytes, the two mandatory CRLFs — never by "
+    "delimiter scanning, which the synthesis punishes by planting a "
+    "CRLFCRLF + 'WARC/1.0' LOOKALIKE inside every response body (the "
+    "classic web-archive reader bug; a scanner splits mid-record and "
+    "the hash breaks). Optional warcinfo record, request + response "
+    "records with HTTP status/body split. Oracle replays the synthesis "
+    "length arithmetic. mapInPandas, no shuffle, linear fan-out",
+)
+def mm_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_warc(read_table(spark, sf_dir, "documents"))
+    return MM.warc_records(media)
+
+
+@register(
+    "mm_avro_blocks",
+    """
+WITH rec AS (
+    SELECT source, doc_id,
+           (length(bin(2 * doc_id)) + 6) // 7
+               + (length(bin(2 * length(lang))) + 6) // 7
+               + length(lang) AS rbytes
+    FROM documents
+)
+SELECT source,
+       ((COUNT(*) + 15) // 16)::BIGINT AS n_blocks,
+       COUNT(*)::BIGINT AS n_records,
+       SUM(doc_id)::BIGINT AS sum_ids,
+       SUM(rbytes)::BIGINT AS payload_bytes
+FROM rec GROUP BY source
+""",
+    doc="Avro Object Container File round trip — the standard event-"
+    "pipeline landing format (Kafka->lake dumps): per source a genuine "
+    "OCF is synthesized (magic, metadata map with schema+codec, "
+    "md5-derived 16-byte sync marker, <=16-record blocks) and RE-PARSED; "
+    "emitted stats come from the parser, so the two encoding details "
+    "readers get wrong — longs are ZIGZAG varints (a plain-varint reader "
+    "decodes 5 as 10) and every block must end with the header's sync "
+    "marker (verified, raises on mismatch) — break the hash if mishandled. "
+    "Oracle replays record-size arithmetic (varint byte counts via "
+    "binary-string length). One applyInPandas keyed by source (container "
+    "build is per-file by definition)",
+)
+def mm_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.avro_container_stats(read_table(spark, sf_dir, "documents"))

@@ -3886,3 +3886,352 @@ def id3_tags(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(parse, schema=ID3_TAGS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WARC: THE web-corpus container (ISO 28500 — CommonCrawl ships all crawl
+# data as WARC), the front door every web-scale LLM corpus passes through.
+# The synthesis plants the hazard that breaks naive readers: payloads are
+# framed by Content-Length, NOT by scanning for the record delimiter — a
+# response body here CONTAINS a CRLFCRLF + "WARC/1.0" lookalike, so a
+# delimiter-scanning parser splits mid-record and mis-parses everything
+# after (exactly the bug web-archive tooling lists as the classic one).
+# ---------------------------------------------------------------------------
+
+#: planted inside response bodies: a fake record boundary
+_WARC_TRAP = "\r\n\r\nWARC/1.0 fake\r\n"
+
+
+def synth_warc(doc_id: int, source: str, lang: str, text: str) -> bytes:
+    """A genuine little WARC/1.0 file for one capture: an optional
+    warcinfo record (doc_id % 4 == 0), a request record, and a response
+    record whose HTTP body embeds a fake record boundary (the framing
+    trap) plus the document's first 120 collapsed chars.  All payloads
+    are Content-Length framed per the spec."""
+    uri = f"https://www.{source}.example.com/{lang}/{doc_id % 100}"
+    records = []
+
+    def record(rtype: str, payload: bytes, extra: list[str]) -> bytes:
+        head = [
+            "WARC/1.0",
+            f"WARC-Type: {rtype}",
+            f"WARC-Record-ID: <urn:uuid:{doc_id:08d}-{len(records)}>",
+            "WARC-Date: 2026-01-01T00:00:00Z",
+            *extra,
+            f"Content-Length: {len(payload)}",
+        ]
+        return ("\r\n".join(head) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+    if doc_id % 4 == 0:
+        info = b"software: synth-warc/1.0\r\n"
+        records.append(record("warcinfo", info, []))
+    req = (
+        f"GET /{lang}/{doc_id % 100} HTTP/1.1\r\nHost: www.{source}."
+        "example.com\r\n\r\n"
+    ).encode()
+    records.append(record("request", req, [f"WARC-Target-URI: {uri}"]))
+    body = " ".join(text.split())[:120] + _WARC_TRAP
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    ).encode()
+    records.append(
+        record(
+            "response",
+            http,
+            [f"WARC-Target-URI: {uri}", "Content-Type: application/http"],
+        )
+    )
+    return b"".join(records)
+
+
+def parse_warc_records(data: bytes) -> list[dict]:
+    """Parse a WARC byte payload by STRICT Content-Length framing: version
+    line, header block to the blank line, exactly Content-Length payload
+    bytes, then the two mandatory CRLFs.  Raises ValueError on a bad
+    version line, a missing Content-Length, truncated payloads, or a
+    missing record terminator — never resynchronizes by scanning (the
+    planted in-body fake boundary makes a scanner mis-parse, which pytest
+    asserts).  Response records additionally split their HTTP headers to
+    surface status and body length."""
+    out = []
+    i = 0
+    n = len(data)
+    while i < n:
+        if data[i:i + 2] == b"\r\n":  # tolerate inter-record padding CRLFs
+            i += 2
+            continue
+        eol = data.find(b"\r\n", i)
+        if eol < 0 or not data[i:eol].startswith(b"WARC/"):
+            raise ValueError(f"WARC: bad version line at byte {i}")
+        version = data[i:eol].decode()
+        if version != "WARC/1.0":
+            raise ValueError(f"WARC: unsupported version {version!r}")
+        hdr_end = data.find(b"\r\n\r\n", eol)
+        if hdr_end < 0:
+            raise ValueError("WARC: unterminated header block")
+        headers: dict[str, str] = {}
+        for line in data[eol + 2: hdr_end].split(b"\r\n"):
+            k, _, v = line.decode().partition(":")
+            headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError("WARC: record without Content-Length")
+        clen = int(headers["content-length"])
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end + 4 > n:
+            raise ValueError("WARC: truncated record payload")
+        if data[body_end: body_end + 4] != b"\r\n\r\n":
+            raise ValueError("WARC: missing record terminator")
+        payload = data[body_start:body_end]
+        rec = {
+            "rec_no": len(out) + 1,
+            "rec_type": headers.get("warc-type", ""),
+            "content_length": clen,
+            "target_uri": headers.get("warc-target-uri"),
+            "http_status": None,
+            "body_chars": None,
+        }
+        if rec["rec_type"] == "response":
+            http_end = payload.find(b"\r\n\r\n")
+            if http_end < 0:
+                raise ValueError("WARC: response without HTTP header block")
+            status_line = payload[: payload.find(b"\r\n")].decode()
+            rec["http_status"] = int(status_line.split()[1])
+            rec["body_chars"] = len(payload) - http_end - 4
+        out.append(rec)
+        i = body_end + 4
+    if not out:
+        raise ValueError("WARC: no records")
+    return out
+
+
+def attach_warc(docs: DataFrame) -> DataFrame:
+    """(doc_id, content) with WARC capture payloads (:func:`synth_warc`).
+    mapInPandas, no shuffle."""
+    src = docs.select("doc_id", "source", "lang", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        synth_warc(int(d), s, lg, t)
+                        for d, s, lg, t in zip(
+                            pdf["doc_id"], pdf["source"], pdf["lang"], pdf["text"]
+                        )
+                    ],
+                }
+            )
+
+    return src.mapInPandas(build, schema="doc_id long, content binary")
+
+
+WARC_RECORDS_SCHEMA = (
+    "doc_id long, rec_no long, rec_type string, content_length long, "
+    "target_uri string, http_status long, body_chars long"
+)
+
+
+def warc_records(media: DataFrame) -> DataFrame:
+    """Record rows per WARC file. mapInPandas, no shuffle; asset→records
+    linear fan-out."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for r in parse_warc_records(bytes(content)):
+                    rows.append(
+                        (
+                            int(d), r["rec_no"], r["rec_type"],
+                            r["content_length"], r["target_uri"],
+                            r["http_status"], r["body_chars"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rec_no", "rec_type", "content_length",
+                    "target_uri", "http_status", "body_chars",
+                ],
+            )
+
+    return media.mapInPandas(parse, schema=WARC_RECORDS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files: the standard event-pipeline landing format
+# (Kafka→lake dumps ship as OCF). The two encoding details readers get
+# wrong are planted by construction: longs are ZIGZAG varints (a plain
+# varint reader decodes doc_id 5 as 10), and every block is terminated by
+# the 16-byte sync marker from the header (a reader that does not verify
+# it silently accepts corrupt splits — ours raises).
+# ---------------------------------------------------------------------------
+
+#: records per Avro block in the synthesized containers
+_AVRO_BLOCK_RECORDS = 16
+
+
+def _zigzag_varint(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint_zigzag(data: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    z = 0
+    while True:
+        if i >= len(data):
+            raise ValueError("avro: truncated varint")
+        b = data[i]
+        i += 1
+        z |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+    return (z >> 1) ^ -(z & 1), i
+
+
+def synth_avro_ocf(source: str, rows: list[tuple[int, str]]) -> bytes:
+    """A genuine Avro OCF for one source's documents: magic ``Obj\\x01``,
+    metadata map (avro.schema for a (doc_id long, lang string) record,
+    avro.codec null), md5-derived 16-byte sync marker, then blocks of
+    ≤ _AVRO_BLOCK_RECORDS records, each ``(count, byte-size, payload,
+    sync)`` per the spec."""
+    import hashlib
+
+    schema = (
+        '{"type":"record","name":"doc","fields":[{"name":"doc_id","type":'
+        '"long"},{"name":"lang","type":"string"}]}'
+    ).encode()
+    codec = b"null"
+    sync = hashlib.md5(f"avro:{source}".encode()).digest()
+
+    def avro_bytes(b: bytes) -> bytes:
+        return _zigzag_varint(len(b)) + b
+
+    header = (
+        b"Obj\x01"
+        + _zigzag_varint(2)
+        + avro_bytes(b"avro.schema") + avro_bytes(schema)
+        + avro_bytes(b"avro.codec") + avro_bytes(codec)
+        + _zigzag_varint(0)
+        + sync
+    )
+    blocks = []
+    rows = sorted(rows)
+    for i in range(0, len(rows), _AVRO_BLOCK_RECORDS):
+        chunk = rows[i: i + _AVRO_BLOCK_RECORDS]
+        payload = b"".join(
+            _zigzag_varint(did) + avro_bytes(lang.encode())
+            for did, lang in chunk
+        )
+        blocks.append(
+            _zigzag_varint(len(chunk))
+            + _zigzag_varint(len(payload))
+            + payload
+            + sync
+        )
+    return header + b"".join(blocks)
+
+
+def parse_avro_ocf(data: bytes) -> dict:
+    """Walk a null-codec Avro OCF: verify magic, decode the metadata map,
+    then every block — re-decoding each (doc_id, lang) record and
+    verifying the sync marker after every block (raises on mismatch,
+    truncation, bad magic, or a codec this reader does not handle).
+    Returns n_blocks, n_records, sum of doc_ids, total record-payload
+    bytes."""
+    if data[:4] != b"Obj\x01":
+        raise ValueError("avro: bad magic")
+    i = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n_entries, i = _read_varint_zigzag(data, i)
+        if n_entries == 0:
+            break
+        if n_entries < 0:  # spec: negative count precedes a byte size
+            n_entries = -n_entries
+            _, i = _read_varint_zigzag(data, i)
+        for _ in range(n_entries):
+            klen, i = _read_varint_zigzag(data, i)
+            k = data[i: i + klen].decode(); i += klen
+            vlen, i = _read_varint_zigzag(data, i)
+            meta[k] = data[i: i + vlen]; i += vlen
+    codec = meta.get("avro.codec", b"null")
+    if codec != b"null":
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    sync = data[i: i + 16]; i += 16
+    if len(sync) != 16:
+        raise ValueError("avro: truncated header sync marker")
+    n_blocks = n_records = 0
+    sum_ids = 0
+    payload_bytes = 0
+    while i < len(data):
+        cnt, i = _read_varint_zigzag(data, i)
+        size, i = _read_varint_zigzag(data, i)
+        end = i + size
+        if end + 16 > len(data):
+            raise ValueError("avro: truncated block")
+        for _ in range(cnt):
+            did, i = _read_varint_zigzag(data, i)
+            slen, i = _read_varint_zigzag(data, i)
+            i += slen
+            sum_ids += did
+            n_records += 1
+        if i != end:
+            raise ValueError("avro: block size does not match its records")
+        if data[end: end + 16] != sync:
+            raise ValueError("avro: sync marker mismatch after block")
+        i = end + 16
+        n_blocks += 1
+        payload_bytes += size
+    return {
+        "n_blocks": n_blocks,
+        "n_records": n_records,
+        "sum_ids": sum_ids,
+        "payload_bytes": payload_bytes,
+    }
+
+
+AVRO_BLOCKS_SCHEMA = (
+    "source string, n_blocks long, n_records long, sum_ids long, "
+    "payload_bytes long"
+)
+
+
+def avro_container_stats(docs: DataFrame) -> DataFrame:
+    """Per-source Avro OCF round trip: group the source's (doc_id, lang)
+    rows, synthesize a genuine container, and re-parse it — emitted stats
+    come from the PARSER, so any zigzag/sync/framing bug breaks the
+    oracle's replayed arithmetic. One applyInPandas keyed by source (the
+    container build is per-file by definition); fan-in bounded by docs
+    per source."""
+    import pandas as _pd
+
+    def per_source(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        source = pdf["source"].iloc[0]
+        rows = list(zip((int(x) for x in pdf["doc_id"]), pdf["lang"]))
+        blob = synth_avro_ocf(source, rows)
+        r = parse_avro_ocf(blob)
+        return _pd.DataFrame(
+            [(source, r["n_blocks"], r["n_records"], r["sum_ids"],
+              r["payload_bytes"])],
+            columns=["source", "n_blocks", "n_records", "sum_ids",
+                     "payload_bytes"],
+        )
+
+    return (
+        docs.select("doc_id", "lang", "source")
+        .groupBy("source")
+        .applyInPandas(per_source, schema=AVRO_BLOCKS_SCHEMA)
+    )

@@ -63,7 +63,8 @@ def user_lifetimes(
 
 
 def km_life_table(lifetimes: DataFrame, duration_col: str = "duration_days",
-                  censored_col: str = "censored") -> DataFrame:
+                  censored_col: str = "censored",
+                  out_col: str | None = None) -> DataFrame:
     """Kaplan-Meier / Nelson-Aalen life table from (duration, censored)
     rows: one row per distinct duration WITH at least one death, carrying
 
@@ -97,11 +98,45 @@ def km_life_table(lifetimes: DataFrame, duration_col: str = "duration_days",
     )
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events_only.select(
-        F.col("t").alias("duration_days"),
+        F.col("t").alias(out_col or duration_col),
         "n_risk",
         "n_deaths",
         "n_censored",
         "hazard_ppm",
         F.sum("hazard_ppm").over(w_cum).cast("long").alias("cum_hazard_ppm"),
         F.expr(f"((n_risk - n_deaths) * {PPM}) div n_risk").alias("km_factor_ppm"),
+    )
+
+
+def user_lifetimes_hours(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_window_hours: int = 24,
+) -> DataFrame:
+    """Hour-granular sibling of :func:`user_lifetimes` for event streams
+    whose whole span is days, not months (every duration in whole DAYS
+    collapses the life table to a handful of rows — or, when every entity
+    stays active to the observation edge, to NONE).
+
+    Cross-engine caution: hour differences are computed as EPOCH-HOUR
+    FLOOR differences (``epoch_us div 3600e6``) — boundary-crossing
+    counts, identical in Spark and DuckDB — NOT ``timestampdiff(HOUR)``,
+    whose full-elapsed-unit semantics differ from DuckDB's
+    ``date_diff('hour', …)`` boundary counting and would flip rows near
+    hour edges."""
+    hours = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div 3600000000")
+    per_user = events.groupBy(entity_col).agg(
+        F.min(hours).alias("__first_h"),
+        F.max(hours).alias("__last_h"),
+    )
+    horizon = events.agg(F.max(hours).alias("__max_h"))
+    return per_user.join(F.broadcast(horizon)).select(
+        F.col(entity_col),
+        (F.col("__last_h") - F.col("__first_h")).cast("long").alias(
+            "duration_hours"
+        ),
+        (
+            F.col("__max_h") - F.col("__last_h") < censor_window_hours
+        ).alias("censored"),
     )

@@ -264,6 +264,12 @@ CD_QUERIES = [
     # constant; per-batch delta pass linear in batch tokens)
     "llm_retrieval_auc",
     "streaming_hll_index",
+    # r10 seventh-wave: the two container parsers (per-row / per-source
+    # decode, linear) and the robots filter (rules-bounded nested loop +
+    # per-URL window, linear)
+    "mm_warc_records",
+    "mm_avro_blocks",
+    "llm_robots_url_filter",
 ]
 
 OUT_CD = os.environ.get("STRESS_CD_OUT", "/tmp/stress10x_cd")

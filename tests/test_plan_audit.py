@@ -87,6 +87,12 @@ BNLJ_ALLOWED = {
     # basket-total broadcast cross as pagerank/triangles)
     "llm_chisq_terms",  # 1-row corpus-doc-count (N) aggregate broadcast
     # cross — the pmi/bm25 global-stats shape; every other join is equi
+    "llm_robots_url_filter",  # the build side is a robots RULESET —
+    # bounded by definition (RFC 9309 file limit), broadcast prefix-match
+    # nested loop is the right plan at any corpus scale
+    "llm_retrieval_auc",  # AUC needs the full ranking by definition —
+    # the brute-force scorer's tiny-query-broadcast shape with the
+    # definitional non-equi self-exclusion; sampled AUC is the dial
 }
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
