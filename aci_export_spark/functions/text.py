@@ -139,7 +139,10 @@ def robots_longest_match(
     comparisons per URL — the right plan at ANY corpus scale).  URLs
     matching no rule are allowed (the RFC default).  Output: every input
     column plus ``allowed`` and ``matched_rule`` (NULL when no rule
-    matched)."""
+    matched) — strictly row-per-row: the longest-match argmax partitions
+    on an internal per-row id assigned BEFORE the rule join, so two
+    byte-identical input rows stay two output rows (r10 advice: the
+    previous partition-by-all-columns silently deduplicated them)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
@@ -147,12 +150,13 @@ def robots_longest_match(
     r = rules.select(
         F.col("rule_path").alias("__rp"), F.col("allow").alias("__allow")
     )
-    matched = urls.join(
+    with_id = urls.withColumn("__row_id", F.monotonically_increasing_id())
+    matched = with_id.join(
         broadcast(r), F.col(path_col).startswith(F.col("__rp")), "left"
     )
-    # partition by the full input row identity — partitioning by path alone
-    # would collapse distinct URLs sharing a path into one survivor
-    w = Window.partitionBy(*[F.col(c) for c in urls.columns]).orderBy(
+    # partition by the pre-join row id — row identity, not row content, so
+    # duplicate input rows each keep their own longest-match survivor
+    w = Window.partitionBy("__row_id").orderBy(
         F.length("__rp").desc(), F.col("__allow").desc(), F.col("__rp").asc()
     )
     return (

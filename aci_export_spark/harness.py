@@ -441,199 +441,95 @@ BENCH_BILLING_ORDER: list[str] = [
 #: (1 + 43 + 4 + 2 = 50 exactly; no deferrals this round). After a green
 #: CORRECTNESS_r10 the oldest cohort is r6 (42 rows) — the r11 rebuild
 #: starts with them plus any new/changed registrations.
-#: ROUND-11 NOTE: rebuild from the CORRECTNESS_r01..r10 union. Head order:
-#: flagship, then the TEN WINDOW_DEFERRED r5 shapes (q14/q15 plus the
-#: eight third-wave displacements — the mandated overflow repayment),
-#: then any new/module-changed registrations, then the r6 cohort (42 rows
-#: at the r10 build) oldest-first; defer overflow from the oldest cohort
-#: with the same documentation discipline.
+#: ROUND-11 ROTATION (executed): rebuilt from the CORRECTNESS_r01..r10
+#: union (newest-round histogram {5:26, 6:42, 7:49, 8:46, 9:49, 10:50}).
+#: Head order: flagship (the driver's entry() smoke), then ALL 26
+#: WINDOW_DEFERRED r5 shapes (the mandated overflow repayment — VERDICT
+#: r10 #1; after a green CORRECTNESS_r11 no query's newest driver row is
+#: older than r6), then this round's new registrations (never
+#: driver-checked — the test_never_checked_queries_are_inside_the_window
+#: contract), then the r6 cohort (42 rows at this build) alphabetical
+#: backfill into the remaining slots. New registrations displace r6
+#: backfill tail-first; the r6 remainder repays at the r12 head.
+#: ROUND-12 NOTE: rebuild from the CORRECTNESS_r01..r11 union. Head order:
+#: flagship, then the r6 cohort remainder (the oldest cohort after a green
+#: r11), then new/module-changed registrations, then the r7 cohort
+#: oldest-first; defer overflow from the oldest cohort with the same
+#: documentation discipline and bump WINDOW_BUILT_FROM_ROUND to 11.
 #: The newest CORRECTNESS_r{N} round the window above was computed from —
 #: tests/test_rotation.py recomputes the freshness cohorts from the files
 #: and asserts the window covers them. Bump this when rebuilding the window.
-WINDOW_BUILT_FROM_ROUND = 9
+WINDOW_BUILT_FROM_ROUND = 10
 #: Oldest-cohort queries consciously deferred to the NEXT round's window
-#: head because the window arithmetic overflowed 50. This round the
-#: overflow is +2: the session added EIGHT never-driver-checked
-#: registrations (unigram train+fertility, EXIF, IVF-PQ upsert, then
-#: gap-fill/LOCF, FS-EM weights, WordPiece train, embedding PCA) and the
-#: never-checked-inside-the-window contract
-#: (tests/test_rotation.py::test_never_checked_queries_are_inside_the_window)
-#: outranks same-round re-checks and two slots of the 43-query r5
-#: repayment: 1 flagship + 41 r5 + 8 new = 50. Deferred to the r11 head,
-#: oldest-first-next-round: the two TPC-H shapes below — chosen because
-#: their implementing code is frozen since r2 and they are re-proven every
-#: round by the full local driver-gate replica
-#: (tests/test_oracle_queries.py + scripts/driver_sim.py, the identical
-#: compare at the identical scale). The r9 verdict's "no row older than
-#: r6" goal therefore lands for 41 of 43; these two repay at r11 exactly
-#: like the r8→r9 single-deferral precedent.
-#: THIRD-WAVE UPDATE (same session): EIGHT more never-driver-checked
-#: registrations landed (KN bigram LM, Bradley-Terry, survival life table,
-#: compaction planner, binary-Hamming ANN, bootstrap CI, SRT cues, ID3
-#: tags) and the never-checked contract forces them into the window, so
-#: eight more r5 slots defer: 1 flagship + 33 r5 + 16 new = 50.  The eight
-#: deferred below are chosen by the same rule as q14/q15 — SQL-inline or
-#: single-operator queries whose implementing code is frozen since their
-#: r5 row and which the full local driver-gate replica re-proves green
-#: every round (tests/test_oracle_queries.py + scripts/driver_sim.py).
-#: They repay at the r11 head together with q14/q15, before the r6 cohort.
-#: FOURTH-WAVE UPDATE (same session, +3): Jaro-Winkler pairs, k-core
-#: decomposition, and weighted Jaccard joined the registry under the same
-#: never-checked contract, deferring three more by the same rule:
-#: 1 flagship + 30 r5 + 19 new = 50.
-#: FIFTH-WAVE UPDATE (same round, +8): the generation-eval pair (n-gram
-#: overlap, ROUGE-L LCS), chi-square feature selection, the HLL distinct
-#: sketch, URL canonicalization, HTML extraction, WebVTT cues, and exact
-#: bisection quantiles joined the registry; the never-checked contract
-#: defers eight more r5 slots by the same frozen-code rule (basket pair/
-#: triple shapes, the retention/rolling/transition/trending window
-#: quartet, the salted-join equivalence audit, item-item cosine — all in
-#: modules untouched since their r5 rows, all re-proven green by the full
-#: local driver-gate replica every round): 1 flagship + 22 r5 + 27 new
-#: = 50. They repay at the r11 head with the rest of WINDOW_DEFERRED,
-#: before the r6 cohort.
-#: SEVENTH-WAVE UPDATE (same round, +3): WARC record parsing, the Avro
-#: OCF round trip, and robots longest-match filtering joined the
-#: registry; three more r5 slots defer by the frozen-code rule (the
-#: z-order key shape, the funnel-composed conversion latency, and the DQ
-#: check report — harness-inline / funnel.py / dq.py untouched since
-#: their r5 rows, all re-proven by the local driver-gate replica every
-#: round): 1 flagship + 17 r5 + 32 new = 50.
-#: SIXTH-WAVE UPDATE (same round, +2): streaming HLL-register maintenance
-#: and exact Mann-Whitney retrieval AUC joined the registry; two more r5
-#: slots defer by the same frozen-code rule (the bloom membership sketch
-#: and the IVM maintained aggregate — bloom.py/ivm.py untouched since
-#: their r5 rows, both re-proven by the local driver-gate replica every
-#: round): 1 flagship + 20 r5 + 29 new = 50.
-WINDOW_DEFERRED: frozenset[str] = frozenset(
-    {
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q12_late_shipment_modes",
-        "orders_benford_digits",
-        "orders_pareto_frontier",
-        "orders_value_gini",
-        "parts_price_band_pairs",
-        "docs_cube_stats",
-        "events_value_deciles",
-        "events_zorder_pruning_stats",
-        "dq_profile_customer",
-        "events_anomalous_days",
-        "events_scd2_history",
-        "basket_brand_pairs",
-        "basket_brand_triples",
-        "events_retention_cohorts",
-        "events_rolling_active_users",
-        "events_transition_matrix",
-        "events_trending_topk",
-        "j_salted_join_equivalence",
-        "rec_item_item_cosine",
-        "llm_bloom_membership",
-        "ivm_orders_maintained_agg",
-        "events_zorder_keys",
-        "events_time_to_convert",
-        "dq_check_report",
-    }
-)
+#: head because the window arithmetic overflowed 50. EMPTY this round: the
+#: whole 26-name r5 deferral set sits at the window head, so the oldest
+#: cohort is fully in-window and nothing defers. (The r6 cohort is NOT the
+#: oldest cohort at this build; its 19 rows that did not fit the backfill
+#: slots repay at the r12 head per the ROUND-12 NOTE above.)
+WINDOW_DEFERRED: frozenset[str] = frozenset()
 
-#: ROUND-10 DRIVER WINDOW: recomputed from the CORRECTNESS_r01..r09 union
-#: (newest-round histogram {5:43, 6:42, 7:49, 8:46, 9:50}). Head = flagship
-#: (the driver's entry() smoke) + the 43 r5-era rows the r9 window
-#: deferred (VERDICT r9 #1 — the mandated overflow repayment; after this
-#: round no query's newest driver row is older than r6) + this round's
-#: EIGHT new registrations (unigram-LM trainer + fertility, EXIF tags,
-#: IVF-PQ incremental maintenance, then the session's second wave:
-#: gap-fill/LOCF, Fellegi-Sunter EM weights, WordPiece trainer, embedding
-#: PCA whitening) + the session's THIRD wave (KN-smoothed bigram LM,
-#: Bradley-Terry preference fit, Kaplan-Meier life table, Poisson
-#: bootstrap CI, compaction planner, binary-Hamming ANN, SRT cue and
-#: ID3v2.3 tag parsers). Window arithmetic: 1 + 33 + 16 = 50 exactly,
-#: with ten r5 shapes deferred (see WINDOW_DEFERRED above). The module-changed-
-#: after-row queries (the ER pair's size-conditioned pair_expansion_join
-#: retiring the r9 `weak` grades, llm_pmi_collocations' sort-limit rank,
-#: mm_zip_entries' EOCD validation, mm_tiff_pages' shared IFD reader, the
-#: winnow trio's Column-built guard) did not fit — never-checked
-#: registrations outrank re-checks — and are instead re-proven green by
-#: the full local driver-gate replica (tests/test_oracle_queries.py +
-#: scripts/driver_sim.py, the identical compare at the same scale) plus,
-#: for the ER pair, the plan-audit assertion that no unbounded side
-#: carries a bare broadcast hint; all carry r9 driver rows, well inside
-#: the freshness contract.
-#: Producer-before-consumer holds WITHIN the sweep order:
-#: llm_unigram_tokenizer_train owns the shared trained-vocabulary
-#: artifact its fertility audit collects — asserted by
-#: tests/test_rotation.py alongside the bench order.
+#: ROUND-11 DRIVER WINDOW (the driver checks the FIRST 50 of queries()).
+#: 1 flagship + 26 r5 repayments (alphabetical) + new registrations +
+#: r6-cohort alphabetical backfill = 50 exactly.
 DRIVER_WINDOW_PRIORITY: list[str] = [
     "flagship_scoped_members",
-    # the 43 r5-era deferrals — mandated window head (VERDICT r9 #1),
-    # oldest cohort first, alphabetical within (eight displaced by the
-    # fifth wave — see WINDOW_DEFERRED)
-    "events_pit_state_enrichment",
-    "events_sessionization_native",
-    "graph_brand_pagerank",
-    "graph_brand_triangles",
-    "llm_compression_ratio",
-    "llm_curation_kept_corpus",
-    "llm_curation_kept_corpus_v2",
-    "llm_doc_keywords",
-    "llm_domain_quota",
-    "llm_lsh_index_upsert",
-    "llm_quality_unigram_lm",
-    "llm_sim_rplsh_topk",
-    "llm_split_leakage",
-    "llm_vocab_stats",
-    "mm_phash_pairs",
-    "streaming_dq_monitor",
-    "streaming_funnel",
-    # new registrations this round (never driver-checked); the unigram
-    # trainer precedes its fertility consumer (shared vocab artifact)
-    "llm_unigram_tokenizer_train",
-    "llm_unigram_fertility_by_lang",
-    "mm_exif_tags",
-    "llm_ivfpq_index_upsert",
-    # second-wave new registrations (never driver-checked): temporal
-    # resample, the ER model fit, and the tokenizer/embedding pair
-    "events_gapfill_locf",
-    "er_fs_em_weights",
-    "llm_wordpiece_train",
-    "llm_embedding_pca",
-    # third-wave new registrations (never driver-checked): the smoothed
-    # LM quality gate, preference/survival/bootstrap statistics, lake
-    # maintenance, the binary ANN tier, and the two caption/tag parsers
-    "llm_quality_kn_bigram",
-    "pref_bradley_terry_brands",
-    "events_survival_km",
-    "events_bootstrap_ci",
-    "maint_compaction_plan",
-    "llm_sim_binary_hamming_topk",
-    "mm_srt_cues",
-    "mm_id3_tags",
-    # fourth-wave new registrations (never driver-checked): the linkage
-    # comparator, the graph-density peel, and the weighted dedup measure
-    "er_jaro_winkler_pairs",
-    "graph_brand_kcore",
-    "llm_dedup_weighted_jaccard",
-    # fifth-wave new registrations (never driver-checked): generation-eval
-    # metrics, supervised term selection, the HLL distinct dial made
-    # first-class, web-corpus URL + HTML normalization, the WebVTT
-    # grammar, and exact sort-free quantiles
-    "llm_eval_ngram_overlap",
-    "llm_eval_rouge_lcs",
-    "llm_chisq_terms",
-    "events_hll_user_days",
-    "llm_url_canonical_dedup",
-    "llm_html_extract",
-    "mm_webvtt_cues",
-    "orders_exact_quantiles",
-    # sixth-wave new registrations (never driver-checked): the streaming
-    # sketch-index twin and the exact ranking-eval statistic
-    "streaming_hll_index",
+    # the 26 r5-era WINDOW_DEFERRED repayments — mandated window head
+    # (VERDICT r10 #1), alphabetical
+    "basket_brand_pairs",
+    "basket_brand_triples",
+    "docs_cube_stats",
+    "dq_check_report",
+    "dq_profile_customer",
+    "events_anomalous_days",
+    "events_retention_cohorts",
+    "events_rolling_active_users",
+    "events_scd2_history",
+    "events_time_to_convert",
+    "events_transition_matrix",
+    "events_trending_topk",
+    "events_value_deciles",
+    "events_zorder_keys",
+    "events_zorder_pruning_stats",
+    "ivm_orders_maintained_agg",
+    "j_salted_join_equivalence",
+    "llm_bloom_membership",
+    "orders_benford_digits",
+    "orders_pareto_frontier",
+    "orders_value_gini",
+    "parts_price_band_pairs",
+    "q12_late_shipment_modes",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "rec_item_item_cosine",
+    # module-changed-after-row re-checks: the r10 advice retired the
+    # neighbor_id tie-break in retrieval_auc for exact tie-corrected
+    # midranks — the VALUES changed, so the driver must re-prove it
     "llm_retrieval_auc",
-    # seventh-wave new registrations (never driver-checked): the two
-    # corpus-container parsers and the crawl-compliance filter
-    "mm_warc_records",
-    "mm_avro_blocks",
-    "llm_robots_url_filter",
+    # new registrations this round (never driver-checked) go here,
+    # displacing r6 backfill tail-first
+    # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
+    "docs_hybrid_rrf_topk",
+    "docs_inverted_index",
+    "docs_source_similarity",
+    "dq_join_key_skew",
+    "dq_value_drift_cells",
+    "er_fuzzy_entities",
+    "events_bitemporal_state",
+    "events_changepoint_cusum",
+    "events_chi2_cells",
+    "events_cohort_ltv",
+    "events_ctr_wilson",
+    "events_cumulative_unique_users",
+    "events_linear_attribution",
+    "events_ohlc_hourly",
+    "events_position_attribution",
+    "events_sketch_intersection",
+    "events_stickiness_ratio",
+    "events_type_trigrams_topk",
+    "events_user_type_diversity",
+    "events_value_histogram",
+    "events_value_trend_slope",
+    "events_value_variance_by_type",
 ]
 
 

@@ -6149,34 +6149,38 @@ WITH q AS (
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> CAST(floor(x * 1024) AS BIGINT)) AS cv
     FROM embeddings
+), scored AS (
+    SELECT query_id, ql, cl,
+           CAST(list_sum(list_transform(list_zip(qv, cv),
+                    x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS d2
+    FROM q JOIN c ON neighbor_id <> query_id
 ), ranked AS (
     SELECT query_id, ql, cl,
-           ROW_NUMBER() OVER (
-               PARTITION BY query_id
-               ORDER BY list_sum(list_transform(list_zip(qv, cv),
-                            x -> (x[1] - x[2]) * (x[1] - x[2]))) DESC,
-                        neighbor_id ASC
-           ) AS rank
-    FROM q JOIN c ON neighbor_id <> query_id
+           2 * RANK() OVER (PARTITION BY query_id ORDER BY d2 DESC)
+             + COUNT(*) OVER (PARTITION BY query_id, d2) - 1 AS rank2x
+    FROM scored
 ), per AS (
     SELECT query_id,
            SUM(CASE WHEN cl = ql THEN 1 ELSE 0 END)::BIGINT AS n_pos,
            SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END)::BIGINT AS n_neg,
-           SUM(CASE WHEN cl = ql THEN rank ELSE 0 END)::BIGINT AS rank_sum_pos
+           SUM(CASE WHEN cl = ql THEN rank2x ELSE 0 END)::BIGINT
+               AS rank_sum_pos_2x
     FROM ranked GROUP BY 1
 )
-SELECT query_id, n_pos, n_neg, rank_sum_pos,
-       (rank_sum_pos - (n_pos * (n_pos + 1)) // 2)::BIGINT AS auc_num,
-       (n_pos * n_neg)::BIGINT AS auc_den,
-       CAST(rank_sum_pos - (n_pos * (n_pos + 1)) // 2 AS DOUBLE)
-           / CAST(n_pos * n_neg AS DOUBLE) AS auc
+SELECT query_id, n_pos, n_neg, rank_sum_pos_2x,
+       (rank_sum_pos_2x - n_pos * (n_pos + 1))::BIGINT AS auc_num_2x,
+       (2 * n_pos * n_neg)::BIGINT AS auc_den_2x,
+       CAST(rank_sum_pos_2x - n_pos * (n_pos + 1) AS DOUBLE)
+           / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
 FROM per
 """,
-    doc="exact retrieval AUC via the Mann-Whitney U statistic (Mann & "
-    "Whitney 1947; AUC = U/(n_pos*n_neg)) — the eval twin of "
-    "llm_hard_negatives: each query's similarity ranking of the corpus "
-    "scored as a same-label classifier, with every rank/rank-sum an "
-    "int64. Similarity is the NEGATED QUANTIZED squared-L2 (floor(x*1024) "
+    doc="exact retrieval AUC via the tie-corrected Mann-Whitney U "
+    "statistic (Mann & Whitney 1947; AUC = U/(n_pos*n_neg), ties at "
+    "MIDRANKS kept integer as 2×-scaled ranks: rank2x = 2·rank() + "
+    "tie-count − 1) — the eval twin of llm_hard_negatives: each query's "
+    "similarity ranking of the corpus scored as a same-label classifier, "
+    "with every rank/rank-sum an int64. Similarity is the NEGATED "
+    "QUANTIZED squared-L2 (floor(x*1024) "
     "onto the integer grid — float32 widens exactly, power-of-two "
     "products are exact, so both engines mint identical integers): a "
     "full-corpus ranking over raw IEEE cosines would hinge on ulp-level "

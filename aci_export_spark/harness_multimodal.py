@@ -718,7 +718,7 @@ WITH d AS (
     FROM documents
 ), base AS (
     SELECT doc_id,
-           LEAST(length(coll), 120) + 19 AS bodylen,
+           octet_length(encode(substr(coll, 1, 120))) + 19 AS bodylen,
            (doc_id % 4 = 0) AS has_info,
            'https://www.' || source || '.example.com/' || lang || '/'
                || CAST(doc_id % 100 AS VARCHAR) AS uri,
@@ -729,7 +729,7 @@ WITH d AS (
 )
 SELECT doc_id, 1::BIGINT AS rec_no, 'warcinfo' AS rec_type,
        26::BIGINT AS content_length, NULL::VARCHAR AS target_uri,
-       NULL::BIGINT AS http_status, NULL::BIGINT AS body_chars
+       NULL::BIGINT AS http_status, NULL::BIGINT AS body_bytes
 FROM base WHERE has_info
 UNION ALL
 SELECT doc_id, (CASE WHEN has_info THEN 2 ELSE 1 END)::BIGINT, 'request',

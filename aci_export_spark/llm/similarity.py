@@ -1625,6 +1625,15 @@ def retrieval_auc(
 
         U = rank_sum_pos - n_pos(n_pos+1)/2      (ranks ascending)
 
+    Ties take MIDRANKS (the standard tie-corrected U — a tied pos/neg
+    pair contributes ½ to AUC), kept all-integer by working in 2×-scaled
+    ranks: a tie group occupying dense ranks [r, r+c-1] has midrank
+    (2r+c-1)/2, so ``rank2x = 2·rank() + count(tie group) − 1`` is exact
+    int64 and U_2x = rank_sum_pos_2x − n_pos(n_pos+1), AUC =
+    U_2x / (2·n_pos·n_neg). (r10 advice: the earlier neighbor_id
+    tie-break made the statistic ordering-dependent under the quantized
+    grid's ties.)
+
     Similarity is the NEGATED QUANTIZED squared-L2 distance: vectors are
     floored onto a power-of-two integer grid (floor(x * 1024) — float32
     widens to double exactly and a power-of-two product is exact, so both
@@ -1666,11 +1675,13 @@ def retrieval_auc(
         broadcast(q), F.col("neighbor_id") != F.col("query_id")
     ).withColumn("__d2", dist)
     # ascending similarity = descending distance; integer keys make the
-    # order engine-identical even before the id tie-break
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__d2").desc(), F.col("neighbor_id").asc()
+    # order engine-identical, and tied keys share an integer 2×-midrank
+    w = Window.partitionBy("query_id").orderBy(F.col("__d2").desc())
+    tie = Window.partitionBy("query_id", "__d2")
+    ranked = scored.withColumn(
+        "__rank2x",
+        (2 * F.rank().over(w) + F.count(F.lit(1)).over(tie) - 1).cast("long"),
     )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
     per = ranked.groupBy("query_id").agg(
         F.sum(F.when(F.col("__cl") == F.col("__ql"), 1).otherwise(0))
         .cast("long")
@@ -1679,21 +1690,21 @@ def retrieval_auc(
         .cast("long")
         .alias("n_neg"),
         F.sum(
-            F.when(F.col("__cl") == F.col("__ql"), F.col("rank")).otherwise(0)
+            F.when(F.col("__cl") == F.col("__ql"), F.col("__rank2x")).otherwise(0)
         )
         .cast("long")
-        .alias("rank_sum_pos"),
+        .alias("rank_sum_pos_2x"),
     )
-    # integral div — n_pos(n_pos+1) is even, but the arithmetic stays in
-    # int64 (a double quotient would break the all-integer discipline)
-    auc_num = F.expr("rank_sum_pos - (n_pos * (n_pos + 1)) div 2").cast("long")
-    auc_den = (F.col("n_pos") * F.col("n_neg")).cast("long")
+    # all-integer: 2×U = rank_sum_pos_2x − n_pos(n_pos+1); the one IEEE
+    # division of exact integers stays at the output edge
+    auc_num = F.expr("rank_sum_pos_2x - n_pos * (n_pos + 1)").cast("long")
+    auc_den = (2 * F.col("n_pos") * F.col("n_neg")).cast("long")
     return per.select(
         "query_id",
         "n_pos",
         "n_neg",
-        "rank_sum_pos",
-        auc_num.alias("auc_num"),
-        auc_den.alias("auc_den"),
+        "rank_sum_pos_2x",
+        auc_num.alias("auc_num_2x"),
+        auc_den.alias("auc_den_2x"),
         (auc_num.cast("double") / auc_den.cast("double")).alias("auc"),
     )

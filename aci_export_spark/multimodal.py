@@ -3989,7 +3989,7 @@ def parse_warc_records(data: bytes) -> list[dict]:
             "content_length": clen,
             "target_uri": headers.get("warc-target-uri"),
             "http_status": None,
-            "body_chars": None,
+            "body_bytes": None,
         }
         if rec["rec_type"] == "response":
             http_end = payload.find(b"\r\n\r\n")
@@ -3997,7 +3997,7 @@ def parse_warc_records(data: bytes) -> list[dict]:
                 raise ValueError("WARC: response without HTTP header block")
             status_line = payload[: payload.find(b"\r\n")].decode()
             rec["http_status"] = int(status_line.split()[1])
-            rec["body_chars"] = len(payload) - http_end - 4
+            rec["body_bytes"] = len(payload) - http_end - 4
         out.append(rec)
         i = body_end + 4
     if not out:
@@ -4029,7 +4029,7 @@ def attach_warc(docs: DataFrame) -> DataFrame:
 
 WARC_RECORDS_SCHEMA = (
     "doc_id long, rec_no long, rec_type string, content_length long, "
-    "target_uri string, http_status long, body_chars long"
+    "target_uri string, http_status long, body_bytes long"
 )
 
 
@@ -4046,14 +4046,14 @@ def warc_records(media: DataFrame) -> DataFrame:
                         (
                             int(d), r["rec_no"], r["rec_type"],
                             r["content_length"], r["target_uri"],
-                            r["http_status"], r["body_chars"],
+                            r["http_status"], r["body_bytes"],
                         )
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "rec_no", "rec_type", "content_length",
-                    "target_uri", "http_status", "body_chars",
+                    "target_uri", "http_status", "body_bytes",
                 ],
             )
 

@@ -124,7 +124,7 @@ def write_bucketed_mirror(
 def delta_available() -> bool:
     """True when the delta-spark package is importable. The sandbox does not
     ship it (``pip install delta-spark`` re-attempted 2026-08-16 in rounds
-    7, 8, 9 and 10: DNS resolution fails against every index — no network
+    7, 8, 9, 10 and 11: DNS resolution fails against every index — no network
     route), so the Delta paths are gated rather than assumed."""
     try:
         import delta  # noqa: F401

@@ -76,6 +76,21 @@ def exact_quantiles(
         for qi, p in enumerate(probs_ppm)
     }
 
+    # Overflow guard (r10 advice): the Spark-side bucket expression computes
+    # ``v - lo`` in int64, which WRAPS silently in non-ANSI mode when the
+    # global range spans more than the int64 domain (lo deeply negative, v
+    # large positive). Python's bigints detect that exactly; one extra
+    # counting pass splits the first bisection at 0 so every surviving
+    # per-quantile range — and therefore every later ``v - lo`` — fits.
+    if ghi - glo >= 2**63:
+        n_neg = vals.filter(F.col("v") < 0).count()
+        for s in states.values():
+            if s["k"] <= n_neg:
+                s["hi"] = -1
+            else:
+                s["below"] = n_neg
+                s["lo"] = 0
+
     rounds = 0
     while any(s["value"] is None for s in states.values()):
         rounds += 1

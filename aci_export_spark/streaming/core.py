@@ -37,7 +37,7 @@ One-command repro of the block (run in this container's python):
 ``python -c "import google.protobuf.descriptor"`` →
 ``ImportError: cannot import name 'descriptor' from 'google.protobuf'``
 (the installed google namespace package is broken/incomplete). Install
-re-attempted 2026-08-16 (rounds 7, 8, 9 AND 10 — four times): ``pip
+re-attempted 2026-08-16 (rounds 7, 8, 9, 10 AND 11 — five times): ``pip
 install 'protobuf>=4'`` fails with DNS resolution errors against every
 index (``[Errno -2] Name or service not known``) — the sandbox has no
 network route, so the block stands. To lift:

@@ -31,7 +31,7 @@ def test_auc_perfect_ranking(spark):
     df = _emb(spark, rows)
     r = retrieval_auc(df, df.filter(F.col("vec_id") == 0)).collect()[0]
     assert (r["n_pos"], r["n_neg"]) == (2, 2)
-    assert r["auc_num"] == r["auc_den"] == 4
+    assert r["auc_num_2x"] == r["auc_den_2x"] == 8
     assert r["auc"] == 1.0
 
 
@@ -46,14 +46,15 @@ def test_auc_inverted_ranking(spark):
     ]
     df = _emb(spark, rows)
     r = retrieval_auc(df, df.filter(F.col("vec_id") == 0)).collect()[0]
-    assert r["auc_num"] == 0 and r["auc"] == 0.0
+    assert r["auc_num_2x"] == 0 and r["auc"] == 0.0
 
 
 def test_auc_hand_computed_mixed(spark):
     """Interleaved ranking, hand-checked U: distances from q=(1,0) —
     v1 (pos) closest, v3 (neg) next, v2 (pos) next, v4 (neg) farthest.
-    Ascending-similarity ranks: v4=1, v2=2, v3=3, v1=4 →
-    rank_sum_pos = 2 + 4 = 6, U = 6 - 2·3/2 = 3, AUC = 3/4."""
+    Ascending-similarity ranks: v4=1, v2=2, v3=3, v1=4 (no ties, so
+    2×-midranks are just doubled dense ranks) →
+    rank_sum_pos_2x = 4 + 8 = 12, 2U = 12 - 2·3 = 6, AUC = 6/8 = 3/4."""
     rows = [
         (0, [1.0, 0.0], 1),
         (1, [0.999, 0.0], 1),   # pos, nearest
@@ -63,9 +64,26 @@ def test_auc_hand_computed_mixed(spark):
     ]
     df = _emb(spark, rows)
     r = retrieval_auc(df, df.filter(F.col("vec_id") == 0)).collect()[0]
-    assert r["rank_sum_pos"] == 6
-    assert (r["auc_num"], r["auc_den"]) == (3, 4)
+    assert r["rank_sum_pos_2x"] == 12
+    assert (r["auc_num_2x"], r["auc_den_2x"]) == (6, 8)
     assert r["auc"] == 0.75
+
+
+def test_auc_tied_distances_take_midranks(spark):
+    """A pos/neg pair at the SAME quantized distance contributes exactly
+    ½ (the standard tie-corrected U) — not 0 or 1 by id order (r10
+    advice retired the neighbor_id tie-break)."""
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.0, 1.0], 1),   # pos: d2 = 1024² + 1024²
+        (2, [0.0, -1.0], 2),  # neg: d2 = 1024² + 1024² — exact tie
+    ]
+    df = _emb(spark, rows)
+    r = retrieval_auc(df, df.filter(F.col("vec_id") == 0)).collect()[0]
+    # tie group spans dense ranks [1,2]: rank2x = 2·1 + 2 − 1 = 3
+    assert r["rank_sum_pos_2x"] == 3
+    assert (r["auc_num_2x"], r["auc_den_2x"]) == (1, 2)
+    assert r["auc"] == 0.5
 
 
 def test_auc_python_replay_on_corpus(spark):
@@ -75,7 +93,7 @@ def test_auc_python_replay_on_corpus(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     got = {
-        r["query_id"]: (r["n_pos"], r["rank_sum_pos"])
+        r["query_id"]: (r["n_pos"], r["rank_sum_pos_2x"])
         for r in retrieval_auc(emb, emb.filter(F.col("vec_id") < 3)).collect()
     }
     rows = emb.collect()
@@ -87,25 +105,32 @@ def test_auc_python_replay_on_corpus(spark):
     }
     labels = {r["vec_id"]: r["label"] for r in rows}
     for qid in (0, 1, 2):
-        # rank 1 = farthest (ascending similarity): sort d2 DESCENDING,
-        # ties by nid ascending (reverse=True on (d2, -nid))
+        # rank 1 = farthest (ascending similarity): sort d2 DESCENDING;
+        # ties share the 2×-scaled midrank 2·start + count − 1
         scored = sorted(
             (
-                (int(((vecs[qid] - vecs[nid]) ** 2).sum()), -nid, nid)
+                (int(((vecs[qid] - vecs[nid]) ** 2).sum()), nid)
                 for nid in vecs
                 if nid != qid
             ),
-            reverse=True,
+            key=lambda t: -t[0],
         )
-        rank_sum = sum(
-            i + 1
-            for i, (_, _, nid) in enumerate(scored)
-            if labels[nid] == labels[qid]
+        rank2x = {}
+        i = 0
+        while i < len(scored):
+            j = i
+            while j < len(scored) and scored[j][0] == scored[i][0]:
+                j += 1
+            for _, nid in scored[i:j]:
+                rank2x[nid] = 2 * (i + 1) + (j - i) - 1
+            i = j
+        rank_sum_2x = sum(
+            r for nid, r in rank2x.items() if labels[nid] == labels[qid]
         )
         n_pos = sum(
             1 for nid in vecs if nid != qid and labels[nid] == labels[qid]
         )
-        assert got[qid] == (n_pos, rank_sum), qid
+        assert got[qid] == (n_pos, rank_sum_2x), qid
 
 
 def test_auc_quantization_is_exact_integers(spark):
@@ -113,8 +138,8 @@ def test_auc_quantization_is_exact_integers(spark):
     the ranking key is int64, never an IEEE comparison."""
     df = _emb(spark, [(0, [0.1, -0.3], 1), (1, [0.5, 0.25], 1)])
     out = retrieval_auc(df, df.filter(F.col("vec_id") == 0))
-    assert dict(out.dtypes)["rank_sum_pos"] == "bigint"
-    assert dict(out.dtypes)["auc_num"] == "bigint"
+    assert dict(out.dtypes)["rank_sum_pos_2x"] == "bigint"
+    assert dict(out.dtypes)["auc_num_2x"] == "bigint"
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,15 @@ def test_quantiles_negatives_and_wide_range(spark):
     _check(spark, vals)
 
 
+def test_quantiles_full_int64_span_no_wrap(spark):
+    """Range spanning more than the int64 domain (r10 advice): ``v - lo``
+    would wrap in non-ANSI mode without the sign pre-split — these values
+    straddle INT64_MIN..INT64_MAX and must still resolve exactly."""
+    lo, hi = -(2**63), 2**63 - 1
+    vals = [lo, lo + 1, -7, -1, 0, 1, 12345, hi - 1, hi, hi, 3, -(2**62)]
+    _check(spark, vals)
+
+
 def test_quantiles_two_point_and_single(spark):
     _check(spark, [1, 2])
     _check(spark, [5])

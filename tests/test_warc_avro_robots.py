@@ -30,14 +30,14 @@ def test_warc_round_trip_with_info():
     recs = parse_warc_records(data)
     assert [r["rec_type"] for r in recs] == ["warcinfo", "request", "response"]
     assert recs[2]["http_status"] == 200
-    assert recs[2]["body_chars"] == 120 + len(_WARC_TRAP)
+    assert recs[2]["body_bytes"] == 120 + len(_WARC_TRAP)
     assert recs[1]["target_uri"] == "https://www.src1.example.com/en/4"
 
 
 def test_warc_round_trip_without_info():
     recs = parse_warc_records(synth_warc(5, "s", "fr", "court texte"))
     assert [r["rec_type"] for r in recs] == ["request", "response"]
-    assert recs[1]["body_chars"] == len("court texte") + len(_WARC_TRAP)
+    assert recs[1]["body_bytes"] == len("court texte") + len(_WARC_TRAP)
 
 
 def test_warc_framing_trap_defeats_delimiter_scanning():
@@ -171,6 +171,28 @@ def test_robots_no_match_defaults_allowed(spark):
     )
     r = robots_longest_match(urls, rules, path_col="path").collect()[0]
     assert r["allowed"] is True and r["matched_rule"] is None
+
+
+def test_robots_duplicate_rows_stay_duplicated(spark):
+    """Row-per-row contract (r10 advice): byte-identical input rows must
+    each produce an output row — the argmax partitions on row identity,
+    not row content."""
+    from aci_export_spark.functions.text import robots_longest_match
+
+    urls = spark.createDataFrame(
+        [("/de/4",), ("/de/4",), ("/de/5",)], schema="path string"
+    )
+    rules = spark.createDataFrame(
+        [("/de/", False), ("/de/4", True)],
+        schema="rule_path string, allow boolean",
+    )
+    out = robots_longest_match(urls, rules, path_col="path").collect()
+    assert len(out) == 3
+    assert sorted((r["path"], r["allowed"]) for r in out) == [
+        ("/de/4", True),
+        ("/de/4", True),
+        ("/de/5", False),
+    ]
 
 
 def test_robots_equal_length_tie_allow_wins(spark):
