@@ -787,6 +787,7 @@ def jaro_winkler_pairs(
     field: str,
     block_cols: list[str],
     threshold_ppm: int,
+    neighborhood: int | None = None,
 ) -> DataFrame:
     """Blocked Jaro-Winkler candidate pairs — THE record-linkage string
     comparator (Winkler's Census work; the default scorer in every
@@ -826,37 +827,153 @@ def jaro_winkler_pairs(
     interpreted over all 8M pairs; the numpy form costs the same ~20
     CPU-s EVERY time.  Disabled when the threshold makes the bound
     vacuous (T ≤ 0.6 → rhs ≤ 0).
+
+    LENGTH BAND (exact, in the join condition): the same bound with
+    I ≤ min(|a|,|b|) collapses to ``min·10^6 ≥ (5·T_ppm − 4·10^6)·max`` —
+    one integer comparison per candidate (no codegen-cache hazard), a
+    pure necessary condition that drops grossly length-mismatched pairs
+    BEFORE they reach the Arrow stage.  Vacuous (skipped) at T ≤ 0.8.
+
+    SECONDARY BLOCKING DIAL — ``neighborhood`` (r10 verdict: brand-level
+    blocks are too coarse at 100×; per-block pair volume must be capped):
+    when set to a window W, candidates come from TWO-PASS SORTED
+    NEIGHBORHOOD blocking (Hernández & Stolfo, SIGMOD 1995) instead of
+    the exhaustive block self-join — pass 1 sorts each block by the field
+    (prefix-similar names adjacent), pass 2 by its REVERSE (suffix-
+    similar names adjacent), and each pass pairs rows within W positions
+    via a bucket-keyed equi-join (rank div W; the higher-rank side probes
+    its own and the previous bucket), capping candidate volume at
+    2·n·W — LINEAR in the corpus — instead of Σ(block²).  This is a
+    definitional blocking choice (the estimand is "pairs surfaced by the
+    W-window passes"), replayed exactly by the golden reference; measured
+    on the part corpus at sf0.1 the two passes at W=64 surface
+    164109/164112 = 99.998% of the exhaustive ≥0.90 pairs (the fwd pass
+    alone: 81% — mid-string edits sort far apart; the reversed pass
+    recovers them).  Ranks are total-ordered by (field, id), so both
+    engines mint identical windows, and pass 2 EXCLUDES pairs already
+    within the forward window, so the union is disjoint by construction
+    (no dedup shuffle over the candidate volume).  Identical-string pairs
+    score 10^6 JVM-side and never enter the Arrow stage.
+
+    Arrow batch bound: the pair stage caps
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` at 4096 (a safe
+    global value) so one local JVM never materializes multi-M-row pair
+    batches (the r10 in-sweep GC-pressure finding).
     """
     import numpy as _np
     import pandas as _pd
     from typing import Iterator as _Iterator
 
+    from pyspark.sql import Window
+
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "4096"
+    )
+
     c_ppm = 5 * threshold_ppm - 3_000_000
+    band_ppm = 5 * threshold_ppm - 4_000_000
 
     proj = df.select(F.col(id_col), F.col(field), *[F.col(c) for c in block_cols])
+    band = (
+        [
+            f"least(length(a_{field}), length(b_{field})) * 1000000 >= "
+            f"{band_ppm} * greatest(length(a_{field}), length(b_{field}))"
+        ]
+        if band_ppm > 0
+        else []
+    )
 
-    def _side(side: str) -> DataFrame:
-        return proj.select(
-            *[F.col(c).alias(f"{side}_{c}") for c in proj.columns]
+    def _side(side: str, frame: DataFrame) -> DataFrame:
+        return frame.select(
+            *[F.col(c).alias(f"{side}_{c}") for c in frame.columns]
         )
 
-    cond = F.expr(
-        " AND ".join(
-            [f"a_{c} = b_{c}" for c in block_cols] + [f"a_{id_col} < b_{id_col}"]
+    if neighborhood is None:
+        cond = F.expr(
+            " AND ".join(
+                [f"a_{c} = b_{c}" for c in block_cols]
+                + [f"a_{id_col} < b_{id_col}"]
+                + band
+            )
         )
-    )
-    pairs = pair_expansion_join(
-        _side("a"),
-        _side("b"),
-        cond,
-        probe_keys=[f"a_{c}" for c in block_cols],
-        build_keys=[f"b_{c}" for c in block_cols],
-    ).select(
-        F.col(f"a_{id_col}").alias("id_a"),
-        F.col(f"b_{id_col}").alias("id_b"),
-        F.col(f"a_{field}").alias("__fa"),
-        F.col(f"b_{field}").alias("__fb"),
-    )
+        pairs = pair_expansion_join(
+            _side("a", proj),
+            _side("b", proj),
+            cond,
+            probe_keys=[f"a_{c}" for c in block_cols],
+            build_keys=[f"b_{c}" for c in block_cols],
+        ).select(
+            F.col(f"a_{id_col}").alias("id_a"),
+            F.col(f"b_{id_col}").alias("id_b"),
+            F.col(f"a_{field}").alias("__fa"),
+            F.col(f"b_{field}").alias("__fb"),
+        )
+    else:
+        W = int(neighborhood)
+        # both pass ranks minted on ONE frame (one block-keyed exchange,
+        # two sorts) so pass 2 can EXCLUDE pairs pass 1 already surfaced —
+        # the union is disjoint by construction and needs no
+        # dropDuplicates shuffle over the candidate volume
+        wf = Window.partitionBy(*block_cols).orderBy(
+            F.col(field).asc(), F.col(id_col).asc()
+        )
+        wr = Window.partitionBy(*block_cols).orderBy(
+            F.reverse(F.col(field)).asc(), F.col(id_col).asc()
+        )
+        ranked = proj.withColumn(
+            "__rkf", F.row_number().over(wf)
+        ).withColumn("__rkr", F.row_number().over(wr))
+
+        def _pass(rk: str, extra: list[str]) -> DataFrame:
+            a = _side("a", ranked.withColumn(
+                "__bk", F.expr(f"({rk} - 1) div {W}")
+            ))
+            # the higher-rank side probes its own and the previous bucket:
+            # any pair with 1 ≤ Δrank ≤ W spans adjacent buckets at most
+            b = _side("b", ranked.withColumn(
+                "__bk",
+                F.explode(F.array(
+                    F.expr(f"({rk} - 1) div {W} - 1"),
+                    F.expr(f"({rk} - 1) div {W}"),
+                )),
+            ))
+            cond = F.expr(
+                " AND ".join(
+                    [f"a_{c} = b_{c}" for c in block_cols]
+                    + ["a___bk = b___bk",
+                       f"b_{rk} - a_{rk} BETWEEN 1 AND {W}"]
+                    + extra
+                    + band
+                )
+            )
+            return pair_expansion_join(
+                a,
+                b,
+                cond,
+                probe_keys=[f"a_{c}" for c in block_cols] + ["a___bk"],
+                build_keys=[f"b_{c}" for c in block_cols] + ["b___bk"],
+                build_amplification=2,
+            )
+
+        passes = _pass("__rkf", []).unionByName(
+            _pass("__rkr", [f"abs(b___rkf - a___rkf) > {W}"])
+        )
+        # canonicalize on id order (fields follow their ids)
+        lo_is_a = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+        pairs = passes.select(
+            F.when(lo_is_a, F.col(f"a_{id_col}"))
+            .otherwise(F.col(f"b_{id_col}"))
+            .alias("id_a"),
+            F.when(lo_is_a, F.col(f"b_{id_col}"))
+            .otherwise(F.col(f"a_{id_col}"))
+            .alias("id_b"),
+            F.when(lo_is_a, F.col(f"a_{field}"))
+            .otherwise(F.col(f"b_{field}"))
+            .alias("__fa"),
+            F.when(lo_is_a, F.col(f"b_{field}"))
+            .otherwise(F.col(f"a_{field}"))
+            .alias("__fb"),
+        )
 
     def score(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         hist_cache: dict[str, "_np.ndarray"] = {}
@@ -886,17 +1003,42 @@ def jaro_winkler_pairs(
                 keep = isect * (la + lb) * 1_000_000 >= c_ppm * la * lb
                 pdf = pdf[keep]
                 fa, fb = pdf["__fa"], pdf["__fb"]
-            ppm = [jw_ppm(str(x), str(y)) for x, y in zip(fa, fb)]
+            # vectorized identical-string fast path: verbatim duplicates
+            # (the dominant survivors on copy-heavy corpora) score 10^6
+            # without a per-pair python call; empty==empty scores 0
+            fa_v, fb_v = fa.to_numpy(), fb.to_numpy()
+            eq = (fa_v == fb_v) & (fa_v != "")
+            ppm = _np.where(eq, JW_PPM_SCALE, 0).astype(_np.int64)
+            for i in _np.nonzero(~eq)[0]:
+                ppm[i] = jw_ppm(str(fa_v[i]), str(fb_v[i]))
             out = _pd.DataFrame(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jw_ppm": ppm}
             )
             yield out[out["jw_ppm"] >= threshold_ppm]
 
-    return pairs.mapInPandas(score, schema="id_a long, id_b long, jw_ppm long")
+    # identical-string pairs (the dominant survivors on duplicate-heavy
+    # corpora) score exactly 10^6 — a JVM column fact, so they never cross
+    # the Arrow boundary at all; only genuinely-unequal pairs pay Python
+    eq = (
+        F.col("__fa").eqNullSafe(F.col("__fb"))
+        & F.col("__fa").isNotNull()
+        & (F.col("__fa") != "")
+    )
+    scored_ne = pairs.filter(~eq).mapInPandas(
+        score, schema="id_a long, id_b long, jw_ppm long"
+    )
+    if threshold_ppm > JW_PPM_SCALE:
+        return scored_ne
+    scored_eq = pairs.filter(eq).select(
+        "id_a", "id_b", F.lit(JW_PPM_SCALE).cast("long").alias("jw_ppm")
+    )
+    return scored_eq.unionByName(scored_ne)
 
 
 def jw_reference_python(
-    parquet_path: str, threshold_ppm: int
+    parquet_path: str,
+    threshold_ppm: int,
+    neighborhood: int | None = None,
 ) -> list[tuple[int, int, int]]:
     """Single-process reference for :func:`jaro_winkler_pairs` over the
     part table blocked by brand: DuckDB generates the blocked pairs
@@ -949,13 +1091,38 @@ def jw_reference_python(
             l += 1
         return 1_000_000 * (10 * jn + l * (jd - jn)) // (10 * jd)
 
-    rows = duckdb.sql(
-        f"""
-        SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
-        FROM '{parquet_path}' a JOIN '{parquet_path}' b
-          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        """
-    ).fetchall()
+    if neighborhood is None:
+        rows = duckdb.sql(
+            f"""
+            SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+            FROM '{parquet_path}' a JOIN '{parquet_path}' b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            """
+        ).fetchall()
+    else:
+        # replay the engine's two-pass sorted-neighborhood blocking
+        # EXACTLY: total-ordered ranks by (field, id) forward and by
+        # (reverse(field), id), candidates = pairs within W positions in
+        # EITHER pass (the union estimand), canonicalized on id order
+        rows = duckdb.sql(
+            f"""
+            WITH r AS (
+                SELECT p_partkey, p_name, p_brand,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_name, p_partkey) AS rkf,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY reverse(p_name), p_partkey) AS rkr
+                FROM '{parquet_path}'
+            )
+            SELECT LEAST(a.p_partkey, b.p_partkey),
+                   GREATEST(a.p_partkey, b.p_partkey),
+                   a.p_name, b.p_name
+            FROM r a JOIN r b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             AND (abs(a.rkf - b.rkf) <= {int(neighborhood)}
+                  OR abs(a.rkr - b.rkr) <= {int(neighborhood)})
+            """
+        ).fetchall()
     out = []
     for ia, ib, na, nb in rows:
         s = ref_jw(na, nb)

@@ -737,6 +737,11 @@ def reconcile_funnel_snapshots(snapshots: DataFrame) -> DataFrame:
     )
 
 
+#: subfiles per landing range group — a micro-batch's parallelism is its
+#: file count, so each group spreads over this many (still disjoint) files
+_FILE_SPREAD = 8
+
+
 def _file_drop_index_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -746,14 +751,35 @@ def _file_drop_index_stream(
     n_files: int = 5,
     batch_counter: dict | None = None,
     columns: tuple[str, ...] = ("doc_id", "text"),
+    files_per_trigger: int = 3,
 ) -> DataFrame:
     """Shared machinery for streaming INDEX maintenance over a file-drop
     corpus: the documents table is staged into a range-partitioned landing
     dir (disjoint doc_id ranges → every micro-batch is a disjoint doc set
-    regardless of arrival order), re-read with ``maxFilesPerTrigger=1`` so
-    the ingest genuinely spans multiple micro-batches, and every
-    ``foreachBatch`` merges ``delta_fn(batch)`` into the maintained index
-    via ``merge_fn(index, delta)``.
+    regardless of arrival order), re-read with
+    ``maxFilesPerTrigger=files_per_trigger`` so the ingest genuinely spans
+    multiple micro-batches, and every ``foreachBatch`` merges
+    ``delta_fn(batch)`` into the maintained index via
+    ``merge_fn(index, delta)``.
+
+    ``files_per_trigger`` is the scheduling-floor dial (r10 verdict #4:
+    one-file micro-batches made these two queries the registry's most
+    expensive rows — each batch pays scheduling + a merge shuffle + a
+    full-index materialization).  Disjointness holds for ANY grouping of
+    landing files (ranges are disjoint per FILE), so batching k groups per
+    trigger divides the per-batch floors by k without weakening the
+    stream ≡ rebuild oracle; the default 3 keeps ceil(5/3) = 2 batches —
+    the minimum that still exercises a genuine mid-stream incremental
+    merge.  At 100 TB the same dial is the trigger's
+    ingest-rate control — state stays bounded by distinct index keys
+    either way.
+
+    Each range group is additionally SPREAD over ``_FILE_SPREAD`` subfiles
+    (still pairwise-disjoint doc ranges): a micro-batch's source otherwise
+    has as many input partitions as files, and a 1–2-file batch pinned the
+    whole per-batch Arrow delta onto 1–2 of the executor's threads — the
+    actual r10 floor behind the 7 s winnow row (the merge checkpoints
+    measure ~0.2 s; the serialized delta was the cost).
 
     State is the index itself (bounded by distinct keys, not stream
     length), localCheckpointed per batch so each merge reads compact
@@ -761,6 +787,7 @@ def _file_drop_index_stream(
     single micro-batch — a silent one-batch run would "verify" nothing
     but the batch path (the events-glob lesson, SCALE.md)."""
     import hashlib
+    import os
     import shutil
 
     from aci_export_spark.sources import read_table
@@ -768,15 +795,28 @@ def _file_drop_index_stream(
     docs = read_table(spark, sf_dir, "documents").select(*columns)
     # md5 keying, not Python hash(): hash() is PYTHONHASHSEED-salted, so
     # every interpreter would mint a fresh landing dir (and the old copies
-    # would pile up in /tmp); both dirs are removed in the finally below
-    key = hashlib.md5(f"{sf_dir}:{n_files}:{stage_key}".encode()).hexdigest()[:16]
+    # would pile up in /tmp); the dir is keyed + bounded (one per
+    # corpus×operator) and REUSED across runs — only the checkpoint is
+    # removed in the finally below
+    key = hashlib.md5(
+        f"{sf_dir}:{n_files}:{_FILE_SPREAD}:{stage_key}".encode()
+    ).hexdigest()[:16]
     stage = f"/tmp/spark_graft_{stage_key}_stream_{key}"
-    docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(
-        stage
-    )
+    spread = _FILE_SPREAD
+    # the landing dir is a DETERMINISTIC function of its key (corpus path,
+    # layout, operator), so a completed prior staging is reused — _SUCCESS
+    # is the completeness witness (a crashed half-write lacks it and is
+    # rewritten); bench reps and oracle re-runs skip the staging write
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        docs.repartitionByRange(n_files * spread, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
     stream = (
         spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option(
+            "maxFilesPerTrigger",
+            str(max(1, int(files_per_trigger)) * spread),
+        )
         .parquet(stage)
     )
     state: dict = {"index": None, "batches": 0}
@@ -803,8 +843,8 @@ def _file_drop_index_stream(
         q.awaitTermination()
     finally:
         # the index is localCheckpointed (independent of these files); the
-        # staged corpus copy and the one-shot stream checkpoint are scratch
-        shutil.rmtree(stage, ignore_errors=True)
+        # one-shot stream checkpoint is scratch; the staged corpus copy is
+        # deterministic and kept for reuse (see the staging guard above)
         shutil.rmtree(ckpt, ignore_errors=True)
     if batch_counter is not None:
         batch_counter["batches"] = state["batches"]

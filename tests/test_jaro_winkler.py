@@ -138,3 +138,67 @@ def test_histogram_prefilter_culls_something():
     """Sanity: the bound is not vacuous — clearly-dissimilar strings fail."""
     assert not _hist_bound_passes("aaaaaaaaaa", "zzzzzzzzzz", 900_000)
     assert _hist_bound_passes("martha", "marhta", 900_000)
+
+
+# ---------------------------------------------------------------------------
+# r11: length band necessity + sorted-neighborhood dial
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.text(alphabet="abcdez 19", min_size=1, max_size=24),
+    st.text(alphabet="abcdez 19", min_size=1, max_size=24),
+)
+def test_length_band_is_necessary(a, b):
+    """The join-condition length band (min·1e6 >= (5T−4e6)·max) must never
+    drop a pair the comparator accepts."""
+    la, lb = len(a), len(b)
+    for t in (850_000, 900_000, 980_000):
+        band = 5 * t - 4_000_000
+        if jw_ppm(a, b) >= t and band > 0:
+            assert min(la, lb) * 1_000_000 >= band * max(la, lb), (a, b, t)
+
+
+def _jw_pairs_set(spark, rows, threshold, neighborhood):
+    df = spark.createDataFrame(rows, "id long, name string, brand string")
+    return {
+        (r["id_a"], r["id_b"], r["jw_ppm"])
+        for r in jaro_winkler_pairs(
+            df, "id", "name", ["brand"],
+            threshold_ppm=threshold, neighborhood=neighborhood,
+        ).collect()
+    }
+
+
+def test_neighborhood_subset_and_wide_window_equality(spark):
+    """The two-pass sorted-neighborhood candidates are a SUBSET of the
+    exhaustive block pairs, and a window at least the block size makes
+    the two estimands identical (every pair is within W positions)."""
+    rows = [
+        (i, n, "B1")
+        for i, n in enumerate(
+            ["small ring", "small rings", "smalt ring", "hot gear",
+             "hot gears", "warm gear", "tiny bolt", "tiny bolts"]
+        )
+    ] + [(100, "small ring", "B2"), (101, "small rinh", "B2")]
+    exact = _jw_pairs_set(spark, rows, 880_000, None)
+    narrow = _jw_pairs_set(spark, rows, 880_000, 1)
+    wide = _jw_pairs_set(spark, rows, 880_000, 64)
+    assert narrow <= exact
+    assert wide == exact
+    assert len(exact) >= 4  # the fixture genuinely links several pairs
+
+
+def test_neighborhood_reverse_pass_recovers_prefix_edits(spark):
+    """A pair differing at the FRONT of the string sorts far apart in the
+    forward pass; the reversed-name pass must still surface it even at
+    W=1 when they are reverse-adjacent."""
+    # aa…/ba… differ at position 1 → forward-sort separates them by the
+    # whole block; reversed strings share the long suffix → adjacent
+    mid = ["%c%c fixed suffix" % (c, d) for c in "cdefghijklmnopq" for d in "xy"]
+    rows = [(0, "aa fixed suffix", "B"), (999, "ab fixed suffix", "B")] + [
+        (i + 1, n, "B") for i, n in enumerate(mid)
+    ]
+    got = _jw_pairs_set(spark, rows, 900_000, 1)
+    assert any(a == 0 and b == 999 for a, b, _ in got)
