@@ -505,8 +505,9 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # neighbor_id tie-break in retrieval_auc for exact tie-corrected
     # midranks — the VALUES changed, so the driver must re-prove it
     "llm_retrieval_auc",
-    # new registrations this round (never driver-checked) go here,
-    # displacing r6 backfill tail-first
+    # new registrations this round (never driver-checked), displacing r6
+    # backfill tail-first
+    "llm_quality_kn_trigram",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
@@ -529,7 +530,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_user_type_diversity",
     "events_value_histogram",
     "events_value_trend_slope",
-    "events_value_variance_by_type",
 ]
 
 

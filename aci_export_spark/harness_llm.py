@@ -1153,6 +1153,76 @@ def llm_quality_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_quality_kn_trigram",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+occ AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+    FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+    WHERE len(t) >= 3
+), tri AS (
+    SELECT w1, w2, w3, COUNT(*)::BIGINT AS c3 FROM occ GROUP BY 1, 2, 3
+), ctx AS (
+    SELECT w1, w2, SUM(c3)::BIGINT AS c12, COUNT(*)::BIGINT AS n1p_12
+    FROM tri GROUP BY 1, 2
+), cont AS (
+    SELECT w2, w3, COUNT(*)::BIGINT AS n_ctx23 FROM tri GROUP BY 1, 2
+), mid AS (
+    SELECT w2, SUM(n_ctx23)::BIGINT AS n_mid, COUNT(*)::BIGINT AS n1p_fw2
+    FROM cont GROUP BY 1
+), bw3 AS (SELECT w3, COUNT(*)::BIGINT AS n1p_bw3 FROM cont GROUP BY 1),
+t23 AS (SELECT COUNT(*)::BIGINT AS t_types FROM cont),
+scored AS (
+    SELECT tr.w1, tr.w2, tr.w3, tr.c3,
+           (GREATEST(4 * tr.c3 - 3, 0) * 250000000) // c.c12
+           + (3 * c.n1p_12 * (
+                 (GREATEST(4 * co.n_ctx23 - 3, 0) * 250000000) // m.n_mid
+                 + (3 * m.n1p_fw2 *
+                       ((b.n1p_bw3 * 1000000000) // ty.t_types))
+                     // (4 * m.n_mid)
+             )) // (4 * c.c12) AS p_ppb
+    FROM tri tr
+    JOIN ctx c USING (w1, w2)
+    JOIN cont co USING (w2, w3)
+    JOIN mid m USING (w2)
+    JOIN bw3 b USING (w3)
+    CROSS JOIN t23 ty
+), per_doc AS (
+    SELECT o.doc_id,
+           COUNT(*)::BIGINT AS n_trigrams,
+           SUM(s.p_ppb)::BIGINT AS sum_ppb,
+           MIN(s.p_ppb)::BIGINT AS min_ppb,
+           SUM(CASE WHEN s.c3 <= 1 THEN 1 ELSE 0 END)::BIGINT
+               AS novel_trigrams
+    FROM occ o JOIN scored s USING (w1, w2, w3) GROUP BY o.doc_id
+), gl AS (
+    SELECT SUM(sum_ppb)::BIGINT AS g_sum, SUM(n_trigrams)::BIGINT AS g_n
+    FROM per_doc
+)
+SELECT doc_id, n_trigrams, sum_ppb, min_ppb, novel_trigrams,
+       sum_ppb // n_trigrams AS mean_ppb,
+       (sum_ppb // n_trigrams) >= (g.g_sum // g.g_n) AS keep
+FROM per_doc CROSS JOIN gl g
+""",
+    doc="interpolated Kneser-Ney TRIGRAM LM quality scoring (Chen & "
+    "Goodman 1999, D = 3/4 at both discounted levels) — the >=3-gram "
+    "ladder rung production perplexity filters actually run (KenLM/CCNet "
+    "are 5-gram KN; llm_quality_kn_bigram is the 2-gram rung): highest "
+    "order from raw trigram counts, middle order from CONTINUATION "
+    "counts N1+(.w2w3), lowest from continuation unigrams over (w2,w3) "
+    "types. Every level quantized to a ppb integer grid with floor "
+    "divisions as the DEFINED cross-engine spec — no float anywhere in "
+    "the model. Fit = five map-side groupBys over progressively smaller "
+    "TYPE tables; T is a 1-row broadcast; the score join reuses the "
+    "trigram partitioning; state is the trigram type table (Heaps-law "
+    "sublinear at 100 TB)",
+)
+def llm_quality_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return T.kn_trigram_scores(docs, "doc_id", "text")
+
+
+@register(
     "llm_readability",
     f"""
 WITH toks AS (

@@ -1198,6 +1198,144 @@ def kn_bigram_scores(
     )
 
 
+def kn_trigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM LM quality scoring — the ≥3-gram
+    ladder rung production perplexity filters actually run (KenLM / the
+    CCNet filter are 5-gram KN; :func:`kn_bigram_scores` is the 2-gram
+    rung).  Chen & Goodman 1999 interpolated KN with absolute discount
+    D = 3/4 at both discounted levels and CONTINUATION counts for the
+    lower orders, all statistics drawn from the trigram TYPE table:
+
+        P3(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+                    + D·N1+(w1w2·)/c(w1w2·) · P2(w3|w2)
+        P2(w3|w2)   = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+                    + D·N1+(w2·*)/N1+(·w2·) · P1(w3)
+        P1(w3)      = N1+(·w3) / T
+
+    where N1+(·w2w3) = distinct left contexts of the trigram type,
+    N1+(·w2·) = trigram types with middle w2, N1+(w2·*) = distinct w3
+    continuing w2, N1+(·w3) = distinct w2 preceding w3 (over continuation
+    types) and T = distinct (w2,w3) continuation types.  With D = 3/4
+    every term is a ratio of int64 products; the DEFINED cross-engine
+    spec quantizes each LEVEL to a parts-per-billion grid with floor
+    divisions (nested floors are part of the spec, exactly as the
+    two-floor sum is in :func:`kn_bigram_scores`):
+
+        p1_ppb = (N1+(·w3) · 10^9)                div T
+        p2_ppb = (max(4·ĉ − 3, 0) · 2.5·10^8)     div N1+(·w2·)
+               + (3 · N1+(w2·*) · p1_ppb)          div (4 · N1+(·w2·))
+        p3_ppb = (max(4·c − 3, 0) · 2.5·10^8)     div c(w1w2·)
+               + (3 · N1+(w1w2·) · p2_ppb)         div (4 · c(w1w2·))
+
+    int64 headroom: the largest products are 3 · N1+ · p_ppb ≤ 3·V·10^9 —
+    safe to per-context vocabulary V ~ 10^5 (the kn_bigram documented
+    dial; past that, DECIMAL(38,0) the two products).
+
+    Per document: trigram count, Σ p3_ppb, min p3_ppb, novel trigrams
+    (corpus count 1), integer mean, ``keep`` ⇔ doc mean ≥ corpus mean.
+    Documents with fewer than 3 tokens emit no row.
+
+    Plan shape: corpus exploded once to (doc, w1, w2, w3) via a zip of
+    three array slices; the fit is five map-side-combined groupBys, each
+    over the progressively smaller TYPE table (trigram types → (w2,w3)
+    continuation types → per-key marginals); T is a 1-row broadcast; the
+    score join back to occurrences reuses the trigram-key partitioning.
+    All shuffles key-hashed and linear; state is the trigram type table
+    (Heaps-law sublinear at 100 TB).
+    """
+    toks = F.col("__toks")
+    tri_arr = F.when(
+        F.size(toks) >= 3,
+        F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 2).alias("w1"),
+            F.slice(toks, 2, F.size(toks) - 2).alias("w2"),
+            F.slice(toks, 3, F.size(toks) - 2).alias("w3"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    occ = (
+        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(tri_arr).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.col("__p.w1").alias("w1"),
+            F.col("__p.w2").alias("w2"),
+            F.col("__p.w3").alias("w3"),
+        )
+    )
+    tri = occ.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c12"), F.count(F.lit(1)).alias("n1p_12")
+    )
+    cont = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n_ctx23"))
+    mid = cont.groupBy("w2").agg(
+        F.sum("n_ctx23").alias("n_mid"), F.count(F.lit(1)).alias("n1p_fw2")
+    )
+    bw3 = cont.groupBy("w3").agg(F.count(F.lit(1)).alias("n1p_bw3"))
+    t23 = cont.agg(F.count(F.lit(1)).alias("__t23"))
+    scored = (
+        tri.join(ctx, ["w1", "w2"])
+        .join(cont, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(bw3, "w3")
+        .join(F.broadcast(t23))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c3",
+            (
+                F.expr(f"(greatest(4 * n_ctx23 - 3, 0L) * {KN_PPB_Q}L) div n_mid")
+                + F.expr(
+                    "(3 * n1p_fw2 * ((n1p_bw3 * 1000000000L) div __t23)) "
+                    "div (4 * n_mid)"
+                )
+            ).alias("__p2_ppb"),
+            F.col("c12"),
+            F.col("n1p_12"),
+        )
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c3",
+            (
+                F.expr(f"(greatest(4 * c3 - 3, 0L) * {KN_PPB_Q}L) div c12")
+                + F.expr("(3 * n1p_12 * __p2_ppb) div (4 * c12)")
+            ).alias("p_ppb"),
+        )
+    )
+    per_doc = (
+        occ.join(scored, on=["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("p_ppb").alias("sum_ppb"),
+            F.min("p_ppb").alias("min_ppb"),
+            F.sum(F.when(F.col("c3") <= 1, 1).otherwise(0)).alias(
+                "novel_trigrams"
+            ),
+        )
+    )
+    glob = per_doc.agg(
+        F.sum("sum_ppb").alias("__g_sum"), F.sum("n_trigrams").alias("__g_n")
+    )
+    return per_doc.join(F.broadcast(glob)).select(
+        id_col,
+        "n_trigrams",
+        "sum_ppb",
+        "min_ppb",
+        "novel_trigrams",
+        F.expr("sum_ppb div n_trigrams").alias("mean_ppb"),
+        (
+            F.expr("sum_ppb div n_trigrams") >= F.expr("__g_sum div __g_n")
+        ).alias("keep"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (2, 3, 4)
 ) -> DataFrame:

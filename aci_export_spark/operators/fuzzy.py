@@ -524,6 +524,9 @@ def blocking_audit(
 FS_EM_SCALE = 1 << 40
 
 FS_EM_ITERS = 25
+#: hard cap on the comparison-vector width K: the EM sufficient statistic
+#: is 2^K pattern rows collected to the driver — loud-guarded, not assumed
+FS_MAX_FIELDS = 20
 
 
 def _fs_quantize(x) -> "object":
@@ -611,9 +614,19 @@ def fs_em_weights(
     pair expansion + 2^K-group map-side-combined count); EM consumes that
     sufficient statistic on the driver — O(iters * 2^K) exact-rational
     ops, data-size-independent, the bounded-collect discipline of the
-    kmeans quantizer fit. The collect is <= 2^K rows by construction.
+    kmeans quantizer fit. The collect is <= 2^K rows by construction, and
+    K itself is capped loudly (FS_MAX_FIELDS): a caller wiring in an
+    unexpectedly wide comparator vector gets a named error, not a driver
+    OOM at 2^K patterns (r10 verdict #3, the PMI/POS_SPACE discipline).
     """
     fields = list(agree_exprs.keys())
+    if len(fields) > FS_MAX_FIELDS:
+        raise ValueError(
+            f"fs_em_weights: {len(fields)} comparator fields exceed "
+            f"FS_MAX_FIELDS={FS_MAX_FIELDS} — the 2^K pattern statistic "
+            "would no longer be driver-bounded; reduce the comparison "
+            "vector or raise the cap deliberately"
+        )
     pat = fs_agreement_patterns(df, id_col, block_cols, agree_exprs)
     rows = pat.collect()
     patterns = [

@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 BT_SCALE = 1 << 40
 
 BT_ITERS = 30
+#: hard cap on the collected pair-count sufficient statistic (rows): the
+#: MM fit is driver-side by design (vocabulary-bounded), so a vocabulary
+#: that breaks the bound must raise loudly, not OOM (r10 verdict #3)
+BT_MAX_PAIRS = 1_000_000
 
 
 def _bt_quantize(x) -> "object":
@@ -101,9 +105,19 @@ def bt_strengths(pair_counts: DataFrame, iters: int = BT_ITERS) -> DataFrame:
     strength is an EXACT double (2^-40 grid, below the 53-bit mantissa).
     The collect is bounded by the item-pair cardinality (the sufficient
     statistic), NOT the corpus — the bounded-collect discipline of
-    fs_em_weights / the kmeans quantizer fit.
+    fs_em_weights / the kmeans quantizer fit.  The bound is ENFORCED, not
+    assumed (the PMI-overflow/POS_SPACE loud-guard discipline): an
+    unexpectedly large item vocabulary raises a named error instead of
+    OOMing the driver.
     """
-    rows = pair_counts.collect()
+    rows = pair_counts.limit(BT_MAX_PAIRS + 1).collect()
+    if len(rows) > BT_MAX_PAIRS:
+        raise ValueError(
+            f"bt_strengths: pair-count table exceeds BT_MAX_PAIRS="
+            f"{BT_MAX_PAIRS} rows — the item vocabulary is too large for "
+            "a driver-side MM fit; pre-aggregate items or raise the cap "
+            "deliberately"
+        )
     pairs = [
         (str(r["item_a"]), str(r["item_b"]), int(r["wins_a"]), int(r["wins_b"]))
         for r in rows

@@ -128,3 +128,21 @@ def test_em_empty_pattern_table_raises():
 
     with _pytest.raises(ValueError, match="empty agreement-pattern table"):
         fs_em_fixed_point([], 3)
+
+
+def test_em_field_cap_raises(spark):
+    """FS_MAX_FIELDS loud guard (r11): a comparison vector wider than the
+    cap must raise BEFORE any distributed work — 2^K patterns would no
+    longer be a driver-bounded collect."""
+    import pytest as _pytest
+
+    from aci_export_spark.operators.fuzzy import FS_MAX_FIELDS, fs_em_weights
+
+    df = spark.createDataFrame([(1, "a", 1)], ["id", "name", "nation"])
+    too_wide = {
+        f"g{i}": F.length("a_name") == F.length("b_name")
+        for i in range(FS_MAX_FIELDS + 1)
+    }
+    with _pytest.raises(ValueError, match="FS_MAX_FIELDS"):
+        fs_em_weights(df, id_col="id", block_cols=["nation"],
+                      agree_exprs=too_wide)

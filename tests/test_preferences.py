@@ -72,3 +72,17 @@ def test_spark_wrapper_bookkeeping(spark):
     assert all(out[i]["games"] == 240 for i in out)
     assert sum(out[i]["wins"] for i in out) == 3 * 120
     assert out["a"]["strength"] > out["b"]["strength"] > out["c"]["strength"]
+
+
+def test_pair_cap_raises(spark, monkeypatch):
+    """BT_MAX_PAIRS loud guard (r11): a pair table beyond the documented
+    bound raises a named error instead of OOMing the driver-side MM fit."""
+    from aci_export_spark.operators import preferences as P
+
+    monkeypatch.setattr(P, "BT_MAX_PAIRS", 2)
+    rows = [("a", "b", 1, 2), ("a", "c", 2, 1), ("b", "c", 3, 1)]
+    df = spark.createDataFrame(
+        rows, "item_a string, item_b string, wins_a long, wins_b long"
+    )
+    with pytest.raises(ValueError, match="BT_MAX_PAIRS"):
+        P.bt_strengths(df)
