@@ -508,6 +508,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     # new registrations this round (never driver-checked), displacing r6
     # backfill tail-first
     "llm_quality_kn_trigram",
+    "events_mann_kendall",
+    "orders_hhi_concentration",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
@@ -528,8 +530,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_stickiness_ratio",
     "events_type_trigrams_topk",
     "events_user_type_diversity",
-    "events_value_histogram",
-    "events_value_trend_slope",
 ]
 
 

@@ -3236,3 +3236,206 @@ def orders_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(
         spark, cents, "cents", [250_000, 500_000, 900_000, 990_000]
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (exact integers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mann_kendall",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), pairs AS (
+    SELECT a.event_type,
+           SUM(CASE WHEN b.n > a.n THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           SUM(CASE WHEN b.n < a.n THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+           SUM(CASE WHEN b.n = a.n THEN 1 ELSE 0 END)::BIGINT AS n_tied
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day < b.day
+    GROUP BY 1
+), days AS (
+    SELECT event_type, COUNT(*)::BIGINT AS n_days FROM daily GROUP BY 1
+), ties AS (
+    SELECT event_type,
+           COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_term
+    FROM (SELECT event_type, COUNT(*)::BIGINT AS t
+          FROM daily GROUP BY event_type, n) GROUP BY 1
+)
+SELECT d.event_type, d.n_days,
+       (p.n_pos - p.n_neg)::BIGINT AS s_stat,
+       p.n_pos, p.n_neg, p.n_tied,
+       (d.n_days * (d.n_days - 1) * (2 * d.n_days + 5) - t.tie_term)::BIGINT
+           AS var_s_x18,
+       CASE WHEN p.n_pos > p.n_neg THEN 1
+            WHEN p.n_pos < p.n_neg THEN -1 ELSE 0 END AS trend
+FROM days d JOIN pairs p USING (event_type) JOIN ties t USING (event_type)
+""",
+    doc="Mann-Kendall trend test (Mann 1945; Kendall 1975) per event type "
+    "over the daily-count series — THE standard nonparametric monotone-"
+    "trend detector for pipeline-volume monitoring: S = sum of "
+    "sign(x_j - x_i) over ordered day pairs, pair sign census, and the "
+    "tie-corrected variance NUMERATOR var_s_x18 = n(n-1)(2n+5) - "
+    "sum t_k(t_k-1)(2t_k+5) (the /18 left to the consumer so every "
+    "emitted value is an exact int64; counts are integers so sign "
+    "comparisons are engine-exact, no float anywhere). The day-pair "
+    "self-join is CALENDAR-bounded (days^2 per type, independent of "
+    "corpus row count) after one map-side-combined daily aggregate — at "
+    "100 TB the daily grid is dimension-sized and the pair stage is "
+    "constant work",
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("__da"), F.col("n").alias("__na")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("__db"), F.col("n").alias("__nb")
+    )
+    pairs = (
+        a.join(b, on="event_type")
+        .filter(F.col("__da") < F.col("__db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("__nb") > F.col("__na"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("__nb") < F.col("__na"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg"),
+            F.sum(F.when(F.col("__nb") == F.col("__na"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tied"),
+        )
+    )
+    days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__tie_term")
+        )
+    )
+    return (
+        days.join(pairs, on="event_type")
+        .join(ties, on="event_type")
+        .select(
+            "event_type",
+            "n_days",
+            (F.col("n_pos") - F.col("n_neg")).cast("long").alias("s_stat"),
+            "n_pos",
+            "n_neg",
+            "n_tied",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("__tie_term")
+            )
+            .cast("long")
+            .alias("var_s_x18"),
+            F.when(F.col("n_pos") > F.col("n_neg"), 1)
+            .when(F.col("n_pos") < F.col("n_neg"), -1)
+            .otherwise(0)
+            .alias("trend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration (integer ppm^2 grid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_hhi_concentration",
+    """
+WITH seg AS (
+    SELECT c_mktsegment AS segment, n_name AS nation,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+), cents AS (
+    SELECT segment, nation, CAST(rev * 100 AS BIGINT) AS rev_cents
+    FROM seg
+), tot AS (
+    SELECT segment, SUM(rev_cents)::BIGINT AS tot_cents,
+           COUNT(*)::BIGINT AS n_nations
+    FROM cents GROUP BY 1
+), shares AS (
+    SELECT c.segment, t.n_nations, t.tot_cents,
+           (c.rev_cents * 1000000) // t.tot_cents AS share_ppm
+    FROM cents c JOIN tot t USING (segment)
+)
+SELECT segment, n_nations, tot_cents,
+       SUM(share_ppm * share_ppm)::BIGINT AS hhi_ppm2,
+       MAX(share_ppm)::BIGINT AS top_share_ppm,
+       SUM(share_ppm * share_ppm) > 250000000000 AS concentrated
+FROM shares GROUP BY 1, 2, 3
+""",
+    doc="Herfindahl-Hirschman concentration index per market segment over "
+    "nation revenue shares — the antitrust/market-structure statistic "
+    "(DOJ thresholds) rendered exactly: revenue summed on the DECIMAL "
+    "grid, shares floored onto a ppm grid against the exact cent total, "
+    "HHI = sum(share_ppm^2) an int64 on the ppm^2 grid (max 10^12), the "
+    "2500-point 'highly concentrated' flag an integer compare. Two "
+    "map-side-combined aggregates + a broadcast-sized share join; "
+    "dimension-bounded output at any corpus scale",
+)
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    seg = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    tot = seg.groupBy("segment").agg(
+        F.sum("rev_cents").cast("long").alias("tot_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+    )
+    shares = seg.join(broadcast(tot), on="segment").select(
+        "segment",
+        "n_nations",
+        "tot_cents",
+        F.expr("(rev_cents * 1000000) div tot_cents").alias("share_ppm"),
+    )
+    return shares.groupBy("segment", "n_nations", "tot_cents").agg(
+        F.sum(F.col("share_ppm") * F.col("share_ppm"))
+        .cast("long")
+        .alias("hhi_ppm2"),
+        F.max("share_ppm").cast("long").alias("top_share_ppm"),
+        (
+            F.sum(F.col("share_ppm") * F.col("share_ppm"))
+            > F.lit(250_000_000_000)
+        ).alias("concentrated"),
+    )
