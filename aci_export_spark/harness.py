@@ -510,6 +510,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_quality_kn_trigram",
     "events_mann_kendall",
     "orders_hhi_concentration",
+    "mm_webp_info",
+    "mm_ogg_pages",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
@@ -528,8 +530,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_position_attribution",
     "events_sketch_intersection",
     "events_stickiness_ratio",
-    "events_type_trigrams_topk",
-    "events_user_type_diversity",
 ]
 
 

@@ -787,3 +787,65 @@ FROM rec GROUP BY source
 )
 def mm_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.avro_container_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_webp_info",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'VP8L' ELSE 'VP8' END AS format,
+       CAST(16 + doc_id % 1200 AS BIGINT) AS width,
+       CAST(16 + byte_len % 700 AS BIGINT) AS height,
+       byte_len % 3 = 0 AS has_alpha,
+       doc_id % 5 = 0 AS has_exif,
+       CAST(2 + CASE WHEN doc_id % 2 = 0 AND byte_len % 3 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_chunks
+FROM d
+""",
+    doc="WebP header facts via a real RIFF chunk walk: VP8X feature flags "
+    "+ 24-bit LE canvas, lossy VP8 (frame tag, 0x9D012A sync, 14-bit "
+    "dims) on even doc_ids, lossless VP8L (0x2F signature, bit-packed LE "
+    "dims crossing byte boundaries) on odd; the RIFF even-padding rule "
+    "fires on the odd-length EXIF chunk, and the parser cross-checks the "
+    "VP8X canvas and alpha/EXIF flags against the frame chunks, raising "
+    "on disagreement. Oracle replays the synthesis arithmetic — a pad or "
+    "bit-shift slip breaks the hash on half the corpus. mapInPandas, no "
+    "shuffle",
+)
+def mm_webp_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_webp(read_table(spark, sf_dir, "documents"))
+    return MM.webp_info(media)
+
+
+@register(
+    "mm_ogg_pages",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+p AS (
+    SELECT d.doc_id, j.p AS page_no, 2 + d.byte_len % 4 AS n_pages
+    FROM d, LATERAL (SELECT unnest(range(0, 2 + d.byte_len % 4)) AS p) j
+)
+SELECT doc_id, CAST(page_no AS BIGINT) AS page_no,
+       CAST(4096 + doc_id % 1000 AS BIGINT) AS serial,
+       CAST((page_no + 1) * (100 + doc_id % 50) AS BIGINT) AS granule,
+       page_no = 0 AS is_bos,
+       page_no = n_pages - 1 AS is_eos,
+       CAST(200 + (doc_id * 7 + page_no * 13) % 400 AS BIGINT) AS payload_len,
+       CAST((200 + (doc_id * 7 + page_no * 13) % 400) // 255 + 1 AS BIGINT)
+           AS n_segments
+FROM p
+""",
+    doc="Ogg (RFC 3533) page walk over genuine streams: every page's "
+    "CRC-32 recomputed with the field zeroed using Ogg's DIRECT-form "
+    "polynomial 0x04C11DB7 (init 0, unreflected — zlib's reflected CRC "
+    "fails every page; pytest pins the 0x89A1897F check vector), lacing "
+    "tables summed for payload length including the 255-boundary "
+    "zero-lacing rule (exact-multiple payloads occur in the corpus), "
+    "BOS/EOS flags and page-sequence contiguity validated. Oracle "
+    "replays lengths/granules/serials via a lateral page range. "
+    "mapInPandas, asset->page-rows linear fan-out, no shuffle",
+)
+def mm_ogg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_ogg(read_table(spark, sf_dir, "documents"))
+    return MM.ogg_pages(media)

@@ -4235,3 +4235,387 @@ def avro_container_stats(docs: DataFrame) -> DataFrame:
         .groupBy("source")
         .applyInPandas(per_source, schema=AVRO_BLOCKS_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# WebP (RIFF container): no pixel decode — RIFF chunk walking plus the three
+# header forms real pipelines must distinguish: VP8X (extended: feature
+# flags + 24-bit LE canvas), VP8 (lossy: frame tag + 0x9D012A sync + 14-bit
+# dims) and VP8L (lossless: 0x2F signature + bit-packed LE dims crossing
+# byte boundaries). Classic parser bugs exercised: the RIFF even-padding
+# rule after odd-sized chunks, and the VP8X canvas-vs-frame cross-check.
+# Reference analogue: media asset metadata extraction (SURVEY.md §2 media
+# ingest); format per the public WebP container spec.
+# ---------------------------------------------------------------------------
+
+
+def synth_webp(doc_id: int, byte_len: int) -> bytes:
+    """A genuine extended-format WebP: VP8X first, then (lossy path) an
+    optional ALPH chunk and a VP8 keyframe header, or (lossless path) a
+    VP8L header; optionally a trailing odd-length EXIF chunk so the RIFF
+    pad byte is exercised. Field values derive from (doc_id, byte_len)
+    so the oracle replays them arithmetically."""
+    import struct
+
+    width = 16 + doc_id % 1200           # fits 14 bits
+    height = 16 + byte_len % 700
+    lossless = doc_id % 2 == 1
+    has_alpha = byte_len % 3 == 0
+    has_exif = doc_id % 5 == 0
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        out = fourcc + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2 == 1:
+            out += b"\x00"               # RIFF even-padding rule
+        return out
+
+    flags = (0x10 if has_alpha else 0) | (0x08 if has_exif else 0)
+    vp8x = bytes([flags]) + bytes(3) \
+        + (width - 1).to_bytes(3, "little") \
+        + (height - 1).to_bytes(3, "little")
+    body = chunk(b"VP8X", vp8x)
+    if lossless:
+        packed = (width - 1) | ((height - 1) << 14) \
+            | ((1 if has_alpha else 0) << 28)
+        body += chunk(
+            b"VP8L",
+            b"\x2f" + struct.pack("<I", packed) + bytes(6 + byte_len % 9),
+        )
+    else:
+        if has_alpha:
+            body += chunk(b"ALPH", bytes([0]) + bytes(5 + doc_id % 4))
+        psize = 11 + byte_len % 100
+        tag = (0 << 0) | (0 << 1) | (1 << 4) | (psize << 5)
+        body += chunk(
+            b"VP8 ",
+            tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width, height) + bytes(10 + byte_len % 20),
+        )
+    if has_exif:
+        body += chunk(b"EXIF", b"II*\x00" + bytes(3 + doc_id % 4))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def parse_webp_info(data: bytes) -> dict:
+    """Walk the RIFF chunk chain (honoring the even-padding rule) and
+    decode VP8X/VP8/VP8L headers. Raises ValueError on bad magic, a RIFF
+    size that disagrees with the payload, a truncated/overrunning chunk
+    walk, a bad VP8 sync code or VP8L signature/version, a VP8X canvas
+    that disagrees with the frame dimensions, or an alpha-flag mismatch
+    between VP8X and the frame/ALPH evidence."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("WEBP: bad RIFF/WEBP magic")
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    if riff_size != len(data) - 8:
+        raise ValueError("WEBP: RIFF size mismatch")
+    i, n_chunks = 12, 0
+    canvas = None
+    flags_alpha = flags_exif = False
+    fmt = None
+    width = height = None
+    frame_alpha = False
+    saw_alph = saw_exif = False
+    while i < len(data):
+        if i + 8 > len(data):
+            raise ValueError("WEBP: truncated chunk header")
+        fourcc = data[i : i + 4]
+        clen = struct.unpack_from("<I", data, i + 4)[0]
+        body = data[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("WEBP: truncated chunk body")
+        n_chunks += 1
+        if fourcc == b"VP8X":
+            if clen != 10:
+                raise ValueError(f"WEBP: VP8X length {clen} != 10")
+            flags_alpha = bool(body[0] & 0x10)
+            flags_exif = bool(body[0] & 0x08)
+            canvas = (
+                int.from_bytes(body[4:7], "little") + 1,
+                int.from_bytes(body[7:10], "little") + 1,
+            )
+        elif fourcc == b"VP8 ":
+            if clen < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("WEBP: bad VP8 keyframe sync code")
+            w_raw, h_raw = struct.unpack_from("<HH", body, 6)
+            fmt, width, height = "VP8", w_raw & 0x3FFF, h_raw & 0x3FFF
+        elif fourcc == b"VP8L":
+            if clen < 5 or body[0] != 0x2F:
+                raise ValueError("WEBP: bad VP8L signature")
+            packed = struct.unpack_from("<I", body, 1)[0]
+            if (packed >> 29) & 0x7:
+                raise ValueError("WEBP: VP8L version != 0")
+            fmt = "VP8L"
+            width = (packed & 0x3FFF) + 1
+            height = ((packed >> 14) & 0x3FFF) + 1
+            frame_alpha = bool((packed >> 28) & 0x1)
+        elif fourcc == b"ALPH":
+            saw_alph = True
+        elif fourcc == b"EXIF":
+            saw_exif = True
+        i += 8 + clen + (clen % 2)       # pad byte after odd chunks
+    if i != len(data):
+        raise ValueError("WEBP: chunk walk overran the file")
+    if fmt is None:
+        raise ValueError("WEBP: no VP8/VP8L frame chunk")
+    if canvas is not None and canvas != (width, height):
+        raise ValueError(f"WEBP: VP8X canvas {canvas} != frame {(width, height)}")
+    if canvas is not None:
+        evidence = frame_alpha if fmt == "VP8L" else saw_alph
+        if flags_alpha != evidence:
+            raise ValueError("WEBP: VP8X alpha flag disagrees with frame")
+        if flags_exif != saw_exif:
+            raise ValueError("WEBP: VP8X EXIF flag disagrees with chunks")
+    return {
+        "format": fmt,
+        "width": width,
+        "height": height,
+        "has_alpha": flags_alpha,
+        "has_exif": flags_exif,
+        "n_chunks": n_chunks,
+    }
+
+
+def attach_webp(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with WebP payloads (:func:`synth_webp`).
+    mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_webp(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+WEBP_INFO_SCHEMA = (
+    "doc_id long, format string, width long, height long, "
+    "has_alpha boolean, has_exif boolean, n_chunks long"
+)
+
+
+def webp_info(media: DataFrame) -> DataFrame:
+    """WebP header facts via the RIFF chunk walk. mapInPandas, no shuffle."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height",
+                "has_alpha", "has_exif", "n_chunks",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                info = parse_webp_info(bytes(content))
+                out["doc_id"].append(int(d))
+                out["format"].append(info["format"])
+                out["width"].append(int(info["width"]))
+                out["height"].append(int(info["height"]))
+                out["has_alpha"].append(bool(info["has_alpha"]))
+                out["has_exif"].append(bool(info["has_exif"]))
+                out["n_chunks"].append(int(info["n_chunks"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=WEBP_INFO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Ogg (the Vorbis/Opus/Theora transport): page walking with the REAL Ogg
+# CRC-32 (direct form, poly 0x04C11DB7, init 0, no reflection, xorout 0 —
+# NOT zlib's reflected CRC; using zlib.crc32 here fails every page), lacing
+# (segment) tables including the 255-boundary continuation rule, BOS/EOS
+# header-type flags and page-sequence contiguity. Reference analogue:
+# media asset metadata extraction (SURVEY.md §2 media ingest); format per
+# RFC 3533.
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE: list[int] = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if _r & 0x80000000 \
+            else (_r << 1) & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+del _b, _r
+
+
+def ogg_crc(data: bytes) -> int:
+    """Ogg's CRC-32 (RFC 3533 §6: poly 0x04C11DB7, init 0, unreflected,
+    xorout 0). Independent witness in pytest: this variant of
+    crc("123456789") is 0x89A1897F (the CRC-32/POSIX check value
+    0x765E7680 before POSIX's final xor)."""
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[(crc >> 24) ^ byte]
+    return crc
+
+
+def synth_ogg(doc_id: int, byte_len: int) -> bytes:
+    """A genuine single-stream Ogg: 2-5 pages, BOS on the first, EOS on
+    the last, real lacing tables (payload lengths 200..599 so the
+    255-boundary zero-lacing rule fires on exact multiples), granules
+    strictly increasing, and the real Ogg CRC over each page with the
+    CRC field zeroed. Field values derive from (doc_id, byte_len)."""
+    import struct
+
+    n_pages = 2 + byte_len % 4
+    serial = 4096 + doc_id % 1000
+    out = b""
+    for p in range(n_pages):
+        plen = 200 + (doc_id * 7 + p * 13) % 400
+        payload = bytes(((doc_id + p + j) & 0xFF) for j in range(plen))
+        full, rem = divmod(plen, 255)
+        lacing = bytes([255] * full + [rem])   # rem==0 IS the required 0 lacing
+        htype = (0x02 if p == 0 else 0) | (0x04 if p == n_pages - 1 else 0)
+        granule = (p + 1) * (100 + doc_id % 50)
+        header = (
+            b"OggS" + bytes([0, htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", serial)
+            + struct.pack("<I", p)
+            + b"\x00\x00\x00\x00"               # CRC placeholder
+            + bytes([len(lacing)]) + lacing
+        )
+        page = header + payload
+        crc = ogg_crc(page)
+        page = page[:22] + struct.pack("<I", crc) + page[26:]
+        out += page
+    return out
+
+
+def parse_ogg_pages(data: bytes) -> list[dict]:
+    """Walk the page chain. Raises ValueError on a bad capture pattern,
+    nonzero version, CRC mismatch (recomputed with the CRC field zeroed),
+    page-sequence discontinuity, BOS off the first page / missing, EOS
+    off the last page / missing, a serial change mid-stream, a
+    non-increasing granule, or a truncated page."""
+    import struct
+
+    pages: list[dict] = []
+    i = 0
+    serial0 = None
+    last_granule = None
+    while i < len(data):
+        if i + 27 > len(data):
+            raise ValueError("OGG: truncated page header")
+        if data[i : i + 4] != b"OggS":
+            raise ValueError("OGG: bad capture pattern")
+        if data[i + 4] != 0:
+            raise ValueError(f"OGG: version {data[i + 4]} != 0")
+        htype = data[i + 5]
+        granule = struct.unpack_from("<q", data, i + 6)[0]
+        serial = struct.unpack_from("<I", data, i + 14)[0]
+        seq = struct.unpack_from("<I", data, i + 18)[0]
+        crc_stored = struct.unpack_from("<I", data, i + 22)[0]
+        n_seg = data[i + 26]
+        lace_end = i + 27 + n_seg
+        if lace_end > len(data):
+            raise ValueError("OGG: truncated lacing table")
+        lacing = data[i + 27 : lace_end]
+        plen = sum(lacing)
+        page_end = lace_end + plen
+        if page_end > len(data):
+            raise ValueError("OGG: truncated page body")
+        page = data[i:page_end]
+        zeroed = page[:22] + b"\x00\x00\x00\x00" + page[26:]
+        if ogg_crc(zeroed) != crc_stored:
+            raise ValueError(f"OGG: CRC mismatch on page {len(pages)}")
+        if seq != len(pages):
+            raise ValueError(f"OGG: page sequence {seq} != {len(pages)}")
+        if serial0 is None:
+            serial0 = serial
+        elif serial != serial0:
+            raise ValueError("OGG: serial changed mid-stream")
+        is_bos = bool(htype & 0x02)
+        is_eos = bool(htype & 0x04)
+        if is_bos != (len(pages) == 0):
+            raise ValueError("OGG: BOS flag off the first page")
+        if last_granule is not None and granule <= last_granule:
+            raise ValueError("OGG: non-increasing granule")
+        last_granule = granule
+        pages.append(
+            {
+                "page_no": len(pages),
+                "serial": serial,
+                "granule": granule,
+                "is_bos": is_bos,
+                "is_eos": is_eos,
+                "payload_len": plen,
+                "n_segments": n_seg,
+            }
+        )
+        i = page_end
+    if not pages:
+        raise ValueError("OGG: empty stream")
+    for p in pages[:-1]:
+        if p["is_eos"]:
+            raise ValueError("OGG: EOS before the last page")
+    if not pages[-1]["is_eos"]:
+        raise ValueError("OGG: missing EOS on the last page")
+    return pages
+
+
+def attach_ogg(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with Ogg payloads (:func:`synth_ogg`).
+    mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_ogg(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+OGG_PAGES_SCHEMA = (
+    "doc_id long, page_no long, serial long, granule long, "
+    "is_bos boolean, is_eos boolean, payload_len long, n_segments long"
+)
+
+
+def ogg_pages(media: DataFrame) -> DataFrame:
+    """Per-page rows via the CRC-validated page walk. mapInPandas,
+    asset->page-rows linear fan-out, no shuffle."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "page_no", "serial", "granule",
+                "is_bos", "is_eos", "payload_len", "n_segments",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for pg in parse_ogg_pages(bytes(content)):
+                    out["doc_id"].append(int(d))
+                    for k in ("page_no", "serial", "granule",
+                              "payload_len", "n_segments"):
+                        out[k].append(int(pg[k]))
+                    out["is_bos"].append(bool(pg["is_bos"]))
+                    out["is_eos"].append(bool(pg["is_eos"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=OGG_PAGES_SCHEMA)
