@@ -512,6 +512,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "orders_hhi_concentration",
     "mm_webp_info",
     "mm_ogg_pages",
+    "llm_blocklist_match",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
@@ -529,7 +530,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_ohlc_hourly",
     "events_position_attribution",
     "events_sketch_intersection",
-    "events_stickiness_ratio",
 ]
 
 

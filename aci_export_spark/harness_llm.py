@@ -6314,3 +6314,48 @@ def llm_robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="rule_path string, allow boolean",
     )
     return robots_longest_match(urls, rules, path_col="path")
+
+
+_BLOCKLIST_PATTERNS = [
+    "table", "table table", "agg", "gg", "a a",
+    "scan slow", "fast merge", "row",
+]
+_BLOCKLIST_VALUES = ",".join(f"('{p}')" for p in _BLOCKLIST_PATTERNS)
+
+
+@register(
+    "llm_blocklist_match",
+    f"""
+WITH pats AS (SELECT * FROM (VALUES {_BLOCKLIST_VALUES}) t(pattern)),
+hits AS (
+    SELECT d.doc_id, p.pattern,
+           COUNT(*) FILTER (
+               WHERE substr(d.text, i.i, length(p.pattern)) = p.pattern
+           ) AS n
+    FROM documents d CROSS JOIN pats p,
+         LATERAL (SELECT unnest(range(
+             1, greatest(length(d.text) - length(p.pattern) + 2, 1))) AS i) i
+    GROUP BY 1, 2
+)
+SELECT doc_id, pattern, CAST(n AS BIGINT) AS n_occurrences
+FROM hits WHERE n > 0
+""",
+    doc="multi-pattern blocklist matching via a REAL Aho-Corasick "
+    "automaton (llm/blocklist.py — full 256-ary DFA with failure "
+    "transitions precomposed, dictionary-suffix outputs merged in BFS "
+    "order): EVERY occurrence counted in one pass per document, "
+    "including overlapping occurrences ('a a' in the corpus's 'a a a' "
+    "runs — a non-overlapping counter undercounts) and suffix-linked "
+    "hits ('gg' must fire inside every 'agg'; a broken output merge "
+    "zeroes it). The oracle counts positions exhaustively via a lateral "
+    "character range, so the automaton is checked against a definition "
+    "that shares none of its machinery. Pattern-bounded automaton in "
+    "the task closure behind a loud MAX_AC_STATES cap; single-pass "
+    "Arrow scan, no shuffle, corpus cost linear in bytes independent "
+    "of pattern count",
+)
+def llm_blocklist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.blocklist import blocklist_matches
+
+    docs = read_table(spark, sf_dir, "documents")
+    return blocklist_matches(docs, _BLOCKLIST_PATTERNS)
