@@ -513,6 +513,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "mm_webp_info",
     "mm_ogg_pages",
     "llm_blocklist_match",
+    "events_theil_sen",
+    "events_pettitt",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
@@ -528,8 +530,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_cumulative_unique_users",
     "events_linear_attribution",
     "events_ohlc_hourly",
-    "events_position_attribution",
-    "events_sketch_intersection",
 ]
 
 

@@ -3439,3 +3439,210 @@ def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(250_000_000_000)
         ).alias("concentrated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen slope + Pettitt changepoint (the Mann-Kendall companions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_theil_sen",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), pts AS (
+    SELECT event_type, (day - DATE '1970-01-01')::BIGINT AS x, n FROM daily
+), slopes AS (
+    SELECT a.event_type, a.x AS xa, b.x AS xb,
+           -- portable exact floor-div: numerator made divisible first, so
+           -- DuckDB's floored // and Spark's truncating div agree
+           ((b.n - a.n) * 1000000
+            - (((b.n - a.n) * 1000000 % (b.x - a.x)) + (b.x - a.x))
+              % (b.x - a.x)) // (b.x - a.x) AS slope_ppm
+    FROM pts a JOIN pts b
+      ON a.event_type = b.event_type AND a.x < b.x
+), ranked AS (
+    SELECT event_type, slope_ppm,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY slope_ppm, xa, xb) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+    FROM slopes
+)
+SELECT r.event_type,
+       d.n_days,
+       CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       CAST(r.slope_ppm AS BIGINT) AS theil_sen_slope_ppm
+FROM ranked r
+JOIN (SELECT event_type, COUNT(*)::BIGINT AS n_days FROM daily GROUP BY 1) d
+  USING (event_type)
+WHERE r.rn = (r.n_pairs + 1) // 2
+""",
+    doc="Theil-Sen slope estimator (Theil 1950; Sen 1968) per event type "
+    "over the daily-count series — the robust median-of-pairwise-slopes "
+    "companion to events_mann_kendall (up to ~29% outlier days cannot "
+    "move it, unlike the OLS events_value_trend_slope). Every pairwise "
+    "slope is floored onto an exact ppm grid with a PORTABLE floor-div "
+    "(numerator reduced by its positive mod first, so Spark's truncating "
+    "div and DuckDB's floored // provably agree on negative slopes), and "
+    "the lower median is picked by deterministic (slope, day-pair) "
+    "row_number — no float ordering anywhere. The pair stage is "
+    "CALENDAR-bounded after one map-side-combined daily aggregate; at "
+    "100 TB the slope set is dimension-sized constant work",
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pts = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "n",
+    )
+    a = pts.select(
+        "event_type", F.col("x").alias("xa"), F.col("n").alias("na")
+    )
+    b = pts.select(
+        "event_type", F.col("x").alias("xb"), F.col("n").alias("nb")
+    )
+    slopes = (
+        a.join(b, on="event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            "xa",
+            "xb",
+            F.expr(
+                "((nb - na) * 1000000"
+                " - pmod((nb - na) * 1000000, xb - xa)) div (xb - xa)"
+            ).alias("slope_ppm"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_ppm", "xa", "xb")
+    ranked = slopes.select(
+        "event_type",
+        "slope_ppm",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_pairs"),
+    )
+    days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        ranked.filter(F.expr("rn = (n_pairs + 1) div 2"))
+        .join(days, on="event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_ppm").cast("long").alias("theil_sen_slope_ppm"),
+        )
+    )
+
+
+@register(
+    "events_pettitt",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT event_type, day, n,
+           RANK() OVER (PARTITION BY event_type ORDER BY n) AS rmin,
+           COUNT(*) OVER (PARTITION BY event_type, n) AS neq,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+           COUNT(*) OVER (PARTITION BY event_type) AS nd
+    FROM daily
+), cum AS (
+    -- 2*midrank = 2*rank_min + (ties - 1); U_t = sum_{i<=t} (2r_i) - t(n+1)
+    SELECT event_type, day, t, nd,
+           SUM(2 * rmin + neq - 1) OVER (
+               PARTITION BY event_type ORDER BY day
+           ) - t * (nd + 1) AS u_t
+    FROM ranked
+), best AS (
+    SELECT event_type, day, u_t, nd,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ABS(u_t) DESC, day) AS pick
+    FROM cum WHERE t < nd
+)
+SELECT event_type,
+       CAST(nd AS BIGINT) AS n_days,
+       CAST(ABS(u_t) AS BIGINT) AS k_stat,
+       strftime(day, '%Y-%m-%d') AS cp_day,
+       CAST(u_t AS BIGINT) AS u_at_cp
+FROM best WHERE pick = 1
+""",
+    doc="Pettitt changepoint test (Pettitt 1979) per event type over the "
+    "daily-count series: the rank-based single-changepoint detector, "
+    "computed EXACTLY via the midrank identity U_t = sum_{i<=t}(2 r_i) - "
+    "t(n+1) (derived from sum_j sign(x_i - x_j) = 2 r_i - n - 1, ties "
+    "handled by midranks; 2*midrank = 2*rank_min + ties - 1 keeps every "
+    "term integer) — O(n log n) windows instead of the definitional "
+    "O(n^2) sign double-sum, same exact statistic. K = max |U_t| over "
+    "interior split points, changepoint day = earliest argmax. "
+    "Complements events_changepoint_cusum (mean-shift CUSUM) with the "
+    "distribution-free rank test. Daily grid is calendar-bounded; one "
+    "map-side-combined aggregate then dimension-sized window work",
+)
+def events_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ranked = daily.select(
+        "event_type",
+        "day",
+        F.rank()
+        .over(Window.partitionBy("event_type").orderBy("n"))
+        .alias("rmin"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type", "n"))
+        .alias("neq"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("t"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("nd"),
+    )
+    cum = ranked.select(
+        "event_type",
+        "day",
+        "t",
+        "nd",
+        (
+            F.sum(2 * F.col("rmin") + F.col("neq") - 1).over(
+                Window.partitionBy("event_type")
+                .orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("t") * (F.col("nd") + 1)
+        ).alias("u_t"),
+    )
+    best = cum.filter(F.col("t") < F.col("nd")).select(
+        "event_type",
+        "day",
+        "u_t",
+        "nd",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("u_t")).desc(), "day"
+            )
+        )
+        .alias("pick"),
+    )
+    return best.filter(F.col("pick") == 1).select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        F.abs(F.col("u_t")).cast("long").alias("k_stat"),
+        F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+        F.col("u_t").cast("long").alias("u_at_cp"),
+    )
