@@ -515,6 +515,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "llm_blocklist_match",
     "events_theil_sen",
     "events_pettitt",
+    "mm_pdf_pages",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
@@ -529,7 +530,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_ctr_wilson",
     "events_cumulative_unique_users",
     "events_linear_attribution",
-    "events_ohlc_hourly",
 ]
 
 

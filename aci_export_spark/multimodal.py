@@ -4619,3 +4619,218 @@ def ogg_pages(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(parse, schema=OGG_PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PDF (classic xref table): no content decompression — the cross-reference
+# machinery that real document-extraction pipelines must get right before
+# any text comes out. The parser reaches every object ONLY through the
+# xref table (backward startxref scan -> fixed 20-byte entries -> seek),
+# never by scanning for "N 0 obj", so a single wrong offset reads garbage
+# and raises; /Count is cross-checked against /Kids and each stream's
+# /Length against its actual extent. Content streams are uncompressed
+# text-showing operators (BT (..) Tj ET) — legal PDF; /Filter decoding is
+# codec territory and out of scope. Format per the public PDF 1.4 spec.
+# ---------------------------------------------------------------------------
+
+
+def synth_pdf(doc_id: int, byte_len: int) -> bytes:
+    """A genuine classic-xref PDF: catalog, page tree, one uncompressed
+    text content stream per page, a fixed-20-byte-entry xref table and a
+    trailer. Page text derives from (doc_id, byte_len) so the oracle
+    replays it."""
+    n_pages = 1 + doc_id % 3
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + p} 0 R" for p in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for p in range(n_pages):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /Contents "
+            f"{3 + n_pages + p} 0 R >>".encode()
+        )
+    for p in range(n_pages):
+        text = f"pg{p} doc{doc_id} len{byte_len}"
+        stream = f"BT ({text}) Tj ET".encode()
+        objs.append(
+            f"<< /Length {len(stream)} >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+    out = b"%PDF-1.4\n"
+    offsets = [0]  # object 0 is the free-list head
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF".encode()
+    )
+    return out
+
+
+def _pdf_ref(dict_bytes: bytes, key: bytes) -> int:
+    """Read the object number of an indirect reference `/Key N 0 R`."""
+    i = dict_bytes.find(key)
+    if i == -1:
+        raise ValueError(f"PDF: missing {key.decode()}")
+    tail = dict_bytes[i + len(key) :].lstrip()
+    num = tail.split(b" ", 1)[0]
+    if not num.isdigit():
+        raise ValueError(f"PDF: malformed reference after {key.decode()}")
+    return int(num)
+
+
+def parse_pdf_pages(data: bytes) -> list[dict]:
+    """Walk startxref -> xref -> trailer -> catalog -> page tree ->
+    content streams, reaching objects only via xref offsets. Raises
+    ValueError on a bad header, a missing/garbled startxref, an xref
+    offset that does not land on `xref`, an entry that is not exactly 20
+    bytes framed, an object offset that does not land on `N 0 obj`, a
+    /Count that disagrees with /Kids, or a /Length that disagrees with
+    the stream's actual extent."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("PDF: bad header")
+    sx = data.rfind(b"startxref")
+    if sx == -1:
+        raise ValueError("PDF: missing startxref")
+    tail_lines = data[sx:].split(b"\n")
+    if len(tail_lines) < 2 or not tail_lines[1].strip().isdigit():
+        raise ValueError("PDF: garbled startxref")
+    xref_off = int(tail_lines[1])
+    if data[xref_off : xref_off + 4] != b"xref":
+        raise ValueError("PDF: startxref does not point at an xref table")
+    # subsection header: "0 N"
+    hdr_end = data.index(b"\n", xref_off)
+    sub_end = data.index(b"\n", hdr_end + 1)
+    first, count = data[hdr_end + 1 : sub_end].split(b" ")
+    if int(first) != 0:
+        raise ValueError("PDF: xref subsection must start at object 0")
+    n_entries = int(count)
+    entries_start = sub_end + 1
+    offsets: dict[int, int] = {}
+    for i in range(n_entries):
+        entry = data[entries_start + 20 * i : entries_start + 20 * (i + 1)]
+        if len(entry) != 20 or entry[10:11] != b" " or entry[16:17] != b" ":
+            raise ValueError(f"PDF: xref entry {i} is not 20-byte framed")
+        kind = entry[17:18]
+        if kind not in (b"n", b"f"):
+            raise ValueError(f"PDF: xref entry {i} kind {kind!r}")
+        if kind == b"n":
+            offsets[i] = int(entry[:10])
+
+    def load(obj_no: int) -> bytes:
+        off = offsets.get(obj_no)
+        if off is None:
+            raise ValueError(f"PDF: object {obj_no} not in xref")
+        head = f"{obj_no} 0 obj".encode()
+        if data[off : off + len(head)] != head:
+            raise ValueError(
+                f"PDF: xref offset for object {obj_no} lands on garbage"
+            )
+        end = data.index(b"endobj", off)
+        return data[off + len(head) : end]
+
+    trailer_at = data.rfind(b"trailer")
+    if trailer_at == -1:
+        raise ValueError("PDF: missing trailer")
+    trailer = data[trailer_at:sx]
+    root = _pdf_ref(trailer, b"/Root")
+    catalog = load(root)
+    pages_obj = load(_pdf_ref(catalog, b"/Pages"))
+    ki = pages_obj.index(b"/Kids")
+    kids_src = pages_obj[pages_obj.index(b"[", ki) + 1 : pages_obj.index(b"]", ki)]
+    kid_toks = kids_src.split()
+    if len(kid_toks) % 3 != 0 or any(
+        t != b"R" for t in kid_toks[2::3]
+    ):
+        raise ValueError("PDF: malformed /Kids reference array")
+    kids = [int(t) for t in kid_toks[0::3]]
+    ci = pages_obj.index(b"/Count")
+    declared = int(pages_obj[ci + 6 :].split()[0])
+    if declared != len(kids):
+        raise ValueError(
+            f"PDF: /Count {declared} disagrees with {len(kids)} /Kids"
+        )
+    out: list[dict] = []
+    for page_no, kid in enumerate(kids):
+        page = load(kid)
+        content = load(_pdf_ref(page, b"/Contents"))
+        li = content.index(b"/Length")
+        declared_len = int(content[li + 7 :].split(b" ")[1].rstrip(b">"))
+        si = content.index(b"stream\n") + len(b"stream\n")
+        ei = content.index(b"\nendstream", si)
+        stream = content[si:ei]
+        if len(stream) != declared_len:
+            raise ValueError(
+                f"PDF: /Length {declared_len} != stream extent {len(stream)}"
+            )
+        if not (stream.startswith(b"BT (") and stream.endswith(b") Tj ET")):
+            raise ValueError("PDF: unexpected content stream operators")
+        out.append(
+            {
+                "page_no": page_no,
+                "page_obj": kid,
+                "text": stream[4:-7].decode("latin-1"),
+                "content_len": len(stream),
+            }
+        )
+    return out
+
+
+def attach_pdf(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with PDF payloads (:func:`synth_pdf`).
+    mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_pdf(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+PDF_PAGES_SCHEMA = (
+    "doc_id long, page_no long, page_obj long, text string, content_len long"
+)
+
+
+def pdf_pages(media: DataFrame) -> DataFrame:
+    """Per-page text rows via the xref walk. mapInPandas,
+    asset->page-rows linear fan-out, no shuffle."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "page_no", "page_obj", "text", "content_len",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for pg in parse_pdf_pages(bytes(content)):
+                    out["doc_id"].append(int(d))
+                    out["page_no"].append(int(pg["page_no"]))
+                    out["page_obj"].append(int(pg["page_obj"]))
+                    out["text"].append(pg["text"])
+                    out["content_len"].append(int(pg["content_len"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=PDF_PAGES_SCHEMA)
