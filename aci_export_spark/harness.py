@@ -516,6 +516,7 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_theil_sen",
     "events_pettitt",
     "mm_pdf_pages",
+    "events_isotonic_calibration",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
@@ -529,7 +530,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_cohort_ltv",
     "events_ctr_wilson",
     "events_cumulative_unique_users",
-    "events_linear_attribution",
 ]
 
 

@@ -3646,3 +3646,59 @@ def events_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
         F.col("u_t").cast("long").alias("u_at_cp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) probability calibration
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_golden_oracle() -> str:
+    """Golden-VALUES oracle: the PAV fit is fully deterministic (integer
+    cross-multiply merges on an integer grid), so the definitional
+    O(grid^2) single-process reference (operators/isotonic.py) reproduces
+    the pools exactly at the sf0.01 gate."""
+    from aci_export_spark.operators.isotonic import isotonic_reference_python
+
+    rows = isotonic_reference_python("/root/testdata/sf0.01/events.parquet")
+    values = ",".join(
+        f"({i}, {x0}, {x1}, {n}, {y}, {ppm})" for i, x0, x1, n, y, ppm in rows
+    )
+    return f"""
+SELECT CAST(pool_idx AS BIGINT) AS pool_idx,
+       CAST(x_min AS BIGINT) AS x_min,
+       CAST(x_max AS BIGINT) AS x_max,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(y_sum AS BIGINT) AS y_sum,
+       CAST(level_ppm AS BIGINT) AS level_ppm
+FROM (VALUES {values}) AS t(pool_idx, x_min, x_max, n_obs, y_sum, level_ppm)
+"""
+
+
+@register(
+    "events_isotonic_calibration",
+    _isotonic_golden_oracle,  # resolved lazily; stack-vs-definitional PAV
+    # differential + cap tests in tests/test_isotonic.py
+    doc="isotonic regression (pool-adjacent-violators; Barlow 1972, "
+    "Zadrozny-Elkan 2002 calibration) of the purchase indicator against "
+    "the dollar-value grid: the best non-decreasing step function, fit "
+    "EXACTLY — pool levels are rationals (y_sum, n_obs) and every merge "
+    "decision is an integer cross-multiplication, so the pools are "
+    "engine-independent; level_ppm is the floored display grid. One "
+    "map-side-combined aggregate reduces the corpus to the grid-bounded "
+    "sufficient statistic (loud MAX_ISO_GRID cap on the collect), then "
+    "the O(grid) PAV stack runs driver-side; corpus scanned once, never "
+    "collected. Oracle = definitional O(grid^2) reference, a different "
+    "algorithm than the engine's stack",
+)
+def events_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.operators.isotonic import isotonic_fit
+
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"
+        ).alias("dollar"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return isotonic_fit(spark, pts, "dollar", "y")
