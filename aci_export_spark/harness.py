@@ -517,6 +517,8 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_pettitt",
     "mm_pdf_pages",
     "events_isotonic_calibration",
+    "llm_fisher_terms_fdr",
+    "mm_mkv_tracks",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
@@ -528,8 +530,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_changepoint_cusum",
     "events_chi2_cells",
     "events_cohort_ltv",
-    "events_ctr_wilson",
-    "events_cumulative_unique_users",
 ]
 
 

@@ -6359,3 +6359,87 @@ def llm_blocklist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return blocklist_matches(docs, _BLOCKLIST_PATTERNS)
+
+
+def _fisher_bh_golden_oracle() -> str:
+    """Golden-VALUES oracle for the Fisher+BH query: contingency stats via
+    an independent DuckDB aggregation, masses via direct math.comb (the
+    engine walks an integer recurrence instead), and an independently
+    written BH sweep — agreement witnesses the arithmetic, not a shared
+    implementation."""
+    import duckdb
+
+    from aci_export_spark.llm.fisher import fisher_reference_p_ppb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH toks AS (SELECT doc_id, source AS domain, {_SQL_TOKS} AS t
+                      FROM '/root/testdata/sf0.01/documents.parquet'),
+        pres AS (SELECT DISTINCT domain, doc_id, u.term AS term
+                 FROM toks, unnest(list_distinct(t)) AS u(term)),
+        cell AS (SELECT domain, term, COUNT(*)::BIGINT AS n11
+                 FROM pres GROUP BY 1, 2),
+        tt AS (SELECT term, SUM(n11)::BIGINT AS n1_ FROM cell GROUP BY 1),
+        dd AS (SELECT source AS domain, COUNT(*)::BIGINT AS n_1
+               FROM '/root/testdata/sf0.01/documents.parquet' GROUP BY 1),
+        nt AS (SELECT COUNT(*)::BIGINT AS n_tot
+               FROM '/root/testdata/sf0.01/documents.parquet')
+        SELECT c.domain, c.term, c.n11, t.n1_, d.n_1, n.n_tot
+        FROM cell c JOIN tt t USING (term) JOIN dd d USING (domain)
+             CROSS JOIN nt n
+        WHERE t.n1_ >= 5
+        ORDER BY 1, 2
+        """
+    ).fetchall()
+    q_ppb = 50_000_000
+    by_domain: dict[str, list] = {}
+    for domain, term, n11, n1_, n_1, n_tot in rows:
+        p = fisher_reference_p_ppb(int(n11), int(n1_), int(n_1), int(n_tot))
+        by_domain.setdefault(domain, []).append([term, n11, n1_, n_1, p])
+    vals = []
+    for domain, items in by_domain.items():
+        items.sort(key=lambda r: (r[4], r[0]))
+        m = len(items)
+        cutoff = 0
+        for i, it in enumerate(items, start=1):
+            if it[4] * m <= i * q_ppb:
+                cutoff = i
+        for i, (term, n11, n1_, n_1, p) in enumerate(items, start=1):
+            sig = "TRUE" if i <= cutoff else "FALSE"
+            vals.append(
+                f"('{domain}', '{term}', {n11}, {n1_}, {n_1}, {p}, {i}, {sig})"
+            )
+    return (
+        "SELECT CAST(domain AS VARCHAR) AS domain, "
+        "CAST(term AS VARCHAR) AS term, CAST(n11 AS BIGINT) AS n11, "
+        "CAST(n1_ AS BIGINT) AS n1_, CAST(n_1 AS BIGINT) AS n_1, "
+        "CAST(p_ppb AS BIGINT) AS p_ppb, CAST(bh_rank AS BIGINT) AS bh_rank, "
+        "CAST(significant AS BOOLEAN) AS significant "
+        f"FROM (VALUES {','.join(vals)}) "
+        "AS t(domain, term, n11, n1_, n_1, p_ppb, bh_rank, significant)"
+    )
+
+
+@register(
+    "llm_fisher_terms_fdr",
+    _fisher_bh_golden_oracle,  # resolved lazily; recurrence-vs-comb fuzz
+    # + tea-tasting vector in tests/test_fisher.py
+    doc="exact Fisher test (Fisher 1934) + Benjamini-Hochberg FDR (1995) "
+    "over term-domain 2x2 doc-presence tables — the sparse-cell-safe "
+    "sibling of llm_chisq_terms: p-values are EXACT big-integer "
+    "hypergeometric sums over the shared C(N,n) denominator (two-sided "
+    "rule = sum of every table mass <= observed, no float tolerance), "
+    "walked by an exact integer recurrence and floored onto a ppb grid; "
+    "BH rejection runs entirely on that grid with integer cross-"
+    "multiplies (p_ppb * m <= rank * q_ppb), so the discovery set is "
+    "engine-exact. One presence scan, map-side-combined cells/margins, "
+    "big-int Fisher as Arrow mapInPandas over vocabulary-bounded rows, "
+    "per-domain BH window on the same rows. Golden oracle: independent "
+    "direct-comb reference + independently-written BH sweep",
+)
+def llm_fisher_terms_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.fisher import fisher_bh_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return fisher_bh_terms(docs, "doc_id", "text", domain_col="source")

@@ -4834,3 +4834,227 @@ def pdf_pages(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(parse, schema=PDF_PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Matroska/WebM (EBML, RFC 8794): no codec decode — the VINT machinery
+# every mkv/webm pipeline must get right: element IDs keep their length-
+# marker bit while SIZES strip it (the classic confusion), widths 1-8
+# bytes chosen minimally so multi-byte VINTs genuinely occur, the
+# all-ones "unknown size" encoding is rejected, the nested element walk
+# must land EXACTLY on each master element's end, and the optional CRC-32
+# element (0xBF) covers the REMAINDER of its parent and uses zlib's
+# REFLECTED CRC — the opposite convention from Ogg's direct-form CRC two
+# parsers up, so mixing them up fails loudly in both places.
+# ---------------------------------------------------------------------------
+
+_MKV_TRACK_TYPES = {1: "video", 2: "audio", 17: "subtitle"}
+_MKV_CODECS = ["V_VP9", "A_OPUS", "S_TEXT/UTF8"]
+
+
+def _ebml_size(n: int) -> bytes:
+    """Encode a size VINT at minimal width (marker bit consumed)."""
+    for width in range(1, 9):
+        if n < (1 << (7 * width)) - 1:  # all-ones reserved for unknown
+            return ((1 << (7 * width)) | n).to_bytes(width, "big")
+    raise ValueError("EBML: size too large")
+
+
+def _ebml_uint(n: int) -> bytes:
+    out = n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+    return out
+
+
+def _ebml_elem(eid: bytes, payload: bytes) -> bytes:
+    return eid + _ebml_size(len(payload)) + payload
+
+
+def synth_mkv(doc_id: int, byte_len: int) -> bytes:
+    """A genuine minimal Matroska: EBML header (DocType), Segment
+    containing Info (TimestampScale + a CRC-32 element covering the rest
+    of Info) and Tracks (1-3 TrackEntry children). Sizes force 1- and
+    2-byte VINTs; values derive from (doc_id, byte_len)."""
+    import zlib
+
+    n_tracks = 1 + doc_id % 3
+    tscale = 1_000_000 + (byte_len % 7) * 1000
+    header = _ebml_elem(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_elem(b"\x42\x86", _ebml_uint(1))          # EBMLVersion
+        + _ebml_elem(b"\x42\x82", b"matroska")           # DocType
+        + _ebml_elem(b"\x42\x87", _ebml_uint(4)),        # DocTypeVersion
+    )
+    info_rest = (
+        _ebml_elem(b"\x2a\xd7\xb1", _ebml_uint(tscale))  # TimestampScale
+        + _ebml_elem(b"\x7b\xa9", f"doc{doc_id}".encode())  # Title
+    )
+    # CRC-32 element must be FIRST inside its parent and covers everything
+    # after itself (RFC 8794 s11.3.1) — zlib (reflected) CRC, little-endian
+    crc = _ebml_elem(
+        b"\xbf", zlib.crc32(info_rest).to_bytes(4, "little")
+    )
+    info = _ebml_elem(b"\x15\x49\xa9\x66", crc + info_rest)
+    entries = b""
+    for p in range(n_tracks):
+        ttype = [1, 2, 17][p % 3]
+        entries += _ebml_elem(
+            b"\xae",
+            _ebml_elem(b"\xd7", _ebml_uint(p + 1))       # TrackNumber
+            + _ebml_elem(b"\x83", _ebml_uint(ttype))     # TrackType
+            + _ebml_elem(b"\x86", _MKV_CODECS[p % 3].encode()),  # CodecID
+        )
+    tracks = _ebml_elem(b"\x16\x54\xae\x6b", entries)
+    # a Void padding element (standard mkv practice for in-place edits)
+    # pushes the Segment payload past 127 bytes so its size is a GENUINE
+    # multi-byte VINT while leaf sizes stay 1-byte — both widths walked
+    void = _ebml_elem(b"\xec", bytes(100 + byte_len % 200))
+    segment = _ebml_elem(b"\x18\x53\x80\x67", info + void + tracks)
+    return header + segment
+
+
+def _read_vint(data: bytes, i: int, strip_marker: bool) -> tuple[int, int, int]:
+    """(value, width, new_i). IDs keep the marker bit; sizes strip it.
+    Raises on truncation, a zero lead byte, or (for sizes) the all-ones
+    unknown-size encoding."""
+    if i >= len(data):
+        raise ValueError("EBML: truncated VINT")
+    lead = data[i]
+    if lead == 0:
+        raise ValueError("EBML: VINT width > 8 unsupported")
+    width = 8 - lead.bit_length() + 1
+    if i + width > len(data):
+        raise ValueError("EBML: truncated VINT body")
+    raw = int.from_bytes(data[i : i + width], "big")
+    if strip_marker:
+        val = raw & ((1 << (7 * width)) - 1)
+        if val == (1 << (7 * width)) - 1:
+            raise ValueError("EBML: unknown-size elements unsupported")
+    else:
+        val = raw
+    return val, width, i + width
+
+
+def _walk_ebml(data: bytes, lo: int, hi: int) -> list[tuple[int, bytes]]:
+    """Children of [lo, hi) as (id, payload) pairs; the walk must land
+    exactly on hi."""
+    out = []
+    i = lo
+    while i < hi:
+        eid, _, i = _read_vint(data, i, strip_marker=False)
+        size, _, i = _read_vint(data, i, strip_marker=True)
+        if i + size > hi:
+            raise ValueError(
+                f"EBML: element 0x{eid:x} overruns its parent"
+            )
+        out.append((eid, data[i : i + size]))
+        i += size
+    if i != hi:
+        raise ValueError("EBML: child walk missed the parent end")
+    return out
+
+
+def parse_mkv_tracks(data: bytes) -> list[dict]:
+    """EBML header + Segment walk. Raises on a bad root ID, a DocType
+    other than matroska/webm, a CRC-32 element that fails zlib
+    verification, an unknown-size element, or any size that disagrees
+    with its parent's extent."""
+    import zlib
+
+    roots = _walk_ebml(data, 0, len(data))
+    if len(roots) != 2 or roots[0][0] != 0x1A45DFA3:
+        raise ValueError("EBML: missing EBML header root")
+    if roots[1][0] != 0x18538067:
+        raise ValueError("EBML: missing Segment root")
+    header_kids = dict(_walk_children(roots[0][1]))
+    doctype = header_kids.get(0x4282, b"").decode("latin-1")
+    if doctype not in ("matroska", "webm"):
+        raise ValueError(f"EBML: DocType {doctype!r} not matroska/webm")
+    seg_kids = _walk_children(roots[1][1])
+    info = next(p for eid, p in seg_kids if eid == 0x1549A966)
+    info_kids = _walk_children(info)
+    if info_kids and info_kids[0][0] == 0xBF:
+        crc_payload = info_kids[0][1]
+        crc_elem_len = len(_ebml_elem(b"\xbf", crc_payload))
+        covered = info[crc_elem_len:]
+        if int.from_bytes(crc_payload, "little") != zlib.crc32(covered):
+            raise ValueError("EBML: Info CRC-32 mismatch")
+    info_map = dict(info_kids)
+    tscale = int.from_bytes(info_map.get(0x2AD7B1, b"\x00"), "big")
+    tracks = next(p for eid, p in seg_kids if eid == 0x1654AE6B)
+    out = []
+    for eid, entry in _walk_children(tracks):
+        if eid != 0xAE:
+            raise ValueError(f"EBML: unexpected Tracks child 0x{eid:x}")
+        kids = dict(_walk_children(entry))
+        ttype = int.from_bytes(kids[0x83], "big")
+        label = _MKV_TRACK_TYPES.get(ttype)
+        if label is None:
+            raise ValueError(f"EBML: unknown TrackType {ttype}")
+        out.append(
+            {
+                "track_no": int.from_bytes(kids[0xD7], "big"),
+                "track_type": label,
+                "codec_id": kids[0x86].decode("latin-1"),
+                "timestamp_scale": tscale,
+                "doctype": doctype,
+            }
+        )
+    return out
+
+
+def _walk_children(payload: bytes) -> list[tuple[int, bytes]]:
+    return _walk_ebml(payload, 0, len(payload))
+
+
+def attach_mkv(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with Matroska payloads
+    (:func:`synth_mkv`). mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_mkv(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+MKV_TRACKS_SCHEMA = (
+    "doc_id long, track_no long, track_type string, codec_id string, "
+    "timestamp_scale long, doctype string"
+)
+
+
+def mkv_tracks(media: DataFrame) -> DataFrame:
+    """Per-track rows via the EBML walk. mapInPandas, asset->track-rows
+    linear fan-out, no shuffle."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "track_no", "track_type", "codec_id",
+                "timestamp_scale", "doctype",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for t in parse_mkv_tracks(bytes(content)):
+                    out["doc_id"].append(int(d))
+                    out["track_no"].append(int(t["track_no"]))
+                    out["track_type"].append(t["track_type"])
+                    out["codec_id"].append(t["codec_id"])
+                    out["timestamp_scale"].append(int(t["timestamp_scale"]))
+                    out["doctype"].append(t["doctype"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=MKV_TRACKS_SCHEMA)

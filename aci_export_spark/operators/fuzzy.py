@@ -869,19 +869,21 @@ def jaro_winkler_pairs(
     score 10^6 JVM-side and never enter the Arrow stage.
 
     Arrow batch bound: the pair stage caps
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` at 4096 (a safe
-    global value) so one local JVM never materializes multi-M-row pair
-    batches (the r10 in-sweep GC-pressure finding).
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` stays at the SESSION
+    default (10k rows — the Arrow writer already chunks the join output,
+    so no multi-M-row batch can materialize); a first cut pinned it to
+    4096 with a GLOBAL ``conf.set``, which leaked into every Arrow query
+    that ran after this one in the same session and showed up as a
+    30-query CPU "regression" in the interleaved bench (mp4/sessionize/
+    Bradley-Terry all pay per-batch overhead 2.4x). Per-operator bounds
+    must live INSIDE the operator (the score stage slices its own numpy
+    work), never in session state.
     """
     import numpy as _np
     import pandas as _pd
     from typing import Iterator as _Iterator
 
     from pyspark.sql import Window
-
-    df.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", "4096"
-    )
 
     c_ppm = 5 * threshold_ppm - 3_000_000
     band_ppm = 5 * threshold_ppm - 4_000_000

@@ -186,6 +186,15 @@ QUERIES = [
     # bounded by the value range, each a counting scan)
     "events_hll_user_days",
     "orders_exact_quantiles",
+    # round-11: calendar-bounded trend/changepoint statistics (daily grid
+    # fixed while the scan grows 10x — the pair/window stages are constant
+    # work), dimension-bounded HHI shares, and the grid-bounded isotonic
+    # sufficient statistic (dollar grid fixed, one aggregate scan linear)
+    "events_mann_kendall",
+    "events_theil_sen",
+    "events_pettitt",
+    "events_isotonic_calibration",
+    "orders_hhi_concentration",
 ]
 
 
@@ -270,6 +279,18 @@ CD_QUERIES = [
     "mm_warc_records",
     "mm_avro_blocks",
     "llm_robots_url_filter",
+    # r11: four container parsers (per-row decode, linear fan-out), the
+    # Aho-Corasick scan (automaton fixed, single pass linear in bytes),
+    # KN-trigram (trigram TYPE table grows ~10x under alphabet permutation
+    # — the Heaps-law claim again), and Fisher+BH (term TYPE table grows
+    # ~10x; per-term big-int support loop bounded by min(margins))
+    "mm_webp_info",
+    "mm_ogg_pages",
+    "mm_pdf_pages",
+    "mm_mkv_tracks",
+    "llm_blocklist_match",
+    "llm_quality_kn_trigram",
+    "llm_fisher_terms_fdr",
 ]
 
 OUT_CD = os.environ.get("STRESS_CD_OUT", "/tmp/stress10x_cd")
