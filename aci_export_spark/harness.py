@@ -519,6 +519,10 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_isotonic_calibration",
     "llm_fisher_terms_fdr",
     "mm_mkv_tracks",
+    "mm_tar_entries",
+    "mm_gzip_members",
+    "events_ks_two_sample",
+    "events_cochran_armitage",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
@@ -526,10 +530,6 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "dq_join_key_skew",
     "dq_value_drift_cells",
     "er_fuzzy_entities",
-    "events_bitemporal_state",
-    "events_changepoint_cusum",
-    "events_chi2_cells",
-    "events_cohort_ltv",
 ]
 
 

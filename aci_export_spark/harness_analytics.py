@@ -3702,3 +3702,184 @@ def events_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     return isotonic_fit(spark, pts, "dollar", "y")
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample D + Cochran-Armitage trend (exact integers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ks_two_sample",
+    """
+WITH pts AS (
+    SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+    FROM events WHERE event_type IN ('purchase', 'view')
+), tot AS (
+    SELECT SUM(is_a)::BIGINT AS n_a, SUM(1 - is_a)::BIGINT AS n_b FROM pts
+), grid AS (
+    SELECT cents, SUM(is_a)::BIGINT AS a_here,
+           SUM(1 - is_a)::BIGINT AS b_here
+    FROM pts GROUP BY 1
+), cdf AS (
+    SELECT cents,
+           SUM(a_here) OVER (ORDER BY cents) AS ia,
+           SUM(b_here) OVER (ORDER BY cents) AS jb
+    FROM grid
+), gaps AS (
+    SELECT c.cents, t.n_a, t.n_b,
+           ABS(c.ia * t.n_b - c.jb * t.n_a)::BIGINT AS gap
+    FROM cdf c CROSS JOIN tot t
+), best AS (
+    SELECT cents, n_a, n_b, gap,
+           ROW_NUMBER() OVER (ORDER BY gap DESC, cents) AS pick
+    FROM gaps
+)
+SELECT n_a, n_b,
+       CAST(gap AS BIGINT) AS d_num,
+       CAST(cents AS BIGINT) AS at_cents,
+       CAST(gap * 1000000 // (n_a * n_b) AS BIGINT) AS d_ppm
+FROM best WHERE pick = 1
+""",
+    doc="two-sample Kolmogorov-Smirnov D between the purchase and view "
+    "value distributions, EXACT: D = max |ECDF_a - ECDF_b| is a rational "
+    "with denominator n_a*n_b, so the max is taken over the integer gap "
+    "|i*n_b - j*n_a| at each distinct value (earliest-value tie-break), "
+    "emitted as (d_num, n_a, n_b) plus a floored ppm display grid — no "
+    "IEEE comparison anywhere, so the engine-vs-oracle hash is exact. "
+    "One grid aggregate (distinct-value-bounded) + one ordered window; "
+    "at 100 TB the cents grid is value-range-bounded, never row-bounded",
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        (_dec(F.col("value")) * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    tot = pts.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    grid = pts.groupBy("cents").agg(
+        F.sum("is_a").cast("long").alias("a_here"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b_here"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = grid.select(
+        "cents",
+        F.sum("a_here").over(w).alias("ia"),
+        F.sum("b_here").over(w).alias("jb"),
+    )
+    gaps = cdf.join(broadcast(tot)).select(
+        "cents",
+        "n_a",
+        "n_b",
+        F.abs(F.col("ia") * F.col("n_b") - F.col("jb") * F.col("n_a"))
+        .cast("long")
+        .alias("gap"),
+    )
+    best = gaps.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("gap").desc(), F.col("cents")))
+        .alias("pick"),
+    )
+    return best.filter(F.col("pick") == 1).select(
+        "n_a",
+        "n_b",
+        F.col("gap").alias("d_num"),
+        F.col("cents").alias("at_cents"),
+        F.expr("gap * 1000000 div (n_a * n_b)").alias("d_ppm"),
+    )
+
+
+@register(
+    "events_cochran_armitage",
+    """
+WITH pts AS (
+    SELECT event_type,
+           LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 // 10000, 4) AS band
+    FROM events
+), bands AS (
+    SELECT band, COUNT(*)::BIGINT AS n_i FROM pts GROUP BY 1
+), outcomes AS (
+    SELECT p.event_type, p.band, COUNT(*)::BIGINT AS r_i
+    FROM pts p GROUP BY 1, 2
+), n_tot AS (SELECT SUM(n_i)::BIGINT AS n FROM bands),
+per_type AS (
+    SELECT o.event_type,
+           SUM(o.r_i)::BIGINT AS r_total,
+           SUM(o.band * o.r_i)::BIGINT AS swr
+    FROM outcomes o GROUP BY 1
+), band_sums AS (
+    SELECT SUM(band * n_i)::BIGINT AS swn,
+           SUM(band * band * n_i)::BIGINT AS swwn
+    FROM bands
+)
+SELECT t.event_type,
+       n.n,
+       t.r_total,
+       (n.n * t.swr - t.r_total * b.swn)::BIGINT AS t_num,
+       (n.n * b.swwn - b.swn * b.swn)::BIGINT AS var_core,
+       (t.r_total * (n.n - t.r_total))::BIGINT AS rr
+FROM per_type t CROSS JOIN band_sums b CROSS JOIN n_tot n
+""",
+    doc="Cochran-Armitage trend test (Cochran 1954; Armitage 1955) of "
+    "each event type's incidence across ordered value bands (the "
+    "dose-response statistic): T = N*Sum(w_i r_i) - R*Sum(w_i n_i) with "
+    "integer band weights, emitted with the variance FACTORS var_core = "
+    "N*Sum(w^2 n) - (Sum(w n))^2 and rr = R(N-R) kept separate so every "
+    "emitted value is int64-exact (Z^2 = T^2 N / (rr * var_core) is the "
+    "consumer's one division — multiplying the factors here would "
+    "overflow at corpus scale, the chisq DECIMAL discipline). Band grid "
+    "dimension-bounded; two map-side-combined aggregates, broadcast "
+    "cross of three tiny sides",
+)
+def events_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.least(
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
+            ),
+            F.lit(4),
+        ).alias("band"),
+    )
+    bands = pts.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    outcomes = pts.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("r_i")
+    )
+    n_tot = bands.agg(F.sum("n_i").cast("long").alias("n"))
+    per_type = outcomes.groupBy("event_type").agg(
+        F.sum("r_i").cast("long").alias("r_total"),
+        F.sum(F.col("band") * F.col("r_i")).cast("long").alias("swr"),
+    )
+    band_sums = bands.agg(
+        F.sum(F.col("band") * F.col("n_i")).cast("long").alias("swn"),
+        F.sum(F.col("band") * F.col("band") * F.col("n_i"))
+        .cast("long")
+        .alias("swwn"),
+    )
+    return (
+        per_type.join(broadcast(band_sums))
+        .join(broadcast(n_tot))
+        .select(
+            "event_type",
+            "n",
+            "r_total",
+            (F.col("n") * F.col("swr") - F.col("r_total") * F.col("swn"))
+            .cast("long")
+            .alias("t_num"),
+            (F.col("n") * F.col("swwn") - F.col("swn") * F.col("swn"))
+            .cast("long")
+            .alias("var_core"),
+            (F.col("r_total") * (F.col("n") - F.col("r_total")))
+            .cast("long")
+            .alias("rr"),
+        )
+    )

@@ -918,3 +918,62 @@ FROM t
 def mm_mkv_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_mkv(read_table(spark, sf_dir, "documents"))
     return MM.mkv_tracks(media)
+
+
+@register(
+    "mm_tar_entries",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents),
+e AS (
+    SELECT d.doc_id, d.byte_len, j.k AS entry_no
+    FROM d, LATERAL (SELECT unnest(range(0, 1 + d.byte_len % 4)) AS k) j
+)
+SELECT doc_id,
+       CAST(entry_no AS BIGINT) AS entry_no,
+       'd' || CAST(doc_id AS VARCHAR) || '/f' || CAST(entry_no AS VARCHAR)
+           || '.txt' AS file_name,
+       CAST(10 + (doc_id * 13 + entry_no * 101) % 1500 AS BIGINT) AS size,
+       CAST(1700000000 + doc_id * 37 + entry_no AS BIGINT) AS mtime,
+       CAST(1 + (10 + (doc_id * 13 + entry_no * 101) % 1500 + 511) // 512
+            AS BIGINT) AS n_blocks
+FROM e
+""",
+    doc="POSIX ustar archive walk (the third archive container beside ZIP "
+    "and WARC): 512-byte block framing, size/mtime read as OCTAL (a "
+    "decimal read corrupts every offset after the first member), the "
+    "header checksum validated under the spec's replaced-by-spaces rule, "
+    "two-zero-block terminator enforced. Synthesized archives also parse "
+    "under stdlib tarfile (independent reader agreement, pytest). Oracle "
+    "replays name/size/mtime/block arithmetic. mapInPandas, "
+    "asset->member-rows linear fan-out, no shuffle",
+)
+def mm_tar_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_tar(read_table(spark, sf_dir, "documents"))
+    return MM.tar_entries(media)
+
+
+@register(
+    "mm_gzip_members",
+    f"""
+WITH d AS (SELECT doc_id, {_BYTE_LEN} AS byte_len FROM documents)
+SELECT doc_id,
+       'doc' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+       CAST(1700000000 + doc_id AS BIGINT) AS mtime,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_blocks,
+       CAST(20 + (doc_id * 11 + byte_len) % 900 AS BIGINT) AS payload_len
+FROM d
+""",
+    doc="gzip member decode (RFC 1952) over REAL fully-decodable streams: "
+    "stored deflate blocks (RFC 1951 BTYPE=00 — legal deflate, no "
+    "Huffman codec needed; compressed BTYPEs raise a NAMED codec gate), "
+    "optional-field header walk (FNAME NUL-terminated), the LEN/NLEN "
+    "ones-complement check per block, and the CRC32+ISIZE trailer "
+    "verified over the reassembled payload. Streams also decompress "
+    "under stdlib gzip (independent reader agreement, pytest; crc32 "
+    "asserted there — not SQL-replayable). The .warc.gz/.json.gz "
+    "transport shape of web corpora. Oracle replays header/block/length "
+    "arithmetic. mapInPandas, no shuffle",
+)
+def mm_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_gzip(read_table(spark, sf_dir, "documents"))
+    return MM.gzip_members(media)

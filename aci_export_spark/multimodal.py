@@ -5058,3 +5058,299 @@ def mkv_tracks(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(parse, schema=MKV_TRACKS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TAR (POSIX ustar): the third archive container beside ZIP and WARC —
+# 512-byte block framing, OCTAL size/mtime fields (a decimal read is the
+# classic bug and corrupts every offset after the first file), and the
+# header checksum computed with the checksum field REPLACED BY SPACES
+# (the spec's one weird rule). Sizes chosen to force non-trivial padding.
+# ---------------------------------------------------------------------------
+
+
+def _tar_header(name: str, size: int, mtime: int) -> bytes:
+    h = bytearray(512)
+    nb = name.encode()
+    h[0 : len(nb)] = nb
+    h[100:108] = b"0000644\x00"                 # mode
+    h[108:116] = b"0000000\x00"                 # uid
+    h[116:124] = b"0000000\x00"                 # gid
+    h[124:136] = f"{size:011o}\x00".encode()    # size, OCTAL
+    h[136:148] = f"{mtime:011o}\x00".encode()   # mtime, OCTAL
+    h[148:156] = b" " * 8                       # checksum field = spaces
+    h[156] = ord("0")                           # typeflag: regular file
+    h[257:263] = b"ustar\x00"                   # magic
+    h[263:265] = b"00"                          # version
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}\x00 ".encode()
+    return bytes(h)
+
+
+def synth_tar(doc_id: int, byte_len: int) -> bytes:
+    """A genuine ustar archive: 1-4 regular files with octal-encoded
+    sizes/mtimes, 512-byte padded contents, and the two-zero-block
+    terminator. Field values derive from (doc_id, byte_len)."""
+    n_files = 1 + byte_len % 4
+    out = b""
+    for k in range(n_files):
+        size = 10 + (doc_id * 13 + k * 101) % 1500   # crosses block sizes
+        mtime = 1_700_000_000 + doc_id * 37 + k
+        name = f"d{doc_id}/f{k}.txt"
+        body = bytes(((doc_id + k + j) & 0xFF) for j in range(size))
+        pad = (-size) % 512
+        out += _tar_header(name, size, mtime) + body + bytes(pad)
+    return out + bytes(1024)
+
+
+def parse_tar_entries(data: bytes) -> list[dict]:
+    """Walk the 512-byte block chain. Raises on a bad magic, a checksum
+    that fails the replaced-by-spaces rule, a non-octal size field, a
+    truncated member, or a missing two-zero-block terminator."""
+    entries: list[dict] = []
+    i = 0
+    while True:
+        if i + 512 > len(data):
+            raise ValueError("TAR: truncated header block")
+        block = data[i : i + 512]
+        if block == bytes(512):
+            if data[i + 512 : i + 1024] != bytes(512):
+                raise ValueError("TAR: missing second terminator block")
+            break
+        if block[257:263] != b"ustar\x00":
+            raise ValueError("TAR: bad ustar magic")
+        stored = block[148:156]
+        spaced = block[:148] + b" " * 8 + block[156:]
+        chk = int(stored.rstrip(b"\x00 ").lstrip(), 8)
+        if chk != sum(spaced):
+            raise ValueError(f"TAR: checksum {chk} != {sum(spaced)}")
+        size_field = block[124:136].rstrip(b"\x00 ")
+        if not size_field or any(c not in b"01234567" for c in size_field):
+            raise ValueError("TAR: non-octal size field")
+        size = int(size_field, 8)
+        mtime = int(block[136:148].rstrip(b"\x00 "), 8)
+        name = block[:100].rstrip(b"\x00").decode("latin-1")
+        body_end = i + 512 + size
+        if body_end > len(data):
+            raise ValueError("TAR: truncated member body")
+        entries.append(
+            {
+                "entry_no": len(entries),
+                "file_name": name,
+                "size": size,
+                "mtime": mtime,
+                "n_blocks": 1 + (size + 511) // 512,
+            }
+        )
+        i = body_end + ((-size) % 512)
+    return entries
+
+
+def attach_tar(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with ustar payloads (:func:`synth_tar`).
+    mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_tar(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+TAR_ENTRIES_SCHEMA = (
+    "doc_id long, entry_no long, file_name string, size long, mtime long, "
+    "n_blocks long"
+)
+
+
+def tar_entries(media: DataFrame) -> DataFrame:
+    """Per-member rows via the block walk. mapInPandas, linear fan-out."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "entry_no", "file_name", "size", "mtime",
+                "n_blocks",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                for e in parse_tar_entries(bytes(content)):
+                    out["doc_id"].append(int(d))
+                    out["entry_no"].append(int(e["entry_no"]))
+                    out["file_name"].append(e["file_name"])
+                    out["size"].append(int(e["size"]))
+                    out["mtime"].append(int(e["mtime"]))
+                    out["n_blocks"].append(int(e["n_blocks"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=TAR_ENTRIES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# gzip (RFC 1952) with STORED deflate blocks (RFC 1951 BTYPE=00): a REAL,
+# fully-decodable gzip — no Huffman codec needed, stored blocks are legal
+# deflate — exercising the optional-field header walk (FNAME terminated by
+# NUL), the LEN/NLEN ones-complement check inside every stored block, and
+# the CRC32+ISIZE trailer (zlib CRC over the DECOMPRESSED payload). The
+# web-corpus transport format: .warc.gz / .json.gz land exactly here.
+# ---------------------------------------------------------------------------
+
+
+def synth_gzip(doc_id: int, byte_len: int) -> bytes:
+    """A genuine single-member gzip: FLG.FNAME set, payload split across
+    1-3 stored deflate blocks, correct CRC32/ISIZE trailer. Verifiable
+    with stdlib gzip.decompress (independent reader agreement)."""
+    import struct
+    import zlib
+
+    total = 20 + (doc_id * 11 + byte_len) % 900
+    payload = bytes(((doc_id + j) & 0xFF) for j in range(total))
+    mtime = 1_700_000_000 + doc_id
+    name = f"doc{doc_id}.bin"
+    out = (
+        b"\x1f\x8b\x08\x08"                      # magic, CM=deflate, FNAME
+        + struct.pack("<I", mtime)
+        + b"\x00\x03"                            # XFL, OS=unix
+        + name.encode() + b"\x00"
+    )
+    n_blocks = 1 + doc_id % 3
+    cut = [total * k // n_blocks for k in range(n_blocks + 1)]
+    for k in range(n_blocks):
+        chunk = payload[cut[k] : cut[k + 1]]
+        final = 1 if k == n_blocks - 1 else 0
+        out += bytes([final])                    # BFINAL, BTYPE=00
+        out += struct.pack("<HH", len(chunk), len(chunk) ^ 0xFFFF)
+        out += chunk
+    out += struct.pack("<II", zlib.crc32(payload), total % (1 << 32))
+    return out
+
+
+def parse_gzip_member(data: bytes) -> dict:
+    """Decode header, stored deflate blocks, and trailer. Raises on a bad
+    magic/CM, an unsupported BTYPE (Huffman blocks are codec-gated), a
+    LEN/NLEN complement mismatch, a CRC32 or ISIZE trailer mismatch, or
+    trailing garbage."""
+    import struct
+    import zlib
+
+    if len(data) < 18 or data[:2] != b"\x1f\x8b":
+        raise ValueError("GZIP: bad magic")
+    if data[2] != 8:
+        raise ValueError(f"GZIP: CM {data[2]} != deflate")
+    flg = data[3]
+    mtime = struct.unpack_from("<I", data, 4)[0]
+    i = 10
+    if flg & 0x04:                               # FEXTRA
+        xlen = struct.unpack_from("<H", data, i)[0]
+        i += 2 + xlen
+    name = None
+    if flg & 0x08:                               # FNAME
+        end = data.index(b"\x00", i)
+        name = data[i:end].decode("latin-1")
+        i = end + 1
+    if flg & 0x10:                               # FCOMMENT
+        i = data.index(b"\x00", i) + 1
+    if flg & 0x02:                               # FHCRC
+        i += 2
+    payload = b""
+    n_blocks = 0
+    while True:
+        if i >= len(data):
+            raise ValueError("GZIP: truncated deflate stream")
+        bfinal = data[i] & 0x01
+        btype = (data[i] >> 1) & 0x03
+        if btype != 0:
+            raise NotImplementedError(
+                "GZIP: Huffman deflate blocks are codec-gated; only "
+                "stored (BTYPE=00) blocks decode here"
+            )
+        ln, nln = struct.unpack_from("<HH", data, i + 1)
+        if ln != nln ^ 0xFFFF:
+            raise ValueError("GZIP: LEN/NLEN complement mismatch")
+        payload += data[i + 5 : i + 5 + ln]
+        if len(data) < i + 5 + ln:
+            raise ValueError("GZIP: truncated stored block")
+        i += 5 + ln
+        n_blocks += 1
+        if bfinal:
+            break
+    crc, isize = struct.unpack_from("<II", data, i)
+    if i + 8 != len(data):
+        raise ValueError("GZIP: trailing garbage after the trailer")
+    if crc != zlib.crc32(payload):
+        raise ValueError("GZIP: CRC32 trailer mismatch")
+    if isize != len(payload) % (1 << 32):
+        raise ValueError("GZIP: ISIZE trailer mismatch")
+    return {
+        "file_name": name,
+        "mtime": mtime,
+        "n_blocks": n_blocks,
+        "payload_len": len(payload),
+        "crc32": crc,
+    }
+
+
+def attach_gzip(docs: DataFrame) -> DataFrame:
+    """(doc_id, byte_len, content) with gzip payloads (:func:`synth_gzip`).
+    mapInPandas, no shuffle."""
+    src = docs.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["byte_len"],
+                    "content": [
+                        synth_gzip(int(d), int(b))
+                        for d, b in zip(pdf["doc_id"], pdf["byte_len"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        build, schema="doc_id long, byte_len long, content binary"
+    )
+
+
+GZIP_INFO_SCHEMA = (
+    "doc_id long, file_name string, mtime long, n_blocks long, "
+    "payload_len long"
+)
+
+
+def gzip_members(media: DataFrame) -> DataFrame:
+    """Member facts via the stored-deflate decode. mapInPandas, no
+    shuffle. (crc32 is asserted in pytest, not oracle-projected — it is
+    not SQL-replayable arithmetic.)"""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "file_name", "mtime", "n_blocks", "payload_len",
+            )}
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                m = parse_gzip_member(bytes(content))
+                out["doc_id"].append(int(d))
+                out["file_name"].append(m["file_name"])
+                out["mtime"].append(int(m["mtime"]))
+                out["n_blocks"].append(int(m["n_blocks"]))
+                out["payload_len"].append(int(m["payload_len"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=GZIP_INFO_SCHEMA)
