@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 
 from aci_export_spark.llm.text import word_tokens
 
+#: Loud cap on the corpus size the EXACT test will run at. The big-int
+#: hypergeometric masses carry ~N/7 digits and the support loop is
+#: min(margins) steps, so cost grows super-linearly in N — measured 1.1 s
+#: at N=5,000 but 72.9 s at N=50,000 (the CD-10x stress row). Exact
+#: Fisher is a bounded-table statistic; past this cap the query FAILS
+#: NAMED (the chisq/PMI discipline) — use llm_chisq_terms (asymptotically
+#: equivalent at these counts) or a log-gamma approximation, the
+#: documented 100 TB dial.
+FISHER_MAX_N = 20_000
+
 
 def _fisher_p_ppb(n11: int, n1_: int, n_1: int, n_tot: int) -> int:
     """Two-sided Fisher exact p on the ppb grid, exact big-int arithmetic.
@@ -86,10 +96,22 @@ def fisher_bh_terms(
     domain_col: str = "source",
     min_df: int = 5,
     q_ppb: int = 50_000_000,  # q = 0.05 on the ppb grid
+    max_n: int = FISHER_MAX_N,
 ) -> DataFrame:
     """Per (domain, term): the exact two-sided Fisher p (ppb grid) of the
     2x2 doc-presence table, the BH rank within the domain, and the BH
-    rejection flag at FDR q. Output is (domain x term)-bounded."""
+    rejection flag at FDR q. Output is (domain x term)-bounded.
+
+    Raises ValueError when the corpus exceeds ``max_n`` docs — see
+    :data:`FISHER_MAX_N` for why exactness is priced out past that."""
+    n_docs = df.count()
+    if n_docs > max_n:
+        raise ValueError(
+            f"fisher_bh_terms: {n_docs} docs exceeds FISHER_MAX_N={max_n}; "
+            "the exact big-int hypergeometric is a bounded-table statistic "
+            "(72.9 s at N=50k, CD-10x row) — use chisq_feature_terms or a "
+            "log-gamma approximation at this corpus size"
+        )
     pres = (
         df.select(
             F.col(domain_col).alias("domain"),
@@ -136,14 +158,19 @@ def fisher_bh_terms(
     w = Window.partitionBy("domain").orderBy("p_ppb", "term")
     ranked = scored.select(
         "*",
-        F.row_number().over(w).alias("bh_rank"),
+        # row_number() is 32-bit; rank * q_ppb wraps int32 at rank >= 43
+        # (caught by the CD-10x stress sweep under ANSI mode — in a
+        # non-ANSI session it would silently flip `significant` instead),
+        # so the rank is widened BEFORE any arithmetic touches it
+        F.row_number().over(w).cast("long").alias("bh_rank"),
         F.count(F.lit(1)).over(Window.partitionBy("domain")).alias("m"),
     )
-    # BH: reject ranks <= max{ i : p_(i) * m <= i * q } — all integers
+    # BH: reject ranks <= max{ i : p_(i) * m <= i * q } — all int64
     cond_rank = F.when(
-        F.col("p_ppb") * F.col("m") <= F.col("bh_rank") * F.lit(q_ppb),
+        F.col("p_ppb") * F.col("m")
+        <= F.col("bh_rank") * F.lit(q_ppb).cast("long"),
         F.col("bh_rank"),
-    ).otherwise(F.lit(0))
+    ).otherwise(F.lit(0).cast("long"))
     cutoff = F.max(cond_rank).over(Window.partitionBy("domain"))
     return ranked.select(
         "domain",

@@ -195,6 +195,10 @@ QUERIES = [
     "events_pettitt",
     "events_isotonic_calibration",
     "orders_hhi_concentration",
+    # KS gap grid is distinct-value-bounded; CA band grid is 5 rows —
+    # both scans linear, both statistics dimension-sized
+    "events_ks_two_sample",
+    "events_cochran_armitage",
 ]
 
 
@@ -288,9 +292,14 @@ CD_QUERIES = [
     "mm_ogg_pages",
     "mm_pdf_pages",
     "mm_mkv_tracks",
+    "mm_tar_entries",
+    "mm_gzip_members",
     "llm_blocklist_match",
     "llm_quality_kn_trigram",
-    "llm_fisher_terms_fdr",
+    # llm_fisher_terms_fdr is deliberately ABSENT: the CD-10x corpus
+    # (N=50k docs) exceeds FISHER_MAX_N=20k and the query raises its
+    # named cap (measured 72.9 s pre-cap — the SCALE.md r11 row; exact
+    # Fisher is a bounded-table statistic, chisq is the scale dial)
 ]
 
 OUT_CD = os.environ.get("STRESS_CD_OUT", "/tmp/stress10x_cd")

@@ -4,6 +4,7 @@ against a hand-computed example."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from aci_export_spark.llm.fisher import (
@@ -61,3 +62,15 @@ def test_bh_grid_rule_hand_example() -> None:
         if p * m <= i * q_ppb:
             cutoff = i
     assert cutoff == 2
+
+
+def test_corpus_cap_trips_loudly() -> None:
+    from aci_export_spark.llm.fisher import fisher_bh_terms
+    from aci_export_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.range(30).selectExpr(
+        "id AS doc_id", "'a b c' AS text", "'s' AS source"
+    )
+    with pytest.raises(ValueError, match="FISHER_MAX_N"):
+        fisher_bh_terms(df, max_n=10)
