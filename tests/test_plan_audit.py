@@ -78,8 +78,16 @@ BNLJ_ALLOWED = {
     "orders_rfm_segments",  # 1-row corpus-max-date aggregate broadcast
     "llm_quality_kn_bigram",  # 1-row bigram-type-count (T) broadcast cross
     # + 1-row corpus-mean broadcast — the unigram/bigram LM shape
+    "llm_quality_kn_trigram",  # same LM shape one order up: 1-row
+    # bigram/trigram-type-count broadcasts + the corpus-mean cross
     "events_survival_km",  # 1-row corpus-max-day (censoring horizon)
     # aggregate broadcast
+    "events_ks_two_sample",  # 1-row (n_a, n_b) sample-size aggregate
+    # broadcast crossed into the gap scan — the scalar-subquery shape
+    "events_cochran_armitage",  # 1-row band-weight sums + 1-row N
+    # aggregate broadcasts crossed into the per-type statistic
+    "llm_fisher_terms_fdr",  # 1-row corpus-count (N) aggregate broadcast
+    # crossed into the vocabulary-bounded margin table
     "llm_sim_binary_hamming_topk",  # tiny query side broadcast with the
     # definitional non-equi self-exclusion — the sq8 compressed-brute-scan
     # shape; composes under IVF cells at corpus scale
