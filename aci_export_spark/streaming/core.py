@@ -799,24 +799,34 @@ def _file_drop_index_stream(
     # corpus×operator) and REUSED across runs — only the checkpoint is
     # removed in the finally below
     key = hashlib.md5(
-        f"{sf_dir}:{n_files}:{_FILE_SPREAD}:{stage_key}".encode()
+        f"{sf_dir}:{n_files}:{_FILE_SPREAD}:v2:{stage_key}".encode()
     ).hexdigest()[:16]
     stage = f"/tmp/spark_graft_{stage_key}_stream_{key}"
     spread = _FILE_SPREAD
     # the landing dir is a DETERMINISTIC function of its key (corpus path,
     # layout, operator), so a completed prior staging is reused — _SUCCESS
     # is the completeness witness (a crashed half-write lacks it and is
-    # rewritten); bench reps and oracle re-runs skip the staging write
+    # rewritten); bench reps and oracle re-runs skip the staging write.
+    # Partition count is capped by the doc count so a SMALL corpus (the
+    # degenerate sweep's duplicate/tiny fixtures) does not land mostly
+    # EMPTY part files — with empties, one trigger could hold every row
+    # and the two-batch guard below would fire spuriously
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        docs.repartitionByRange(n_files * spread, "doc_id").write.mode(
+        n_parts = max(2, min(n_files * spread, docs.count()))
+        docs.repartitionByRange(n_parts, "doc_id").write.mode(
             "overwrite"
         ).parquet(stage)
+    n_landed = len(
+        [f for f in os.listdir(stage) if f.startswith("part-")]
+    )
+    # trigger size derived from the ACTUAL landed file count: at the real
+    # corpus (40 files) this is the same 2-micro-batch split as the fixed
+    # 24-file trigger; at a tiny corpus it shrinks so the incremental
+    # merge path is still genuinely exercised
+    mfpt = max(1, min(max(1, int(files_per_trigger)) * spread, n_landed // 2))
     stream = (
         spark.readStream.schema(docs.schema)
-        .option(
-            "maxFilesPerTrigger",
-            str(max(1, int(files_per_trigger)) * spread),
-        )
+        .option("maxFilesPerTrigger", str(mfpt))
         .parquet(stage)
     )
     state: dict = {"index": None, "batches": 0}
