@@ -32,9 +32,16 @@ def test_stream_merges_to_batch_rebuild(spark):
     assert got == want and len(want) > 0
 
 
-def test_single_batch_guard_raises(spark):
+def test_single_batch_guard_raises(spark, tmp_path):
+    # Since the trigger adapted to the landed file count (min(cap,
+    # files//2)), a small n_files alone can no longer force one batch —
+    # the genuine single-batch condition is a corpus whose landing holds
+    # only ONE non-empty file, i.e. a 1-doc corpus
+    read_table(spark, SF, "documents").limit(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
     with pytest.raises(RuntimeError, match="micro-batch"):
-        ST.chunk_index_stream(spark, SF, n_files=1)
+        ST.chunk_index_stream(spark, str(tmp_path), n_files=1)
 
 
 def test_winnow_stream_merges_to_batch_rebuild(spark):

@@ -33,6 +33,11 @@ def test_stream_merges_to_batch_rebuild(spark):
     assert got == want and len(want) > 0
 
 
-def test_single_batch_guard_raises(spark):
+def test_single_batch_guard_raises(spark, tmp_path):
+    # see test_streaming_chunk_index: the adaptive trigger means only a
+    # one-non-empty-file landing (a 1-doc corpus) runs in a single batch
+    read_table(spark, SF, "documents").limit(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
     with pytest.raises(RuntimeError, match="micro-batch"):
-        ST.gram_index_stream(spark, SF, n=8, min_docs=2, n_files=1)
+        ST.gram_index_stream(spark, str(tmp_path), n=8, min_docs=2, n_files=1)
