@@ -524,13 +524,13 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "mm_gzip_members",
     "events_ks_two_sample",
     "events_cochran_armitage",
+    "llm_mcnemar_filters",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
     "docs_source_similarity",
     "dq_join_key_skew",
     "dq_value_drift_cells",
-    "er_fuzzy_entities",
 ]
 
 

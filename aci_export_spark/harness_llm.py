@@ -6443,3 +6443,63 @@ def llm_fisher_terms_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return fisher_bh_terms(docs, "doc_id", "text", domain_col="source")
+
+
+def _mcnemar_golden_oracle() -> str:
+    """Golden-VALUES oracle: discordant counts via an independent DuckDB
+    aggregation over the SAME two filter predicates, p via the
+    direct-comb reference (the engine walks a recurrence)."""
+    import duckdb
+
+    from aci_export_spark.llm.fisher import mcnemar_reference_p_ppb
+
+    b, c, n = duckdb.connect().execute(
+        f"""
+        SELECT
+          SUM(CASE WHEN length(text) >= 250
+                    AND NOT len({_SQL_TOKS}) >= 45 THEN 1 ELSE 0 END),
+          SUM(CASE WHEN NOT length(text) >= 250
+                    AND len({_SQL_TOKS}) >= 45 THEN 1 ELSE 0 END),
+          COUNT(*)
+        FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        """
+    ).fetchone()
+    p = mcnemar_reference_p_ppb(int(b), int(c))
+    sig = "TRUE" if p <= 50_000_000 else "FALSE"
+    return (
+        "SELECT CAST(n_pairs AS BIGINT) AS n_pairs, "
+        "CAST(n_a_only AS BIGINT) AS n_a_only, "
+        "CAST(n_b_only AS BIGINT) AS n_b_only, "
+        "CAST(p_ppb AS BIGINT) AS p_ppb, "
+        "CAST(significant AS BOOLEAN) AS significant "
+        f"FROM (VALUES ({n}, {b}, {c}, {p}, {sig})) "
+        "AS t(n_pairs, n_a_only, n_b_only, p_ppb, significant)"
+    )
+
+
+@register(
+    "llm_mcnemar_filters",
+    _mcnemar_golden_oracle,  # resolved lazily; recurrence-vs-comb fuzz +
+    # hand vector in tests/test_fisher.py
+    doc="McNemar's exact test (McNemar 1947) of whether two curation "
+    "filters — a char-length gate and a token-count gate over the SAME "
+    "documents — disagree symmetrically: the paired-binary sibling of "
+    "llm_fisher_terms_fdr completing the exact-test suite (Fisher, "
+    "chi-square, KS, Cochran-Armitage, McNemar). Only discordant rows "
+    "carry information; p = min(1, 2*P(Bin(b+c,1/2) <= min(b,c))) is "
+    "computed with the exact integer binomial recurrence on the ppb "
+    "grid, driver-side on the 1-row (b, c, n) statistic behind the loud "
+    "MCNEMAR_MAX_DISC cap (chi-square (b-c)^2/(b+c) is the documented "
+    "dial past it). One map-side-combined aggregate; the corpus is "
+    "scanned once and never collected",
+)
+def llm_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aci_export_spark.llm.dedup import word_tokens
+    from aci_export_spark.llm.fisher import mcnemar_filters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return mcnemar_filters(
+        docs,
+        F.length("text") >= 250,
+        F.size(word_tokens(F.col("text"))) >= 45,
+    )

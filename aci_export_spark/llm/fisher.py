@@ -182,3 +182,81 @@ def fisher_bh_terms(
         F.col("bh_rank").cast("long").alias("bh_rank"),
         (F.col("bh_rank") <= cutoff).alias("significant"),
     )
+
+
+#: Loud cap on the discordant-pair count the EXACT McNemar test will sum
+#: over — past this the binomial tail has ~n/3-digit terms times n/2
+#: summands and the normal approximation chi2 = (b-c)^2/(b+c) is the
+#: documented dial (same reasoning as FISHER_MAX_N).
+MCNEMAR_MAX_DISC = 10_000
+
+
+def mcnemar_exact_p_ppb(b: int, c: int) -> int:
+    """Exact two-sided McNemar p (the binomial sign test on discordant
+    pairs): p = min(1, 2*P(Bin(b+c, 1/2) <= min(b, c))), floored onto the
+    ppb grid. Binomials walked by the exact integer recurrence
+    C(n, k+1) = C(n, k)*(n-k) // (k+1); no float anywhere."""
+    n = b + c
+    if n == 0:
+        return 1_000_000_000
+    if n > MCNEMAR_MAX_DISC:
+        raise ValueError(
+            f"mcnemar: {n} discordant pairs exceeds "
+            f"MCNEMAR_MAX_DISC={MCNEMAR_MAX_DISC}; use the chi-square "
+            "approximation (b-c)^2/(b+c) at this scale"
+        )
+    m = min(b, c)
+    term = 1  # C(n, 0)
+    tail = 1
+    for k in range(m):
+        term = term * (n - k) // (k + 1)
+        tail += term
+    p_num = 2 * tail
+    denom = 1 << n
+    return min(1_000_000_000, (p_num * 1_000_000_000) // denom)
+
+
+def mcnemar_reference_p_ppb(b: int, c: int) -> int:
+    """Independent definitional reference: every binomial via math.comb
+    directly (no recurrence), same cap-at-1 rule and ppb floor."""
+    import math
+
+    n = b + c
+    if n == 0:
+        return 1_000_000_000
+    p_num = 2 * sum(math.comb(n, k) for k in range(min(b, c) + 1))
+    return min(1_000_000_000, (p_num * 1_000_000_000) // (1 << n))
+
+
+def mcnemar_filters(
+    df: DataFrame,
+    pred_a,
+    pred_b,
+    q_ppb: int = 50_000_000,
+) -> DataFrame:
+    """McNemar's exact test (McNemar 1947) of whether two boolean
+    per-row predicates (two curation filters' keep decisions on the SAME
+    documents) disagree symmetrically: only the discordant cells matter
+    (b = A-only, c = B-only); concordant rows carry no information about
+    marginal homogeneity. One map-side-combined aggregate reduces the
+    corpus to the 1-row (b, c, n) statistic; the exact binomial tail runs
+    driver-side on it behind the loud :data:`MCNEMAR_MAX_DISC` cap."""
+    spark = df.sparkSession
+    row = df.select(
+        F.sum(F.when(pred_a & ~pred_b, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~pred_a & pred_b, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    ).collect()[0]
+    b, c, n_pairs = int(row["b"]), int(row["c"]), int(row["n_pairs"])
+    p = mcnemar_exact_p_ppb(b, c)
+    return spark.createDataFrame(
+        [(n_pairs, b, c, p, p <= q_ppb)],
+        schema=(
+            "n_pairs long, n_a_only long, n_b_only long, p_ppb long, "
+            "significant boolean"
+        ),
+    )

@@ -74,3 +74,36 @@ def test_corpus_cap_trips_loudly() -> None:
     )
     with pytest.raises(ValueError, match="FISHER_MAX_N"):
         fisher_bh_terms(df, max_n=10)
+
+
+def test_mcnemar_hand_vector() -> None:
+    from aci_export_spark.llm.fisher import mcnemar_exact_p_ppb
+
+    # b=3, c=5: n=8, tail k<=3 = 1+8+28+56 = 93; p = 2*93/256
+    assert mcnemar_exact_p_ppb(3, 5) == 726562500
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 60), st.integers(0, 60))
+def test_mcnemar_recurrence_matches_comb(b: int, c: int) -> None:
+    from aci_export_spark.llm.fisher import (
+        mcnemar_exact_p_ppb,
+        mcnemar_reference_p_ppb,
+    )
+
+    assert mcnemar_exact_p_ppb(b, c) == mcnemar_reference_p_ppb(b, c)
+    assert mcnemar_exact_p_ppb(b, c) <= 1_000_000_000
+
+
+def test_mcnemar_no_discordance_is_null_result() -> None:
+    from aci_export_spark.llm.fisher import mcnemar_exact_p_ppb
+
+    assert mcnemar_exact_p_ppb(0, 0) == 1_000_000_000
+    assert mcnemar_exact_p_ppb(7, 7) == 1_000_000_000  # symmetric cap
+
+
+def test_mcnemar_cap_trips_loudly() -> None:
+    from aci_export_spark.llm.fisher import mcnemar_exact_p_ppb
+
+    with pytest.raises(ValueError, match="MCNEMAR_MAX_DISC"):
+        mcnemar_exact_p_ppb(20_000, 1)
