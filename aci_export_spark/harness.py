@@ -525,12 +525,12 @@ DRIVER_WINDOW_PRIORITY: list[str] = [
     "events_ks_two_sample",
     "events_cochran_armitage",
     "llm_mcnemar_filters",
+    "events_runs_test",
     # r6-cohort backfill (alphabetical; remainder repays at the r12 head)
     "docs_hybrid_rrf_topk",
     "docs_inverted_index",
     "docs_source_similarity",
     "dq_join_key_skew",
-    "dq_value_drift_cells",
 ]
 
 

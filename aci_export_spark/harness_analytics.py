@@ -3883,3 +3883,95 @@ def events_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (exact integer sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_runs_test",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+), deltas AS (
+    SELECT event_type, day,
+           CASE WHEN n > LAG(n) OVER w THEN 1
+                WHEN n < LAG(n) OVER w THEN -1 END AS sgn
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), signs AS (
+    SELECT event_type, day, sgn,
+           LAG(sgn) OVER (PARTITION BY event_type ORDER BY day) AS prev_sgn
+    FROM deltas WHERE sgn IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_moves,
+       SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+       SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+       (1 + SUM(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+                     THEN 1 ELSE 0 END))::BIGINT AS n_runs,
+       (2 * SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+          * SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+          + COUNT(*))::BIGINT AS er_x_n
+FROM signs GROUP BY 1
+""",
+    doc="Wald-Wolfowitz runs test (1940) per event type over the daily "
+    "up/down move sequence — the randomness check completing the trend "
+    "suite (MK asks 'is there a trend', runs asks 'is the sequence "
+    "random at all'): ties dropped per the standard treatment, R = sign "
+    "changes + 1, and E[R]·n = 2·n_up·n_down + n emitted as the exact "
+    "int64 numerator (the CA factor discipline — the consumer's z-score "
+    "is one division). Two windows over the calendar-bounded daily grid "
+    "after one map-side-combined aggregate",
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    deltas = daily.select(
+        "event_type",
+        "day",
+        F.when(F.col("n") > F.lag("n").over(w), 1)
+        .when(F.col("n") < F.lag("n").over(w), -1)
+        .alias("sgn"),
+    ).filter(F.col("sgn").isNotNull())
+    signs = deltas.select(
+        "event_type",
+        "sgn",
+        F.lag("sgn")
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("prev_sgn"),
+    )
+    return signs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_sgn").isNotNull()
+                    & (F.col("sgn") != F.col("prev_sgn")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+        (
+            2
+            * F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+            * F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+            + F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("er_x_n"),
+    )

@@ -199,6 +199,7 @@ QUERIES = [
     # both scans linear, both statistics dimension-sized
     "events_ks_two_sample",
     "events_cochran_armitage",
+    "events_runs_test",
 ]
 
 
