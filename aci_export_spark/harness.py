@@ -464,8 +464,8 @@ WINDOW_BUILT_FROM_ROUND = 10
 #: head because the window arithmetic overflowed 50. EMPTY this round: the
 #: whole 26-name r5 deferral set sits at the window head, so the oldest
 #: cohort is fully in-window and nothing defers. (The r6 cohort is NOT the
-#: oldest cohort at this build; the 36 of its 42 rows that did not fit the
-#: backfill slots — this round's 16 new registrations displaced backfill
+#: oldest cohort at this build; the 38 of its 42 rows that did not fit the
+#: backfill slots — this round's 18 new registrations displaced backfill
 #: tail-first — repay at the r12 head per the ROUND-12 NOTE above.)
 WINDOW_DEFERRED: frozenset[str] = frozenset()
 
