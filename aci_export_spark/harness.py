@@ -48,7 +48,26 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release persisted intermediates left by the PREVIOUS query
+            # invocation (operators register theirs via
+            # artifacts.persist_tracked). Leaked persists are not only a
+            # memory leak: CacheManager matches canonicalized plans, so a
+            # later invocation of the same query would silently read the
+            # earlier invocation's InMemoryRelation instead of computing —
+            # cross-rep result caching the bench must not do.
+            from aci_export_spark import artifacts
+
+            artifacts.release_tracked()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(fn=wrapped, oracle=oracle, doc=doc)
+        # module-level callers (queries composing other queries, tests,
+        # bench warmup) get the unwrapped function: the drain belongs to
+        # the REGISTRY invocation boundary only
         return fn
 
     return deco

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from aci_export_spark.artifacts import persist_tracked
 
 from aci_export_spark.harness import register, _dec
 from aci_export_spark.sources import read_table
@@ -294,7 +295,7 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    daily = daily.persist()
+    daily = persist_tracked(daily)
     covered = daily.select(
         F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
         "item",
@@ -579,7 +580,7 @@ def events_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("zfile"),
         F.shiftright(F.col("minute_of_day"), 4).cast("long").alias("tfile"),
     )
-    keyed = keyed.persist()
+    keyed = persist_tracked(keyed)
 
     def layout_stats(file_col: str, label: str) -> DataFrame:
         stats = keyed.groupBy(file_col).agg(
@@ -1000,7 +1001,7 @@ def events_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "dow")
         .agg(F.count(F.lit(1)).cast("long").alias("observed"))
     )
-    cells = cells.persist()
+    cells = persist_tracked(cells)
     rowt = cells.groupBy("event_type").agg(
         F.sum("observed").cast("long").alias("row_total")
     )
@@ -1180,7 +1181,7 @@ def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__tf"))
         .select("doc_id", "token")
     )
-    tf = tf.persist()
+    tf = persist_tracked(tf)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     top = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(20)
     return (
@@ -1785,7 +1786,7 @@ def docs_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(word_tokens(F.col("text"))).alias("token"))
         .distinct()
     )
-    vocab = vocab.persist()
+    vocab = persist_tracked(vocab)
     sizes = vocab.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("vocab_size")
     )
@@ -1875,7 +1876,7 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    daily = daily.persist()
+    daily = persist_tracked(daily)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -3060,7 +3061,7 @@ FROM dau JOIN mau ON dau.day = mau.day
 def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    activity = activity.persist()
+    activity = persist_tracked(activity)
     dau = activity.groupBy(F.col("d").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("dau")
     )

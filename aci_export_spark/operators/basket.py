@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from aci_export_spark.artifacts import persist_tracked
 
 
 def cooccurrence_pairs(
@@ -47,12 +48,11 @@ def cooccurrence_pairs(
     # fact per consumer (without the persist the plan re-derives it 4×:
     # 20 scans, 23 exchanges), and the cached basket partitioning makes the
     # self-join exchange-free (both sides read co-partitioned cache)
-    bounded = (
+    bounded = persist_tracked(
         items.join(
             sizes.filter(F.col("__n") <= max_basket_items).select("__b"), on="__b"
         )
         .repartition(F.col("__b"))
-        .persist()
     )
     a = bounded.select("__b", F.col("__i").alias("item_a"))
     b = bounded.select("__b", F.col("__i").alias("item_b"))
@@ -119,24 +119,22 @@ def frequent_triples(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
     sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    bounded = (
+    bounded = persist_tracked(
         items.join(
             sizes.filter(F.col("__n") <= max_basket_items).select("__b"), on="__b"
         )
         .repartition(F.col("__b"))
-        .persist()
     )
     a = bounded.select("__b", F.col("__i").alias("item_a"))
     b = bounded.select("__b", F.col("__i").alias("item_b"))
     c = bounded.select("__b", F.col("__i").alias("item_c"))
-    freq_pairs = (
+    freq_pairs = persist_tracked(
         a.join(b, on="__b")
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("__ps"))
         .filter(F.col("__ps") >= min_support)
         .select("item_a", "item_b")
-        .persist()
     )
     cand = (
         a.join(b, on="__b")

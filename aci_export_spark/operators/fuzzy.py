@@ -830,16 +830,19 @@ def jaro_winkler_pairs(
     against jw_ppm) over 26 letter classes + one other-chars class (whose
     min is still a valid bound on cross-class matches).  On the brand-
     blocked part corpus it passes ~5% of pairs, cutting the greedy
-    comparator's work ~19×.  It runs VECTORIZED INSIDE THE ARROW STAGE
-    (per-name histograms memoized per worker — name cardinality, not pair
-    cardinality — then a factorize + numpy gather + per-batch
-    ``minimum().sum()``), NOT as a join condition: a first cut emitted it
-    as 27 scalar ``least`` columns in the join's codegen and measured
-    320 CPU-s cold vs 21 warm — the giant generated method loses its
-    codegen-cache slot between interleaved bench reps and re-runs
-    interpreted over all 8M pairs; the numpy form costs the same ~20
-    CPU-s EVERY time.  Disabled when the threshold makes the bound
-    vacuous (T ≤ 0.6 → rhs ≤ 0).
+    comparator's work ~19×.  It runs INSIDE THE ARROW STAGE, ONCE PER
+    DISTINCT NAME PAIR (prefilter + comparator results memoized per
+    worker — name-PAIR cardinality, never row cardinality; each row batch
+    is factorized to pair codes and gathers its scores with one int64
+    indexing op — the part corpus carries 2.3M candidate rows over only
+    872 distinct name pairs, so anything per-row is ~2600× redundant),
+    NOT as a join condition: a first cut emitted it as 27 scalar
+    ``least`` columns in the join's codegen and measured 320 CPU-s cold
+    vs 21 warm — the giant generated method loses its codegen-cache slot
+    between interleaved bench reps and re-runs interpreted over all 8M
+    pairs; the memoized Arrow form does per-distinct-pair work plus one
+    gather.  Disabled when the threshold makes the bound vacuous
+    (T ≤ 0.6 → rhs ≤ 0).
 
     LENGTH BAND (exact, in the join condition): the same bound with
     I ≤ min(|a|,|b|) collapses to ``min·10^6 ≥ (5·T_ppm − 4·10^6)·max`` —
@@ -991,7 +994,21 @@ def jaro_winkler_pairs(
         )
 
     def score(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        # Score once per DISTINCT NAME PAIR, gather per row: candidate
+        # volume is window-quadratic but the distinct-name universe is
+        # corpus-bounded (the part corpus at sf0.1: 2.3M candidate pairs
+        # over 64 distinct names → 872 distinct pairs, so the comparator
+        # and the histogram prefilter were each being re-run ~2600× per
+        # row batch). The memo holds per Python worker for the task's
+        # lifetime — name-pair cardinality, never pair cardinality. A pair
+        # failing the (necessary) histogram bound memoizes as 0: it
+        # provably sits below the threshold, and the stage only emits
+        # rows >= threshold_ppm, so the placeholder never leaves the
+        # worker. Identical non-empty strings score 10^6 without a
+        # comparator call (jw_ppm's own fast path; the JVM filter already
+        # keeps most of them out of this stage entirely).
         hist_cache: dict[str, "_np.ndarray"] = {}
+        pair_cache: dict[tuple[str, str], int] = {}
 
         def hist27(s: str) -> "_np.ndarray":
             h = hist_cache.get(s)
@@ -1003,33 +1020,45 @@ def jaro_winkler_pairs(
                 hist_cache[s] = h
             return h
 
+        def pair_score(a: str, b: str) -> int:
+            s = pair_cache.get((a, b))
+            if s is None:
+                if c_ppm > 0:
+                    ha, hb = hist27(a), hist27(b)
+                    isect = int(_np.minimum(ha, hb).sum())
+                    la, lb = len(a), len(b)
+                    if isect * (la + lb) * 1_000_000 < c_ppm * la * lb:
+                        pair_cache[(a, b)] = 0
+                        return 0
+                s = jw_ppm(a, b)
+                pair_cache[(a, b)] = s
+            return s
+
         for pdf in batches:
-            fa, fb = pdf["__fa"], pdf["__fb"]
-            if c_ppm > 0 and len(pdf):
-                # factorize to name indices; histogram once per DISTINCT
-                # name, then one vectorized gather + minimum per batch
-                ca, ua = _pd.factorize(fa)
-                cb, ub = _pd.factorize(fb)
-                ha = _np.stack([hist27(str(s)) for s in ua])[ca]
-                hb = _np.stack([hist27(str(s)) for s in ub])[cb]
-                isect = _np.minimum(ha, hb).sum(axis=1).astype(_np.int64)
-                la = ha.sum(axis=1).astype(_np.int64)
-                lb = hb.sum(axis=1).astype(_np.int64)
-                keep = isect * (la + lb) * 1_000_000 >= c_ppm * la * lb
-                pdf = pdf[keep]
-                fa, fb = pdf["__fa"], pdf["__fb"]
-            # vectorized identical-string fast path: verbatim duplicates
-            # (the dominant survivors on copy-heavy corpora) score 10^6
-            # without a per-pair python call; empty==empty scores 0
-            fa_v, fb_v = fa.to_numpy(), fb.to_numpy()
-            eq = (fa_v == fb_v) & (fa_v != "")
-            ppm = _np.where(eq, JW_PPM_SCALE, 0).astype(_np.int64)
-            for i in _np.nonzero(~eq)[0]:
-                ppm[i] = jw_ppm(str(fa_v[i]), str(fb_v[i]))
-            out = _pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jw_ppm": ppm}
+            n = len(pdf)
+            if not n:
+                continue
+            ca, ua = _pd.factorize(pdf["__fa"])
+            cb, ub = _pd.factorize(pdf["__fb"])
+            code = ca.astype(_np.int64) * len(ub) + cb
+            uniq, inv = _np.unique(code, return_inverse=True)
+            uscores = _np.fromiter(
+                (
+                    pair_score(str(ua[c // len(ub)]), str(ub[c % len(ub)]))
+                    for c in uniq
+                ),
+                dtype=_np.int64,
+                count=len(uniq),
             )
-            yield out[out["jw_ppm"] >= threshold_ppm]
+            ppm = uscores[inv]
+            keep = ppm >= threshold_ppm
+            yield _pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "jw_ppm": ppm[keep],
+                }
+            )
 
     # identical-string pairs (the dominant survivors on duplicate-heavy
     # corpora) score exactly 10^6 — a JVM column fact, so they never cross

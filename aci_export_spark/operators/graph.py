@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from aci_export_spark.artifacts import persist_tracked
 
 
 def connected_components(
@@ -215,7 +216,7 @@ def triangle_counts(
     Returns (node, triangles) for every node that appears in ≥1 edge
     (nodes in no triangle report 0).
     """
-    e = (
+    e = persist_tracked(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
@@ -223,8 +224,8 @@ def triangle_counts(
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
         # three consumers (two wedge sides + the closing probe) — persist
-        # the canonicalized edge set once
-        .persist()
+        # the canonicalized edge set once (tracked: released at the next
+        # registered-query boundary)
     )
     wedge = (
         e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
@@ -360,17 +361,21 @@ def pagerank_fixed_point(
     )
     if bounded:
         return _pagerank_single_task(e, iterations, damping_num, damping_den)
-    directed = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
-    nodes = directed.select(F.col("src").alias("node")).distinct().persist()
+    directed = persist_tracked(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    nodes = persist_tracked(
+        directed.select(F.col("src").alias("node")).distinct()
+    )
     n_nodes = nodes.count()
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
 
     base = PAGERANK_SCALE * (damping_den - damping_num) // (damping_den * n_nodes)
     init = PAGERANK_SCALE // n_nodes
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
-    out_edges = directed.join(deg, on="src").persist()
+    out_edges = persist_tracked(directed.join(deg, on="src"))
 
     for _ in range(iterations):
         contrib = (
@@ -490,9 +495,11 @@ def kcore_decomposition(
     )
     if bounded:
         return _kcore_single_task(e)
-    directed = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    directed = persist_tracked(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
     core = directed.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core")
     ).localCheckpoint()

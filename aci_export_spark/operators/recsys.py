@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from aci_export_spark.artifacts import persist_tracked
 
 
 def item_item_cosine(
@@ -46,7 +47,7 @@ def item_item_cosine(
         "__n_items", F.count(F.lit(1)).over(Window.partitionBy("u"))
     )
     bounded = sized.filter(F.col("__n_items") <= max_items_per_user).drop("__n_items")
-    bounded = bounded.persist()
+    bounded = persist_tracked(bounded)
 
     norms = bounded.groupBy("i").agg(F.sum(F.col("r") * F.col("r")).alias("norm_sq"))
 
