@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from aci_export_spark.localrows import local_rows_df
 
 from aci_export_spark.llm.dedup import word_tokens
 
@@ -130,7 +131,8 @@ def bpe_train_with_encoded(
         words = words.withColumn(
             "symbols", F.expr(_merge_fold_sql(left, right))
         ).localCheckpoint(eager=True)
-    merge_df = spark.createDataFrame(
+    merge_df = local_rows_df(
+        spark,
         merges,
         # left/right are SQL keywords — suffix them so the DuckDB oracle and
         # any SQL consumer can reference the columns unquoted
@@ -301,7 +303,8 @@ def bpe_train_batched_with_encoded(
         words = words.withColumn(
             "symbols", F.expr(_batch_fold_sql(selected))
         ).localCheckpoint(eager=True)
-    merge_df = spark.createDataFrame(
+    merge_df = local_rows_df(
+        spark,
         merges,
         schema="merge_rank int, left_sym string, right_sym string, pair_count bigint",
     )

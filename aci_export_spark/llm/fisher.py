@@ -32,6 +32,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from aci_export_spark.localrows import local_rows_df
 
 from aci_export_spark.llm.text import word_tokens
 
@@ -253,7 +254,8 @@ def mcnemar_filters(
     ).collect()[0]
     b, c, n_pairs = int(row["b"]), int(row["c"]), int(row["n_pairs"])
     p = mcnemar_exact_p_ppb(b, c)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(n_pairs, b, c, p, p <= q_ppb)],
         schema=(
             "n_pairs long, n_a_only long, n_b_only long, p_ppb long, "

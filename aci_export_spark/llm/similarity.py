@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from aci_export_spark.localrows import local_rows_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1305,7 +1306,7 @@ def ivf_topk_multiprobe(
         )
         return _rank_in_probed_cells(assigned_corpus, q, cell_col, id_col, vec_col, k)
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    cdf = spark.createDataFrame(centers, schema=f"{cell_col} int, __centroid array<double>")
+    cdf = local_rows_df(spark, centers, schema=f"{cell_col} int, __centroid array<double>")
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")

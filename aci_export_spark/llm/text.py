@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from aci_export_spark.localrows import local_rows_df
 
 from aci_export_spark.functions.text import normalize_text
 
@@ -577,7 +578,8 @@ def stratified_sample_stable(
     from pyspark.sql.functions import broadcast
 
     if isinstance(fractions, dict):
-        fr = df.sparkSession.createDataFrame(
+        fr = local_rows_df(
+            df.sparkSession,
             list(fractions.items()), schema=f"{stratum_col} string, fraction double"
         )
     else:

@@ -53,6 +53,7 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from aci_export_spark.localrows import local_rows_df
 
 from aci_export_spark.llm.dedup import word_tokens
 
@@ -241,7 +242,8 @@ def unigram_train(
         ((p, c, len(p) == 1) for p, c in scores.items()),
         key=lambda t: (-t[1], t[0]),
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(p, c, ic, i + 1) for i, (p, c, ic) in enumerate(rows)],
         schema="piece string, usage_count bigint, is_char boolean, rank int",
     )

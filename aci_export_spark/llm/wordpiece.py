@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from aci_export_spark.localrows import local_rows_df
 
 from aci_export_spark.llm.bpe import _pair_counts
 from aci_export_spark.llm.dedup import word_tokens
@@ -189,7 +190,8 @@ def wordpiece_train(
         words = words.withColumn("symbols", F.expr(fold)).localCheckpoint(
             eager=True
         )
-    merge_df = spark.createDataFrame(
+    merge_df = local_rows_df(
+        spark,
         merges,
         schema="merge_rank int, left_sym string, right_sym string, "
         "new_sym string, pair_count bigint, freq_left bigint, "

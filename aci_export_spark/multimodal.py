@@ -61,6 +61,24 @@ FRAMES_SCHEMA = (
 )
 
 
+def _spread_narrow(src: "DataFrame", width: int = 4):
+    """Pre-spread a narrow synthesis/parse source over a MODEST width.
+
+    Every mm_* chain is Python (Arrow) stages end-to-end over a
+    single-file scan: without this, the whole synth+parse chain for a
+    query serializes through ONE Python worker (mm_ogg_pages measured
+    3.4 s wall at ~1 core for a ~0.6 s plan at sf0.1). Width 4, not full
+    parallelism: each mapInPandas partition pays fixed worker/Arrow-IPC
+    costs PER STAGE, so full 32-way spread multiplies CPU-seconds with no
+    wall gain over modest widths (the mp4 chain's A/B in attach_mp4:
+    1/4/8/32 partitions -> warm wall 2.9/1.6/1.25/1.6 s at 4.4/8.0/11.5/
+    36.5 CPU-s). At cluster scale the guard in spread_for_explode leaves
+    already-wide scans alone."""
+    from aci_export_spark.llm.dedup import spread_for_explode
+
+    return spread_for_explode(src, width=width)
+
+
 def attach_media(docs: DataFrame) -> DataFrame:
     """Derive a deterministic media table from the documents fixture:
     ``content`` = utf-8 bytes of the text (an opaque payload as far as every
@@ -68,6 +86,11 @@ def attach_media(docs: DataFrame) -> DataFrame:
 
     In production this column comes straight from the lake (parquet/iceberg
     BINARY); nothing downstream depends on how it was produced.
+    Deliberately NOT pre-spread: the consumers' Python work is sub-0.3 s,
+    and the width-4 A/B (r12) measured the repartition + per-partition
+    Arrow fixed costs costing MORE wall than they saved (decode_metadata
+    0.41->0.95 s, frame_sample 0.42->1.43 s) — see :func:`_spread_narrow`
+    for where spreading does pay.
     """
     return docs.select(
         "doc_id",
@@ -1716,9 +1739,7 @@ def attach_mp4(docs: DataFrame) -> DataFrame:
     serial for no wall gain over modest widths (see spread_for_explode's
     width note); 4-way halves the serial wall at CPU parity. On a real
     many-file media lake the guard sees a wide scan and moves nothing."""
-    from aci_export_spark.llm.dedup import spread_for_explode
-
-    src = spread_for_explode(
+    src = _spread_narrow(
         docs.select(
             "doc_id",
             F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
@@ -4569,9 +4590,14 @@ def parse_ogg_pages(data: bytes) -> list[dict]:
 
 def attach_ogg(docs: DataFrame) -> DataFrame:
     """(doc_id, byte_len, content) with Ogg payloads (:func:`synth_ogg`).
-    mapInPandas, no shuffle."""
-    src = docs.select(
-        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    mapInPandas; pre-spread width 4 — the per-page DIRECT-form CRC-32 in
+    synth + the parse walk are the mm family's heaviest pure-Python chain
+    (serial A/B at sf0.1: 3.4 s -> 1.5 s wall)."""
+    src = _spread_narrow(
+        docs.select(
+            "doc_id",
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
+        )
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5148,9 +5174,14 @@ def parse_tar_entries(data: bytes) -> list[dict]:
 
 def attach_tar(docs: DataFrame) -> DataFrame:
     """(doc_id, byte_len, content) with ustar payloads (:func:`synth_tar`).
-    mapInPandas, no shuffle."""
-    src = docs.select(
-        "doc_id", F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len")
+    mapInPandas; pre-spread width 4 — the 512-byte block synthesis +
+    checksum walk is heavy enough that the serial chain costs more wall
+    than the spread's per-partition overhead (1.3 s -> 0.8 s at sf0.1)."""
+    src = _spread_narrow(
+        docs.select(
+            "doc_id",
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
+        )
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -14,22 +14,46 @@ from pyspark.sql.functions import broadcast
 from aci_export_spark.artifacts import persist_tracked
 
 
+def bounded_baskets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_items: int = 64,
+) -> DataFrame:
+    """The size-capped distinct (basket, item) table — the shared input of
+    every basket analysis (pair/triple co-occurrence, the co-occurrence
+    GRAPH builds): distinct(basket, item), baskets above
+    ``max_basket_items`` dropped BEFORE any self-join (a single hot basket
+    otherwise contributes O(n²) pair rows — the classic basket-skew
+    blowup; the cap makes join volume provably ≤ baskets·cap²/2), and the
+    result repartitioned on the basket key so every downstream self-join
+    reads co-partitioned data. Columns are (__b, __i)."""
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    return items.join(
+        sizes.filter(F.col("__n") <= max_basket_items).select("__b"), on="__b"
+    ).repartition(F.col("__b"))
+
+
 def cooccurrence_pairs(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     top_k: int = 20,
     max_basket_items: int = 64,
+    bounded: DataFrame | None = None,
 ) -> DataFrame:
     """Top-`top_k` item pairs by basket co-occurrence: support counts for the
     pair and each item, total basket count, and lift.
 
     Basket semantics: item multiplicity within a basket does not inflate
-    support — the first step is `distinct(basket, item)`. Baskets larger
-    than `max_basket_items` are dropped BEFORE the self-join: a single hot
-    basket (one crawler session, one mega-order) otherwise contributes
-    O(n²) pair rows — the classic basket-skew blowup; the cap makes the
-    join volume provably ≤ baskets·cap²/2.
+    support — see :func:`bounded_baskets` for the distinct + size-cap
+    contract. ``bounded`` lets a pipeline pass an already-materialized
+    :func:`bounded_baskets` table (built once per corpus snapshot, shared
+    with the triple pass and the co-occurrence graph queries) instead of
+    re-deriving it.
 
     Plan: distinct (shuffle on basket,item) → basket-size filter (same
     basket key, co-partitioned agg + join) → self-join on the basket key
@@ -38,22 +62,16 @@ def cooccurrence_pairs(
     supports and the 1-row basket total both broadcast back → top-k via
     TakeOrderedAndProject (per-partition partial top-k, no global sort).
     """
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    # `bounded` feeds FOUR consumers (both self-join sides, item supports,
-    # the basket total) — repartitioned on the basket key and lazily
-    # persisted: the subtree materializes once instead of re-scanning the
-    # fact per consumer (without the persist the plan re-derives it 4×:
-    # 20 scans, 23 exchanges), and the cached basket partitioning makes the
-    # self-join exchange-free (both sides read co-partitioned cache)
-    bounded = persist_tracked(
-        items.join(
-            sizes.filter(F.col("__n") <= max_basket_items).select("__b"), on="__b"
+    if bounded is None:
+        # `bounded` feeds FOUR consumers (both self-join sides, item
+        # supports, the basket total) — persisted (query-scoped lifecycle)
+        # so the subtree materializes once instead of re-scanning the fact
+        # per consumer (without it the plan re-derives it 4×: 20 scans, 23
+        # exchanges), and the basket partitioning makes the self-join
+        # exchange-free
+        bounded = persist_tracked(
+            bounded_baskets(df, basket_col, item_col, max_basket_items)
         )
-        .repartition(F.col("__b"))
-    )
     a = bounded.select("__b", F.col("__i").alias("item_a"))
     b = bounded.select("__b", F.col("__i").alias("item_b"))
     pairs = (
@@ -105,6 +123,7 @@ def frequent_triples(
     min_support: int = 70,
     top_k: int = 20,
     max_basket_items: int = 64,
+    bounded: DataFrame | None = None,
 ) -> DataFrame:
     """Top-`top_k` frequent item TRIPLES with A-priori pruning: a triple can
     only reach `min_support` if all three of its pairs do (monotonicity), so
@@ -113,18 +132,13 @@ def frequent_triples(
     from O(baskets·cap³) to the frequent-pair fan-out. This prune-early
     shape is the entire A-priori idea and exactly what survives at 100 TB;
     the size cap bounds the per-basket blowup as in
-    :func:`cooccurrence_pairs`.
+    :func:`cooccurrence_pairs`. ``bounded`` takes a prebuilt
+    :func:`bounded_baskets` table (the shared-artifact path).
     """
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
-    bounded = persist_tracked(
-        items.join(
-            sizes.filter(F.col("__n") <= max_basket_items).select("__b"), on="__b"
+    if bounded is None:
+        bounded = persist_tracked(
+            bounded_baskets(df, basket_col, item_col, max_basket_items)
         )
-        .repartition(F.col("__b"))
-    )
     a = bounded.select("__b", F.col("__i").alias("item_a"))
     b = bounded.select("__b", F.col("__i").alias("item_b"))
     c = bounded.select("__b", F.col("__i").alias("item_c"))

@@ -98,7 +98,13 @@ def poisson_bootstrap_ci(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("__cents").alias("cents_total"),
     )
-    reps = base.withColumn(
+    # spread BEFORE the xn_reps explode: a single-split scan (one small
+    # parquet file) would otherwise evaluate all n_reps x rows md5 draws
+    # in one task (measured at sf0.1: 3.4 s wall at ~1.4 cores for a
+    # ~0.6 s plan; the explode is the whole query's compute)
+    from aci_export_spark.llm.dedup import spread_for_explode
+
+    reps = spread_for_explode(base).withColumn(
         "__rep", F.explode(F.sequence(F.lit(1), F.lit(int(n_reps))))
     ).withColumn("__u", _u60(F.col("__rep"), F.col("__id"), salt))
     w = F.lit(0).cast("long")

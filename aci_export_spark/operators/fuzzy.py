@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from aci_export_spark.localrows import local_rows_df
 
 
 def pair_expansion_join(
@@ -645,7 +646,8 @@ def fs_em_weights(
         )
         for k, f in enumerate(fields)
     ]
-    return df.sparkSession.createDataFrame(
+    return local_rows_df(
+        df.sparkSession,
         out,
         schema="field string, m double, u double, agree_weight double, "
         "disagree_weight double, lambda_match double",

@@ -58,6 +58,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str | None = None,
     max_iter: int = 25,
+    bounded_edges: int = 200_000,
 ) -> DataFrame:
     """Label every node with its component id (the MIN node id reachable).
 
@@ -67,6 +68,22 @@ def connected_components(
     is a total (node → cluster) assignment over the corpus.
 
     Returns a DataFrame (node, component), one row per node.
+
+    SIZE-CONDITIONED single-task fast path (``bounded_edges``, the
+    pagerank/kcore ``bounded`` discipline made runtime-adaptive): the
+    first checkpoint already observes the exact deduped edge count, and
+    when it is at most ``bounded_edges`` (default 200k pairs — a few MB
+    in one task, far below any executor's memory) the labeling runs as
+    ONE union-find pass in a single Arrow task instead of O(log² n)
+    star-contraction rounds, each of which costs a full job barrier
+    (checkpoint + shuffle) — pure scheduling overhead on a small edge
+    list, ~10× the single-task wall at bench scale. Both paths compute
+    the identical function — every node labeled with the minimum node id
+    reachable from it (star contraction converges to min-rooted stars;
+    union-find labels each set with its minimum member) — asserted
+    equal on randomized graphs by tests/test_graph_cc.py. Above the
+    gate, the distributed contraction proceeds unchanged, so corpus-scale
+    similarity graphs never serialize through one task.
     """
     # checkpointed (with its signature) by the observed-checkpoint below
     e = (
@@ -138,6 +155,15 @@ def connected_components(
         return ckpt, (sig["n"], sig["h"])
 
     e, prev_sig = _observed_checkpoint(e)
+    if 0 < prev_sig[0] <= bounded_edges:
+        labels = _cc_labels_single_task(e)
+        if nodes is not None:
+            nc = node_col or src
+            all_nodes = nodes.select(F.col(nc).alias("node")).distinct()
+            labels = all_nodes.join(labels, on="node", how="left").select(
+                "node", F.coalesce("component", "node").alias("component")
+            )
+        return labels
     converged = prev_sig[0] == 0
     for _ in range(max_iter):
         if converged:
@@ -166,6 +192,50 @@ def connected_components(
             "node", F.coalesce("component", "node").alias("component")
         )
     return labels
+
+
+def _cc_labels_single_task(e: DataFrame) -> DataFrame:
+    """(node, component=min reachable id) for every edge-touched node, as
+    ONE union-find pass over a size-gated edge list (columns a, b) in a
+    single Arrow task — the bounded fast path of
+    :func:`connected_components`. Path-halving find; after all unions the
+    component label is the minimum member of each set, which is exactly
+    the star-contraction fixed point's labeling. Output column types
+    mirror the edge columns so both paths are schema-identical."""
+    dt = e.schema["a"].dataType.simpleString()
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            m = comp_min.get(r)
+            if m is None or v < m:
+                comp_min[r] = v
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "component": [comp_min[find(v)] for v in nodes]}
+        )
+
+    return e.coalesce(1).mapInPandas(uf, schema=f"node {dt}, component {dt}")
 
 
 def canonical_per_component(

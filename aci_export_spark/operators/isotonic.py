@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from aci_export_spark.localrows import local_rows_df
 
 #: Loud cap on the collected (x, n, sum_y) grid. Calibration grids are
 #: score quantizations (hundreds to a few thousand cells); a grid beyond
@@ -96,7 +97,8 @@ def isotonic_fit(
         )
         for i, (x_min, x_max, n, y) in enumerate(pools)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         out,
         schema=(
             "pool_idx long, x_min long, x_max long, n_obs long, "

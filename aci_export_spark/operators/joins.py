@@ -115,7 +115,14 @@ def salted_join(
             "right/full would emit each unmatched right row once per salt bucket"
         )
     on = list(on)
-    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    # DETERMINISTIC salt (guide-§2.5 / SPARK-38388 discipline): a rand()
+    # salt re-draws under task retry, so re-run map tasks can send the
+    # same row to a different bucket and rows duplicate or vanish after a
+    # fetch failure. Hashing the row's full content is retry-stable; any
+    # salt assignment yields the identical join output (the right side
+    # carries every bucket), so this is output-invariant.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                  F.lit(salt_buckets)).cast("int")
     l = left.withColumn("__salt", salt)
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

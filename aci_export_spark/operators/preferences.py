@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from aci_export_spark.localrows import local_rows_df
 
 #: fixed-point quantum: every strength is kept as an exact multiple of
 #: 2^-40 between iterations (the FS_EM_SCALE discipline of
@@ -134,7 +135,8 @@ def bt_strengths(pair_counts: DataFrame, iters: int = BT_ITERS) -> DataFrame:
     out = [
         (i, float(w[i]), wins[i], games[i]) for i in sorted(w)
     ]
-    return pair_counts.sparkSession.createDataFrame(
+    return local_rows_df(
+        pair_counts.sparkSession,
         out, schema="item string, strength double, wins long, games long"
     )
 

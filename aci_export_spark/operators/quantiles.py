@@ -159,6 +159,8 @@ def exact_quantiles(
     rows = [
         (s["prob"], n, s["k"], s["value"]) for s in states.values()
     ]
-    return spark.createDataFrame(
-        rows, schema="prob_ppm long, n long, k long, value long"
+    from aci_export_spark.localrows import local_rows_df
+
+    return local_rows_df(
+        spark, rows, schema="prob_ppm long, n long, k long, value long"
     )

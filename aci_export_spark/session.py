@@ -65,6 +65,19 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
         )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Scan-split floor. The 4 MiB default models HDFS-era per-file open
+        # cost; it also means any table under ~4 MiB x cores scans as a
+        # handful of tasks, serializing every scan-adjacent stage (filter,
+        # partial agg, explode) regardless of cluster size. On NVMe/object
+        # storage a parquet open is far cheaper than 4 MiB of reads; 256 KiB
+        # keeps small-file scans parallel while maxPartitionBytes still
+        # bounds split counts on real lakes. 60-query A/B at sf0.1:
+        # 66.9 -> 59.3 s wall (-11%) at flat CPU. Env-tunable for
+        # deployments with genuinely slow file opens.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))

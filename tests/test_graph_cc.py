@@ -74,6 +74,31 @@ def test_random_graphs_match_union_find(spark):
         assert got == expected, f"trial {trial}"
 
 
+def test_bounded_single_task_cc_equals_distributed(spark):
+    """The size-gated single-task union-find path (default for edge lists
+    <= bounded_edges) must produce the EXACT labeling of the distributed
+    star-contraction path (forced with bounded_edges=0) — both compute
+    min-reachable-id per node."""
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 80
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(30, 120))
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        ndf = spark.createDataFrame([(x,) for x in range(n)], "doc_id long")
+        fast = connected_components(edf, nodes=ndf, node_col="doc_id")
+        slow = connected_components(
+            edf, nodes=ndf, node_col="doc_id", bounded_edges=0
+        )
+        assert fast.schema == slow.schema
+        got_fast = {(r["node"], r["component"]) for r in fast.collect()}
+        got_slow = {(r["node"], r["component"]) for r in slow.collect()}
+        assert got_fast == got_slow, f"trial {trial}"
+
+
 def test_canonical_per_component(spark):
     comps = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (9, 9)], "node long, component long"

@@ -48,9 +48,9 @@ def test_registered_query_does_not_reuse_prior_invocation_cache(spark):
     never invocation 1's materialized blocks."""
     harness._ensure_all_registered()
     artifacts.release_tracked()
-    fn = harness.REGISTRY["basket_brand_pairs"].fn
+    fn = harness.REGISTRY["rec_item_item_cosine"].fn
     fn(spark, SF).collect()  # invocation 1 persists its `bounded` frame
-    assert artifacts._PERSIST_POOL, "cooccurrence_pairs should track a persist"
+    assert artifacts._PERSIST_POOL, "item_item_cosine should track a persist"
     first = list(artifacts._PERSIST_POOL)
     df2 = fn(spark, SF)  # invocation 2 drains at entry, then re-persists
     # pool now holds exactly invocation 2's own fresh persist — NOT (by
@@ -70,7 +70,7 @@ def test_second_invocation_recomputes_not_rereads(spark):
     is no longer cached anywhere a third invocation could hit."""
     harness._ensure_all_registered()
     artifacts.release_tracked()
-    fn = harness.REGISTRY["basket_brand_pairs"].fn
+    fn = harness.REGISTRY["rec_item_item_cosine"].fn
     fn(spark, SF).collect()
     leaked = list(artifacts._PERSIST_POOL)
     assert leaked
