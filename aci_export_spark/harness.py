@@ -475,23 +475,96 @@ BENCH_BILLING_ORDER: list[str] = [
 #: r11), then new/module-changed registrations, then the r7 cohort
 #: oldest-first; defer overflow from the oldest cohort with the same
 #: documentation discipline and bump WINDOW_BUILT_FROM_ROUND to 11.
+#: (That rebuild slipped the r12 optimization round — VERDICT r12 #3 —
+#: and executed at the r13 head instead; see ROUND-13 below.)
+#: ROUND-13 ROTATION (executed): rebuilt from the CORRECTNESS_r01..r12
+#: union (newest-round histogram over registered queries
+#: {6:38, 7:49, 8:46, 9:49, 10:48, 12:50}; CORRECTNESS_r12 re-verified the
+#: r11 window, so no r11 cohort exists). Head order: flagship (the
+#: driver's entry() smoke), then ALL 38 r6-era rows (the deferred r12
+#: repayment — the oldest cohort, alphabetical except llm_bpe_train moved
+#: ahead of its two artifact consumers llm_bpe_encode_stats /
+#: llm_bpe_fertility_by_lang so driver timings bill the training build to
+#: its owner), then the r7 cohort alphabetical backfill into the 11
+#: remaining slots (1 + 38 + 11 = 50 exactly; no new registrations this
+#: optimization round, nothing defers). After a green CORRECTNESS_r13 no
+#: query's newest driver row is older than r7; the r14 rebuild starts
+#: with the 38 remaining r7 rows.
 #: The newest CORRECTNESS_r{N} round the window above was computed from —
 #: tests/test_rotation.py recomputes the freshness cohorts from the files
 #: and asserts the window covers them. Bump this when rebuilding the window.
-WINDOW_BUILT_FROM_ROUND = 10
+WINDOW_BUILT_FROM_ROUND = 12
 #: Oldest-cohort queries consciously deferred to the NEXT round's window
 #: head because the window arithmetic overflowed 50. EMPTY this round: the
-#: whole 26-name r5 deferral set sits at the window head, so the oldest
-#: cohort is fully in-window and nothing defers. (The r6 cohort is NOT the
-#: oldest cohort at this build; the 38 of its 42 rows that did not fit the
-#: backfill slots — this round's 18 new registrations displaced backfill
-#: tail-first — repay at the r12 head per the ROUND-12 NOTE above.)
+#: whole 38-name r6 cohort sits at the window head, so the oldest cohort
+#: is fully in-window and nothing defers.
 WINDOW_DEFERRED: frozenset[str] = frozenset()
 
-#: ROUND-11 DRIVER WINDOW (the driver checks the FIRST 50 of queries()).
-#: 1 flagship + 26 r5 repayments (alphabetical) + new registrations +
-#: r6-cohort alphabetical backfill = 50 exactly.
+#: ROUND-13 DRIVER WINDOW (the driver checks the FIRST 50 of queries()).
+#: 1 flagship + 38 r6-cohort repayments (alphabetical; llm_bpe_train ahead
+#: of its two consumers) + 11 r7-cohort alphabetical backfill = 50 exactly.
 DRIVER_WINDOW_PRIORITY: list[str] = [
+    "flagship_scoped_members",
+    # the 38 r6-era rows — the oldest freshness cohort, deferred from the
+    # r12 head (VERDICT r12 #3); alphabetical except llm_bpe_train, moved
+    # ahead of llm_bpe_encode_stats/llm_bpe_fertility_by_lang so the shared
+    # 8-merge training artifact bills to its producing query
+    "dq_value_drift_cells",
+    "er_fuzzy_entities",
+    "events_bitemporal_state",
+    "events_changepoint_cusum",
+    "events_chi2_cells",
+    "events_cohort_ltv",
+    "events_ctr_wilson",
+    "events_cumulative_unique_users",
+    "events_linear_attribution",
+    "events_ohlc_hourly",
+    "events_position_attribution",
+    "events_sketch_intersection",
+    "events_stickiness_ratio",
+    "events_type_trigrams_topk",
+    "events_user_type_diversity",
+    "events_value_histogram",
+    "events_value_trend_slope",
+    "events_value_variance_by_type",
+    "j_bloom_prefilter_join",
+    "llm_bpe_train",
+    "llm_bpe_encode_stats",
+    "llm_bpe_fertility_by_lang",
+    "llm_dedup_lsh_recall_audit",
+    "llm_dedup_method_agreement",
+    "llm_hard_negatives",
+    "llm_pack_efficiency",
+    "llm_quality_percentile",
+    "llm_sim_ivf_pq_topk",
+    "llm_sim_mmr_rerank",
+    "llm_substring_anchor_dup",
+    "llm_vector_index_upsert",
+    "llm_weighted_sample",
+    "mm_av_metadata",
+    "orders_abc_classification",
+    "orders_interarrival_stats",
+    "streaming_session_window",
+    "streaming_trending_topk",
+    "sync_snapshot_diff",
+    # r7-cohort alphabetical backfill (11 slots; the 38 remaining r7 rows
+    # repay at the r14 head)
+    "a2_dedup_keep_min_orderkey",
+    "a4_priority_dedup",
+    "a5_union_distinct_keys",
+    "a8_string_agg_roundtrip",
+    "decorrelated_above_brand_avg",
+    "er_fuzzy_name_pairs_k2",
+    "events_heavy_hitters",
+    "events_hourly_agg",
+    "events_running_totals",
+    "events_sessionization",
+    "f7_f8_hash_ids",
+]
+
+#: ROUND-11 DRIVER WINDOW (superseded by the ROUND-13 rotation above;
+#: retained as the r11/r12 audit trail the comments reference).
+_DRIVER_WINDOW_PRIORITY_R11: list[str] = [
     "flagship_scoped_members",
     # the 26 r5-era WINDOW_DEFERRED repayments — mandated window head
     # (VERDICT r10 #1), alphabetical

@@ -3216,11 +3216,12 @@ FROM ks k JOIN ranked r ON r.rn = k.k
     doc="EXACT distributed quantiles WITHOUT a global sort (Munro-"
     "Paterson multi-pass selection): p25/p50/p90/p99 of order value in "
     "cents via iterative range bisection — each round histograms the "
-    "surviving value range into 1024 equal-width buckets (one map-side-"
-    "combined counting aggregate, <= quantiles·1024 rows to the driver; "
-    "the pagerank bounded-collect discipline) and recurses into the "
-    "bucket containing the target rank; an int64 domain resolves in <= 7 "
-    "rounds, real price/timestamp domains in 2-3, with the range filter "
+    "surviving value range into adaptively-sized equal-width buckets "
+    "(isqrt-of-range fan-out capped at 65536: one map-side-combined "
+    "counting aggregate, <= quantiles·65536 rows to the driver; the "
+    "pagerank bounded-collect discipline) and recurses into the bucket "
+    "containing the target rank; an int64 domain resolves in <= 4 "
+    "rounds, real price/timestamp domains in 2, with the range filter "
     "PUSHED DOWN to the scan each round. Ranks exact on the ppm grid "
     "(k = ceil(p*n), the LOWER-quantile convention); the oracle pays the "
     "global sort this operator exists to avoid",

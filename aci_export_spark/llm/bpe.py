@@ -27,6 +27,8 @@ backs the golden-VALUES oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from aci_export_spark.localrows import local_rows_df
@@ -36,6 +38,85 @@ from aci_export_spark.llm.dedup import word_tokens
 #: end-of-word marker, per the reference algorithm (distinguishes "est</w>"
 #: in "highest" from "est" in "estimate")
 EOW = "</w>"
+
+
+def _local_train_types_bound() -> int:
+    """Word-TYPE count at or below which the merge-training round loop runs
+    on the driver over the collected word-type table instead of as
+    per-round distributed jobs (the connected-components size-conditioned
+    fast-path discipline, graph.py).
+
+    Why: each distributed round costs one aggregation job (ranked pair
+    collect) plus one eager localCheckpoint job, and every round's batch
+    fold is a FRESH codegen unit — at a vocabulary of a few dozen word
+    types (the synthetic bench corpus saturates at 31), ~20 rounds are
+    pure job-barrier + janino-compile overhead over kilobytes of data.
+    The gate reads the EXACT observed type count from the already-
+    checkpointed word table; above it the distributed path is untouched,
+    so corpus-scale vocabularies (real corpora hold 10^5..10^9 types at
+    100 TB) never serialize onto the driver. Env-tunable; 0 disables."""
+    return int(os.environ.get("SPARK_GRAFT_LOCAL_TRAIN_TYPES", "2048"))
+
+
+def _collect_word_entries(
+    words: DataFrame, bound: int
+) -> list[list] | None:
+    """Collect the checkpointed word-type table (symbols, wcount, base_len)
+    iff it holds at most ``bound`` rows; None otherwise. One bounded-limit
+    job against the checkpoint — never a corpus rescan."""
+    if bound <= 0:
+        return None
+    rows = words.limit(bound + 1).collect()
+    if len(rows) > bound:
+        return None
+    return [
+        [tuple(r["symbols"]), int(r["wcount"]), int(r["base_len"])]
+        for r in rows
+    ]
+
+
+def _apply_merge_local(
+    entries: list[list], left: str, right: str, merged: str
+) -> None:
+    """In-place left-to-right non-overlapping substitution over every word
+    entry — the same greedy the JVM fold applies per row. Entries are
+    per-WORD rows (never collapsed), exactly mirroring the distributed
+    table where each word type keeps its own row through every fold."""
+    for e in entries:
+        syms = e[0]
+        # fast skip: the pair can only occur if both symbols are present
+        if left not in syms or right not in syms:
+            continue
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = merged
+            else:
+                out.append(x)
+        e[0] = tuple(out)
+
+
+def _local_pair_counts(entries: list[list]) -> dict:
+    from collections import Counter
+
+    stats: Counter = Counter()
+    for syms, wc, _bl in entries:
+        for a, b in zip(syms, syms[1:]):
+            stats[(a, b)] += wc
+    return stats
+
+
+def _words_df_from_entries(
+    spark: SparkSession, entries: list[list]
+) -> DataFrame:
+    """The final encoded word-type table as a DataFrame, schema-identical
+    to the distributed fold output (symbols array<string>, wcount bigint,
+    base_len int)."""
+    return local_rows_df(
+        spark,
+        [(list(syms), wc, bl) for syms, wc, bl in entries],
+        schema="symbols array<string>, wcount bigint, base_len int",
+    )
 
 
 def _word_type_table(docs: DataFrame, text_col: str) -> DataFrame:
@@ -117,6 +198,28 @@ def bpe_train_with_encoded(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
+    entries = _collect_word_entries(words, _local_train_types_bound())
+    if entries is not None:
+        # size-conditioned fast path (see _local_train_types_bound): the
+        # identical greedy spec over the collected table — top-1 pair by
+        # (count desc, left, right), sequential substitution — with zero
+        # per-round jobs. Equivalence to the distributed loop is
+        # randomized-tested (tests/test_bpe_local_fast_path.py).
+        for r in range(1, n_merges + 1):
+            stats = _local_pair_counts(entries)
+            if not stats:
+                break
+            (left, right), cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((r, left, right, int(cnt)))
+            _apply_merge_local(entries, left, right, left + right)
+        merge_df = local_rows_df(
+            spark,
+            merges,
+            schema="merge_rank int, left_sym string, right_sym string, pair_count bigint",
+        )
+        return merge_df, _words_df_from_entries(spark, entries)
     for r in range(1, n_merges + 1):
         top = (
             _pair_counts(words)
@@ -284,25 +387,45 @@ def bpe_train_batched_with_encoded(
     )
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0
+    entries = _collect_word_entries(words, _local_train_types_bound())
     while len(merges) < n_merges:
-        ranked_rows = (
-            _pair_counts(words)
-            .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
-            .limit(scan_cap)
-            .collect()
-        )
-        if not ranked_rows:
+        if entries is not None:
+            stats = _local_pair_counts(entries)
+            ranked = [
+                (l, r, int(c))
+                for (l, r), c in sorted(
+                    stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+                )[:scan_cap]
+            ]
+        else:
+            ranked_rows = (
+                _pair_counts(words)
+                .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
+                .limit(scan_cap)
+                .collect()
+            )
+            ranked = [
+                (r["left"], r["right"], int(r["pair_count"])) for r in ranked_rows
+            ]
+        if not ranked:
             break
-        ranked = [(r["left"], r["right"], int(r["pair_count"])) for r in ranked_rows]
         selected = _select_compatible(ranked, min(batch_cap, n_merges - len(merges)))
         if not selected:
             break
         rounds += 1
         for left, right, cnt in selected:
             merges.append((len(merges) + 1, left, right, cnt))
-        words = words.withColumn(
-            "symbols", F.expr(_batch_fold_sql(selected))
-        ).localCheckpoint(eager=True)
+        if entries is not None:
+            # in-rank-order sequential application — the same per-word
+            # result as the distributed outer fold (non-interacting batch)
+            for left, right, _cnt in selected:
+                _apply_merge_local(entries, left, right, left + right)
+        else:
+            words = words.withColumn(
+                "symbols", F.expr(_batch_fold_sql(selected))
+            ).localCheckpoint(eager=True)
+    if entries is not None:
+        words = _words_df_from_entries(spark, entries)
     merge_df = local_rows_df(
         spark,
         merges,

@@ -204,8 +204,12 @@ def jaccard_pairs(
         F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"),
     )
     pairs = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
-    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    # |A∪B| = |A|+|B|−|A∩B| (both sides array_distinct'ed above): size
+    # arithmetic instead of materializing the union array per pair — the
+    # same exact integers divide, so the jaccard double is bit-identical
+    inter_n = F.size(F.array_intersect("set_a", "set_b"))
+    inter = inter_n.cast("double")
+    union = (F.size("set_a") + F.size("set_b") - inter_n).cast("double")
     jac = (inter / union).alias("jaccard")
     return (
         pairs.select("id_a", "id_b", jac)
@@ -255,10 +259,17 @@ def jaccard_pairs_prefix(
     # Lazily persisted so the corpus scan + normalize + explode subtree runs
     # once and is reused by freq, ranked, and both verify sides — without an
     # eager checkpoint barrier.
+    # array_distinct AFTER hashing (r13): __set is already token-distinct,
+    # so this only collapses in-set xxhash64 collisions (~1e-15/doc) — it
+    # makes |A|+|B|−|A∩B| PROVABLY equal to |A∪B| for the verify-join
+    # arithmetic below, at one linear pass per doc instead of one
+    # array_union allocation per candidate pair.
     hsets = sets.select(
         F.col(id_col),
         F.col("__bucket"),
-        F.array_sort(F.transform("__set", lambda x: F.xxhash64(x))).alias("__hs"),
+        F.array_sort(
+            F.array_distinct(F.transform("__set", lambda x: F.xxhash64(x)))
+        ).alias("__hs"),
     ).persist()
 
     tok = hsets.select(
@@ -380,8 +391,15 @@ def jaccard_pairs_prefix(
     )
     a = hsets.select(F.col(id_col).alias("id_a"), F.col("__hs").alias("set_a"))
     b = hsets.select(F.col(id_col).alias("id_b"), F.col("__hs").alias("set_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
-    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    # |A∪B| = |A|+|B|−|A∩B| (both arrays duplicate-free by construction
+    # above): the r12 verify materialized a fresh array_union array per
+    # candidate pair just to take its size — HALF the per-pair array work
+    # in the hottest stage of the prefix plan (guide §1.2 step 2). The
+    # division inputs are the same exact integers, so the jaccard double
+    # is bit-identical.
+    inter_n = F.size(F.array_intersect("set_a", "set_b"))
+    inter = inter_n.cast("double")
+    union = (F.size("set_a") + F.size("set_b") - inter_n).cast("double")
     verified = (
         cand.join(a, on="id_a")
         .join(b, on="id_b")
@@ -552,6 +570,7 @@ def minhash_signatures_portable(
     id_col: str,
     shingle_col: str = "shingle",
     num_hashes: int = 16,
+    set_col: str | None = None,
 ) -> DataFrame:
     """Engine-portable MinHash signature table: unlike
     :func:`minhash_signatures` (xxhash64 remix — fastest, Spark-only),
@@ -564,10 +583,18 @@ def minhash_signatures_portable(
     under 2⁶¹ and never trips Spark's ANSI-mode overflow; the mask is a
     plain bitwise AND both engines share. Same shuffle shape as the fast
     path: min() collapses map-side, O(docs·num_hashes) rows move.
+
+    ``set_col`` (r13): additionally collect the distinct shingle set into
+    that column in the SAME aggregation — a consumer that needs both the
+    signature and the exact set (the recall audit's truth side) then pays
+    ONE pass over the shingle rows and one shuffle instead of two
+    (guide §1.2 step 1: don't recompute what one aggregation can carry).
     """
     md5c = F.md5(F.col(shingle_col))
+    carry = [F.col(shingle_col)] if set_col else []
     hashed = shingles.select(
         F.col(id_col),
+        *carry,
         F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long").alias("__h1"),
         F.conv(F.substring(md5c, 17, 14), 16, 10).cast("long").alias("__h2"),
     )
@@ -578,6 +605,8 @@ def minhash_signatures_portable(
         ).alias(f"__mh{i}")
         for i in range(num_hashes)
     ]
+    if set_col:
+        aggs.append(F.collect_set(shingle_col).alias(set_col))
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -617,18 +646,28 @@ def lsh_recall_audit(
     ~one dedup run plus one exact-pairs run, which is exactly what it
     measures.
     """
+    from aci_export_spark import artifacts
     from aci_export_spark.llm.text import word_ngram_rows
 
     sh = word_ngram_rows(
         spread_for_explode(df), id_col, text_col, n=3, distinct=True
     ).withColumnRenamed("gram", "shingle")
-    sig = minhash_signatures_portable(sh, id_col, num_hashes=num_hashes)
-    cand = minhash_lsh_candidates(sig, id_col, num_hashes=num_hashes, bands=bands)
-    sets = (
-        sh.groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("__sset"))
-        .withColumn("__one", F.lit(0))
+    # ONE pass builds both per-doc facts (r13, guide §1.2): the portable
+    # signature mins AND the exact gram set come out of a single
+    # aggregation over the shingle rows — the r12 shape tokenized,
+    # gram-built and shuffled the corpus TWICE (once per consumer).
+    # persist_tracked: two downstream subtrees (candidates, truth) read
+    # it; released at the next registered-query boundary.
+    per_doc = artifacts.persist_tracked(
+        minhash_signatures_portable(
+            sh, id_col, num_hashes=num_hashes, set_col="__sset"
+        )
     )
+    sig = per_doc.select(
+        F.col(id_col), *[F.col(f"__mh{i}") for i in range(num_hashes)]
+    )
+    cand = minhash_lsh_candidates(sig, id_col, num_hashes=num_hashes, bands=bands)
+    sets = per_doc.select(F.col(id_col), "__sset").withColumn("__one", F.lit(0))
     truth = jaccard_pairs_prefix(sets, id_col, "__sset", "__one", threshold).select(
         "id_a", "id_b"
     )
@@ -756,14 +795,19 @@ def minhash_lsh_dedup_pairs(
 
     sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"))
     sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"))
+    # |A∪B| = |A|+|B|−|A∩B| (collect_set output is duplicate-free): skip
+    # materializing an array_union array per pair just for its size — half
+    # the per-pair array work in the verify stage (guide §1.2 step 2).
+    # Same exact integers divide, so the jaccard double is bit-identical.
+    inter_n = F.size(F.array_intersect("set_a", "set_b"))
     verified = (
         pin_join_parallelism(cand, "id_a").join(sh_a, on="id_a").join(sh_b, on="id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("set_a", "set_b")).cast("double")
-                / F.size(F.array_union("set_a", "set_b")).cast("double")
+                inter_n.cast("double")
+                / (F.size("set_a") + F.size("set_b") - inter_n).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from aci_export_spark.localrows import local_rows_df
 
+from aci_export_spark.llm.bpe import _local_train_types_bound
 from aci_export_spark.llm.dedup import word_tokens
 
 
@@ -91,6 +92,46 @@ def substring_counts(words: DataFrame, max_piece_len: int = 4) -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("wcount").cast("long").alias("scount"))
     )
+
+
+def _seed_vocab_local(
+    entries: list[tuple[str, int]], max_piece_len: int, seed_multi: int
+) -> dict[str, int]:
+    """Local mirror of :func:`seed_vocab` over collected (word, wcount)
+    entries: identical substring universe (length 1..max_piece_len,
+    overlapping occurrences counted, wcount-weighted), identical
+    (scount desc, piece asc) multi-char ranking."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for word, wc in entries:
+        L = len(word)
+        for i in range(L):
+            for ln in range(1, min(max_piece_len, L - i) + 1):
+                counts[word[i : i + ln]] += wc
+    out = {p: int(c) for p, c in counts.items() if len(p) == 1}
+    multis = sorted(
+        ((p, int(c)) for p, c in counts.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:seed_multi]
+    out.update(multis)
+    return out
+
+
+def _estep_usage_local(
+    entries: list[tuple[str, int]], scores: dict[str, int], max_piece_len: int
+) -> dict[str, int]:
+    """Local mirror of :func:`estep_usage`.collect(): the SAME
+    :func:`viterbi_segment` over every word type, wcount-weighted piece
+    usage sums."""
+    from collections import Counter
+
+    total = sum(scores.values()) + len(scores)
+    acc: Counter = Counter()
+    for word, wc in entries:
+        for piece in viterbi_segment(word, scores, total, max_piece_len):
+            acc[piece] += wc
+    return dict(acc)
 
 
 def seed_vocab(
@@ -217,14 +258,33 @@ def unigram_train(
     target); the final E-step's usage counts are the emitted scores."""
     spark = docs.sparkSession
     words = word_type_table(docs, text_col).localCheckpoint(eager=True)
-    scores = seed_vocab(words, max_piece_len, seed_multi)
+
+    # Size-conditioned local fast path (llm/bpe.py discipline): at a
+    # vocabulary-bounded word-type count the seed count and every EM round
+    # run on the driver over the collected (word, wcount) table — the SAME
+    # substring counting, the SAME viterbi_segment function, zero per-round
+    # jobs. Above the bound the distributed path below is untouched.
+    # Equivalence randomized-tested in tests/test_bpe_local_fast_path.py.
+    bound = _local_train_types_bound()
+    entries: list[tuple[str, int]] | None = None
+    if bound > 0:
+        rows = words.limit(bound + 1).collect()
+        if len(rows) <= bound:
+            entries = [(r["word"], int(r["wcount"])) for r in rows]
+    if entries is not None:
+        scores = _seed_vocab_local(entries, max_piece_len, seed_multi)
+    else:
+        scores = seed_vocab(words, max_piece_len, seed_multi)
 
     def _multis(sc: dict[str, int]) -> list[str]:
         return [p for p in sc if len(p) >= 2]
 
     while True:
-        usage_rows = estep_usage(words, scores, max_piece_len).collect()
-        usage = {r["piece"]: int(r["usage"]) for r in usage_rows}
+        if entries is not None:
+            usage = _estep_usage_local(entries, scores, max_piece_len)
+        else:
+            usage_rows = estep_usage(words, scores, max_piece_len).collect()
+            usage = {r["piece"]: int(r["usage"]) for r in usage_rows}
         # every vocab entry persists through the M-step (unused → 0): a
         # piece must stay addressable for Laplace and for the prune rank
         new_scores = {p: usage.get(p, 0) for p in scores}

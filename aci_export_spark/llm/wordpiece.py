@@ -38,11 +38,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from aci_export_spark.localrows import local_rows_df
 
-from aci_export_spark.llm.bpe import _pair_counts
+from aci_export_spark.llm.bpe import (
+    _apply_merge_local,
+    _collect_word_entries,
+    _local_train_types_bound,
+    _pair_counts,
+    _words_df_from_entries,
+)
 from aci_export_spark.llm.dedup import word_tokens
 
 #: continuation prefix, per the WordPiece/BERT convention
 CONT = "##"
+
+
+def _wp_local_ranked(
+    entries: list[list], scan_cap: int
+) -> list[tuple[str, str, int, int, int]]:
+    """Local mirror of the ``_scored_pairs → orderBy → limit`` round step:
+    pair/symbol counting over the collected word-type entries, the SAME
+    int64 overflow guard on the frequency product, and the SAME
+    (score desc, left, right) ranking on the identically-constructed
+    double."""
+    from collections import Counter
+
+    pair_stats: Counter = Counter()
+    sym_stats: Counter = Counter()
+    for syms, wc, _bl in entries:
+        for s in syms:
+            sym_stats[s] += wc
+        for a, b in zip(syms, syms[1:]):
+            pair_stats[(a, b)] += wc
+    scored = []
+    for (l, r), c in pair_stats.items():
+        fl, fr = int(sym_stats[l]), int(sym_stats[r])
+        if fl * fr > 2**63 - 1:
+            raise ValueError(
+                "wordpiece: freq(left)*freq(right) overflows BIGINT — "
+                "rescale scores (e.g. rank by count/freq_l/freq_r in log "
+                "space) at this corpus size"
+            )
+        scored.append((l, r, int(c), fl, fr, float(c) / float(fl * fr)))
+    scored.sort(key=lambda t: (-t[5], t[0], t[1]))
+    return [(l, r, c, fl, fr) for l, r, c, fl, fr, _ in scored[:scan_cap]]
 
 
 def _wp_concat(left: str, right: str) -> str:
@@ -161,20 +198,29 @@ def wordpiece_train(
     )
     merges: list[tuple[int, str, str, str, int, int, int, float]] = []
     rounds = 0
+    entries = _collect_word_entries(words, _local_train_types_bound())
     while len(merges) < n_merges:
-        ranked_rows = (
-            _scored_pairs(words)
-            .orderBy(F.col("score").desc(), F.col("left"), F.col("right"))
-            .limit(scan_cap)
-            .collect()
-        )
-        if not ranked_rows:
+        if entries is not None:
+            # size-conditioned local fast path (llm/bpe.py discipline):
+            # identical counting, the identical overflow guard, and the
+            # identical (score desc, left, right) double ranking — zero
+            # per-round jobs. Equivalence randomized-tested in
+            # tests/test_bpe_local_fast_path.py.
+            ranked = _wp_local_ranked(entries, scan_cap)
+        else:
+            ranked_rows = (
+                _scored_pairs(words)
+                .orderBy(F.col("score").desc(), F.col("left"), F.col("right"))
+                .limit(scan_cap)
+                .collect()
+            )
+            ranked = [
+                (r["left"], r["right"], int(r["pair_count"]),
+                 int(r["freq_l"]), int(r["freq_r"]))
+                for r in ranked_rows
+            ]
+        if not ranked:
             break
-        ranked = [
-            (r["left"], r["right"], int(r["pair_count"]),
-             int(r["freq_l"]), int(r["freq_r"]))
-            for r in ranked_rows
-        ]
         selected = _wp_select_compatible(
             ranked, min(batch_cap, n_merges - len(merges))
         )
@@ -186,10 +232,18 @@ def wordpiece_train(
                 (len(merges) + 1, left, right, _wp_concat(left, right),
                  cnt, fl, fr, float(cnt) / float(fl * fr))
             )
-        fold = _wp_batch_fold_sql([(l, r) for l, r, _, _, _ in selected])
-        words = words.withColumn("symbols", F.expr(fold)).localCheckpoint(
-            eager=True
-        )
+        if entries is not None:
+            for left, right, _cnt, _fl, _fr in selected:
+                _apply_merge_local(
+                    entries, left, right, _wp_concat(left, right)
+                )
+        else:
+            fold = _wp_batch_fold_sql([(l, r) for l, r, _, _, _ in selected])
+            words = words.withColumn("symbols", F.expr(fold)).localCheckpoint(
+                eager=True
+            )
+    if entries is not None:
+        words = _words_df_from_entries(spark, entries)
     merge_df = local_rows_df(
         spark,
         merges,

@@ -150,11 +150,14 @@ def brand_preference_pairs(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
     Plan: lineitem joins the part dim on partkey (broadcast — part is the
     small side), per-(order, brand) exact-decimal quantity aggregate, then
-    a self-join co-partitioned on the ORDER key (per-order brand fan-out is
-    bounded by the order's line count, so the pair explosion is linear in
-    orders), reduced map-side to the brand-pair table (<= |brands|^2/2
-    rows).  At 100 TB everything before the final tiny aggregate is
-    key-hashed and linear; the pair table stays vocabulary-bounded.
+    the per-order brand list is collected (fan-out bounded by the order's
+    line count) and the upper-triangle pairs expand as ONE JVM array
+    expression — no self-join, so the qty subtree is scanned, broadcast-
+    joined and aggregated ONCE (the r12 plan computed it twice, one full
+    corpus pass per join side, plus two ok-repartitions and a sort-merge
+    sort; r13 plan: one scan, three exchanges, zero sorts).  At 100 TB
+    everything before the final tiny aggregate is key-hashed and linear;
+    the pair table stays vocabulary-bounded.
     """
     qty = (
         lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
@@ -162,27 +165,33 @@ def brand_preference_pairs(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .groupBy("l_orderkey", "p_brand")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
     )
-    a = qty.select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("p_brand").alias("item_a"),
-        F.col("qty").alias("qa"),
+    # sort_array on struct(brand, qty) orders by brand (brands are unique
+    # within an order), so the strict upper triangle below enumerates
+    # exactly the item_a < item_b pairs the self-join produced; the
+    # decisive-game filter (qa != qb) compares the same exact decimals
+    per_order = qty.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("p_brand").alias("b"), F.col("qty").alias("q")))
+        ).alias("bs")
     )
-    b = qty.select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("p_brand").alias("item_b"),
-        F.col("qty").alias("qb"),
+    pairs_expr = F.expr(
+        """
+        flatten(transform(bs, (x, i) ->
+            filter(transform(slice(bs, i + 2, size(bs) - i - 1), y ->
+                       struct(x.b AS item_a, y.b AS item_b,
+                              CASE WHEN x.q > y.q THEN 1 ELSE 0 END AS wa,
+                              CASE WHEN y.q > x.q THEN 1 ELSE 0 END AS wb)),
+                   p -> p.wa + p.wb > 0)))
+        """
     )
-    pairs = a.join(b, on="ok").filter(F.col("item_a") < F.col("item_b"))
     return (
-        pairs.filter(F.col("qa") != F.col("qb"))
-        .groupBy("item_a", "item_b")
+        per_order.select(F.explode(pairs_expr).alias("p"))
+        .groupBy(
+            F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b")
+        )
         .agg(
-            F.sum(F.when(F.col("qa") > F.col("qb"), 1).otherwise(0))
-            .cast("long")
-            .alias("wins_a"),
-            F.sum(F.when(F.col("qb") > F.col("qa"), 1).otherwise(0))
-            .cast("long")
-            .alias("wins_b"),
+            F.sum("p.wa").cast("long").alias("wins_a"),
+            F.sum("p.wb").cast("long").alias("wins_b"),
         )
     )
 

@@ -7,13 +7,15 @@ is the canonical analysis).
 exactness with a full sort (one all-to-one stage at the percentile
 boundary).  This operator gets EXACT order statistics in a handful of
 COUNTING passes instead: each round histograms the surviving value range
-into ``branch`` equal-width buckets (one map-side-combined aggregate whose
-result is ≤ quantiles·branch rows), locates the bucket containing the
-target rank, and recurses into it.  An int64 domain resolves in at most
-ceil(64 / log2(branch)) rounds — 7 at branch=1024 — and real value
-domains (prices in cents, millisecond timestamps) in 2–3, each a
-corpus-linear scan with the range filter PUSHED DOWN to the parquet scan
-(later rounds touch a vanishing fraction of row groups under any
+into equal-width buckets (one map-side-combined aggregate whose result is
+≤ quantiles·fan-out rows), locates the bucket containing the target rank,
+and recurses into it.  The fan-out is ADAPTIVE (r13, guide §1.2 — each
+round is a full counting job, so fewer rounds is the lever): isqrt of the
+widest surviving range targets two remaining rounds, capped at
+``MAX_BRANCH`` = 65536, so an int64 domain resolves in ≤ 4 rounds and
+real value domains (prices in cents, millisecond timestamps) in 2, each
+a corpus-linear scan with the range filter PUSHED DOWN to the parquet
+scan (later rounds touch a vanishing fraction of row groups under any
 clustered layout).
 
 Driver state is bounded by quantiles · branch counts per round (the
@@ -29,13 +31,43 @@ quantile surface; this extends the beyond-reference analytics operators.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: histogram fan-out per round; 1024 resolves any int64 range in ≤ 7 rounds
+#: histogram fan-out FLOOR per round; the adaptive rule below widens it up
+#: to MAX_BRANCH so real value domains resolve in as few counting passes as
+#: possible (each pass is one full job — at bench scale the job barrier IS
+#: the cost, guide §1.2: fewer passes over the data)
 BRANCH = 1024
-#: hard stop — provably unreachable at BRANCH=1024 over int64 (guard only)
+#: fan-out ceiling: bounds the driver collect at quantiles · MAX_BRANCH
+#: counting rows per round (≤ 256k rows / a few MB at 4 quantiles — still
+#: the pagerank bounded-collect discipline, never a row collect)
+MAX_BRANCH = 65536
+#: hard stop — provably unreachable: the adaptive fan-out is ≥ 1024, so an
+#: int64 domain resolves in ≤ 4 rounds (2^64 → 2^48 → 2^32 → 2^16 → done)
 MAX_ROUNDS = 16
+
+
+def _adaptive_branch(max_range: int, floor: int) -> int:
+    """Per-round fan-out: finish NOW when the widest surviving range fits
+    under MAX_BRANCH buckets of width 1; otherwise aim for two remaining
+    rounds (isqrt splits the log-range evenly — round 1 leaves a range its
+    own round-2 fan-out covers exactly), capped at MAX_BRANCH so the
+    bounded-collect contract holds on a full int64 domain.
+
+    Equal-width bucketing is EXACT at any fan-out (the bucket containing
+    the target rank is located from exact integer counts), so the fan-out
+    choice changes job count only, never the result.
+
+    A caller-narrowed ``floor`` below the BRANCH default is honored
+    verbatim (tests force multi-round refinement with branch=4)."""
+    if floor < BRANCH:
+        return floor
+    if max_range < MAX_BRANCH:
+        return max_range + 1
+    return max(floor, min(MAX_BRANCH, math.isqrt(max_range) + 1))
 
 
 def exact_quantiles(
@@ -104,8 +136,11 @@ def exact_quantiles(
         live = {qi: s for qi, s in live.items() if s["value"] is None}
         if not live:
             break
+        branch_eff = _adaptive_branch(
+            max(s["hi"] - s["lo"] for s in live.values()), branch
+        )
         widths = {
-            qi: (s["hi"] - s["lo"]) // branch + 1 for qi, s in live.items()
+            qi: (s["hi"] - s["lo"]) // branch_eff + 1 for qi, s in live.items()
         }
         arms = F.array(
             *[

@@ -246,10 +246,21 @@ def main() -> None:
     # Full per-query timings go to a file; the stdout line stays compact
     # (headline queries only) because the driver captures a bounded tail of
     # stdout — round 1's 68-query line overflowed it and parsed as null.
+    # Make the $SPARK_GRAFT_CPUS contract driver-visible (r12 PERF flagged
+    # scaling.suspect_cpus_ignored because nothing in the bench output
+    # carried the effective core count): record the resolved master, the
+    # env-derived cpus, and the context's actual defaultParallelism in both
+    # the stdout line and BENCH_FULL. Pure reporting — timing methodology
+    # is unchanged.
+    eff_master = spark.sparkContext.master
+    eff_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     full = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "cpus": eff_cpus,
+        "master": eff_master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "queries": timings,
         "queries_best": best,
         # contention-immune companion metric (r7 verdict #1): process-tree
@@ -323,6 +334,11 @@ def compact_summary_line(full: dict) -> str:
         "quiet": full["quiet"],
         "foreign_cpu_fraction": full["foreign_cpu_fraction"],
         "n_cpu_regressions": len(full.get("cpu_regressions", {})),
+        # the effective $SPARK_GRAFT_CPUS contract, driver-visible (r12
+        # PERF scaling block asked for exactly this)
+        "cpus": full.get("cpus"),
+        "master": full.get("master"),
+        "default_parallelism": full.get("default_parallelism"),
         "queries_full": "BENCH_FULL.json",
     }
     line = json.dumps(compact)

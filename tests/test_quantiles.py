@@ -73,6 +73,41 @@ def test_quantiles_adversarial_bucket_edges(spark):
     assert got == _sorted_oracle(vals, PROBS)
 
 
+def test_adaptive_branch_round_counts():
+    """The r13 adaptive fan-out: simulate the per-round range shrink and
+    assert the round-count contract — int64 domain <= 4 rounds, a
+    price-in-cents-sized domain (6e7) exactly 2, a sub-65536 domain 1 —
+    and that an explicitly narrowed branch (tests) is honored verbatim."""
+    from aci_export_spark.operators.quantiles import (
+        BRANCH,
+        MAX_BRANCH,
+        _adaptive_branch,
+    )
+
+    def rounds(rng: int) -> int:
+        n = 0
+        while rng > 0:
+            b = _adaptive_branch(rng, BRANCH)
+            assert b <= MAX_BRANCH
+            # width = rng // b + 1; surviving range = width - 1 = rng // b
+            rng = rng // b
+            n += 1
+            if n > 16:
+                raise AssertionError("did not converge")
+        return n
+
+    assert rounds(2**64 - 1) <= 4
+    assert rounds(60_000_000) == 2
+    assert rounds(50_000) == 1
+    assert _adaptive_branch(2000, 4) == 4  # caller-narrowed: verbatim
+
+
+def test_quantiles_adaptive_differential_midrange(spark):
+    # range just above MAX_BRANCH exercises the isqrt path end-to-end
+    vals = [0, 1, 65535, 65536, 65537, 131072, 99999, 70000, 3, 65538]
+    _check(spark, vals)
+
+
 def test_quantiles_nulls_excluded(spark):
     df = spark.createDataFrame(
         [(1,), (None,), (3,), (None,), (2,)], schema="v long"
